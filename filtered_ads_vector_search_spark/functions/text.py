@@ -1,0 +1,196 @@
+"""Text expression library (SURVEY.md §2 C10/B2 + training-data-pipeline ops).
+
+Whitespace tokenization mirrors the reference's ``tokenize_and_count``
+(reference: download_dataset/utils.py:202-212). The rest — word shingles,
+language-ID heuristic, quality scoring, fingerprinting — is the text-analysis
+surface a large-scale training-data pipeline needs on top of the reference.
+
+Everything is built from Spark built-ins (split / transform / aggregate /
+array_intersect) so it stays JVM-side; each function has a DuckDB ``*_sql``
+twin generated from the same constants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .hashing import P, str_hash_col, str_hash_sql
+
+__all__ = [
+    "tokens",
+    "token_count",
+    "word_shingles",
+    "punct_ratio",
+    "stopword_ratio",
+    "quality_score",
+    "lang_predict",
+    "fingerprint",
+    "tokens_sql",
+    "token_count_sql",
+    "word_shingles_sql",
+    "punct_ratio_sql",
+    "stopword_ratio_sql",
+    "quality_score_sql",
+    "lang_predict_sql",
+    "fingerprint_sql",
+    "STOPWORDS",
+    "LANG_MARKERS",
+]
+
+WS = r"\s+"
+
+# A small English stopword list for quality scoring (fixed, portable).
+STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
+
+# Per-language marker words for the n-gram-free language-ID heuristic.
+# The synthetic `documents` table carries lang in {en, es, zh, de, fr, ...};
+# markers are chosen from each language's most common function words.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "a", "to", "is"],
+    "es": ["el", "la", "de", "que", "y", "los"],
+    "de": ["der", "die", "und", "das", "ist", "ein"],
+    "fr": ["le", "la", "et", "les", "des", "un"],
+    "zh": ["的", "是", "了", "在", "我", "有"],
+}
+_LANG_ORDER = ["en", "es", "de", "fr", "zh"]  # deterministic tie-break order
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens (reference: download_dataset/utils.py:202-212)."""
+    return F.split(F.trim(text), WS)
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def tokens_sql(text: str) -> str:
+    return f"string_split_regex(trim({text}), '\\s+')"
+
+
+def token_count_sql(text: str) -> str:
+    return f"len({tokens_sql(text)})"
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles, each joined by a single space.
+
+    Guarded: fewer than n tokens -> empty array (Spark `sequence` would
+    otherwise generate a DESCENDING range and corrupt results).
+    """
+    t = tokens(text)
+    sh = F.transform(
+        F.sequence(F.lit(1), F.size(t) - F.lit(n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+    )
+    return F.array_distinct(F.when(F.size(t) >= n, sh).otherwise(F.array().cast("array<string>")))
+
+
+def word_shingles_sql(text: str, n: int = 3) -> str:
+    t = tokens_sql(text)
+    return (
+        f"list_distinct(CASE WHEN len({t}) >= {n} THEN "
+        f"list_transform(range(1, len({t}) - {n - 2}), "
+        f"i -> array_to_string(list_slice({t}, i, i + {n - 1}), ' ')) "
+        f"ELSE [] END)"
+    )
+
+
+def punct_ratio(text: Column) -> Column:
+    """(# non-alnum-non-space chars) / length — double, guarded for empty."""
+    stripped = F.regexp_replace(text, r"[A-Za-z0-9\s]", "")
+    return F.length(stripped).cast("double") / F.nullif(F.length(text).cast("double"), F.lit(0.0))
+
+
+def punct_ratio_sql(text: str) -> str:
+    return (
+        f"(CAST(length(regexp_replace({text}, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)"
+        f" / nullif(CAST(length({text}) AS DOUBLE), 0.0))"
+    )
+
+
+def stopword_ratio(text: Column) -> Column:
+    t = tokens(text)
+    hits = F.size(F.filter(t, lambda w: F.lower(w).isin(STOPWORDS)))
+    return hits.cast("double") / F.nullif(F.size(t).cast("double"), F.lit(0.0))
+
+
+def stopword_ratio_sql(text: str) -> str:
+    t = tokens_sql(text)
+    lst = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return (
+        f"(CAST(len(list_filter({t}, w -> list_contains([{lst}], lower(w)))) AS DOUBLE)"
+        f" / nullif(CAST(len({t}) AS DOUBLE), 0.0))"
+    )
+
+
+def quality_score(text: Column) -> Column:
+    """Composite doc-quality heuristic in [0,1]:
+    0.4*length_score + 0.3*(1-punct_ratio) + 0.3*min(stopword_ratio*5, 1).
+
+    length_score = min(token_count/100, 1). Mirrors common pretraining-data
+    quality filters (length/punct/stopword signals).
+    """
+    ls = F.least(token_count(text).cast("double") / F.lit(100.0), F.lit(1.0))
+    pr = F.coalesce(punct_ratio(text), F.lit(0.0))
+    sr = F.coalesce(stopword_ratio(text), F.lit(0.0))
+    return (
+        F.lit(0.4) * ls
+        + F.lit(0.3) * (F.lit(1.0) - pr)
+        + F.lit(0.3) * F.least(sr * F.lit(5.0), F.lit(1.0))
+    )
+
+
+def quality_score_sql(text: str) -> str:
+    ls = f"least(CAST({token_count_sql(text)} AS DOUBLE) / 100.0, 1.0)"
+    pr = f"coalesce({punct_ratio_sql(text)}, 0.0)"
+    sr = f"coalesce({stopword_ratio_sql(text)}, 0.0)"
+    return f"(0.4 * {ls} + 0.3 * (1.0 - {pr}) + 0.3 * least({sr} * 5.0, 1.0))"
+
+
+def _marker_hits(t: Column, lang: str) -> Column:
+    return F.size(F.filter(t, lambda w: F.lower(w).isin(LANG_MARKERS[lang])))
+
+
+def lang_predict(text: Column) -> Column:
+    """Marker-word language ID: argmax language by marker-token hits,
+    deterministic tie-break by _LANG_ORDER; 'und' if zero hits everywhere."""
+    t = tokens(text)
+    hits = {lang: _marker_hits(t, lang) for lang in _LANG_ORDER}
+    # nested CASE: first language in priority order with max hits wins
+    best = F.lit("und")
+    max_hits = F.greatest(*[hits[lang] for lang in _LANG_ORDER])
+    for lang in reversed(_LANG_ORDER):
+        best = F.when((hits[lang] == max_hits) & (max_hits > 0), F.lit(lang)).otherwise(best)
+    return best
+
+
+def lang_predict_sql(text: str) -> str:
+    t = tokens_sql(text)
+
+    def hits(lang: str) -> str:
+        lst = ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+        return f"len(list_filter({t}, w -> list_contains([{lst}], lower(w))))"
+
+    max_hits = "greatest(" + ", ".join(hits(lang) for lang in _LANG_ORDER) + ")"
+    # nested CASE, first language in priority order with max hits wins
+    expr = "'und'"
+    for lang in reversed(_LANG_ORDER):
+        expr = (
+            f"CASE WHEN {hits(lang)} = {max_hits} AND {max_hits} > 0 "
+            f"THEN '{lang}' ELSE {expr} END"
+        )
+    return f"({expr})"
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5-based 60-bit content hash of the
+    whitespace-normalized, lowercased text. Portable (md5 both engines)."""
+    normalized = F.concat_ws(" ", tokens(F.lower(text)))
+    return str_hash_col(normalized)
+
+
+def fingerprint_sql(text: str) -> str:
+    normalized = f"array_to_string({tokens_sql(f'lower({text})')}, ' ')"
+    return str_hash_sql(normalized)

@@ -1,0 +1,322 @@
+"""Deduplication operators for training-data pipelines.
+
+Not present in the reference (its corpus is pre-deduplicated Amazon reviews) —
+these are the standard large-corpus dedup tiers, each designed scale-first:
+
+* exact            — md5 content hash, one groupBy (map-side combinable).
+* ngram-jaccard    — exact pairwise Jaccard on word-shingle sets; quadratic,
+                     oracle-tier only (the scale path is MinHash below).
+* MinHash + LSH    — shingle -> 16 portable min-hashes -> 4 bands; candidate
+                     pairs come from an equi-join on band keys (shuffle on
+                     band_key, NOT a crossJoin), then exact-Jaccard verify.
+* SimHash          — 16-bit token-hash signature; near-dup = small signature
+                     hamming distance; equi-join on the signature for exact
+                     collisions at scale.
+* embedding cosine — near-dup by vector similarity (brute pairs at test SF;
+                     the IVF/LSH ANN tier is the scale path).
+
+All hashing goes through functions.hashing so every operator here has an
+exactly matching DuckDB oracle (the *_sql builders).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import P, portable_hash_sql, str_hash_col, str_hash_sql
+from ..functions.text import word_shingles, word_shingles_sql, tokens, tokens_sql
+from ..functions import vector as V
+
+__all__ = [
+    "exact_dedup",
+    "ngram_jaccard_pairs",
+    "minhash_signature_col",
+    "minhash_pairs",
+    "simhash_col",
+    "simhash_pairs",
+    "embedding_dup_pairs",
+    "minhash_constants",
+    "exact_dedup_sql",
+    "ngram_jaccard_pairs_sql",
+    "minhash_pairs_sql",
+    "simhash_sql",
+]
+
+N_HASHES = 16
+N_BANDS = 4
+ROWS_PER_BAND = N_HASHES // N_BANDS
+
+
+def minhash_constants() -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) for the i-th min-hash permutation
+    h_i(x) = ((x % P) * a_i + b_i) % P. Derived arithmetically so the DuckDB
+    oracle regenerates them from the same formula."""
+    out = []
+    for i in range(N_HASHES):
+        a = (2654435761 * (i + 1) + 99991) % P
+        b = (179426549 * (i + 1) + 7919) % P
+        out.append((a if a > 0 else 1, b))
+    return out
+
+
+# --- exact ------------------------------------------------------------------
+
+
+def exact_dedup(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups by content hash: one shuffle on the hash.
+    Returns (content_hash, rep_doc_id, n_copies)."""
+    return (
+        documents.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(
+            F.min("doc_id").alias("rep_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def exact_dedup_sql(table: str = "documents") -> str:
+    return (
+        f"SELECT md5(text) AS content_hash, min(doc_id) AS rep_doc_id, "
+        f"count(*) AS n_copies FROM {table} GROUP BY md5(text)"
+    )
+
+
+# --- n-gram Jaccard (exact, quadratic — oracle tier) ------------------------
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """All doc pairs (a<b) with word-shingle Jaccard >= threshold.
+    Exact and quadratic: use only at oracle scale; MinHash is the scale path."""
+    sh = documents.select(
+        F.col("doc_id"), word_shingles(F.col(text_col), n).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b"))).cast("double")
+    return (
+        a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("jaccard", F.round(inter / union, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs_sql(
+    table: str = "documents", threshold: float = 0.5, n: int = 3
+) -> str:
+    sh = word_shingles_sql("text", n)
+    return f"""
+WITH sh AS (
+  SELECT doc_id, {sh} AS shingles FROM {table}
+), nz AS (
+  SELECT * FROM sh WHERE len(shingles) > 0
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+             / CAST(len(list_distinct(a.shingles || b.shingles)) AS DOUBLE), 4) AS jaccard
+FROM nz a, nz b
+WHERE a.doc_id < b.doc_id
+  AND round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+            / CAST(len(list_distinct(a.shingles || b.shingles)) AS DOUBLE), 4) >= {threshold}
+"""
+
+
+# --- MinHash + LSH ----------------------------------------------------------
+
+
+def minhash_signature_col(text: Column, n: int = 3) -> Column:
+    """ARRAY<BIGINT> of N_HASHES min-hash values over distinct word shingles."""
+    sh_hashes = F.transform(word_shingles(text, n), lambda s: str_hash_col(s) % F.lit(P))
+    sigs = [
+        F.array_min(F.transform(sh_hashes, lambda x: (x * F.lit(a) + F.lit(b)) % F.lit(P)))
+        for a, b in minhash_constants()
+    ]
+    return F.array(*sigs)
+
+
+def minhash_pairs(
+    documents: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Scale-path near-dup: LSH banding -> candidate pairs -> exact-Jaccard
+    verify. The only shuffles are (a) explode+groupBy on band keys and (b) the
+    candidate equi-join — no crossJoin anywhere.
+
+    Returns (doc_a, doc_b, jaccard) with verified jaccard >= threshold; at a
+    shingle level this matches ngram_jaccard_pairs whenever LSH recall
+    captures the pair (probabilistic containment, tested as a property)."""
+    sh = documents.select(
+        F.col("doc_id"),
+        word_shingles(F.col(text_col), n).alias("shingles"),
+        minhash_signature_col(F.col(text_col), n).alias("sig"),
+    ).filter(F.size("shingles") > 0)
+
+    bands = sh.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ":",
+                        F.lit(bi),
+                        *[
+                            F.col("sig")[bi * ROWS_PER_BAND + r]
+                            for r in range(ROWS_PER_BAND)
+                        ],
+                    )
+                    for bi in range(N_BANDS)
+                ]
+            )
+        ).alias("band_key"),
+    )
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), "band_key")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b"))).cast("double")
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("jaccard", F.round(inter / union, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_pairs_sql(table: str = "documents", threshold: float = 0.5, n: int = 3) -> str:
+    """DuckDB twin of minhash_pairs (identical hash constants and banding)."""
+    sh = word_shingles_sql("text", n)
+    sh_hash = f"list_transform({sh}, s -> {str_hash_sql('s')} % {P})"
+    sig_exprs = []
+    for a_c, b_c in minhash_constants():
+        sig_exprs.append(
+            f"list_aggregate(list_transform(hashes, x -> (x * {a_c} + {b_c}) % {P}), 'min')"
+        )
+    sig_list = "[" + ", ".join(sig_exprs) + "]"
+    band_exprs = []
+    for bi in range(N_BANDS):
+        parts = [f"'{bi}'"] + [
+            f"CAST(sig[{bi * ROWS_PER_BAND + r + 1}] AS VARCHAR)" for r in range(ROWS_PER_BAND)
+        ]
+        band_exprs.append("concat_ws(':', " + ", ".join(parts) + ")")
+    bands_list = "[" + ", ".join(band_exprs) + "]"
+    return f"""
+WITH sh AS (
+  SELECT doc_id, {sh} AS shingles FROM {table}
+), nz AS (
+  SELECT doc_id, shingles, list_transform(shingles, s -> {str_hash_sql('s')} % {P}) AS hashes
+  FROM sh WHERE len(shingles) > 0
+), sigs AS (
+  SELECT doc_id, shingles, {sig_list} AS sig FROM nz
+), bands AS (
+  SELECT doc_id, unnest({bands_list}) AS band_key FROM sigs
+), cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x JOIN bands y USING (band_key)
+  WHERE x.doc_id < y.doc_id
+)
+SELECT doc_a, doc_b,
+       round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+             / CAST(len(list_distinct(a.shingles || b.shingles)) AS DOUBLE), 4) AS jaccard
+FROM cand JOIN sigs a ON cand.doc_a = a.doc_id JOIN sigs b ON cand.doc_b = b.doc_id
+WHERE round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+            / CAST(len(list_distinct(a.shingles || b.shingles)) AS DOUBLE), 4) >= {threshold}
+"""
+
+
+# --- SimHash ----------------------------------------------------------------
+
+SIMHASH_BITS = 16
+
+
+def simhash_col(text: Column) -> Column:
+    """16-bit SimHash over distinct whitespace tokens: bit j set iff
+    Σ_tokens (bit j of token-hash ? +1 : -1) > 0. Pure arithmetic -> portable."""
+    tok_hashes = F.transform(
+        F.array_distinct(tokens(text)), lambda w: str_hash_col(w) % F.lit(P)
+    )
+
+    def _bit_sum(j: int):
+        return F.aggregate(
+            tok_hashes,
+            F.lit(0),
+            lambda acc, x: acc
+            + F.when(F.floor(x / (2 ** j)) % 2 == 1, 1).otherwise(-1),
+        )
+
+    bit_sums = [_bit_sum(j) for j in range(SIMHASH_BITS)]
+    out = F.lit(0)
+    for j, s in enumerate(bit_sums):
+        out = out + F.when(s > 0, F.lit(2 ** j)).otherwise(F.lit(0))
+    return out.cast("bigint")
+
+
+def simhash_sql(text: str) -> str:
+    tok = f"list_distinct({tokens_sql(text)})"
+    hashes = f"list_transform({tok}, w -> {str_hash_sql('w')} % {P})"
+    bit_terms = []
+    for j in range(SIMHASH_BITS):
+        s = (
+            f"list_sum(list_transform({hashes}, "
+            f"x -> CASE WHEN (x // {2 ** j}) % 2 = 1 THEN 1 ELSE -1 END))"
+        )
+        bit_terms.append(f"CASE WHEN {s} > 0 THEN {2 ** j} ELSE 0 END")
+    return "CAST((" + " + ".join(bit_terms) + ") AS BIGINT)"
+
+
+def simhash_pairs(documents: DataFrame, max_hamming: int = 2, text_col: str = "text") -> DataFrame:
+    """Near-dup pairs by signature hamming <= max_hamming. Pairwise at test SF;
+    at scale, equi-join on the signature (hamming 0) or on banded signature
+    halves (the standard simhash pigeonhole trick)."""
+    s = documents.select(F.col("doc_id"), simhash_col(F.col(text_col)).alias("sig"))
+    a = s.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    b = s.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+# --- embedding cosine near-dup ---------------------------------------------
+
+
+def embedding_dup_pairs(
+    embeddings: DataFrame,
+    max_cos_dist: float = 0.2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Vector near-dup pairs: cosine distance <= max_cos_dist, a<b.
+    Brute pairs here; the ANN/IVF tier is the 100 TB path."""
+    a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
+    b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    d = V.vec_cosine_distance(F.col("v_a"), F.col("v_b"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_dist", F.round(d, 4))
+        .filter(F.col("cos_dist") <= max_cos_dist)
+        .select("id_a", "id_b", "cos_dist")
+    )

@@ -1,0 +1,136 @@
+"""Evaluation/aggregation layer (SURVEY.md §2 E2-E8).
+
+The reference computes p99 latency (np.percentile,
+cuvs_bench_grid_search_v3.py:305), QPS over replay windows (:302), recall
+brackets (plot_bench.py:41-48), best-recall/best-QPS argmax rows per run
+(all_runs_summary-2.csv), and Pareto frontiers (create_plots.ipynb). Each maps
+to a single declarative Spark aggregation — map-side partial aggregation,
+WindowGroupLimit, and AQE all apply automatically.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "percentiles",
+    "qps_windows",
+    "bracket_mean",
+    "best_per_group",
+    "pareto_frontier",
+]
+
+
+def percentiles(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    ps: Sequence[float] = (0.5, 0.95, 0.99),
+) -> DataFrame:
+    """Exact interpolated percentiles (reference: np.percentile p99 at
+    cuvs_bench_grid_search_v3.py:305 — same linear-interpolation definition).
+
+    Exact `percentile`, not percentile_approx, so results are deterministic
+    and oracle-matched; at 100 TB swap in percentile_approx(…, 10000) — the
+    call site is the only change.
+    """
+    aggs = [
+        F.round(F.percentile(F.col(value_col), F.lit(p)), 4).alias(
+            f"p{str(p).replace('0.', '')}"
+        )
+        for p in ps
+    ]
+    g = df.groupBy(*group_cols) if group_cols else df.groupBy()
+    return g.agg(*aggs)
+
+
+def qps_windows(
+    events: DataFrame,
+    ts_col: str = "ts",
+    group_cols: Sequence[str] = ("event_type",),
+    window: str = "1 hour",
+) -> DataFrame:
+    """Throughput per tumbling window (reference QPS formula
+    cuvs_bench_grid_search_v3.py:302 — count/wall-window). Declarative
+    time-bucketed count; the same expression runs under Structured Streaming
+    with a watermark (streaming.throughput)."""
+    return (
+        events.groupBy(F.window(F.col(ts_col), window).alias("w"), *group_cols)
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            *group_cols,
+            F.col("w.start").alias("window_start"),
+            F.col("n_events"),
+        )
+    )
+
+
+def bracket_mean(
+    df: DataFrame,
+    bracket_col: str,
+    value_col: str,
+    edges: Sequence[float] = (0.80, 0.90, 0.95, 0.99),
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Mean of `value_col` per bracket of `bracket_col` (reference recall
+    brackets [80-90/90-95/95-99/99+]%, plot_bench.py:41-48)."""
+    c = F.col(bracket_col)
+    expr = F.when(c < edges[0], F.lit(f"<{edges[0]}"))
+    for lo, hi in zip(edges, list(edges[1:]) + [None]):
+        label = f"{lo}-{hi}" if hi is not None else f">={lo}"
+        cond = (c >= lo) & (c < hi) if hi is not None else (c >= lo)
+        expr = expr.when(cond, F.lit(label))
+    return (
+        df.withColumn("bracket", expr)
+        .groupBy("bracket", *group_cols)
+        .agg(
+            F.round(F.avg(value_col), 4).alias(f"avg_{value_col}"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+def best_per_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_col: str,
+    ascending: bool = False,
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Argmax/argmin row per group via row_number (reference best-recall /
+    best-QPS summary rows, all_runs_summary-2.csv) — WindowGroupLimit makes
+    this a per-group top-1 without a full sort."""
+    order = [F.col(order_col).asc() if ascending else F.col(order_col).desc()]
+    order += [F.col(c).asc() for c in tiebreak_cols]
+    w = Window.partitionBy(*group_cols).orderBy(*order)
+    return df.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
+
+
+def pareto_frontier(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Points not dominated on (maximize x, maximize y) (reference Pareto
+    frontier plots, create_plots.ipynb cell 0).
+
+    A point survives iff no other point has strictly greater y among those
+    with x >= its x — i.e. its y equals the running max of y over the window
+    ordered by x desc (ties on x handled by range semantics).
+    """
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(F.col(x_col).desc())
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # rangeBetween needs a numeric sort key; orderBy desc + range frame gives
+    # "all rows with x >= current x" (inclusive of x-ties).
+    return (
+        df.withColumn("_maxy", F.max(F.col(y_col)).over(w))
+        .filter(F.col(y_col) >= F.col("_maxy"))
+        .drop("_maxy")
+    )

@@ -1,0 +1,183 @@
+"""Filtered exact k-NN — the engine's core operator (SURVEY.md §2 D1/F1).
+
+The reference's correctness oracle is an exact brute-force filtered search
+(reference: calc_truth utils_grid_search.py:953-1027, prefilter applied INSIDE
+the search at 999-1002; cpu_search 890-951 with argpartition top-k at 923-928).
+
+Two physical forms, one logical semantics:
+
+* ``knn_window``  — declarative: crossJoin -> distance expr -> rank<=k window.
+  Catalyst turns the rank filter into WindowGroupLimit (per-group top-k
+  pushdown, the direct analog of argpartition) and pushes the rating-bucket
+  predicate below the join. Used for oracle-checked correctness at test SF.
+
+* ``knn_scalable`` — the 100 TB form: broadcast the (small) query matrix into
+  an Arrow-batched ``mapInPandas`` over corpus partitions, compute a LOCAL
+  top-k per query per partition with NumPy argpartition, then merge partials
+  with a per-query global top-k. Shuffle volume is O(partitions × queries × k)
+  instead of O(|corpus| × |queries|) — partial-agg/final-agg shaped, no
+  crossJoin ever materialized.
+
+Filter-before-top-k: both forms take the corpus AFTER predicate application;
+callers filter first (a post-filter would return <k rows and wrong recall —
+SURVEY.md §7 hard parts).
+
+Tie-breaking: (distance, neighbor_id) ascending — deterministic under the
+reference's order-insensitive recall (utils_grid_search.py:82-84).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Literal
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import vector as V
+from .filters import is_query_col
+
+Metric = Literal["sqeuclidean", "inner_product", "cosine", "hamming"]
+
+__all__ = ["split_queries", "knn_window", "knn_scalable", "distance_col"]
+
+
+def split_queries(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic hash split into (queries, corpus)
+    (reference: train_test_split seed 42, cuvs_bench_grid_search_v3.py:771-779)."""
+    q = (
+        embeddings.filter(is_query_col(F.col(id_col)))
+        .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    )
+    c = embeddings.filter(~is_query_col(F.col(id_col)))
+    return q, c
+
+
+def distance_col(metric: Metric, a: Column, b: Column) -> tuple[Column, bool]:
+    """(distance expression, ascending?) for a metric."""
+    if metric == "sqeuclidean":
+        return V.vec_sqeuclidean(a, b), True
+    if metric == "inner_product":
+        return V.vec_inner_product(a, b), False
+    if metric == "cosine":
+        return V.vec_cosine_distance(a, b), True
+    if metric == "hamming":
+        return V.vec_sign_hamming(a, b).cast("double"), True
+    raise ValueError(f"unknown metric {metric!r}")
+
+
+def knn_window(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    metric: Metric = "sqeuclidean",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Declarative filtered exact top-k: crossJoin + window rank limit.
+
+    Returns (query_id, neighbor_id, rank, dist). Queries with fewer than k
+    passing corpus rows return fewer rows (filter-before-top-k semantics).
+    """
+    d, asc = distance_col(metric, F.col("q_vec"), F.col(vec_col))
+    order = [F.col("dist").asc(), F.col("neighbor_id").asc()] if asc else [
+        F.col("dist").desc(),
+        F.col("neighbor_id").asc(),
+    ]
+    pairs = (
+        queries.crossJoin(corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col)))
+        .withColumn("dist", d)
+        .select("query_id", "neighbor_id", "dist")
+    )
+    w = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "dist")
+    )
+
+
+def _np_distances(metric: Metric, q: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """queries×corpus distance matrix in float64 (similarities negated so that
+    'smaller is better' holds uniformly)."""
+    if metric == "sqeuclidean":
+        # ||q||^2 - 2qc + ||c||^2, computed stably in float64
+        return (
+            (q * q).sum(axis=1)[:, None]
+            - 2.0 * (q @ c.T)
+            + (c * c).sum(axis=1)[None, :]
+        )
+    if metric == "inner_product":
+        return -(q @ c.T)
+    if metric == "cosine":
+        qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-30)
+        cn = c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-30)
+        return 1.0 - qn @ cn.T
+    if metric == "hamming":
+        return ((q > 0)[:, None, :] != (c > 0)[None, :, :]).sum(axis=2).astype(np.float64)
+    raise ValueError(metric)
+
+
+def knn_scalable(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    metric: Metric = "sqeuclidean",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scale-out exact top-k: broadcast query matrix, per-partition local top-k
+    (NumPy argpartition — reference: cpu_search utils_grid_search.py:919-928),
+    then global per-query merge of the k-sized partials.
+
+    At 100 TB the corpus scan is embarrassingly parallel, nothing shuffles
+    except partitions×queries×k partial rows, and the final merge is a
+    per-query top-k over ~(#partitions × k) rows.
+    """
+    qrows = queries.select("query_id", "q_vec").collect()
+    if not qrows:
+        return queries.sparkSession.createDataFrame(
+            [], "query_id bigint, neighbor_id bigint, rank int, dist double"
+        )
+    q_ids = np.array([r["query_id"] for r in qrows], dtype=np.int64)
+    q_mat = np.array([r["q_vec"] for r in qrows], dtype=np.float64)
+    sign = -1.0 if metric == "inner_product" else 1.0
+
+    def local_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            c_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            c_mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            dmat = _np_distances(metric, q_mat, c_mat)
+            kk = min(k, c_mat.shape[0])
+            # argpartition for k-smallest, then sort the slice (mirrors the
+            # reference's argpartition+argsort at utils_grid_search.py:923-928)
+            part = np.argpartition(dmat, kk - 1, axis=1)[:, :kk]
+            rows = np.repeat(np.arange(dmat.shape[0]), kk)
+            cols = part.ravel()
+            yield pd.DataFrame(
+                {
+                    "query_id": q_ids[rows],
+                    "neighbor_id": c_ids[cols],
+                    "dist": sign * dmat[rows, cols],
+                }
+            )
+
+    partials = corpus.select(id_col, vec_col).mapInPandas(
+        local_topk, schema="query_id bigint, neighbor_id bigint, dist double"
+    )
+    asc = metric != "inner_product"
+    order = [F.col("dist").asc() if asc else F.col("dist").desc(), F.col("neighbor_id").asc()]
+    w = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        partials.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "dist")
+    )
