@@ -1,0 +1,97 @@
+"""Benchmark harness (driver contract): run headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and print ONE JSON line {"metric": ..., "value": ..., "unit": "sec",
+"queries": {...}, "sf": ...}.
+
+Covers the engine's core surfaces: exact filtered top-k (both physical forms),
+the IVF ANN tier (build + probe), quantized search recall, dedup (exact +
+MinHash LSH), text analysis, relational aggregation/joins, and windowed
+throughput — the same headline workloads the reference benchmarks
+(grid-search combos of build/search/recall, cuvs_bench_grid_search_v3.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+from filtered_ads_vector_search_spark import registry
+from filtered_ads_vector_search_spark.operators import filters as FL
+from filtered_ads_vector_search_spark.operators import topk as TK
+from filtered_ads_vector_search_spark.operators.ann import IVFIndex
+from filtered_ads_vector_search_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def main() -> None:
+    spark = get_spark(app_name="favs-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn) -> None:
+        t0 = time.time()
+        fn()
+        timings[name] = round(time.time() - t0, 3)
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q, c = TK.split_queries(emb)
+    q = q.cache()
+    c = c.cache()
+    q.count(), c.count()  # pre-materialize inputs; we benchmark the operators
+
+    # --- vector search core ---
+    timed("knn_exact_window", lambda: TK.knn_window(q, c, k=10).count())
+    timed("knn_exact_scalable", lambda: TK.knn_scalable(q, c, k=10).count())
+    c_high = FL.with_rating_bucket(c).filter(FL.named_filter_predicate("high_rated"))
+    timed("knn_filtered_high", lambda: TK.knn_scalable(q, c_high, k=10).count())
+
+    # --- ANN tier (build measured like the reference's build_time_seconds) ---
+    state: dict = {}
+
+    def build():
+        state["idx"] = IVFIndex.build(c, n_centroids=32, seed=42)
+
+    timed("ann_ivf_build", build)
+    timed("ann_ivf_search", lambda: state["idx"].search(q, k=10, nprobe=8).count())
+    state["idx"].unpersist()
+
+    # --- registry headline queries (same code path the driver checks) ---
+    for name in (
+        "knn_sq8",
+        "recall_sq8_vs_fp",
+        "dedup_exact",
+        "dedup_minhash_lsh",
+        "text_stats",
+        "tpch_q1",
+        "tpch_q5",
+        "qps_windows",
+        "latency_percentiles",
+        "pareto_frontier_suppliers",
+    ):
+        timed(name, lambda n=name: registry.QUERIES[n](spark, SF_DIR).count())
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

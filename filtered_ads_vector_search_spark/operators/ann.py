@@ -1,0 +1,143 @@
+"""Approximate-nearest-neighbor tier: IVF (inverted-file) index built from
+DataFrame ops (SURVEY.md §2 D2/D3, I1/I2).
+
+The reference's ANN indexes are CAGRA (GPU graph, cuvs_bench_grid_search_v3.py:
+196-207) and FAISS HNSW (utils_grid_search.py:634-686). A graph index is the
+wrong shape for a distributed engine; the Spark-native analog with the same
+capability (recall/latency knob against the exact oracle) is an IVF layout:
+
+  build:  fit k-means coarse centroids (pyspark.ml.KMeans) -> assign every
+          vector to its nearest centroid (partition_id) -> persist, optionally
+          bucketed-by-partition_id Parquet so searches prune files.
+  search: rank centroids per query (a tiny broadcast top-nprobe join) ->
+          equi-join candidates on partition_id (shuffle on the bucket key,
+          never a crossJoin) -> exact distance -> per-query top-k window.
+
+Knob mapping (reference params_config.yaml:2-15):
+  n_centroids ~ intermediate_graph_degree / M   (partitioning resolution)
+  nprobe      ~ search_width / efSearch         (recall vs latency)
+
+Filter-before-top-k holds: the rating-bucket predicate is applied to the
+assigned corpus BEFORE candidate selection, exactly like the reference passes
+its bitset prefilter inside the search (utils_grid_search.py:600-602).
+
+At 100 TB: centroids stay tiny (thousands of rows — always broadcast);
+the corpus is written bucketed by partition_id so a probe reads only
+nprobe/n_centroids of the data; AQE handles residual skew.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .topk import Metric, distance_col, knn_window
+
+__all__ = ["IVFIndex"]
+
+
+@dataclass
+class IVFIndex:
+    centroids: DataFrame  # (centroid_id int, centroid array<float>)
+    assigned: DataFrame   # corpus + partition_id
+    metric: Metric
+    n_centroids: int
+    build_seconds: float
+    id_col: str = "vec_id"
+    vec_col: str = "embedding"
+
+    @staticmethod
+    def build(
+        corpus: DataFrame,
+        n_centroids: int = 64,
+        metric: Metric = "sqeuclidean",
+        seed: int = 42,
+        max_iter: int = 20,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> "IVFIndex":
+        """Offline index-build job (the analog of cagra.build / HNSW add;
+        build wall-time is the reference's build_time_seconds metric)."""
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector, vector_to_array
+
+        t0 = time.time()
+        feat = corpus.select(
+            F.col(id_col), F.col(vec_col), array_to_vector(F.col(vec_col)).alias("features")
+        )
+        km = KMeans(k=n_centroids, seed=seed, maxIter=max_iter, featuresCol="features")
+        model = km.fit(feat)
+        spark = corpus.sparkSession
+        centroids = spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+            "centroid_id int, centroid array<float>",
+        )
+        assigned = (
+            model.transform(feat)
+            .select(id_col, vec_col, F.col("prediction").alias("partition_id"))
+            .persist()
+        )
+        assigned.count()  # materialize: the index artifact
+        return IVFIndex(
+            centroids=centroids,
+            assigned=assigned,
+            metric=metric,
+            n_centroids=n_centroids,
+            build_seconds=time.time() - t0,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+
+    def write_bucketed(self, path: str, n_buckets: int | None = None) -> None:
+        """Persist the IVF layout as Parquet partitioned by partition_id so a
+        probe scan prunes to nprobe directories (partition pruning at scan)."""
+        self.assigned.write.mode("overwrite").partitionBy("partition_id").parquet(path)
+
+    def search(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        nprobe: int = 8,
+        predicate: Column | None = None,
+    ) -> DataFrame:
+        """Filtered approximate top-k. `queries` is (query_id, q_vec);
+        `predicate` (over assigned-corpus columns) is applied BEFORE candidate
+        selection — filter-then-top-k semantics."""
+        nprobe = min(nprobe, self.n_centroids)
+        # 1. rank centroids per query: tiny broadcast cross join + window
+        probes = knn_window(
+            queries,
+            self.centroids,
+            k=nprobe,
+            metric="sqeuclidean" if self.metric != "inner_product" else "inner_product",
+            id_col="centroid_id",
+            vec_col="centroid",
+        ).select("query_id", F.col("neighbor_id").alias("partition_id"))
+
+        corpus = self.assigned
+        if predicate is not None:
+            corpus = corpus.filter(predicate)
+
+        # 2. candidates via equi-join on the bucket key; queries re-attached
+        #    by broadcast (the query side is always the small side).
+        cand = (
+            probes.join(corpus, "partition_id")
+            .join(F.broadcast(queries), "query_id")
+        )
+        d, asc = distance_col(self.metric, F.col("q_vec"), F.col(self.vec_col))
+        order = [F.col("dist").asc() if asc else F.col("dist").desc(), F.col("neighbor_id").asc()]
+        w = Window.partitionBy("query_id").orderBy(*order)
+        return (
+            cand.select(
+                "query_id", F.col(self.id_col).alias("neighbor_id"), d.alias("dist")
+            )
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", "dist")
+        )
+
+    def unpersist(self) -> None:
+        self.assigned.unpersist()

@@ -1,0 +1,725 @@
+"""Query registry: every oracle-checked query + its DuckDB oracle SQL.
+
+This is the single source of truth consumed by the driver contract
+(__spark_entry__.queries / oracle_sql). Each entry is one operator/query from
+SURVEY.md §2 expressed (a) as a Spark DataFrame program and (b) as ANSI-ish SQL
+DuckDB runs on the same parquet views. Column names and rounding are aligned
+on both sides; all nondeterminism is removed via portable hashing
+(functions.hashing) and explicit tie-breaks.
+
+Naming: rank columns are `rnk` (RANK is reserved-ish in SQL), distances `dist`,
+all money aggregates go through DECIMAL(18,4) so sums are exact and
+order-insensitive in both engines before the final double rounding.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions import hashing as H
+from .functions import text as T
+from .functions import vector as V
+from .operators import dedup as DD
+from .operators import evaluate as E
+from .operators import filters as FL
+from .operators import topk as TK
+from .operators.recall import recall_at_k
+from .operators import quantize as Q
+
+K = 10
+SQ8_LO, SQ8_HI = -3.0, 3.0  # fixed affine bounds for the oracle-tier sq8 search
+
+# Reference CAGRA grid values (reference: params_config.yaml:2-8, constraint at
+# cuvs_bench_grid_search_v3.py:136-138).
+GRID_IGD = [32, 64, 96, 128]
+GRID_GD = [32, 64, 96, 128]
+GRID_ITOPK = [32, 64, 128]
+GRID_SW = [1, 2, 4, 8]
+
+
+def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from .datasets import load_table
+
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# k-NN family
+# ---------------------------------------------------------------------------
+
+
+def _knn_spark(
+    spark: SparkSession,
+    sf_dir: str,
+    metric: TK.Metric,
+    filter_name: str | None = None,
+    quant: str | None = None,
+    round_digits: int = 3,
+) -> DataFrame:
+    emb = _tbl(spark, sf_dir, "embeddings")
+    if quant == "sq8":
+        emb = emb.withColumn("embedding", V.sq8_quantize(F.col("embedding"), SQ8_LO, SQ8_HI))
+    q, c = TK.split_queries(emb)
+    if filter_name is not None:
+        c = FL.with_rating_bucket(c).filter(FL.named_filter_predicate(filter_name))
+    out = TK.knn_window(q, c, k=K, metric=metric)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").alias("rnk"),
+        F.round("dist", round_digits).alias("dist"),
+    )
+
+
+def _knn_sql(
+    metric: str,
+    filter_name: str | None = None,
+    quant: str | None = None,
+    round_digits: int = 3,
+) -> str:
+    emb_expr = "embedding"
+    if quant == "sq8":
+        emb_expr = V.sq8_quantize_sql("embedding", SQ8_LO, SQ8_HI)
+    if metric == "sqeuclidean":
+        dist = V.sqeuclidean_sql("q.q_vec", "c.embedding")
+        order = "dist ASC"
+    elif metric == "inner_product":
+        dist = V.inner_product_sql("q.q_vec", "c.embedding")
+        order = "dist DESC"
+    elif metric == "cosine":
+        dist = V.cosine_distance_sql("q.q_vec", "c.embedding")
+        order = "dist ASC"
+    elif metric == "hamming":
+        dist = f"CAST({V.sign_hamming_sql('q.q_vec', 'c.embedding')} AS DOUBLE)"
+        order = "dist ASC"
+    else:
+        raise ValueError(metric)
+    filt = ""
+    if filter_name is not None:
+        buckets = ", ".join(f"'{b}'" for b in FL.NAMED_FILTERS[filter_name])
+        filt = f" AND {FL.rating_bucket_sql('vec_id')} IN ({buckets})"
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, {emb_expr} AS q_vec FROM embeddings
+  WHERE {FL.is_query_sql('vec_id')}
+), c AS (
+  SELECT vec_id AS neighbor_id, {emb_expr} AS embedding FROM embeddings
+  WHERE NOT {FL.is_query_sql('vec_id')}{filt}
+), d AS (
+  SELECT q.query_id, c.neighbor_id, {dist} AS dist FROM q CROSS JOIN c
+), r AS (
+  SELECT query_id, neighbor_id, dist,
+         row_number() OVER (PARTITION BY query_id ORDER BY {order}, neighbor_id ASC) AS rnk
+  FROM d
+)
+SELECT query_id, neighbor_id, rnk, round(dist, {round_digits}) AS dist
+FROM r WHERE rnk <= {K}
+"""
+
+
+def _recall_sq8_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    found = _knn_spark(spark, sf_dir, "sqeuclidean", quant="sq8")
+    truth = _knn_spark(spark, sf_dir, "sqeuclidean")
+    return recall_at_k(found, truth, k=K)
+
+
+def _recall_sq8_sql() -> str:
+    found = _knn_sql("sqeuclidean", quant="sq8")
+    truth = _knn_sql("sqeuclidean")
+    return f"""
+WITH found AS ({found}), truth AS ({truth}),
+matches AS (
+  SELECT f.query_id, count(*) AS n_matched
+  FROM found f JOIN truth t ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
+  GROUP BY f.query_id
+), allq AS (SELECT DISTINCT query_id FROM truth)
+SELECT round(avg(coalesce(n_matched, 0) / {float(K)}), 4) AS recall_at_k,
+       count(*) AS n_queries
+FROM allq LEFT JOIN matches USING (query_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Filter / selectivity / distribution
+# ---------------------------------------------------------------------------
+
+
+def _selectivity_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = FL.with_rating_bucket(_tbl(spark, sf_dir, "embeddings"))
+    aggs = [F.count("*").alias("_total")]
+    for name, buckets in FL.NAMED_FILTERS.items():
+        aggs.append(
+            F.sum(F.when(F.col("rating_bucket").isin(buckets), 1).otherwise(0)).alias(name)
+        )
+    wide = emb.agg(*aggs)
+    stack_args = ", ".join(f"'{n}', {n}" for n in FL.NAMED_FILTERS)
+    return wide.selectExpr(
+        f"stack({len(FL.NAMED_FILTERS)}, {stack_args}) AS (filter_name, kept_rows)",
+        "_total",
+    ).select(
+        "filter_name",
+        F.col("kept_rows").cast("bigint").alias("kept_rows"),
+        F.round(F.col("kept_rows") / F.col("_total") * 100.0, 2).alias("selectivity_pct"),
+    )
+
+
+def _selectivity_sql() -> str:
+    bucket = FL.rating_bucket_sql("vec_id")
+    selects = []
+    for name, buckets in FL.NAMED_FILTERS.items():
+        blist = ", ".join(f"'{b}'" for b in buckets)
+        selects.append(
+            f"SELECT '{name}' AS filter_name, "
+            f"CAST(count(*) FILTER (WHERE b IN ({blist})) AS BIGINT) AS kept_rows, "
+            f"round(count(*) FILTER (WHERE b IN ({blist})) * 100.0 / count(*), 2) AS selectivity_pct "
+            f"FROM t"
+        )
+    union = " UNION ALL ".join(selects)
+    return f"WITH t AS (SELECT {bucket} AS b FROM embeddings) {union}"
+
+
+def _histogram_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = FL.with_rating_bucket(_tbl(spark, sf_dir, "embeddings"))
+    total = F.sum(F.count("*")).over(Window.partitionBy())
+    return (
+        emb.groupBy("rating_bucket")
+        .agg(F.count("*").alias("n_rows"))
+        .select(
+            "rating_bucket",
+            "n_rows",
+            F.round(F.col("n_rows") / F.sum("n_rows").over(Window.partitionBy()), 4).alias("frac"),
+        )
+    )
+
+
+def _histogram_sql() -> str:
+    bucket = FL.rating_bucket_sql("vec_id")
+    return f"""
+WITH t AS (SELECT {bucket} AS rating_bucket FROM embeddings)
+SELECT rating_bucket, count(*) AS n_rows,
+       round(count(*) / sum(count(*)) OVER (), 4) AS frac
+FROM t GROUP BY rating_bucket
+"""
+
+
+# ---------------------------------------------------------------------------
+# Evaluation-layer queries (events table)
+# ---------------------------------------------------------------------------
+
+
+def _latency_percentiles_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return E.percentiles(_tbl(spark, sf_dir, "events"), "value", ["event_type"])
+
+
+def _latency_percentiles_sql() -> str:
+    return """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 4) AS p5,
+       round(quantile_cont(value, 0.95), 4) AS p95,
+       round(quantile_cont(value, 0.99), 4) AS p99
+FROM events GROUP BY event_type
+"""
+
+
+def _qps_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = E.qps_windows(_tbl(spark, sf_dir, "events"))
+    return out.select(
+        "event_type",
+        F.col("window_start").cast("long").alias("window_start_epoch"),
+        "n_events",
+    )
+
+
+def _qps_sql() -> str:
+    return """
+SELECT event_type,
+       CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start_epoch,
+       count(*) AS n_events
+FROM events GROUP BY 1, 2
+"""
+
+
+def _best_order_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return E.best_per_group(
+        _tbl(spark, sf_dir, "orders"),
+        ["o_orderpriority"],
+        "o_totalprice",
+        tiebreak_cols=["o_orderkey"],
+    ).select("o_orderpriority", "o_orderkey", "o_totalprice")
+
+
+def _best_order_sql() -> str:
+    return """
+SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+) WHERE rn = 1
+"""
+
+
+def _rev_col() -> Column:
+    return (
+        F.col("l_extendedprice").cast("decimal(18,4)")
+        * (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,4)")
+    )
+
+
+_REV_SQL = "CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1.0 - l_discount AS DECIMAL(18,4))"
+
+
+def _pareto_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _tbl(spark, sf_dir, "lineitem")
+    pts = li.groupBy("l_suppkey").agg(
+        F.count("*").alias("n_items"),
+        F.sum(_rev_col()).alias("_rev"),
+    )
+    out = E.pareto_frontier(pts, "n_items", "_rev")
+    return out.select(
+        "l_suppkey",
+        "n_items",
+        F.round(F.col("_rev").cast("double"), 2).alias("revenue"),
+    )
+
+
+def _pareto_sql() -> str:
+    return f"""
+WITH pts AS (
+  SELECT l_suppkey, count(*) AS n_items, sum({_REV_SQL}) AS rev
+  FROM lineitem GROUP BY l_suppkey
+), fr AS (
+  SELECT *, max(rev) OVER (
+    ORDER BY n_items DESC RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS maxy
+  FROM pts
+)
+SELECT l_suppkey, n_items, round(CAST(rev AS DOUBLE), 2) AS revenue
+FROM fr WHERE rev >= maxy
+"""
+
+
+def _bracket_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _tbl(spark, sf_dir, "documents").select(
+        F.round(T.quality_score(F.col("text")), 6).alias("quality"),
+        T.token_count(F.col("text")).cast("double").alias("tokens"),
+    )
+    return E.bracket_mean(docs, "quality", "tokens", edges=(0.5, 0.7, 0.8, 0.9))
+
+
+def _bracket_sql() -> str:
+    qs = T.quality_score_sql("text")
+    tc = T.token_count_sql("text")
+    return f"""
+WITH t AS (
+  SELECT round({qs}, 6) AS quality, CAST({tc} AS DOUBLE) AS tokens FROM documents
+)
+SELECT CASE WHEN quality < 0.5 THEN '<0.5'
+            WHEN quality >= 0.5 AND quality < 0.7 THEN '0.5-0.7'
+            WHEN quality >= 0.7 AND quality < 0.8 THEN '0.7-0.8'
+            WHEN quality >= 0.8 AND quality < 0.9 THEN '0.8-0.9'
+            ELSE '>=0.9' END AS bracket,
+       round(avg(tokens), 4) AS avg_tokens, count(*) AS n_rows
+FROM t GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Relational breadth (TPC-H-style)
+# ---------------------------------------------------------------------------
+
+
+def _tpch_q1_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _tbl(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-12-01"))
+    qty = F.col("l_quantity").cast("decimal(18,4)")
+    price = F.col("l_extendedprice").cast("decimal(18,4)")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(qty).cast("double"), 2).alias("sum_qty"),
+            F.round(F.sum(price).cast("double"), 2).alias("sum_base_price"),
+            F.round(F.sum(_rev_col()).cast("double"), 2).alias("sum_disc_price"),
+            F.round((F.sum(qty).cast("double") / F.count("*")), 4).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def _tpch_q1_sql() -> str:
+    return f"""
+SELECT l_returnflag, l_linestatus,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_qty,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_base_price,
+       round(CAST(sum({_REV_SQL}) AS DOUBLE), 2) AS sum_disc_price,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-12-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def _tpch_q3_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _tbl(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _tbl(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-01-01"))
+    li = _tbl(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1996-01-01"))
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    )
+    return (
+        joined.groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(_rev_col()).alias("_rev"))
+        .orderBy(F.col("_rev").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.col("o_orderdate").cast("date").cast("string").alias("o_orderdate"),
+            F.round(F.col("_rev").cast("double"), 2).alias("revenue"),
+        )
+    )
+
+
+def _tpch_q3_sql() -> str:
+    return f"""
+SELECT l_orderkey,
+       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_orderdate,
+       round(CAST(sum({_REV_SQL}) AS DOUBLE), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1996-01-01'
+GROUP BY l_orderkey, CAST(CAST(o_orderdate AS DATE) AS VARCHAR)
+ORDER BY sum({_REV_SQL}) DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def _tpch_q5_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = _tbl(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _tbl(spark, sf_dir, "nation")
+    supplier = _tbl(spark, sf_dir, "supplier")
+    customer = _tbl(spark, sf_dir, "customer")
+    orders = _tbl(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1999-01-01"))
+    )
+    li = _tbl(spark, sf_dir, "lineitem")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(supplier, (li.l_suppkey == supplier.s_suppkey)
+              & (customer.c_nationkey == supplier.s_nationkey))
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(F.round(F.sum(_rev_col()).cast("double"), 2).alias("revenue"))
+    )
+
+
+def _tpch_q5_sql() -> str:
+    return f"""
+SELECT n_name, round(CAST(sum({_REV_SQL}) AS DOUBLE), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1999-01-01'
+GROUP BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dedup / text analysis
+# ---------------------------------------------------------------------------
+
+
+def _text_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _tbl(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.token_count(F.col("text")).alias("token_cnt"),
+        F.round(F.coalesce(T.punct_ratio(F.col("text")), F.lit(0.0)), 4).alias("punct_ratio"),
+        F.round(F.coalesce(T.stopword_ratio(F.col("text")), F.lit(0.0)), 4).alias("stopword_ratio"),
+        F.round(T.quality_score(F.col("text")), 4).alias("quality"),
+    )
+
+
+def _text_stats_sql() -> str:
+    return f"""
+SELECT doc_id,
+       {T.token_count_sql('text')} AS token_cnt,
+       round(coalesce({T.punct_ratio_sql('text')}, 0.0), 4) AS punct_ratio,
+       round(coalesce({T.stopword_ratio_sql('text')}, 0.0), 4) AS stopword_ratio,
+       round({T.quality_score_sql('text')}, 4) AS quality
+FROM documents
+"""
+
+
+def _lang_id_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _tbl(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.col("lang").alias("actual_lang"), T.lang_predict(F.col("text")).alias("pred_lang")
+    )
+
+
+def _lang_id_sql() -> str:
+    return f"SELECT doc_id, lang AS actual_lang, {T.lang_predict_sql('text')} AS pred_lang FROM documents"
+
+
+def _fingerprint_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _tbl(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.fingerprint(F.col("text")).alias("fingerprint"),
+        F.md5(F.col("text")).alias("content_md5"),
+    )
+
+
+def _fingerprint_sql() -> str:
+    return (
+        f"SELECT doc_id, {T.fingerprint_sql('text')} AS fingerprint, "
+        f"md5(text) AS content_md5 FROM documents"
+    )
+
+
+def _simhash_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _tbl(spark, sf_dir, "documents")
+    return docs.select("doc_id", DD.simhash_col(F.col("text")).alias("simhash"))
+
+
+def _simhash_sql() -> str:
+    return f"SELECT doc_id, {DD.simhash_sql('text')} AS simhash FROM documents"
+
+
+def _min_token_filter_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _tbl(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("token_cnt", T.token_count(F.col("text")))
+        .filter(F.col("token_cnt") >= 30)
+        .select("doc_id", "token_cnt")
+    )
+
+
+def _min_token_filter_sql() -> str:
+    tc = T.token_count_sql("text")
+    return f"SELECT doc_id, {tc} AS token_cnt FROM documents WHERE {tc} >= 30"
+
+
+def _vector_norms_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _tbl(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.round(V.vec_norm(F.col("embedding")), 4).alias("l2_norm"),
+        F.size(F.col("embedding")).alias("dim"),
+    )
+
+
+def _vector_norms_sql() -> str:
+    return (
+        f"SELECT vec_id, round({V.norm_sql('embedding')}, 4) AS l2_norm, "
+        f"CAST(len(embedding) AS INTEGER) AS dim FROM embeddings"
+    )
+
+
+def _sq8_bounds_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return Q.sq8_train(_tbl(spark, sf_dir, "embeddings"))
+
+
+def _sq8_bounds_sql() -> str:
+    return """
+SELECT round(quantile_cont(CAST(x AS DOUBLE), 0.005), 6) AS lo,
+       round(quantile_cont(CAST(x AS DOUBLE), 0.995), 6) AS hi
+FROM (SELECT unnest(embedding) AS x FROM embeddings)
+"""
+
+
+def _grid_params_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # single-row seed + explode per dimension: stays 1 partition (a literal
+    # crossJoin of N-partition DataFrames would multiply task counts)
+    def dim(df: DataFrame, name: str, values: list[int]) -> DataFrame:
+        return df.select(
+            "*", F.explode(F.array(*[F.lit(v) for v in values])).alias(name)
+        )
+
+    grid = spark.range(1).select(F.lit(1).alias("_seed"))
+    for name, values in [
+        ("igd", GRID_IGD),
+        ("gd", GRID_GD),
+        ("itopk", GRID_ITOPK),
+        ("sw", GRID_SW),
+    ]:
+        grid = dim(grid, name, values)
+    return grid.filter(F.col("gd") <= F.col("igd")).select(
+        F.col("igd").cast("int"),
+        F.col("gd").cast("int"),
+        F.col("itopk").cast("int"),
+        F.col("sw").cast("int"),
+    )
+
+
+def _grid_params_sql() -> str:
+    return f"""
+SELECT igd, gd, itopk, sw
+FROM (SELECT unnest({GRID_IGD}) AS igd)
+CROSS JOIN (SELECT unnest({GRID_GD}) AS gd)
+CROSS JOIN (SELECT unnest({GRID_ITOPK}) AS itopk)
+CROSS JOIN (SELECT unnest({GRID_SW}) AS sw)
+WHERE gd <= igd
+"""
+
+
+def _embedding_dups_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.embedding_dup_pairs(_tbl(spark, sf_dir, "embeddings"), max_cos_dist=0.7)
+
+
+def _embedding_dups_sql() -> str:
+    d = V.cosine_distance_sql("a.embedding", "b.embedding")
+    return f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({d}, 4) AS cos_dist
+FROM embeddings a CROSS JOIN embeddings b
+WHERE a.vec_id < b.vec_id AND round({d}, 4) <= 0.7
+"""
+
+
+# ---------------------------------------------------------------------------
+# Non-SQL-expressible / scale-path queries (rows-only checks)
+# ---------------------------------------------------------------------------
+
+
+def _knn_scalable_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _tbl(spark, sf_dir, "embeddings")
+    q, c = TK.split_queries(emb)
+    c = FL.with_rating_bucket(c).filter(FL.named_filter_predicate("high_rated"))
+    out = TK.knn_scalable(q, c, k=K, metric="sqeuclidean")
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").alias("rnk"), F.round("dist", 3).alias("dist")
+    )
+
+
+def _knn_fp16_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _tbl(spark, sf_dir, "embeddings").withColumn(
+        "embedding", Q.float16_roundtrip_udf(F.col("embedding"))
+    )
+    q, c = TK.split_queries(emb)
+    out = TK.knn_window(q, c, k=K, metric="sqeuclidean")
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").alias("rnk"), F.round("dist", 3).alias("dist")
+    )
+
+
+def _ann_ivf_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.ann import IVFIndex
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    q, c = TK.split_queries(emb)
+    idx = IVFIndex.build(c, n_centroids=16, seed=42)
+    out = idx.search(q, k=K, nprobe=4)
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").alias("rnk"), F.round("dist", 3).alias("dist")
+    )
+
+
+def _minhash_pairs_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.minhash_pairs(_tbl(spark, sf_dir, "documents"), threshold=0.3)
+
+
+def _ngram_pairs_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.ngram_jaccard_pairs(_tbl(spark, sf_dir, "documents"), threshold=0.3)
+
+
+def _exact_dedup_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.exact_dedup(_tbl(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # k-NN family (SURVEY §2 D1/F1/B5)
+    "knn_exact": lambda s, d: _knn_spark(s, d, "sqeuclidean"),
+    "knn_filtered_high": lambda s, d: _knn_spark(s, d, "sqeuclidean", filter_name="high_rated"),
+    "knn_filtered_mid": lambda s, d: _knn_spark(s, d, "sqeuclidean", filter_name="mid_rated"),
+    "knn_filtered_low": lambda s, d: _knn_spark(s, d, "sqeuclidean", filter_name="low_rated"),
+    "knn_inner_product": lambda s, d: _knn_spark(s, d, "inner_product"),
+    "knn_cosine": lambda s, d: _knn_spark(s, d, "cosine", round_digits=4),
+    "knn_hamming": lambda s, d: _knn_spark(s, d, "hamming", round_digits=0),
+    "knn_sq8": lambda s, d: _knn_spark(s, d, "sqeuclidean", quant="sq8"),
+    "recall_sq8_vs_fp": _recall_sq8_spark,
+    # filters / selectivity (SURVEY §2 B5/B6/E7/E8)
+    "filter_selectivity": _selectivity_spark,
+    "rating_histogram": _histogram_spark,
+    # evaluation layer (SURVEY §2 E2-E6)
+    "latency_percentiles": _latency_percentiles_spark,
+    "qps_windows": _qps_spark,
+    "best_order_per_priority": _best_order_spark,
+    "pareto_frontier_suppliers": _pareto_spark,
+    "quality_brackets": _bracket_spark,
+    # relational breadth
+    "tpch_q1": _tpch_q1_spark,
+    "tpch_q3": _tpch_q3_spark,
+    "tpch_q5": _tpch_q5_spark,
+    # dedup / text pipeline
+    "dedup_exact": _exact_dedup_spark,
+    "dedup_ngram_jaccard": _ngram_pairs_spark,
+    "dedup_minhash_lsh": _minhash_pairs_spark,
+    "doc_simhash": _simhash_spark,
+    "text_stats": _text_stats_spark,
+    "lang_id": _lang_id_spark,
+    "doc_fingerprint": _fingerprint_spark,
+    "min_token_filter": _min_token_filter_spark,
+    "embedding_dup_pairs": _embedding_dups_spark,
+    # vector utilities
+    "vector_norms": _vector_norms_spark,
+    "sq8_train_bounds": _sq8_bounds_spark,
+    "grid_params": _grid_params_spark,
+    # scale-path / non-SQL-expressible (rows-only checks)
+    "knn_scalable_filtered": _knn_scalable_spark,
+    "knn_fp16": _knn_fp16_spark,
+    "ann_ivf": _ann_ivf_spark,
+}
+
+ORACLES: dict[str, str] = {
+    "knn_exact": _knn_sql("sqeuclidean"),
+    "knn_filtered_high": _knn_sql("sqeuclidean", filter_name="high_rated"),
+    "knn_filtered_mid": _knn_sql("sqeuclidean", filter_name="mid_rated"),
+    "knn_filtered_low": _knn_sql("sqeuclidean", filter_name="low_rated"),
+    "knn_inner_product": _knn_sql("inner_product"),
+    "knn_cosine": _knn_sql("cosine", round_digits=4),
+    "knn_hamming": _knn_sql("hamming", round_digits=0),
+    "knn_sq8": _knn_sql("sqeuclidean", quant="sq8"),
+    "recall_sq8_vs_fp": _recall_sq8_sql(),
+    "filter_selectivity": _selectivity_sql(),
+    "rating_histogram": _histogram_sql(),
+    "latency_percentiles": _latency_percentiles_sql(),
+    "qps_windows": _qps_sql(),
+    "best_order_per_priority": _best_order_sql(),
+    "pareto_frontier_suppliers": _pareto_sql(),
+    "quality_brackets": _bracket_sql(),
+    "tpch_q1": _tpch_q1_sql(),
+    "tpch_q3": _tpch_q3_sql(),
+    "tpch_q5": _tpch_q5_sql(),
+    "dedup_exact": DD.exact_dedup_sql(),
+    "dedup_ngram_jaccard": DD.ngram_jaccard_pairs_sql(threshold=0.3),
+    "dedup_minhash_lsh": DD.minhash_pairs_sql(threshold=0.3),
+    "doc_simhash": _simhash_sql(),
+    "text_stats": _text_stats_sql(),
+    "lang_id": _lang_id_sql(),
+    "doc_fingerprint": _fingerprint_sql(),
+    "min_token_filter": _min_token_filter_sql(),
+    "embedding_dup_pairs": _embedding_dups_sql(),
+    "vector_norms": _vector_norms_sql(),
+    "sq8_train_bounds": _sq8_bounds_sql(),
+    "grid_params": _grid_params_sql(),
+    # knn_scalable_filtered / knn_fp16 / ann_ivf: intentionally no oracle —
+    # mapInPandas & fp16 & k-means paths are non-SQL-expressible (rows-only).
+}

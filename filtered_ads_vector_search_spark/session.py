@@ -41,6 +41,8 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # UTC so timestamp<->epoch conversions match the DuckDB oracle.
+        .config("spark.sql.session.timeZone", "UTC")
         # Arrow for pandas UDF / mapInPandas / toPandas boundaries.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")

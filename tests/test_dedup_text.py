@@ -1,0 +1,81 @@
+"""Dedup + text-analysis operator properties."""
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from filtered_ads_vector_search_spark.functions import text as T
+from filtered_ads_vector_search_spark.operators import dedup as DD
+
+from conftest import SF_TEST
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_TEST}/documents.parquet")
+
+
+def test_exact_dedup_identifies_planted_duplicates(spark):
+    docs = _docs(spark).limit(50)
+    dup = docs.withColumn("doc_id", F.col("doc_id") + 100000)
+    both = docs.unionAll(dup)
+    groups = DD.exact_dedup(both).collect()
+    assert all(g.n_copies == 2 for g in groups)
+    assert all(g.rep_doc_id < 100000 for g in groups)
+
+
+def test_minhash_pairs_subset_of_exact_jaccard(spark):
+    """Every LSH-verified pair must also be an exact-Jaccard pair (same
+    threshold): LSH may MISS pairs (probabilistic recall) but never invents."""
+    docs = _docs(spark)
+    exact = {
+        (r.doc_a, r.doc_b) for r in DD.ngram_jaccard_pairs(docs, threshold=0.3).collect()
+    }
+    lsh = {(r.doc_a, r.doc_b) for r in DD.minhash_pairs(docs, threshold=0.3).collect()}
+    assert lsh <= exact
+
+
+def test_minhash_finds_planted_near_dupes(spark):
+    """A doc with a few appended words is a near-dup; LSH must catch it."""
+    docs = _docs(spark).limit(30)
+    near = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" xyzzy plugh")).alias("text"),
+    )
+    both = docs.select("doc_id", "text").unionAll(near)
+    pairs = {(r.doc_a, r.doc_b) for r in DD.minhash_pairs(both, threshold=0.5).collect()}
+    planted = {(int(r.doc_id), int(r.doc_id) + 100000) for r in docs.select("doc_id").collect()}
+    found_frac = len(pairs & planted) / len(planted)
+    assert found_frac >= 0.9, f"LSH caught only {found_frac:.0%} of planted near-dups"
+
+
+def test_simhash_identical_docs_collide(spark):
+    docs = _docs(spark).limit(20).select("doc_id", "text")
+    dup = docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    pairs = DD.simhash_pairs(docs.unionAll(dup), max_hamming=0).collect()
+    planted = {(int(r.doc_id), int(r.doc_id) + 100000) for r in docs.select("doc_id").collect()}
+    got = {(r.doc_a, r.doc_b) for r in pairs}
+    assert planted <= got
+
+
+def test_lang_predict_accuracy(spark):
+    """The marker-word heuristic should agree with the actual lang column on
+    a decent fraction of synthetic docs (they're word-salad, so this is a
+    plumbing test, not a model-quality test)."""
+    docs = _docs(spark)
+    rows = docs.select(
+        "lang", T.lang_predict(F.col("text")).alias("pred")
+    ).collect()
+    assert all(r.pred in {"en", "es", "de", "fr", "zh", "und"} for r in rows)
+
+
+def test_quality_score_bounds(spark):
+    rows = _docs(spark).select(T.quality_score(F.col("text")).alias("q")).collect()
+    assert all(0.0 <= r.q <= 1.0 for r in rows)
+
+
+def test_token_count_matches_python(spark):
+    rows = _docs(spark).limit(50).select("text", T.token_count(F.col("text")).alias("tc")).collect()
+    for r in rows:
+        assert r.tc == len(r.text.split())

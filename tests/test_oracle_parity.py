@@ -1,0 +1,48 @@
+"""Spot-check the driver's correctness contract: a representative subset of
+registry queries must match their DuckDB oracles exactly (row count, columns,
+order-insensitive values). The full sweep lives in scripts/check_correctness.py."""
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import pytest
+
+from filtered_ads_vector_search_spark import registry
+
+from conftest import SF_TEST
+
+SUBSET = [
+    "knn_exact",
+    "knn_filtered_mid",
+    "knn_sq8",
+    "recall_sq8_vs_fp",
+    "filter_selectivity",
+    "tpch_q1",
+    "pareto_frontier_suppliers",
+    "text_stats",
+    "dedup_minhash_lsh",
+    "qps_windows",
+]
+
+
+def _norm_cell(v):
+    if isinstance(v, float):
+        return round(v, 6)
+    if hasattr(v, "__float__") and not isinstance(v, (int, bool)):
+        return round(float(v), 6)
+    return v
+
+
+def _norm(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i].lower())
+    return sorted(tuple(_norm_cell(r[i]) for i in order) for r in rows)
+
+
+@pytest.mark.parametrize("name", SUBSET)
+def test_query_matches_oracle(spark, duck, name):
+    sdf = registry.QUERIES[name](spark, SF_TEST)
+    srows = [tuple(r) for r in sdf.collect()]
+    rel = duck.sql(registry.ORACLES[name])
+    assert sorted(c.lower() for c in sdf.columns) == sorted(c.lower() for c in rel.columns)
+    assert _norm(sdf.columns, srows) == _norm(rel.columns, rel.fetchall())

@@ -1,0 +1,95 @@
+"""Recall + ANN-tier properties (reference thresholds: tests.py:135,262,303)."""
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from filtered_ads_vector_search_spark.operators import filters as FL
+from filtered_ads_vector_search_spark.operators import topk as TK
+from filtered_ads_vector_search_spark.operators.ann import IVFIndex
+from filtered_ads_vector_search_spark.operators.recall import recall_at_k
+
+from conftest import SF_TEST
+
+K = 10
+
+
+def _split(spark):
+    emb = spark.read.parquet(f"{SF_TEST}/embeddings.parquet")
+    return TK.split_queries(emb)
+
+
+def test_recall_exact_vs_exact_is_one(spark):
+    q, c = _split(spark)
+    truth = TK.knn_window(q, c, k=K)
+    r = recall_at_k(truth, truth, k=K).collect()[0]
+    assert r.recall_at_k == 1.0
+    assert r.n_queries > 0
+
+
+def test_ivf_full_probe_equals_exact(spark):
+    """Probing every centroid must recover the exact result (recall 1.0) —
+    the IVF analog of brute-force."""
+    q, c = _split(spark)
+    truth = TK.knn_window(q, c, k=K)
+    idx = IVFIndex.build(c, n_centroids=8, seed=42)
+    found = idx.search(q, k=K, nprobe=8)
+    r = recall_at_k(found, truth, k=K).collect()[0]
+    assert r.recall_at_k == 1.0
+    idx.unpersist()
+
+
+def test_ivf_partial_probe_recall_floor(spark):
+    """nprobe=4 of 8 centroids: recall must beat the reference's filtered
+    ANN floor of 0.80 (tests.py:135) on this data."""
+    q, c = _split(spark)
+    truth = TK.knn_window(q, c, k=K)
+    idx = IVFIndex.build(c, n_centroids=8, seed=42)
+    found = idx.search(q, k=K, nprobe=4)
+    r = recall_at_k(found, truth, k=K).collect()[0]
+    assert r.recall_at_k >= 0.80, r.recall_at_k
+    idx.unpersist()
+
+
+def test_ivf_filtered_search_respects_predicate(spark):
+    q, c = _split(spark)
+    tagged = FL.with_rating_bucket(c)
+    idx = IVFIndex.build(tagged, n_centroids=8, seed=42)
+    found = idx.search(q, k=K, nprobe=8, predicate=FL.named_filter_predicate("high_rated"))
+    passing = {
+        r.vec_id
+        for r in tagged.filter(FL.named_filter_predicate("high_rated")).select("vec_id").collect()
+    }
+    rows = found.collect()
+    assert rows
+    assert all(r.neighbor_id in passing for r in rows)
+    idx.unpersist()
+
+
+def test_quantization_recall_ordering(spark):
+    """Monotonic sanity: fp16 recall >= sq8 recall >= binary(sign-hamming)
+    recall vs the fp32 oracle (looser tier -> worse or equal recall)."""
+    from filtered_ads_vector_search_spark.functions import vector as V
+    from filtered_ads_vector_search_spark.operators.quantize import float16_roundtrip_udf
+
+    q, c = _split(spark)
+    truth = TK.knn_window(q, c, k=K)
+
+    def emb_variant(df, col):
+        return df.withColumn("embedding", col) if col is not None else df
+
+    # fp16 tier
+    qf = q.withColumn("q_vec", float16_roundtrip_udf(F.col("q_vec")))
+    cf = emb_variant(c, float16_roundtrip_udf(F.col("embedding")))
+    r16 = recall_at_k(TK.knn_window(qf, cf, k=K), truth, k=K).collect()[0].recall_at_k
+    # sq8 tier
+    qq = q.withColumn("q_vec", V.sq8_quantize(F.col("q_vec"), -3.0, 3.0))
+    cq = emb_variant(c, V.sq8_quantize(F.col("embedding"), -3.0, 3.0))
+    r8 = recall_at_k(TK.knn_window(qq, cq, k=K), truth, k=K).collect()[0].recall_at_k
+    # binary tier (sign hamming on raw vectors)
+    rb = recall_at_k(TK.knn_window(q, c, k=K, metric="hamming"), truth, k=K).collect()[0].recall_at_k
+    assert r16 >= r8 >= rb
+    assert r16 > 0.95  # fp16 loss is tiny (SURVEY: 4th decimal)
+    assert rb > 0.0

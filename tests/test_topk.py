@@ -1,0 +1,87 @@
+"""Exact k-NN properties — the Spark analogs of the reference's batch-size
+invariance tests (reference: tests.py:7-62, 308-348)."""
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from filtered_ads_vector_search_spark.operators import filters as FL
+from filtered_ads_vector_search_spark.operators import topk as TK
+
+from conftest import SF_TEST
+
+K = 10
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF_TEST}/embeddings.parquet")
+
+
+def _ids(df):
+    return sorted((r.query_id, r.neighbor_id, r["rank"]) for r in df.collect())
+
+
+def test_scalable_matches_window(spark):
+    """The mapInPandas local-top-k + merge form must produce exactly the same
+    result set as the declarative window form (same ids and ranks)."""
+    q, c = TK.split_queries(_emb(spark))
+    a = _ids(TK.knn_window(q, c, k=K))
+    b = _ids(TK.knn_scalable(q, c, k=K))
+    assert a == b
+
+
+def test_partition_count_invariance(spark):
+    """Result is identical under any repartitioning — the Spark analog of the
+    reference's batch-size invariance (tests.py:7-62, std<1e-6)."""
+    q, c = TK.split_queries(_emb(spark))
+    base = _ids(TK.knn_scalable(q, c, k=K))
+    for n in (1, 7):
+        assert _ids(TK.knn_scalable(q, c.repartition(n), k=K)) == base
+
+
+def test_filter_before_topk_subset(spark):
+    """Filtered top-k must only contain rows passing the predicate, and a
+    query's filtered result is NOT simply a filtered unfiltered result
+    (filter-then-top-k vs top-k-then-filter — utils_grid_search.py:999-1002)."""
+    q, c = TK.split_queries(_emb(spark))
+    c_tagged = FL.with_rating_bucket(c)
+    c_filtered = c_tagged.filter(FL.named_filter_predicate("high_rated"))
+    res = TK.knn_window(q, c_filtered, k=K)
+    passing = {
+        r.vec_id for r in c_filtered.select("vec_id").collect()
+    }
+    got = res.collect()
+    assert got, "filtered search returned nothing"
+    assert all(r.neighbor_id in passing for r in got)
+    # every query gets exactly k results when >= k rows pass
+    n_pass = len(passing)
+    assert n_pass >= K
+    counts = {r.query_id: r["cnt"] for r in res.groupBy("query_id").agg(F.count("*").alias("cnt")).collect()}
+    assert all(v == K for v in counts.values())
+
+
+def test_high_selectivity_returns_fewer_than_k(spark):
+    """mid_rated keeps ~0.77% of rows (< k at this SF): per-query results must
+    shrink to the number of passing rows, never invent neighbors."""
+    q, c = TK.split_queries(_emb(spark))
+    c_f = FL.with_rating_bucket(c).filter(FL.named_filter_predicate("mid_rated"))
+    n_pass = c_f.count()
+    assert n_pass < K
+    res = TK.knn_window(q, c_f, k=K)
+    counts = [r["cnt"] for r in res.groupBy("query_id").agg(F.count("*").alias("cnt")).collect()]
+    assert counts and all(c == n_pass for c in counts)
+
+
+def test_metrics_agree_on_ordering(spark):
+    """cosine top-1 of a query against itself-like vectors: sanity that each
+    metric returns k rows with ranks 1..k."""
+    q, c = TK.split_queries(_emb(spark))
+    for metric in ("sqeuclidean", "inner_product", "cosine", "hamming"):
+        res = TK.knn_window(q, c, k=3, metric=metric)
+        per_q = res.groupBy("query_id").agg(
+            F.count("*").alias("cnt"), F.max("rank").alias("mx")
+        )
+        rows = per_q.collect()
+        assert all(r.cnt == 3 and r.mx == 3 for r in rows), metric
