@@ -79,12 +79,21 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     Guarded: fewer than n tokens -> empty array (Spark `sequence` would
     otherwise generate a DESCENDING range and corrupt results).
     """
-    t = tokens(text)
-    sh = F.transform(
-        F.sequence(F.lit(1), F.size(t) - F.lit(n - 1)),
-        lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+    # Let-binding via transform over a 1-element array: the token split runs
+    # once per row and `t` is a bound lambda variable. Referencing the split
+    # expression directly inside the inner lambda would re-run the regex
+    # split once per shingle (~tokens× the cost).
+    per_row = F.transform(
+        F.array(tokens(text)),
+        lambda t: F.when(
+            F.size(t) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - F.lit(n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
     )
-    return F.array_distinct(F.when(F.size(t) >= n, sh).otherwise(F.array().cast("array<string>")))
+    return F.array_distinct(F.element_at(per_row, 1))
 
 
 def word_shingles_sql(text: str, n: int = 3) -> str:

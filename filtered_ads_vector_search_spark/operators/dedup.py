@@ -132,14 +132,35 @@ WHERE a.doc_id < b.doc_id
 # --- MinHash + LSH ----------------------------------------------------------
 
 
+def minhash_signature_from_shingles(shingles: Column) -> Column:
+    """ARRAY<BIGINT> of N_HASHES min-hash values from a shingle array.
+
+    Single-pass fold: the (md5-based) shingle hash is computed exactly once
+    per shingle — the fold carries all N_HASHES running minima and updates
+    them per shingle via zip_with against a literal (a,b) constant table.
+    (A naive ``array(*[array_min(transform(...)) ...])`` duplicates the md5
+    subtree N_HASHES times in one projection — 16x the per-row cost.)
+    """
+    consts = F.array(
+        *[
+            F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+            for a, b in minhash_constants()
+        ]
+    )
+    hashes = F.transform(shingles, lambda s: str_hash_col(s) % F.lit(P))
+    init = F.array_repeat(F.lit(P).cast("bigint"), N_HASHES)
+    return F.aggregate(
+        hashes,
+        init,
+        lambda acc, x: F.zip_with(
+            acc, consts, lambda m, c: F.least(m, (x * c["a"] + c["b"]) % F.lit(P))
+        ),
+    )
+
+
 def minhash_signature_col(text: Column, n: int = 3) -> Column:
     """ARRAY<BIGINT> of N_HASHES min-hash values over distinct word shingles."""
-    sh_hashes = F.transform(word_shingles(text, n), lambda s: str_hash_col(s) % F.lit(P))
-    sigs = [
-        F.array_min(F.transform(sh_hashes, lambda x: (x * F.lit(a) + F.lit(b)) % F.lit(P)))
-        for a, b in minhash_constants()
-    ]
-    return F.array(*sigs)
+    return minhash_signature_from_shingles(word_shingles(text, n))
 
 
 def minhash_pairs(
@@ -155,11 +176,17 @@ def minhash_pairs(
     Returns (doc_a, doc_b, jaccard) with verified jaccard >= threshold; at a
     shingle level this matches ngram_jaccard_pairs whenever LSH recall
     captures the pair (probabilistic containment, tested as a property)."""
-    sh = documents.select(
-        F.col("doc_id"),
-        word_shingles(F.col(text_col), n).alias("shingles"),
-        minhash_signature_col(F.col(text_col), n).alias("sig"),
+    shingled = documents.select(
+        F.col("doc_id"), word_shingles(F.col(text_col), n).alias("shingles")
     ).filter(F.size("shingles") > 0)
+    # Separate projection: `shingles` is referenced twice below (output +
+    # signature input), which keeps CollapseProject from re-inlining the
+    # shingle construction into both uses.
+    sh = shingled.select(
+        "doc_id",
+        "shingles",
+        minhash_signature_from_shingles(F.col("shingles")).alias("sig"),
+    )
 
     bands = sh.select(
         "doc_id",
@@ -253,20 +280,24 @@ def simhash_col(text: Column) -> Column:
     tok_hashes = F.transform(
         F.array_distinct(tokens(text)), lambda w: str_hash_col(w) % F.lit(P)
     )
-
-    def _bit_sum(j: int):
-        return F.aggregate(
-            tok_hashes,
-            F.lit(0),
-            lambda acc, x: acc
-            + F.when(F.floor(x / (2 ** j)) % 2 == 1, 1).otherwise(-1),
-        )
-
-    bit_sums = [_bit_sum(j) for j in range(SIMHASH_BITS)]
-    out = F.lit(0)
-    for j, s in enumerate(bit_sums):
-        out = out + F.when(s > 0, F.lit(2 ** j)).otherwise(F.lit(0))
-    return out.cast("bigint")
+    powers = F.array(*[F.lit(2 ** j).cast("bigint") for j in range(SIMHASH_BITS)])
+    init = F.array_repeat(F.lit(0).cast("bigint"), SIMHASH_BITS)
+    # Single-pass fold (token hash computed once per token, all 16 bit
+    # counters updated via zip_with) — same values as the per-bit sums.
+    bit_sums = F.aggregate(
+        tok_hashes,
+        init,
+        lambda acc, x: F.zip_with(
+            acc,
+            powers,
+            lambda s, p: s + F.when(F.floor(x / p) % 2 == 1, F.lit(1)).otherwise(F.lit(-1)),
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(bit_sums, powers, lambda s, p: F.when(s > 0, p).otherwise(F.lit(0))),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
 
 
 def simhash_sql(text: str) -> str:
