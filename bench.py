@@ -74,6 +74,10 @@ def main() -> None:
         "qps_windows",
         "latency_percentiles",
         "pareto_frontier_suppliers",
+        "event_window_stats",
+        "user_sessions",
+        "multimodal_meta",
+        "embed_pipeline",
     ):
         timed(name, lambda n=name: registry.QUERIES[n](spark, SF_DIR).count())
 

@@ -1,0 +1,60 @@
+"""Multimodal data model: payload BINARY + typed metadata struct.
+
+At 100 TB the payload column dominates storage: keep it in its own Parquet
+column (column pruning means metadata-only queries never touch bytes), write
+with a small ``maxRecordsPerFile`` so a single row group stays memory-safe,
+and partition by media_type so type-specific pipelines prune files.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_type", T.StringType()),     # image | audio | video
+        T.StructField("codec", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.IntegerType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+MAGIC = b"FAKE"
+_TYPES = ["image", "audio", "video"]
+_CODECS = {"image": "fakejpeg", "audio": "fakepcm", "video": "fakeh264"}
+
+
+def synth_payload(doc_id: int) -> bytes:
+    """Deterministic fake media payload: FAKE | type_idx u8 | width u16 |
+    height u16 | duration_ms u32 | body (md5-stream bytes). Parsed by
+    udfs.decode_media_meta — the stand-in for a real codec header."""
+    h = hashlib.md5(str(doc_id).encode()).digest()
+    t = h[0] % 3
+    width = 64 + h[1] % 192
+    height = 64 + h[2] % 192
+    duration = (h[3] % 120) * 1000 if t != 0 else 0
+    body_len = 128 + h[4]
+    body = (h * ((body_len // len(h)) + 1))[:body_len]
+    return MAGIC + struct.pack("<BHHI", t, width, height, duration) + body
+
+
+def media_type_of(doc_id: int) -> str:
+    return _TYPES[hashlib.md5(str(doc_id).encode()).digest()[0] % 3]
+
+
+def with_synthetic_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a deterministic fake payload column (binary) keyed by id — the
+    test harness for the multimodal pipeline (no real media in testdata)."""
+    @F.pandas_udf(T.BinaryType())
+    def gen(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda i: synth_payload(int(i)))
+
+    return df.withColumn("payload", gen(F.col(id_col)))

@@ -1,0 +1,153 @@
+"""Grid-search driver (SURVEY.md §2 H4-H6, §3.1 — the reference's flagship).
+
+Reference lifecycle (unified_grid_search, cuvs_bench_grid_search_v3.py:506-743):
+compute the exact ground truth ONCE per (data, filter) pair, then for each
+hyperparameter combo: build index -> search all queries -> recall vs truth ->
+throughput replay -> append one CSV row; finally summarize best-recall /
+best-QPS per run (all_runs_summary-2.csv).
+
+Spark form: deterministic control flow stays on the driver (a Python loop —
+the grid is tiny); every step inside the loop is a DataFrame job. The truth
+DataFrame is computed once and cached (the reference's one-time oracle,
+:613-623). Knob mapping per SURVEY.md §2 I1/I2: n_centroids ~ graph_degree/M,
+nprobe ~ search_width/efSearch.
+"""
+
+from __future__ import annotations
+
+import itertools
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.sinks import append_metrics_csv
+from .ann import IVFIndex
+from .recall import recall_at_k
+from .topk import Metric, knn_scalable
+
+
+@dataclass
+class GridConfig:
+    """Mirrors params_config.yaml:2-15 shape — lists crossed into combos, with
+    the reference's validity constraint (graph_degree <= intermediate_graph_degree
+    -> here nprobe <= n_centroids, cuvs_bench_grid_search_v3.py:136-138)."""
+
+    n_centroids: list[int] = field(default_factory=lambda: [16, 32, 64])
+    nprobe: list[int] = field(default_factory=lambda: [1, 4, 8])
+    k: int = 10
+    metric: Metric = "sqeuclidean"
+    seed: int = 42
+
+
+def param_grid(cfg: GridConfig) -> list[dict]:
+    """itertools.product + constraint pruning (reference :124-142)."""
+    return [
+        {"n_centroids": nc, "nprobe": np_}
+        for nc, np_ in itertools.product(cfg.n_centroids, cfg.nprobe)
+        if np_ <= nc
+    ]
+
+
+def grid_search(
+    spark: SparkSession,
+    queries: DataFrame,
+    corpus: DataFrame,
+    cfg: GridConfig = GridConfig(),
+    predicate: Column | None = None,
+    run_name: str = "ivf",
+    csv_path: str | None = None,
+    replay_seconds: float = 0.0,
+) -> DataFrame:
+    """Run the full grid; returns the metrics DataFrame (one row per combo:
+    the reference's per-combo CSV schema — params, build_time_seconds, recall,
+    qps, p50/p99 — benchmarking-results/cagra_fp16_*.csv)."""
+    filtered = corpus.filter(predicate) if predicate is not None else corpus
+    # one-time exact oracle, cached across all combos (reference :613-623)
+    truth = knn_scalable(queries, filtered, k=cfg.k, metric=cfg.metric).cache()
+    truth.count()
+    n_queries = queries.count()
+
+    results: list[dict] = []
+    for combo in param_grid(cfg):
+        t0 = time.time()
+        index = IVFIndex.build(
+            filtered,
+            n_centroids=combo["n_centroids"],
+            metric=cfg.metric,
+            seed=cfg.seed,
+        )
+        build_s = index.build_seconds
+
+        t0 = time.time()
+        found = index.search(queries, k=cfg.k, nprobe=combo["nprobe"])
+        n_found = found.count()
+        search_s = time.time() - t0
+        rec = recall_at_k(found, truth, k=cfg.k).first()["recall_at_k"]
+
+        row = {
+            "run": run_name,
+            "n_centroids": combo["n_centroids"],
+            "nprobe": combo["nprobe"],
+            "k": cfg.k,
+            "metric": cfg.metric,
+            "build_time_seconds": round(build_s, 3),
+            "search_time_seconds": round(search_s, 3),
+            "qps": round(n_queries / search_s, 2) if search_s > 0 else None,
+            "recall": float(rec) if rec is not None else 0.0,
+            "n_result_rows": n_found,
+        }
+        if replay_seconds > 0:
+            from ..streaming.replay import replay_throughput
+
+            rep = replay_throughput(
+                spark,
+                lambda: index.search(queries, k=cfg.k, nprobe=combo["nprobe"]),
+                run_time_s=replay_seconds,
+                rows_per_batch=n_queries,
+            )
+            row.update({"replay_qps": rep["qps"], "p50_s": rep["p50_s"], "p99_s": rep["p99_s"]})
+        results.append(row)
+        if csv_path:
+            append_metrics_csv(row, csv_path)  # incremental sink (reference :690-693)
+        index.unpersist()
+
+    truth.unpersist()
+    return spark.createDataFrame(results)
+
+
+def summarize(metrics: DataFrame) -> DataFrame:
+    """Best-recall and best-QPS rows per run (reference summary schema:
+    all_runs_summary-2.csv) via argmax windows."""
+    from pyspark.sql import Window
+
+    by_recall = Window.partitionBy("run").orderBy(F.col("recall").desc(), F.col("qps").desc())
+    by_qps = Window.partitionBy("run").orderBy(F.col("qps").desc(), F.col("recall").desc())
+    best_r = (
+        metrics.withColumn("rn", F.row_number().over(by_recall))
+        .filter(F.col("rn") == 1)
+        .select(
+            "run",
+            F.lit("best_recall").alias("which"),
+            "n_centroids",
+            "nprobe",
+            "recall",
+            "qps",
+            "build_time_seconds",
+        )
+    )
+    best_q = (
+        metrics.withColumn("rn", F.row_number().over(by_qps))
+        .filter(F.col("rn") == 1)
+        .select(
+            "run",
+            F.lit("best_qps").alias("which"),
+            "n_centroids",
+            "nprobe",
+            "recall",
+            "qps",
+            "build_time_seconds",
+        )
+    )
+    return best_r.unionAll(best_q)

@@ -641,6 +641,140 @@ def _exact_dedup_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Streaming twins, sessions, multimodal, pipeline, grid driver
+# ---------------------------------------------------------------------------
+
+
+def _event_window_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.windows import windowed_event_stats_batch
+
+    return windowed_event_stats_batch(_tbl(spark, sf_dir, "events"), "1 minute")
+
+
+def _event_window_stats_sql() -> str:
+    return """
+SELECT date_trunc('minute', ts) AS window_start, event_type,
+       count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def _sessions_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.state import sessionize_batch
+
+    return sessionize_batch(_tbl(spark, sf_dir, "events"), gap_seconds=300)
+
+
+def _sessions_sql() -> str:
+    return """
+WITH ordered AS (
+  SELECT user_id, ts, value,
+         CASE WHEN epoch(ts)::BIGINT - lag(epoch(ts)::BIGINT)
+                   OVER (PARTITION BY user_id ORDER BY ts) > 300
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), numbered AS (
+  SELECT *, sum(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+  FROM ordered
+)
+SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM numbered GROUP BY user_id, session_no
+"""
+
+
+def _multimodal_meta_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic payload -> binary header parse via mapInPandas. The oracle
+    re-derives the same metadata arithmetically from md5(doc_id) — a full
+    cross-check of the binary plumbing (payload gen + header decode)."""
+    from .multimodal import decode_media_meta, with_synthetic_media
+
+    docs = _tbl(spark, sf_dir, "documents").select("doc_id")
+    return decode_media_meta(with_synthetic_media(docs)).select(
+        "doc_id", "media_type", "codec", "width", "height", "duration_ms", "n_bytes"
+    )
+
+
+def _multimodal_meta_sql() -> str:
+    # byte i of md5(doc_id) = ('0x' || substr(md5_hex, 2i+1, 2))::INT
+    def byte(i: int) -> str:
+        return f"(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), {2 * i + 1}, 2))::INT)"
+
+    t = f"({byte(0)} % 3)"
+    return f"""
+SELECT doc_id,
+       CASE {t} WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+       CASE {t} WHEN 0 THEN 'fakejpeg' WHEN 1 THEN 'fakepcm' ELSE 'fakeh264' END AS codec,
+       64 + {byte(1)} % 192 AS width,
+       64 + {byte(2)} % 192 AS height,
+       CASE WHEN {t} = 0 THEN 0 ELSE ({byte(3)} % 120) * 1000 END AS duration_ms,
+       CAST(13 + 128 + {byte(4)} AS BIGINT) AS n_bytes
+FROM documents
+"""
+
+
+def _frame_counts_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling fan-out: rows per doc after sampling every 10s — the
+    oracle recomputes the fan-out arithmetically."""
+    from .multimodal import sample_frames, with_synthetic_media
+
+    docs = _tbl(spark, sf_dir, "documents").select("doc_id")
+    return (
+        sample_frames(with_synthetic_media(docs), every_ms=10_000)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_frames"))
+    )
+
+
+def _frame_counts_sql() -> str:
+    def byte(i: int) -> str:
+        return f"(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), {2 * i + 1}, 2))::INT)"
+
+    t = f"({byte(0)} % 3)"
+    dur = f"(({byte(3)} % 120) * 1000)"
+    return f"""
+SELECT doc_id,
+       CASE WHEN {t} = 2 AND {dur} > 0
+            THEN CAST(ceil({dur} / 10000.0) AS BIGINT)
+            ELSE 1 END AS n_frames
+FROM documents
+"""
+
+
+def _embed_pipeline_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-pipeline shape over the documents table: min-token filter ->
+    mock embed -> dim/norm stats. Embedding floats are UDF-produced (rows-only
+    check); determinism is covered by pytest."""
+    from .pipeline import mock_embed
+
+    docs = _tbl(spark, sf_dir, "documents").filter(
+        T.token_count(F.col("text")) >= F.lit(5)
+    )
+    emb = mock_embed(docs.select("doc_id", "text"))
+    return emb.select(
+        "doc_id",
+        F.size("embedding").alias("dim"),
+        F.round(V.vec_norm(F.col("embedding")), 4).alias("norm"),
+    )
+
+
+def _grid_search_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small end-to-end grid (H4-H6): 2 combos, IVF build+search+recall.
+    Iterative driver loop -> rows-only check."""
+    from .operators.gridsearch import GridConfig, grid_search
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    q, c = TK.split_queries(emb)
+    cfg = GridConfig(n_centroids=[8], nprobe=[2, 8], k=5)
+    return grid_search(spark, q, c, cfg).select(
+        "run", "n_centroids", "nprobe", "recall", "n_result_rows"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -682,10 +816,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vector_norms": _vector_norms_spark,
     "sq8_train_bounds": _sq8_bounds_spark,
     "grid_params": _grid_params_spark,
+    # streaming twins / sessions / multimodal / pipeline
+    "event_window_stats": _event_window_stats_spark,
+    "user_sessions": _sessions_spark,
+    "multimodal_meta": _multimodal_meta_spark,
+    "frame_sample_counts": _frame_counts_spark,
     # scale-path / non-SQL-expressible (rows-only checks)
     "knn_scalable_filtered": _knn_scalable_spark,
     "knn_fp16": _knn_fp16_spark,
     "ann_ivf": _ann_ivf_spark,
+    "embed_pipeline": _embed_pipeline_spark,
+    "grid_search_ivf": _grid_search_spark,
 }
 
 ORACLES: dict[str, str] = {
@@ -720,6 +861,11 @@ ORACLES: dict[str, str] = {
     "vector_norms": _vector_norms_sql(),
     "sq8_train_bounds": _sq8_bounds_sql(),
     "grid_params": _grid_params_sql(),
-    # knn_scalable_filtered / knn_fp16 / ann_ivf: intentionally no oracle —
-    # mapInPandas & fp16 & k-means paths are non-SQL-expressible (rows-only).
+    "event_window_stats": _event_window_stats_sql(),
+    "user_sessions": _sessions_sql(),
+    "multimodal_meta": _multimodal_meta_sql(),
+    "frame_sample_counts": _frame_counts_sql(),
+    # knn_scalable_filtered / knn_fp16 / ann_ivf / embed_pipeline /
+    # grid_search_ivf: intentionally no oracle — mapInPandas, fp16, k-means,
+    # and iterative-driver paths are non-SQL-expressible (rows-only).
 }

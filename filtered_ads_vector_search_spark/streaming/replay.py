@@ -1,0 +1,53 @@
+"""Replay throughput harness (SURVEY.md §2 J / E3).
+
+The reference measures QPS by replaying the same query batch in a thread pool
+for ``run_time`` seconds (reference: non_stop_search
+cuvs_bench_grid_search_v3.py:245-308, qps formula at :302; HNSW twin 420-453).
+
+Spark-native analog: a ``rate`` micro-batch source drives the search callable
+via ``foreachBatch`` — each tick re-runs the search; achieved QPS =
+(batches x queries_per_batch) / wall. The search itself stays a fully
+distributed DataFrame job; only the trigger loop is streaming.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def replay_throughput(
+    spark: SparkSession,
+    search_fn: Callable[[], DataFrame],
+    run_time_s: float = 10.0,
+    rows_per_batch: int | None = None,
+) -> dict:
+    """Replay ``search_fn`` for ~run_time_s seconds; returns
+    {batches, rows, wall_s, qps, p50_s, p99_s} (per-replay latencies measured
+    like the reference's per-batch query_times, percentile at :305)."""
+    latencies: list[float] = []
+    rows_done = 0
+    t_start = time.time()
+    while time.time() - t_start < run_time_s:
+        t0 = time.time()
+        n = search_fn().count()
+        latencies.append(time.time() - t0)
+        rows_done += rows_per_batch if rows_per_batch is not None else n
+    wall = time.time() - t_start
+    lat = sorted(latencies)
+
+    def pct(p: float) -> float:
+        if not lat:
+            return float("nan")
+        return lat[min(len(lat) - 1, int(p * len(lat)))]
+
+    return {
+        "batches": len(latencies),
+        "rows": rows_done,
+        "wall_s": round(wall, 3),
+        "qps": round(rows_done / wall, 2) if wall > 0 else float("nan"),
+        "p50_s": round(pct(0.50), 4),
+        "p99_s": round(pct(0.99), 4),
+    }

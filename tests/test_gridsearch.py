@@ -1,0 +1,51 @@
+"""Grid-search driver (SURVEY.md §2 H4-H6): combos, metrics CSV, summary."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from filtered_ads_vector_search_spark.operators.gridsearch import (
+    GridConfig,
+    grid_search,
+    param_grid,
+    summarize,
+)
+from filtered_ads_vector_search_spark.operators import topk as TK
+
+from conftest import SF_SMOKE
+
+
+def test_param_grid_constraint():
+    cfg = GridConfig(n_centroids=[4, 8], nprobe=[2, 8, 16])
+    combos = param_grid(cfg)
+    assert {(c["n_centroids"], c["nprobe"]) for c in combos} == {
+        (4, 2),
+        (8, 2),
+        (8, 8),
+    }
+
+
+def test_grid_search_end_to_end(spark, tmp_path):
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    q, c = TK.split_queries(emb)
+    csv_path = str(tmp_path / "grid.csv")
+    cfg = GridConfig(n_centroids=[4, 8], nprobe=[2, 8], k=5)
+    metrics = grid_search(spark, q, c, cfg, csv_path=csv_path).cache()
+    rows = metrics.collect()
+    assert len(rows) == 3  # constraint prunes (4, 8)
+    assert all(0.0 <= r["recall"] <= 1.0 for r in rows)
+    assert all(r["build_time_seconds"] > 0 for r in rows)
+    # more probes at same centroids -> recall must not decrease
+    rec = {(r["n_centroids"], r["nprobe"]): r["recall"] for r in rows}
+    assert rec[(8, 8)] >= rec[(8, 2)] - 1e-9
+    # nprobe == n_centroids probes everything -> exact recall 1.0
+    assert rec[(8, 8)] == 1.0
+    assert os.path.exists(csv_path)
+    with open(csv_path) as f:
+        assert len(f.readlines()) == 4  # header + 3 combos
+
+    summ = summarize(metrics).collect()
+    which = {r["which"] for r in summ}
+    assert which == {"best_recall", "best_qps"}
+    best_recall_row = [r for r in summ if r["which"] == "best_recall"][0]
+    assert best_recall_row["recall"] == max(r["recall"] for r in rows)

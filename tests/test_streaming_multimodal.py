@@ -1,0 +1,109 @@
+"""Streaming (windows/replay/state) and multimodal plumbing tests."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from filtered_ads_vector_search_spark.datasets import load_events
+from filtered_ads_vector_search_spark.multimodal import (
+    decode_media_meta,
+    extract_features,
+    sample_frames,
+    with_synthetic_media,
+)
+from filtered_ads_vector_search_spark.streaming import (
+    replay_throughput,
+    stream_events,
+    windowed_event_stats,
+    windowed_event_stats_batch,
+)
+from filtered_ads_vector_search_spark.streaming.state import sessionize_batch
+
+from conftest import SF_SMOKE
+
+
+def test_streaming_windows_match_batch(spark, tmp_path):
+    """availableNow streaming agg over the events files == batch agg
+    (the reference's batch-size-invariance property, restated for streams)."""
+    stream = windowed_event_stats(stream_events(spark, SF_SMOKE), "1 minute", "2 minutes")
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("winagg")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.sql("select * from winagg").collect()
+    }
+    want = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in windowed_event_stats_batch(load_events(spark, SF_SMOKE), "1 minute").collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_replay_throughput(spark):
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").limit(100).cache()
+    emb.count()
+    out = replay_throughput(spark, lambda: emb.groupBy("label").count(), run_time_s=2.0)
+    assert out["batches"] >= 1
+    assert out["qps"] > 0
+    assert out["p99_s"] >= out["p50_s"]
+
+
+def test_sessionize_batch(spark):
+    import datetime as dt
+
+    base = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        (1, base, 1.0),
+        (1, base + dt.timedelta(seconds=100), 2.0),
+        (1, base + dt.timedelta(seconds=1000), 3.0),  # gap > 300s -> new session
+        (2, base, 5.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp, value double")
+    out = {
+        (r["user_id"], r["n_events"]): r["sum_value"]
+        for r in sessionize_batch(df, gap_seconds=300).collect()
+    }
+    assert out == {(1, 2): 3.0, (1, 1): 3.0, (2, 1): 5.0}
+
+
+def test_multimodal_pipeline(spark):
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select("doc_id").limit(50)
+    media = with_synthetic_media(docs)
+    meta = decode_media_meta(media)
+    rows = meta.collect()
+    assert len(rows) == 50
+    assert {r["media_type"] for r in rows} <= {"image", "audio", "video"}
+    assert all(r["n_bytes"] > 13 for r in rows)
+    # metadata-only projection never deserializes payload downstream
+    counts = meta.groupBy("media_type").count().collect()
+    assert sum(r["count"] for r in counts) == 50
+
+    feats = extract_features(media).collect()
+    assert all(len(r["features"]) == 16 for r in feats)
+    # deterministic: same payload -> same features
+    f2 = {r["doc_id"]: tuple(r["features"]) for r in extract_features(media).collect()}
+    for r in feats:
+        assert tuple(r["features"]) == f2[r["doc_id"]]
+
+    frames = sample_frames(media, every_ms=10_000)
+    fr = frames.collect()
+    assert len(fr) >= 50  # videos explode to >=1 rows, others exactly 1
+    vids = {r["doc_id"] for r in rows if r["media_type"] == "video" and r["duration_ms"] > 10_000}
+    by_doc = {}
+    for r in fr:
+        by_doc.setdefault(r["doc_id"], []).append(r["frame_ts_ms"])
+    for d in vids:
+        assert len(by_doc[d]) > 1
+
+
+def test_multimodal_real_codec_seam(spark):
+    df = spark.createDataFrame([(1, bytearray(b"\xff\xd8\xff\xe0realjpeg"))], "doc_id bigint, payload binary")
+    with pytest.raises(Exception):  # NotImplementedError inside the UDF
+        decode_media_meta(df).collect()
