@@ -121,10 +121,12 @@ class IVFIndex:
         if predicate is not None:
             corpus = corpus.filter(predicate)
 
-        # 2. candidates via equi-join on the bucket key; queries re-attached
-        #    by broadcast (the query side is always the small side).
+        # 2. candidates via equi-join on the bucket key. The probe list is
+        #    queries x nprobe rows — always the small side; broadcast it
+        #    explicitly so the corpus NEVER shuffles or broadcasts (at 100 TB
+        #    the corpus relation must only ever stream).
         cand = (
-            probes.join(corpus, "partition_id")
+            F.broadcast(probes).join(corpus, "partition_id")
             .join(F.broadcast(queries), "query_id")
         )
         d, asc = distance_col(self.metric, F.col("q_vec"), F.col(self.vec_col))

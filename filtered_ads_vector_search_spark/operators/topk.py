@@ -90,8 +90,12 @@ def knn_window(
         F.col("dist").desc(),
         F.col("neighbor_id").asc(),
     ]
+    # Broadcast the QUERY side: the corpus is the big relation at scale, so
+    # the nested-loop join must stream corpus partitions against a broadcast
+    # query matrix (BuildLeft), never the reverse.
     pairs = (
-        queries.crossJoin(corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col)))
+        F.broadcast(queries)
+        .crossJoin(corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col)))
         .withColumn("dist", d)
         .select("query_id", "neighbor_id", "dist")
     )
