@@ -20,6 +20,10 @@ from .hashing import P, str_hash_col, str_hash_sql
 __all__ = [
     "tokens",
     "token_count",
+    "bpe_tokens",
+    "bpe_token_count",
+    "bpe_token_count_sql",
+    "BPE_PATTERN",
     "word_shingles",
     "punct_ratio",
     "stopword_ratio",
@@ -104,6 +108,26 @@ def word_shingles_sql(text: str, n: int = 3) -> str:
         f"i -> array_to_string(list_slice({t}, i, i + {n - 1}), ' ')) "
         f"ELSE [] END)"
     )
+
+
+# GPT-2-style pretokenizer pattern, restricted to constructs RE2 (DuckDB) and
+# Java regex (Spark) match identically: no lookahead, explicit ASCII classes.
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def bpe_tokens(text: Column) -> Column:
+    """BPE-ish pretokenization (contractions / words / numbers / punctuation
+    runs) — the standard LLM-pipeline token-count estimator."""
+    return F.regexp_extract_all(text, F.lit(BPE_PATTERN), 0)
+
+
+def bpe_token_count(text: Column) -> Column:
+    return F.size(bpe_tokens(text))
+
+
+def bpe_token_count_sql(text: str) -> str:
+    pat = BPE_PATTERN.replace("'", "''")
+    return f"len(regexp_extract_all({text}, '{pat}'))"
 
 
 def punct_ratio(text: Column) -> Column:

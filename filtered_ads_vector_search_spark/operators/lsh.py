@@ -1,0 +1,158 @@
+"""Random-hyperplane LSH ANN tier (SURVEY.md §2 D2/D3 — second index family).
+
+The reference ships TWO ANN indexes with different recall/latency shapes:
+CAGRA (graph, GPU) and FAISS HNSW (graph, CPU) — utils_grid_search.py:586-632.
+Our first analog is the IVF layout (operators/ann.py); this module is the
+second: signed-random-projection LSH, the classic sublinear cosine/angular
+candidate generator.
+
+  build:  h_j(v) = sign(v . r_j) for n_bits seeded Gaussian hyperplanes ->
+          one integer bucket key per table (n_tables independent keys) ->
+          corpus tagged with its bucket keys (a pure narrow map; the index
+          artifact is just these columns, optionally written
+          partitioned-by-bucket).
+  search: queries get the same keys -> candidates = union over tables of
+          equal-bucket rows (equi-join per table on the bucket key, never a
+          crossJoin) -> exact rerank -> per-query top-k.
+
+Knobs: n_bits (bucket granularity: more bits = fewer collisions = faster,
+lower recall), n_tables (recall boost: OR over independent tables).
+At 100 TB: bucket keys are tiny ints computed in one scan; each per-table
+join shuffles only on the key; candidates per query ~ corpus/2^n_bits x
+n_tables.
+
+Hyperplanes are seeded-deterministic (numpy RandomState on the driver,
+embedded as literals) so builds are reproducible — the Spark analog of the
+reference's seed-42 determinism (tests.py:9-10).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .topk import Metric, distance_col
+
+__all__ = ["LSHIndex"]
+
+
+def _hyperplanes(dim: int, n_bits: int, n_tables: int, seed: int) -> np.ndarray:
+    return np.random.RandomState(seed).standard_normal((n_tables, n_bits, dim))
+
+
+def _bucket_col(vec: Column, planes: np.ndarray) -> Column:
+    """Integer bucket id: Σ_j 2^j * (v . r_j > 0), all JVM-side arithmetic."""
+    n_bits, dim = planes.shape
+    out = F.lit(0).cast("bigint")
+    for j in range(n_bits):
+        dot = F.lit(0.0)
+        r = planes[j]
+        # dot product against a literal hyperplane: element_at is O(1) per dim
+        dot = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(float(x)) for x in r]),
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        out = out + F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return out
+
+
+@dataclass
+class LSHIndex:
+    tagged: DataFrame  # corpus + bucket_0..bucket_{T-1}
+    planes: np.ndarray
+    metric: Metric
+    n_bits: int
+    n_tables: int
+    build_seconds: float
+    id_col: str = "vec_id"
+    vec_col: str = "embedding"
+
+    @staticmethod
+    def build(
+        corpus: DataFrame,
+        dim: int = 64,
+        n_bits: int = 8,
+        n_tables: int = 4,
+        metric: Metric = "cosine",
+        seed: int = 42,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> "LSHIndex":
+        t0 = time.time()
+        planes = _hyperplanes(dim, n_bits, n_tables, seed)
+        df = corpus
+        for t in range(n_tables):
+            df = df.withColumn(f"bucket_{t}", _bucket_col(F.col(vec_col), planes[t]))
+        df = df.persist()
+        df.count()  # materialize the index artifact
+        return LSHIndex(
+            tagged=df,
+            planes=planes,
+            metric=metric,
+            n_bits=n_bits,
+            n_tables=n_tables,
+            build_seconds=time.time() - t0,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+
+    def write_partitioned(self, path: str) -> None:
+        """Persist partitioned by the first table's bucket so searches prune
+        files on the primary key; the other tables' keys stay as columns."""
+        self.tagged.write.mode("overwrite").partitionBy("bucket_0").parquet(path)
+
+    def search(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        predicate: Column | None = None,
+    ) -> DataFrame:
+        """Filtered approximate top-k. Candidates = union over tables of
+        bucket-equal rows, deduplicated, exact-reranked. Predicate applies
+        BEFORE candidate selection (filter-then-top-k)."""
+        corpus = self.tagged
+        if predicate is not None:
+            corpus = corpus.filter(predicate)
+
+        q = queries
+        for t in range(self.n_tables):
+            q = q.withColumn(f"qb_{t}", _bucket_col(F.col("q_vec"), self.planes[t]))
+
+        cands = None
+        for t in range(self.n_tables):
+            ct = (
+                F.broadcast(q.select("query_id", "q_vec", F.col(f"qb_{t}").alias("bk")))
+                .join(
+                    corpus.select(
+                        F.col(self.id_col).alias("neighbor_id"),
+                        F.col(self.vec_col),
+                        F.col(f"bucket_{t}").alias("bk"),
+                    ),
+                    "bk",
+                )
+                .select("query_id", "q_vec", "neighbor_id", self.vec_col)
+            )
+            cands = ct if cands is None else cands.unionAll(ct)
+        cands = cands.dropDuplicates(["query_id", "neighbor_id"])
+
+        d, asc = distance_col(self.metric, F.col("q_vec"), F.col(self.vec_col))
+        order = [F.col("dist").asc() if asc else F.col("dist").desc(), F.col("neighbor_id").asc()]
+        w = Window.partitionBy("query_id").orderBy(*order)
+        return (
+            cands.select("query_id", "neighbor_id", d.alias("dist"))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", "dist")
+        )
+
+    def unpersist(self) -> None:
+        self.tagged.unpersist()

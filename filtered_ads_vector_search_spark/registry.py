@@ -744,6 +744,34 @@ FROM documents
 """
 
 
+def _token_counts_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _tbl(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.token_count(F.col("text")).alias("ws_tokens"),
+        T.bpe_token_count(F.col("text")).alias("bpe_tokens"),
+    )
+
+
+def _token_counts_sql() -> str:
+    return (
+        f"SELECT doc_id, {T.token_count_sql('text')} AS ws_tokens, "
+        f"{T.bpe_token_count_sql('text')} AS bpe_tokens FROM documents"
+    )
+
+
+def _ann_lsh_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH ANN tier (second index family, rows-only — seeded hyperplanes)."""
+    from .operators.lsh import LSHIndex
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    q, c = TK.split_queries(emb)
+    idx = LSHIndex.build(c, n_bits=4, n_tables=8, metric="cosine", seed=42)
+    out = idx.search(q.limit(30), k=K)
+    out = out.select("query_id", "neighbor_id", "rank", F.round("dist", 4).alias("dist"))
+    return out
+
+
 def _embed_pipeline_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingest-pipeline shape over the documents table: min-token filter ->
     mock embed -> dim/norm stats. Embedding floats are UDF-produced (rows-only
@@ -817,6 +845,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sq8_train_bounds": _sq8_bounds_spark,
     "grid_params": _grid_params_spark,
     # streaming twins / sessions / multimodal / pipeline
+    "token_counts": _token_counts_spark,
     "event_window_stats": _event_window_stats_spark,
     "user_sessions": _sessions_spark,
     "multimodal_meta": _multimodal_meta_spark,
@@ -827,6 +856,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf": _ann_ivf_spark,
     "embed_pipeline": _embed_pipeline_spark,
     "grid_search_ivf": _grid_search_spark,
+    "ann_lsh": _ann_lsh_spark,
 }
 
 ORACLES: dict[str, str] = {
@@ -861,6 +891,7 @@ ORACLES: dict[str, str] = {
     "vector_norms": _vector_norms_sql(),
     "sq8_train_bounds": _sq8_bounds_sql(),
     "grid_params": _grid_params_sql(),
+    "token_counts": _token_counts_sql(),
     "event_window_stats": _event_window_stats_sql(),
     "user_sessions": _sessions_sql(),
     "multimodal_meta": _multimodal_meta_sql(),

@@ -1,0 +1,60 @@
+"""LSH ANN tier: recall floor vs exact oracle, determinism, filtered search."""
+
+from pyspark.sql import functions as F
+
+from filtered_ads_vector_search_spark.operators import filters as FL
+from filtered_ads_vector_search_spark.operators import topk as TK
+from filtered_ads_vector_search_spark.operators.lsh import LSHIndex
+from filtered_ads_vector_search_spark.operators.recall import recall_at_k
+
+from conftest import SF_TEST
+
+
+def _setup(spark):
+    emb = spark.read.parquet(f"{SF_TEST}/embeddings.parquet")
+    q, c = TK.split_queries(emb)
+    return q.limit(20).cache(), c.cache()
+
+
+def test_lsh_recall_floor(spark):
+    """More tables -> higher recall; 4x6-bit tables must beat a floor vs the
+    exact cosine oracle (analog of the reference's ANN recall thresholds,
+    tests.py:64-138)."""
+    q, c = _setup(spark)
+    truth = TK.knn_window(q, c, k=10, metric="cosine").cache()
+    idx = LSHIndex.build(c, n_bits=4, n_tables=8, metric="cosine", seed=42)
+    found = idx.search(q, k=10)
+    rec = recall_at_k(found, truth, k=10).first()["recall_at_k"]
+    assert rec > 0.5, f"LSH recall {rec} below floor"
+
+    idx1 = LSHIndex.build(c, n_bits=4, n_tables=1, metric="cosine", seed=42)
+    rec1 = recall_at_k(idx1.search(q, k=10), truth, k=10).first()["recall_at_k"]
+    assert rec >= rec1 - 1e-9, "more tables must not lower recall"
+    idx.unpersist(), idx1.unpersist()
+
+
+def test_lsh_deterministic(spark):
+    q, c = _setup(spark)
+    a = LSHIndex.build(c, n_bits=6, n_tables=2, seed=42)
+    b = LSHIndex.build(c, n_bits=6, n_tables=2, seed=42)
+    ra = sorted(map(tuple, a.search(q, k=5).collect()))
+    rb = sorted(map(tuple, b.search(q, k=5).collect()))
+    assert ra == rb
+    a.unpersist(), b.unpersist()
+
+
+def test_lsh_filtered_search(spark):
+    """Filter-before-top-k: no returned neighbor may violate the predicate."""
+    q, c = _setup(spark)
+    tagged = FL.with_rating_bucket(c)
+    idx = LSHIndex.build(tagged, n_bits=4, n_tables=2, seed=42)
+    found = idx.search(q, k=10, predicate=FL.named_filter_predicate("high_rated"))
+    ok_ids = {
+        r["vec_id"]
+        for r in tagged.filter(FL.named_filter_predicate("high_rated"))
+        .select("vec_id")
+        .collect()
+    }
+    got = {r["neighbor_id"] for r in found.collect()}
+    assert got and got <= ok_ids
+    idx.unpersist()
