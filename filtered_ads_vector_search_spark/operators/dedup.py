@@ -36,6 +36,7 @@ __all__ = [
     "simhash_col",
     "simhash_pairs",
     "embedding_dup_pairs",
+    "embedding_dup_pairs_lsh",
     "minhash_constants",
     "exact_dedup_sql",
     "ngram_jaccard_pairs_sql",
@@ -333,6 +334,55 @@ def simhash_pairs(documents: DataFrame, max_hamming: int = 2, text_col: str = "t
 # --- embedding cosine near-dup ---------------------------------------------
 
 
+def embedding_dup_pairs_lsh(
+    embeddings: DataFrame,
+    max_cos_dist: float = 0.2,
+    n_bits: int = 4,
+    n_tables: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """100 TB path for embedding near-dup: candidate pairs from per-table
+    LSH-bucket self-joins (shuffle on the bucket key, never a crossJoin),
+    then exact cosine verify. Probabilistic containment of the brute-force
+    pairs (tested as a property); recall rises with n_tables."""
+    from pyspark.sql import functions as F2
+
+    from .lsh import _bucket_col, _hyperplanes
+
+    dim = len(embeddings.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_bits, n_tables, seed)
+    tagged = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    for t in range(n_tables):
+        tagged = tagged.withColumn(f"b{t}", _bucket_col(F.col("v"), planes[t]))
+    tagged = tagged.persist()
+
+    cand = None
+    for t in range(n_tables):
+        side = tagged.select("id", F.col(f"b{t}").alias("bk"))
+        ct = (
+            side.alias("x")
+            .join(side.alias("y"), "bk")
+            .filter(F.col("x.id") < F.col("y.id"))
+            .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        )
+        cand = ct if cand is None else cand.unionAll(ct)
+    cand = cand.distinct()
+
+    a = tagged.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"))
+    b = tagged.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+    d = V.vec_cosine_distance(F.col("v_a"), F.col("v_b"))
+    out = (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("cos_dist", F.round(d, 4))
+        .filter(F.col("cos_dist") <= max_cos_dist)
+        .select("id_a", "id_b", "cos_dist")
+    )
+    return out
+
+
 def embedding_dup_pairs(
     embeddings: DataFrame,
     max_cos_dist: float = 0.2,
@@ -340,7 +390,7 @@ def embedding_dup_pairs(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Vector near-dup pairs: cosine distance <= max_cos_dist, a<b.
-    Brute pairs here; the ANN/IVF tier is the 100 TB path."""
+    Brute pairs here (oracle tier); embedding_dup_pairs_lsh is the 100 TB path."""
     a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
     b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
     d = V.vec_cosine_distance(F.col("v_a"), F.col("v_b"))

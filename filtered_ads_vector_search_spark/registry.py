@@ -595,6 +595,14 @@ WHERE a.vec_id < b.vec_id AND round({d}, 4) <= 0.7
 # ---------------------------------------------------------------------------
 
 
+def _embedding_dups_lsh_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path of embedding_dup_pairs: LSH-bucket candidate self-join +
+    exact verify (rows-only — probabilistic candidate recall)."""
+    return DD.embedding_dup_pairs_lsh(
+        _tbl(spark, sf_dir, "embeddings"), max_cos_dist=0.7, n_bits=4, n_tables=8
+    )
+
+
 def _knn_scalable_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _tbl(spark, sf_dir, "embeddings")
     q, c = TK.split_queries(emb)
@@ -857,6 +865,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_pipeline": _embed_pipeline_spark,
     "grid_search_ivf": _grid_search_spark,
     "ann_lsh": _ann_lsh_spark,
+    "embedding_dup_pairs_lsh": _embedding_dups_lsh_spark,
 }
 
 ORACLES: dict[str, str] = {

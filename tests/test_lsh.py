@@ -58,3 +58,27 @@ def test_lsh_filtered_search(spark):
     got = {r["neighbor_id"] for r in found.collect()}
     assert got and got <= ok_ids
     idx.unpersist()
+
+
+def test_embedding_dup_pairs_lsh_containment(spark):
+    """LSH near-dup pairs are a subset of brute-force pairs, and identical
+    vectors (all buckets shared) are always found."""
+    from filtered_ads_vector_search_spark.operators import dedup as DD
+
+    emb = spark.read.parquet(f"{SF_TEST}/embeddings.parquet").limit(300)
+    # plant an exact duplicate pair
+    dup = emb.limit(1).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding", "label"
+    )
+    data = emb.unionByName(dup).cache()
+    brute = {
+        (r["id_a"], r["id_b"])
+        for r in DD.embedding_dup_pairs(data, max_cos_dist=0.7).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in DD.embedding_dup_pairs_lsh(data, max_cos_dist=0.7).collect()
+    }
+    assert lsh <= brute
+    first_id = emb.first()["vec_id"]
+    assert (min(first_id, first_id + 1_000_000), max(first_id, first_id + 1_000_000)) in lsh

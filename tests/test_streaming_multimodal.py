@@ -107,3 +107,43 @@ def test_multimodal_real_codec_seam(spark):
     df = spark.createDataFrame([(1, bytearray(b"\xff\xd8\xff\xe0realjpeg"))], "doc_id bigint, payload binary")
     with pytest.raises(Exception):  # NotImplementedError inside the UDF
         decode_media_meta(df).collect()
+
+
+def test_sessionize_stream_emits_on_timeout(spark, tmp_path):
+    """applyInPandasWithState sessionization: feed the events file as a
+    stream with a short gap, keep the query ticking until processing-time
+    timeouts flush every session, then compare totals with the batch twin."""
+    import time
+
+    from filtered_ads_vector_search_spark.streaming.state import sessionize_stream
+
+    events = stream_events(spark, SF_SMOKE).select("user_id", "ts", "value")
+    sessions = sessionize_stream(events, gap_seconds=2)
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sessions_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        batch_total = (
+            windowed_event_stats_batch(load_events(spark, SF_SMOKE), "1 minute")
+            .agg(F.sum("n_events"))
+            .first()[0]
+        )
+        deadline = time.time() + 90
+        got = 0
+        while time.time() < deadline:
+            got = spark.sql(
+                "select coalesce(sum(n_events), 0) from sessions_out"
+            ).first()[0]
+            if got >= batch_total:
+                break
+            time.sleep(2)
+        assert got == batch_total, f"streamed session events {got} != {batch_total}"
+        n_users = spark.sql("select count(distinct user_id) from sessions_out").first()[0]
+        assert n_users > 0
+    finally:
+        q.stop()
