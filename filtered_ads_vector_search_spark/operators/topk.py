@@ -152,8 +152,12 @@ def knn_scalable(
     q_ids = np.array([r["query_id"] for r in qrows], dtype=np.int64)
     q_mat = np.array([r["q_vec"] for r in qrows], dtype=np.float64)
     sign = -1.0 if metric == "inner_product" else 1.0
+    # Real broadcast (one copy per executor), not closure capture (one copy
+    # per task): at 10k queries x high dim the matrix is megabytes.
+    bc = queries.sparkSession.sparkContext.broadcast((q_ids, q_mat))
 
     def local_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        q_ids, q_mat = bc.value
         for pdf in batches:
             if pdf.empty:
                 continue
