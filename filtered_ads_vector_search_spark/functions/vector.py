@@ -32,6 +32,10 @@ __all__ = [
     "float16_roundtrip",
     "sq8_quantize",
     "binary_sign",
+    "binary_pack32",
+    "hamming_packed",
+    "binary_pack32_sql",
+    "hamming_packed_sql",
     "sqeuclidean_sql",
     "inner_product_sql",
     "norm_sql",
@@ -112,6 +116,55 @@ def sq8_quantize(a: Column, lo: float, hi: float) -> Column:
                 (F.round((_d(x) - F.lit(float(lo))) * F.lit(scale)) - F.lit(127.0)).cast("int"),
             ),
         ),
+    )
+
+
+def binary_pack32(a: Column) -> Column:
+    """Pack sign bits into ⌈dim/32⌉ 32-bit words held as ARRAY<BIGINT> — the
+    true analog of the reference's np.packbits binary tier
+    (utils_grid_search.py:652-654). Word w = Σ_{j} 2^j * (a[32w+j] > 0).
+
+    32-bit words (not 64) so the packed value never touches the int64 sign
+    bit — safe under ANSI arithmetic in Spark AND DuckDB. Hamming over packed
+    words is `bit_count(xor)` per word: ~32x less work than the per-dim fold."""
+    words = F.transform(
+        F.sequence(F.lit(0), F.floor((F.size(a) - 1) / 32).cast("int")),
+        lambda w: F.aggregate(
+            F.slice(a, w * 32 + 1, 32),
+            F.struct(F.lit(0).cast("bigint").alias("acc"), F.lit(1).cast("bigint").alias("p")),
+            lambda s, x: F.struct(
+                (s["acc"] + F.when(x > 0, s["p"]).otherwise(F.lit(0))).alias("acc"),
+                (s["p"] * 2).alias("p"),
+            ),
+            lambda s: s["acc"],
+        ),
+    )
+    return words
+
+
+def hamming_packed(a: Column, b: Column) -> Column:
+    """Hamming distance between binary_pack32 vectors: Σ_w bit_count(a_w ^ b_w)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.bit_count(x.bitwiseXOR(y)).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def binary_pack32_sql(a: str) -> str:
+    """DuckDB twin of binary_pack32 (same word order, same bit order)."""
+    return (
+        f"list_transform(range(0, CAST(floor((len({a}) - 1) / 32) AS INT) + 1), "
+        f"w -> list_sum(list_transform(range(1, 33), "
+        f"j -> CASE WHEN w * 32 + j <= len({a}) AND {a}[w * 32 + j] > 0 "
+        f"THEN (1::BIGINT << (j - 1)) ELSE 0::BIGINT END)))"
+    )
+
+
+def hamming_packed_sql(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, len({a}) + 1), "
+        f"i -> bit_count(xor({a}[i], {b}[i]))))"
     )
 
 

@@ -56,11 +56,18 @@ class IVFIndex:
         metric: Metric = "sqeuclidean",
         seed: int = 42,
         max_iter: int = 20,
+        train_sample_rows: int = 100_000,
         id_col: str = "vec_id",
         vec_col: str = "embedding",
     ) -> "IVFIndex":
         """Offline index-build job (the analog of cagra.build / HNSW add;
-        build wall-time is the reference's build_time_seconds metric)."""
+        build wall-time is the reference's build_time_seconds metric).
+
+        The coarse quantizer is trained on a bounded sample (standard IVF
+        practice — FAISS trains on ~max(10k, 256*k) points): at 100 TB the
+        KMeans iterations run over `train_sample_rows` rows, while the full
+        corpus is only touched once, by the final assignment scan.
+        """
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector, vector_to_array
 
@@ -68,8 +75,13 @@ class IVFIndex:
         feat = corpus.select(
             F.col(id_col), F.col(vec_col), array_to_vector(F.col(vec_col)).alias("features")
         )
+        n_rows = corpus.count()
+        if n_rows > train_sample_rows:
+            train = feat.sample(fraction=train_sample_rows / n_rows, seed=seed)
+        else:
+            train = feat
         km = KMeans(k=n_centroids, seed=seed, maxIter=max_iter, featuresCol="features")
-        model = km.fit(feat)
+        model = km.fit(train)
         spark = corpus.sparkSession
         centroids = spark.createDataFrame(
             [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
