@@ -62,9 +62,19 @@ def main() -> None:
     timed("ann_ivf_search", lambda: state["idx"].search(q, k=10, nprobe=8).count())
     state["idx"].unpersist()
 
+    from filtered_ads_vector_search_spark.operators.lsh import LSHIndex
+
+    def build_lsh():
+        state["lsh"] = LSHIndex.build(c, n_bits=4, n_tables=8, metric="cosine", seed=42)
+
+    timed("ann_lsh_build", build_lsh)
+    timed("ann_lsh_search", lambda: state["lsh"].search(q, k=10).count())
+    state["lsh"].unpersist()
+
     # --- registry headline queries (same code path the driver checks) ---
     for name in (
         "knn_sq8",
+        "knn_hamming_packed",
         "recall_sq8_vs_fp",
         "dedup_exact",
         "dedup_minhash_lsh",
