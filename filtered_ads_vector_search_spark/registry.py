@@ -486,6 +486,82 @@ GROUP BY n_name
 # ---------------------------------------------------------------------------
 
 
+def _tpch_q6_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: selective filter + single agg — the purest
+    predicate-pushdown showcase (filters reach the parquet scan)."""
+    li = _tbl(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1994-01-01"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,4)")
+                    * F.col("l_discount").cast("decimal(18,4)")
+                ).cast("double"),
+                4,
+            ).alias("revenue"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+def _tpch_q6_sql() -> str:
+    return """
+SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                   CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue,
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= '1994-01-01' AND l_shipdate < '1995-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+def _tpch_q10_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue per customer, top 20."""
+    li = _tbl(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = _tbl(spark, sf_dir, "orders")
+    cu = _tbl(spark, sf_dir, "customer")
+    na = _tbl(spark, sf_dir, "nation")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cu), o.o_custkey == cu.c_custkey)
+        .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,4)")
+                    * (F.lit(1.0).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))
+                ).cast("double"),
+                4,
+            ).alias("revenue")
+        )
+    )
+    return rev.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc()).limit(20)
+
+
+def _tpch_q10_sql() -> str:
+    return """
+SELECT c_custkey, c_name, n_name,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                  (CAST(1.0 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 4) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
 def _text_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _tbl(spark, sf_dir, "documents")
     return docs.select(
@@ -883,6 +959,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q1": _tpch_q1_spark,
     "tpch_q3": _tpch_q3_spark,
     "tpch_q5": _tpch_q5_spark,
+    "tpch_q6": _tpch_q6_spark,
+    "tpch_q10": _tpch_q10_spark,
     # dedup / text pipeline
     "dedup_exact": _exact_dedup_spark,
     "dedup_ngram_jaccard": _ngram_pairs_spark,
@@ -934,6 +1012,8 @@ ORACLES: dict[str, str] = {
     "tpch_q1": _tpch_q1_sql(),
     "tpch_q3": _tpch_q3_sql(),
     "tpch_q5": _tpch_q5_sql(),
+    "tpch_q6": _tpch_q6_sql(),
+    "tpch_q10": _tpch_q10_sql(),
     "dedup_exact": DD.exact_dedup_sql(),
     "dedup_ngram_jaccard": DD.ngram_jaccard_pairs_sql(threshold=0.3),
     "dedup_minhash_lsh": DD.minhash_pairs_sql(threshold=0.3),
