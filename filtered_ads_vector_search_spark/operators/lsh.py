@@ -115,10 +115,17 @@ class LSHIndex:
         queries: DataFrame,
         k: int = 10,
         predicate: Column | None = None,
+        multiprobe: int = 0,
     ) -> DataFrame:
         """Filtered approximate top-k. Candidates = union over tables of
         bucket-equal rows, deduplicated, exact-reranked. Predicate applies
-        BEFORE candidate selection (filter-then-top-k)."""
+        BEFORE candidate selection (filter-then-top-k).
+
+        ``multiprobe=m`` also probes every bucket within hamming distance 1
+        of the query's bucket in the first m bit positions (the standard
+        multi-probe LSH trick): recall of many tables at the candidate cost
+        of few. Probe keys explode on the (tiny, broadcast) query side only.
+        """
         corpus = self.tagged
         if predicate is not None:
             corpus = corpus.filter(predicate)
@@ -127,10 +134,21 @@ class LSHIndex:
         for t in range(self.n_tables):
             q = q.withColumn(f"qb_{t}", _bucket_col(F.col("q_vec"), self.planes[t]))
 
+        def probe_keys(base: Column) -> Column:
+            keys = [base]
+            for j in range(min(multiprobe, self.n_bits)):
+                keys.append(base.bitwiseXOR(F.lit(1 << j)))
+            return F.array(*keys)
+
         cands = None
         for t in range(self.n_tables):
+            qt = q.select(
+                "query_id",
+                "q_vec",
+                F.explode(probe_keys(F.col(f"qb_{t}"))).alias("bk"),
+            )
             ct = (
-                F.broadcast(q.select("query_id", "q_vec", F.col(f"qb_{t}").alias("bk")))
+                F.broadcast(qt)
                 .join(
                     corpus.select(
                         F.col(self.id_col).alias("neighbor_id"),

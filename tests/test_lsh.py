@@ -82,3 +82,14 @@ def test_embedding_dup_pairs_lsh_containment(spark):
     assert lsh <= brute
     first_id = emb.first()["vec_id"]
     assert (min(first_id, first_id + 1_000_000), max(first_id, first_id + 1_000_000)) in lsh
+
+
+def test_lsh_multiprobe_monotone(spark):
+    """More probes -> recall must not decrease (the efSearch-analog knob)."""
+    q, c = _setup(spark)
+    truth = TK.knn_window(q, c, k=10, metric="cosine").cache()
+    idx = LSHIndex.build(c, n_bits=6, n_tables=3, metric="cosine", seed=42)
+    r0 = recall_at_k(idx.search(q, k=10, multiprobe=0), truth, k=10).first()["recall_at_k"]
+    r3 = recall_at_k(idx.search(q, k=10, multiprobe=3), truth, k=10).first()["recall_at_k"]
+    assert r3 >= r0 - 1e-9, (r0, r3)
+    idx.unpersist()
