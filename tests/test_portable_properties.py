@@ -1,0 +1,125 @@
+"""Property tests: the portable expression layer agrees with independent
+pure-Python/NumPy reimplementations on randomized batches + edge cases.
+
+This is the §5 test-strategy analog of the reference's invariance tests: the
+Spark expressions (JVM higher-order functions) are checked against a third
+implementation (not the DuckDB oracle), so a shared misunderstanding between
+the two SQL dialects can't hide a bug.
+"""
+
+import hashlib
+import math
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from filtered_ads_vector_search_spark.functions import vector as V
+from filtered_ads_vector_search_spark.functions.hashing import (
+    A1,
+    A2,
+    C1,
+    C2,
+    P,
+    portable_hash_col,
+    str_hash_col,
+)
+from filtered_ads_vector_search_spark.functions.text import bpe_token_count, token_count
+
+RNG = np.random.RandomState(20260813)
+
+
+def py_portable_hash(x: int, seed: int = 0) -> int:
+    h0 = (x + seed * 7919) % P
+    h1 = (h0 * A1 + C1) % P
+    return (h1 * A2 + C2) % P
+
+
+def py_str_hash(s: str) -> int:
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+
+def test_portable_hash_matches_python(spark):
+    ids = [0, 1, 2, P - 1, P, P + 1, 10**12, 999_983] + [
+        int(x) for x in RNG.randint(0, 2**40, 200)
+    ]
+    df = spark.createDataFrame([(i,) for i in ids], "id bigint")
+    got = {
+        r["id"]: r["h"]
+        for r in df.select("id", portable_hash_col(F.col("id"), seed=42).alias("h")).collect()
+    }
+    for i in ids:
+        assert got[i] == py_portable_hash(i, 42), i
+
+
+def test_str_hash_matches_python(spark):
+    strs = ["", "a", "hello world", "ünïcødé ✓ 中文", "a" * 500] + [
+        f"tok{int(x)}" for x in RNG.randint(0, 10**6, 100)
+    ]
+    df = spark.createDataFrame([(s,) for s in strs], "s string")
+    got = {r["s"]: r["h"] for r in df.select("s", str_hash_col(F.col("s")).alias("h")).collect()}
+    for s in strs:
+        assert got[s] == py_str_hash(s), repr(s)
+
+
+def test_vector_ops_match_numpy(spark):
+    dims = [1, 3, 64]
+    rows = []
+    for d in dims:
+        for _ in range(30):
+            rows.append((RNG.randn(d).tolist(), RNG.randn(d).tolist()))
+    rows.append(([0.0] * 4, [0.0] * 4))  # zero-norm guard
+    df = spark.createDataFrame(rows, "a array<double>, b array<double>")
+    out = df.select(
+        "a",
+        "b",
+        V.vec_sqeuclidean(F.col("a"), F.col("b")).alias("sq"),
+        V.vec_inner_product(F.col("a"), F.col("b")).alias("ip"),
+        V.vec_sign_hamming(F.col("a"), F.col("b")).alias("hm"),
+        V.vec_cosine_distance(F.col("a"), F.col("b")).alias("cd"),
+    ).collect()
+    for r in out:
+        a, b = np.array(r["a"]), np.array(r["b"])
+        assert math.isclose(r["sq"], float(((a - b) ** 2).sum()), rel_tol=1e-9, abs_tol=1e-12)
+        assert math.isclose(r["ip"], float((a * b).sum()), rel_tol=1e-9, abs_tol=1e-12)
+        assert r["hm"] == int(((a > 0) != (b > 0)).sum())
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        if na * nb == 0:
+            assert r["cd"] is None  # nullif guard
+        else:
+            assert math.isclose(
+                r["cd"], 1.0 - float((a * b).sum()) / (na * nb), rel_tol=1e-9, abs_tol=1e-12
+            )
+
+
+def test_binary_pack32_matches_numpy_packbits(spark):
+    rows = [(RNG.randn(d).tolist(),) for d in (1, 31, 32, 33, 64, 100) for _ in range(10)]
+    df = spark.createDataFrame(rows, "v array<double>")
+    out = df.select("v", V.binary_pack32(F.col("v")).alias("p")).collect()
+    for r in out:
+        v = np.array(r["v"])
+        bits = (v > 0).astype(np.uint64)
+        words = []
+        for w in range(math.ceil(len(v) / 32)):
+            chunk = bits[w * 32 : (w + 1) * 32]
+            words.append(int((chunk * (1 << np.arange(len(chunk), dtype=np.uint64))).sum()))
+        assert list(r["p"]) == words, (len(v), r["p"], words)
+
+
+def test_token_counts_match_python(spark):
+    import re
+
+    from filtered_ads_vector_search_spark.functions.text import BPE_PATTERN
+
+    texts = ["", "  ", "one", "a b  c", "don't stop", "x1y2 3.14, foo-bar!", "中文 text"]
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    out = df.select(
+        "t",
+        token_count(F.col("t")).alias("ws"),
+        bpe_token_count(F.col("t")).alias("bpe"),
+    ).collect()
+    for r in out:
+        t = r["t"]
+        assert r["bpe"] == len(re.findall(BPE_PATTERN, t)), repr(t)
+        # whitespace tokens: split on \s+ after trim (Spark split semantics)
+        ws = len(t.strip().split()) if t.strip() else 1  # split('') -> ['']
+        assert r["ws"] == ws, repr(t)
