@@ -104,9 +104,36 @@ class IVFIndex:
         )
 
     def write_bucketed(self, path: str, n_buckets: int | None = None) -> None:
-        """Persist the IVF layout as Parquet partitioned by partition_id so a
-        probe scan prunes to nprobe directories (partition pruning at scan)."""
-        self.assigned.write.mode("overwrite").partitionBy("partition_id").parquet(path)
+        """Persist the IVF layout: corpus Parquet partitioned by partition_id
+        (so a probe scan prunes to nprobe directories) + the centroid table.
+        `IVFIndex.load` restores a searchable index from this layout."""
+        self.assigned.write.mode("overwrite").partitionBy("partition_id").parquet(
+            f"{path}/assigned"
+        )
+        self.centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+
+    @staticmethod
+    def load(
+        spark,
+        path: str,
+        metric: Metric = "sqeuclidean",
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> "IVFIndex":
+        """Open a written IVF layout. Searches against a loaded index read
+        only the probed partition directories (partition pruning / dynamic
+        partition pruning at the scan — verified in tests)."""
+        centroids = spark.read.parquet(f"{path}/centroids")
+        assigned = spark.read.parquet(f"{path}/assigned")
+        return IVFIndex(
+            centroids=centroids,
+            assigned=assigned,
+            metric=metric,
+            n_centroids=centroids.count(),
+            build_seconds=0.0,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
 
     def search(
         self,

@@ -93,3 +93,28 @@ def test_quantization_recall_ordering(spark):
     assert r16 >= r8 >= rb
     assert r16 > 0.95  # fp16 loss is tiny (SURVEY: 4th decimal)
     assert rb > 0.0
+
+
+def test_ivf_write_load_roundtrip_with_partition_pruning(spark, tmp_path):
+    """Written IVF layout: loaded index returns identical results, and the
+    probe scan applies (dynamic) partition pruning on partition_id."""
+    from filtered_ads_vector_search_spark.operators.ann import IVFIndex
+
+    emb = spark.read.parquet(f"{SF_TEST}/embeddings.parquet")
+    q, c = TK.split_queries(emb)
+    q = q.limit(10).cache()
+    built = IVFIndex.build(c, n_centroids=8, seed=42)
+    path = str(tmp_path / "ivf")
+    built.write_bucketed(path)
+    loaded = IVFIndex.load(spark, path)
+    assert loaded.n_centroids == 8
+
+    r_mem = sorted(map(tuple, built.search(q, k=5, nprobe=2).collect()))
+    r_load = sorted(map(tuple, loaded.search(q, k=5, nprobe=2).collect()))
+    assert r_mem == r_load
+
+    plan = loaded.search(q, k=5, nprobe=2)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "dynamicpruning" in plan.lower() or "PartitionFilters: [isnotnull(partition_id" in plan, plan[:2000]
+    built.unpersist()
