@@ -171,6 +171,43 @@ def _recall_sq8_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return recall_at_k(found, truth, k=K)
 
 
+def _recall_curve_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k' of the sq8 tier for k' in {1, 5, 10} (the reference reports
+    recall across the k/itopk grid; this is the per-k curve for one combo)."""
+    found = _knn_spark(spark, sf_dir, "sqeuclidean", quant="sq8")
+    truth = _knn_spark(spark, sf_dir, "sqeuclidean")
+    out = None
+    for kk in (1, 5, K):
+        r = recall_at_k(
+            found.filter(F.col("rnk") <= kk), truth.filter(F.col("rnk") <= kk), k=kk
+        ).select(F.lit(kk).alias("k"), "recall_at_k", "n_queries")
+        out = r if out is None else out.unionAll(r)
+    return out
+
+
+def _recall_curve_sql() -> str:
+    found = _knn_sql("sqeuclidean", quant="sq8")
+    truth = _knn_sql("sqeuclidean")
+    parts = []
+    for kk in (1, 5, K):
+        parts.append(
+            f"""
+SELECT {kk} AS k,
+       round(avg(coalesce(n_matched, 0) / {float(kk)}), 4) AS recall_at_k,
+       count(*) AS n_queries
+FROM (SELECT DISTINCT query_id FROM truth WHERE rnk <= {kk}) allq
+LEFT JOIN (
+  SELECT f.query_id, count(*) AS n_matched
+  FROM (SELECT * FROM found WHERE rnk <= {kk}) f
+  JOIN (SELECT * FROM truth WHERE rnk <= {kk}) t
+    ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
+  GROUP BY f.query_id
+) m USING (query_id)"""
+        )
+    u = " UNION ALL ".join(parts)
+    return f"WITH found AS ({found}), truth AS ({truth}) {u}"
+
+
 def _recall_sq8_sql() -> str:
     found = _knn_sql("sqeuclidean", quant="sq8")
     truth = _knn_sql("sqeuclidean")
@@ -946,6 +983,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_hamming_packed": _knn_hamming_packed_spark,
     "knn_sq8": lambda s, d: _knn_spark(s, d, "sqeuclidean", quant="sq8"),
     "recall_sq8_vs_fp": _recall_sq8_spark,
+    "recall_curve_sq8": _recall_curve_spark,
+    "knn_sq8_filtered_high": lambda s, d: _knn_spark(s, d, "sqeuclidean", filter_name="high_rated", quant="sq8"),
     # filters / selectivity (SURVEY §2 B5/B6/E7/E8)
     "filter_selectivity": _selectivity_spark,
     "rating_histogram": _histogram_spark,
@@ -1002,6 +1041,8 @@ ORACLES: dict[str, str] = {
     "knn_hamming_packed": _knn_hamming_packed_sql(),
     "knn_sq8": _knn_sql("sqeuclidean", quant="sq8"),
     "recall_sq8_vs_fp": _recall_sq8_sql(),
+    "recall_curve_sq8": _recall_curve_sql(),
+    "knn_sq8_filtered_high": _knn_sql("sqeuclidean", filter_name="high_rated", quant="sq8"),
     "filter_selectivity": _selectivity_sql(),
     "rating_histogram": _histogram_sql(),
     "latency_percentiles": _latency_percentiles_sql(),

@@ -18,6 +18,7 @@ same capability needs:
 from .windows import windowed_event_stats, windowed_event_stats_batch, stream_events
 from .replay import replay_throughput
 from .state import sessionize_stream
+from .serve import serve_stream
 
 __all__ = [
     "windowed_event_stats",
@@ -25,4 +26,5 @@ __all__ = [
     "stream_events",
     "replay_throughput",
     "sessionize_stream",
+    "serve_stream",
 ]

@@ -1,0 +1,52 @@
+"""Streaming similarity serving (SURVEY.md §2 J — the streaming-native form
+of the reference's replay harness, non_stop_search
+cuvs_bench_grid_search_v3.py:245-308).
+
+Queries arrive as a stream; every micro-batch is answered with a full
+distributed search against a prebuilt index (IVF/LSH/exact callable) via
+``foreachBatch``. The index stays resident (persisted DataFrame); the
+micro-batch boundary is the latency/throughput knob — exactly the reference's
+batch_size, but driven by the stream trigger instead of a thread pool.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+
+def serve_stream(
+    query_stream: DataFrame,
+    search_fn: Callable[[DataFrame], DataFrame],
+    sink_fn: Callable[[DataFrame, int], None],
+    checkpoint: str,
+    trigger_available_now: bool = False,
+    processing_time: str = "1 second",
+) -> StreamingQuery:
+    """Attach a search to a query stream.
+
+    query_stream: streaming DataFrame of (query_id, q_vec).
+    search_fn: batch DataFrame -> result DataFrame (e.g. lambda q:
+        index.search(q, k=10)); runs as a normal distributed job per batch.
+    sink_fn: (result DataFrame, batch_id) -> None; write wherever results go.
+    """
+    stats: dict = {"batches": 0, "rows": 0, "t0": time.time()}
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        out = search_fn(batch_df)
+        sink_fn(out, batch_id)
+        stats["batches"] += 1
+
+    writer = query_stream.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()

@@ -147,3 +147,32 @@ def test_sessionize_stream_emits_on_timeout(spark, tmp_path):
         assert n_users > 0
     finally:
         q.stop()
+
+
+def test_serve_stream_answers_query_stream(spark, tmp_path):
+    """foreachBatch similarity serving: stream the query split against a
+    resident IVF index; streamed answers equal the batch search."""
+    from filtered_ads_vector_search_spark.operators import topk as TK
+    from filtered_ads_vector_search_spark.operators.ann import IVFIndex
+    from filtered_ads_vector_search_spark.streaming.serve import serve_stream
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    q, c = TK.split_queries(emb)
+    idx = IVFIndex.build(c, n_centroids=8, seed=42)
+
+    qdir = str(tmp_path / "qstream")
+    q.write.mode("overwrite").parquet(qdir)
+    query_stream = spark.readStream.schema("query_id bigint, q_vec array<float>").parquet(qdir)
+
+    results = []
+    sq = serve_stream(
+        query_stream,
+        search_fn=lambda batch: idx.search(batch, k=5, nprobe=8),
+        sink_fn=lambda out, bid: results.extend(tuple(r) for r in out.collect()),
+        checkpoint=str(tmp_path / "ckpt_serve"),
+        trigger_available_now=True,
+    )
+    sq.awaitTermination(120)
+    expected = sorted(tuple(r) for r in idx.search(q, k=5, nprobe=8).collect())
+    assert sorted(results) == expected and len(results) > 0
+    idx.unpersist()
