@@ -76,6 +76,10 @@ class IVFIndex:
             F.col(id_col), F.col(vec_col), array_to_vector(F.col(vec_col)).alias("features")
         )
         n_rows = corpus.count()
+        if n_rows == 0:
+            raise ValueError("cannot build an IVF index over an empty corpus")
+        # a high-selectivity filter can leave fewer rows than centroids
+        n_centroids = min(n_centroids, n_rows)
         if n_rows > train_sample_rows:
             train = feat.sample(fraction=train_sample_rows / n_rows, seed=seed)
         else:

@@ -824,6 +824,30 @@ FROM events GROUP BY 1, 2
 """
 
 
+def _event_sliding_windows_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (2-minute length, 1-minute slide): every event lands in
+    exactly two windows. The oracle reproduces that by unioning the two
+    bucket starts per event."""
+    ev = _tbl(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 minutes", "1 minute").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+
+
+def _event_sliding_windows_sql() -> str:
+    return """
+WITH starts AS (
+  SELECT event_type, date_trunc('minute', ts) AS window_start FROM events
+  UNION ALL
+  SELECT event_type, date_trunc('minute', ts) - INTERVAL 1 MINUTE FROM events
+)
+SELECT window_start, event_type, count(*) AS n_events
+FROM starts GROUP BY 1, 2
+"""
+
+
 def _sessions_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming.state import sessionize_batch
 
@@ -1017,6 +1041,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # streaming twins / sessions / multimodal / pipeline
     "token_counts": _token_counts_spark,
     "event_window_stats": _event_window_stats_spark,
+    "event_sliding_windows": _event_sliding_windows_spark,
     "user_sessions": _sessions_spark,
     "multimodal_meta": _multimodal_meta_spark,
     "frame_sample_counts": _frame_counts_spark,
@@ -1069,6 +1094,7 @@ ORACLES: dict[str, str] = {
     "grid_params": _grid_params_sql(),
     "token_counts": _token_counts_sql(),
     "event_window_stats": _event_window_stats_sql(),
+    "event_sliding_windows": _event_sliding_windows_sql(),
     "user_sessions": _sessions_sql(),
     "multimodal_meta": _multimodal_meta_sql(),
     "frame_sample_counts": _frame_counts_sql(),
