@@ -43,6 +43,8 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # UTC so timestamp<->epoch conversions match the DuckDB oracle.
         .config("spark.sql.session.timeZone", "UTC")
+        # bucketed tables (sources.bucketed) land outside the repo
+        .config("spark.sql.warehouse.dir", "/tmp/favs-warehouse")
         # Arrow for pandas UDF / mapInPandas / toPandas boundaries.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")

@@ -50,3 +50,29 @@ def test_invalid_args_raise(spark):
         named_filter_predicate("nonexistent_filter")
     with pytest.raises(ValueError):
         dtype_from_filename("vectors.txt")
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """Both sides bucketed+sorted on the join key -> sort-merge join with
+    zero Exchange operators in the physical plan."""
+    from filtered_ads_vector_search_spark.sources.bucketed import (
+        bucketed_join,
+        write_bucketed_table,
+    )
+
+    li = spark.read.parquet(f"{SF_TEST}/lineitem.parquet")
+    o = spark.read.parquet(f"{SF_TEST}/orders.parquet")
+    write_bucketed_table(li, "li_b", "l_orderkey", n_buckets=8)
+    write_bucketed_table(o, "o_b", "o_orderkey", n_buckets=8)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = bucketed_join(spark, "li_b", "o_b", "l_orderkey", "o_orderkey")
+        n = j.count()
+        assert n == li.count()  # every lineitem has its order
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan[:1500]
+        assert "SortMergeJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS li_b")
+        spark.sql("DROP TABLE IF EXISTS o_b")
