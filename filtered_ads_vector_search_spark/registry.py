@@ -599,6 +599,29 @@ LIMIT 20
 """
 
 
+# ANSI SQL text that parses identically in Spark SQL and DuckDB — the
+# engine's SQL-API surface (spark.sql over registered views).
+_TPCH_Q1_ANSI = """
+SELECT l_returnflag, l_linestatus,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_qty,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_base_price,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                 (CAST(1.0 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 4) AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def _tpch_q1_sqlapi_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-API surface: the SAME ANSI text the DuckDB oracle runs is
+    executed via spark.sql over a registered view — proving query-language
+    parity, not just DataFrame parity."""
+    _tbl(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_TPCH_Q1_ANSI)
+
+
 def _text_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _tbl(spark, sf_dir, "documents")
     return docs.select(
@@ -1022,6 +1045,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q1": _tpch_q1_spark,
     "tpch_q3": _tpch_q3_spark,
     "tpch_q5": _tpch_q5_spark,
+    "tpch_q1_sql_api": _tpch_q1_sqlapi_spark,
     "tpch_q6": _tpch_q6_spark,
     "tpch_q10": _tpch_q10_spark,
     # dedup / text pipeline
@@ -1078,6 +1102,7 @@ ORACLES: dict[str, str] = {
     "tpch_q1": _tpch_q1_sql(),
     "tpch_q3": _tpch_q3_sql(),
     "tpch_q5": _tpch_q5_sql(),
+    "tpch_q1_sql_api": _TPCH_Q1_ANSI,
     "tpch_q6": _tpch_q6_sql(),
     "tpch_q10": _tpch_q10_sql(),
     "dedup_exact": DD.exact_dedup_sql(),
