@@ -140,6 +140,14 @@ class LSHIndex:
                 keys.append(base.bitwiseXOR(F.lit(1 << j)))
             return F.array(*keys)
 
+        # Distances are computed BEFORE deduplication so the dedup shuffle
+        # carries (query_id, neighbor_id, dist) — 8-byte doubles — instead of
+        # two full vectors per row. A duplicate candidate (same pair from two
+        # tables) costs one redundant JVM-side distance eval, which is far
+        # cheaper than shipping vectors through an extra shuffle. groupBy +
+        # min gets map-side partial aggregation; dist is identical across
+        # duplicates so min() is just dedup.
+        d, asc = distance_col(self.metric, F.col("q_vec"), F.col(self.vec_col))
         cands = None
         for t in range(self.n_tables):
             qt = q.select(
@@ -157,17 +165,15 @@ class LSHIndex:
                     ),
                     "bk",
                 )
-                .select("query_id", "q_vec", "neighbor_id", self.vec_col)
+                .select("query_id", "neighbor_id", d.alias("dist"))
             )
             cands = ct if cands is None else cands.unionAll(ct)
-        cands = cands.dropDuplicates(["query_id", "neighbor_id"])
+        cands = cands.groupBy("query_id", "neighbor_id").agg(F.min("dist").alias("dist"))
 
-        d, asc = distance_col(self.metric, F.col("q_vec"), F.col(self.vec_col))
         order = [F.col("dist").asc() if asc else F.col("dist").desc(), F.col("neighbor_id").asc()]
         w = Window.partitionBy("query_id").orderBy(*order)
         return (
-            cands.select("query_id", "neighbor_id", d.alias("dist"))
-            .withColumn("rank", F.row_number().over(w))
+            cands.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "rank", "dist")
         )
