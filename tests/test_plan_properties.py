@@ -1,0 +1,55 @@
+"""Plan-level scale guarantees, asserted (not eyeballed):
+
+- the rating filter sits BELOW the top-k window (filter-before-top-k is a
+  plan property, SURVEY.md §7 hard parts)
+- window top-k gets the Partial WindowGroupLimit (map-side top-k pushdown)
+- knn joins broadcast the query side
+- partition-count invariance for MinHash dedup (the Spark analog of the
+  reference's batch-size invariance, tests.py:7-62)
+"""
+
+from pyspark.sql import functions as F
+
+from filtered_ads_vector_search_spark.operators import filters as FL
+from filtered_ads_vector_search_spark.operators import topk as TK
+from filtered_ads_vector_search_spark.operators import dedup as DD
+from filtered_ads_vector_search_spark.plans import (
+    assert_broadcast_join,
+    assert_partial_window_group_limit,
+    physical_plan,
+)
+
+from conftest import SF_TEST
+
+
+def _knn(spark):
+    emb = spark.read.parquet(f"{SF_TEST}/embeddings.parquet")
+    q, c = TK.split_queries(emb)
+    c = FL.with_rating_bucket(c).filter(FL.named_filter_predicate("high_rated"))
+    return TK.knn_window(q, c, k=10)
+
+
+def test_filter_sits_below_window(spark):
+    plan = physical_plan(_knn(spark), "simple")
+    lines = plan.splitlines()
+    # simple mode prints root first, children after: the rating predicate
+    # must appear on a line BELOW (deeper than) the Window operator — i.e.
+    # the filter executes before the top-k, never after it.
+    pred_idx = next(i for i, l in enumerate(lines) if "IN (3.0-4.0,4.0-5.0,=5.0)" in l)
+    window_idx = next(i for i, l in enumerate(lines) if "Window [" in l or "Window(" in l)
+    assert window_idx < pred_idx, plan[:2000]
+
+
+def test_window_topk_has_partial_group_limit(spark):
+    assert_partial_window_group_limit(_knn(spark))
+
+
+def test_knn_broadcasts_queries(spark):
+    assert_broadcast_join(_knn(spark))
+
+
+def test_minhash_partition_count_invariance(spark):
+    docs = spark.read.parquet(f"{SF_TEST}/documents.parquet")
+    a = DD.minhash_pairs(docs.repartition(1), threshold=0.3)
+    b = DD.minhash_pairs(docs.repartition(16), threshold=0.3)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
