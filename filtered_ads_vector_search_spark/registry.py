@@ -44,6 +44,9 @@ GRID_SW = [1, 2, 4, 8]
 def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from .datasets import load_table
 
+    # The driver's harness may hand us a session built without our defaults;
+    # timestamp oracles require UTC (DuckDB compares naive wall-clock times).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return load_table(spark, sf_dir, name)
 
 
