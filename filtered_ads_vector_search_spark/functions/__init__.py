@@ -1,1 +1,5 @@
-from . import hashing, text, vector  # noqa: F401
+"""Expression library (SURVEY.md §2 C): vector, text, and portable hashing."""
+
+from . import hashing, text, vector
+
+__all__ = ["hashing", "text", "vector"]

@@ -979,7 +979,7 @@ def _ann_lsh_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH ANN tier (second index family, rows-only — seeded hyperplanes)."""
     from .operators.lsh import LSHIndex
 
-    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    emb = _tbl(spark, sf_dir, "embeddings")
     q, c = TK.split_queries(emb)
     idx = LSHIndex.build(c, n_bits=4, n_tables=8, metric="cosine", seed=42)
     out = idx.search(q.limit(30), k=K)
@@ -1009,7 +1009,7 @@ def _grid_search_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     Iterative driver loop -> rows-only check."""
     from .operators.gridsearch import GridConfig, grid_search
 
-    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    emb = _tbl(spark, sf_dir, "embeddings")
     q, c = TK.split_queries(emb)
     cfg = GridConfig(n_centroids=[8], nprobe=[2, 8], k=5)
     return grid_search(spark, q, c, cfg).select(
