@@ -41,7 +41,13 @@ from .filters import is_query_col
 
 Metric = Literal["sqeuclidean", "inner_product", "cosine", "hamming"]
 
-__all__ = ["split_queries", "knn_window", "knn_scalable", "distance_col"]
+__all__ = [
+    "split_queries",
+    "knn_window",
+    "knn_scalable",
+    "knn_blockwise",
+    "distance_col",
+]
 
 
 def split_queries(
@@ -180,6 +186,87 @@ def knn_scalable(
 
     partials = corpus.select(id_col, vec_col).mapInPandas(
         local_topk, schema="query_id bigint, neighbor_id bigint, dist double"
+    )
+    asc = metric != "inner_product"
+    order = [F.col("dist").asc() if asc else F.col("dist").desc(), F.col("neighbor_id").asc()]
+    w = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        partials.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "dist")
+    )
+
+
+def knn_blockwise(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    metric: Metric = "sqeuclidean",
+    n_query_blocks: int = 4,
+    n_corpus_blocks: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k when BOTH sides are too large to broadcast — the canonical
+    block-nested-loop kNN as a cogrouped Spark job.
+
+    Each side is hashed into blocks; every (query_block, corpus_block) pair is
+    cogrouped and answered with a NumPy local top-k (same argpartition kernel
+    as knn_scalable); a per-query window merges the k-sized partials.
+
+    Shuffle volume: |queries| x n_corpus_blocks + |corpus| x n_query_blocks —
+    the block counts trade replication against per-task matrix size. Use
+    knn_scalable (broadcast) whenever the query matrix fits an executor; use
+    this when it doesn't (e.g. 10M+ queries).
+    """
+    spark = queries.sparkSession
+    sign = -1.0 if metric == "inner_product" else 1.0
+
+    qb = queries.select(
+        "query_id",
+        "q_vec",
+        (F.abs(F.hash("query_id")) % n_query_blocks).alias("qblock"),
+    )
+    cb = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        (F.abs(F.hash(F.col(id_col))) % n_corpus_blocks).alias("cblock"),
+    )
+    # replicate each side across the other side's block ids (block-level
+    # replication — vectors are copied n_blocks times, never |rows| times)
+    qrep = qb.crossJoin(
+        spark.range(n_corpus_blocks).select(F.col("id").cast("int").alias("cblock"))
+    )
+    crep = cb.crossJoin(
+        spark.range(n_query_blocks).select(F.col("id").cast("int").alias("qblock"))
+    )
+
+    def block_topk(key, qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
+        if qpdf.empty or cpdf.empty:
+            return pd.DataFrame({"query_id": [], "neighbor_id": [], "dist": []}).astype(
+                {"query_id": "int64", "neighbor_id": "int64", "dist": "float64"}
+            )
+        q_ids = qpdf["query_id"].to_numpy(dtype=np.int64)
+        q_mat = np.vstack(qpdf["q_vec"].to_numpy()).astype(np.float64)
+        c_ids = cpdf["neighbor_id"].to_numpy(dtype=np.int64)
+        c_mat = np.vstack(cpdf["c_vec"].to_numpy()).astype(np.float64)
+        dmat = _np_distances(metric, q_mat, c_mat)
+        kk = min(k, c_mat.shape[0])
+        part = np.argpartition(dmat, kk - 1, axis=1)[:, :kk]
+        rows = np.repeat(np.arange(dmat.shape[0]), kk)
+        cols = part.ravel()
+        return pd.DataFrame(
+            {
+                "query_id": q_ids[rows],
+                "neighbor_id": c_ids[cols],
+                "dist": sign * dmat[rows, cols],
+            }
+        )
+
+    partials = (
+        qrep.groupBy("qblock", "cblock")
+        .cogroup(crep.groupBy("qblock", "cblock"))
+        .applyInPandas(block_topk, schema="query_id bigint, neighbor_id bigint, dist double")
     )
     asc = metric != "inner_product"
     order = [F.col("dist").asc() if asc else F.col("dist").desc(), F.col("neighbor_id").asc()]

@@ -786,6 +786,15 @@ def _embedding_dups_lsh_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _knn_blockwise_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both-sides-huge exact kNN (cogrouped block-nested-loop; rows-only —
+    identical ids/ranks to knn_exact, fp-kernel distances)."""
+    emb = _tbl(spark, sf_dir, "embeddings")
+    q, c = TK.split_queries(emb)
+    out = TK.knn_blockwise(q, c, k=K, n_query_blocks=2, n_corpus_blocks=4)
+    return out.select("query_id", "neighbor_id", "rank", F.round("dist", 3).alias("dist"))
+
+
 def _knn_scalable_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _tbl(spark, sf_dir, "embeddings")
     q, c = TK.split_queries(emb)
@@ -1074,6 +1083,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "frame_sample_counts": _frame_counts_spark,
     # scale-path / non-SQL-expressible (rows-only checks)
     "knn_scalable_filtered": _knn_scalable_spark,
+    "knn_blockwise": _knn_blockwise_spark,
     "knn_fp16": _knn_fp16_spark,
     "ann_ivf": _ann_ivf_spark,
     "embed_pipeline": _embed_pipeline_spark,

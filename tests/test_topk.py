@@ -85,3 +85,16 @@ def test_metrics_agree_on_ordering(spark):
         )
         rows = per_q.collect()
         assert all(r.cnt == 3 and r.mx == 3 for r in rows), metric
+
+
+def test_blockwise_matches_window(spark):
+    """Block-nested-loop cogrouped kNN (both-sides-huge physical form) must
+    equal the declarative window form exactly."""
+    emb = spark.read.parquet(f"{SF_TEST}/embeddings.parquet")
+    q, c = TK.split_queries(emb)
+    a = _ids(TK.knn_window(q, c, k=7))
+    b = _ids(TK.knn_blockwise(q, c, k=7, n_query_blocks=3, n_corpus_blocks=5))
+    assert a == b
+    # and invariant to the block-count choice
+    b2 = _ids(TK.knn_blockwise(q, c, k=7, n_query_blocks=1, n_corpus_blocks=2))
+    assert b2 == a
