@@ -93,3 +93,17 @@ def test_lsh_multiprobe_monotone(spark):
     r3 = recall_at_k(idx.search(q, k=10, multiprobe=3), truth, k=10).first()["recall_at_k"]
     assert r3 >= r0 - 1e-9, (r0, r3)
     idx.unpersist()
+
+
+def test_lsh_write_partitioned_layout(spark, tmp_path):
+    import os
+
+    q, c = _setup(spark)
+    idx = LSHIndex.build(c, n_bits=3, n_tables=2, seed=42)
+    path = str(tmp_path / "lsh_layout")
+    idx.write_partitioned(path)
+    dirs = [d for d in os.listdir(path) if d.startswith("bucket_0=")]
+    assert 1 <= len(dirs) <= 8  # 3 bits -> at most 8 primary buckets
+    back = spark.read.parquet(path)
+    assert back.count() == idx.tagged.count()
+    idx.unpersist()
