@@ -45,8 +45,12 @@ def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from .datasets import load_table
 
     # The driver's harness may hand us a session built without our defaults;
-    # timestamp oracles require UTC (DuckDB compares naive wall-clock times).
+    # timestamp oracles require UTC (DuckDB compares naive wall-clock times),
+    # and AQE coalescing keeps tiny-SF shuffles from fanning out to the
+    # 200-partition default.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     return load_table(spark, sf_dir, name)
 
 

@@ -40,7 +40,9 @@ def test_portable_hash_sql_matches_python(x, seed):
 
 
 @settings(max_examples=60, deadline=None)
-@given(st.text(max_size=60))
+# NUL can't be embedded in a SQL string literal (parser error in any engine);
+# real data reaches the hash via parquet columns, never literals.
+@given(st.text(max_size=60).filter(lambda s: "\x00" not in s))
 def test_str_hash_sql_matches_python(s):
     lit = "'" + s.replace("'", "''") + "'"
     got = CON.sql(f"SELECT {str_hash_sql(lit)}").fetchone()[0]
