@@ -118,3 +118,18 @@ def test_ivf_write_load_roundtrip_with_partition_pruning(spark, tmp_path):
     )
     assert "dynamicpruning" in plan.lower() or "PartitionFilters: [isnotnull(partition_id" in plan, plan[:2000]
     built.unpersist()
+
+
+def test_ivf_filtered_recall_floor(spark):
+    """THE reference benchmark shape: rating filter + ANN search, recall vs
+    the filtered exact oracle must beat the 0.80 filtered-ANN floor
+    (reference tests.py:135) at ~15.6% selectivity (high_rated)."""
+    q, c = _split(spark)
+    tagged = FL.with_rating_bucket(c)
+    pred = FL.named_filter_predicate("high_rated")
+    truth = TK.knn_window(q, tagged.filter(pred), k=K)
+    idx = IVFIndex.build(tagged, n_centroids=8, seed=42)
+    found = idx.search(q, k=K, nprobe=4, predicate=pred)
+    r = recall_at_k(found, truth, k=K).collect()[0]
+    assert r.recall_at_k >= 0.80, r.recall_at_k
+    idx.unpersist()
