@@ -54,7 +54,7 @@ def grid_search(
     spark: SparkSession,
     queries: DataFrame,
     corpus: DataFrame,
-    cfg: GridConfig = GridConfig(),
+    cfg: GridConfig | None = None,
     predicate: Column | None = None,
     run_name: str = "ivf",
     csv_path: str | None = None,
@@ -63,6 +63,7 @@ def grid_search(
     """Run the full grid; returns the metrics DataFrame (one row per combo:
     the reference's per-combo CSV schema — params, build_time_seconds, recall,
     qps, p50/p99 — benchmarking-results/cagra_fp16_*.csv)."""
+    cfg = cfg if cfg is not None else GridConfig()  # no shared mutable default
     filtered = corpus.filter(predicate) if predicate is not None else corpus
     # one-time exact oracle, cached across all combos (reference :613-623)
     truth = knn_scalable(queries, filtered, k=cfg.k, metric=cfg.metric).cache()

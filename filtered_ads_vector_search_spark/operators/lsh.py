@@ -49,9 +49,7 @@ def _bucket_col(vec: Column, planes: np.ndarray) -> Column:
     n_bits, dim = planes.shape
     out = F.lit(0).cast("bigint")
     for j in range(n_bits):
-        dot = F.lit(0.0)
         r = planes[j]
-        # dot product against a literal hyperplane: element_at is O(1) per dim
         dot = F.aggregate(
             F.zip_with(
                 vec,
@@ -79,7 +77,7 @@ class LSHIndex:
     @staticmethod
     def build(
         corpus: DataFrame,
-        dim: int = 64,
+        dim: int | None = None,
         n_bits: int = 8,
         n_tables: int = 4,
         metric: Metric = "cosine",
@@ -88,6 +86,13 @@ class LSHIndex:
         vec_col: str = "embedding",
     ) -> "LSHIndex":
         t0 = time.time()
+        if dim is None:
+            # derive from the data: a hyperplane/vector length mismatch makes
+            # zip_with null-pad and every bucket silently degenerate to 0
+            first = corpus.select(vec_col).first()
+            if first is None:
+                raise ValueError("cannot build an LSH index over an empty corpus")
+            dim = len(first[0])
         planes = _hyperplanes(dim, n_bits, n_tables, seed)
         df = corpus
         for t in range(n_tables):

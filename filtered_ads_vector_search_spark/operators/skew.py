@@ -30,13 +30,16 @@ def salted_topk(
 ) -> DataFrame:
     """Rows of `df` -> top-k per `group_col` under `order`, two-stage.
 
-    `salt_on`: column whose hash spreads the group (defaults to a uniform
-    hash of all columns via monotonically-increasing ids is NOT used — pass a
-    high-cardinality column like the neighbor/id column for determinism).
+    `salt_on`: column whose hash spreads the group — pass a high-cardinality
+    column (the neighbor/id column). Defaults to a hash of ALL columns, which
+    is row-varying; hashing the group column itself would put every row of
+    the hot group in one salt bucket and silently defeat the salting.
     """
-    salt = (
-        F.abs(F.hash(F.col(salt_on if salt_on is not None else group_col))) % n_salts
-    ).alias("_salt")
+    if salt_on is not None:
+        salt_src = [F.col(salt_on)]
+    else:
+        salt_src = [F.col(c) for c in df.columns]
+    salt = (F.abs(F.hash(*salt_src)) % n_salts).alias("_salt")
     w_local = Window.partitionBy(group_col, "_salt").orderBy(*order)
     w_final = Window.partitionBy(group_col).orderBy(*order)
     return (

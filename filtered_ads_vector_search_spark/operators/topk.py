@@ -85,13 +85,18 @@ def knn_window(
     metric: Metric = "sqeuclidean",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    distance: tuple[Column, bool] | None = None,
 ) -> DataFrame:
     """Declarative filtered exact top-k: crossJoin + window rank limit.
 
     Returns (query_id, neighbor_id, rank, dist). Queries with fewer than k
     passing corpus rows return fewer rows (filter-before-top-k semantics).
+    ``distance``: optional custom (distance expression over q_vec/vec_col,
+    ascending?) pair — e.g. packed-word hamming — replacing ``metric``.
     """
-    d, asc = distance_col(metric, F.col("q_vec"), F.col(vec_col))
+    d, asc = (
+        distance if distance is not None else distance_col(metric, F.col("q_vec"), F.col(vec_col))
+    )
     order = [F.col("dist").asc(), F.col("neighbor_id").asc()] if asc else [
         F.col("dist").desc(),
         F.col("neighbor_id").asc(),
@@ -134,6 +139,41 @@ def _np_distances(metric: Metric, q: np.ndarray, c: np.ndarray) -> np.ndarray:
     raise ValueError(metric)
 
 
+def _local_topk_tuples(
+    q_ids: np.ndarray,
+    q_mat: np.ndarray,
+    c_ids: np.ndarray,
+    c_mat: np.ndarray,
+    metric: Metric,
+    k: int,
+    sign: float,
+) -> pd.DataFrame:
+    """Local top-k under the FULL (dist, neighbor_id) ordering — a bare
+    argpartition keeps an arbitrary member of a distance tie straddling the
+    cut, which would break the exact equivalence with the window form (and
+    partition-count invariance) for integer metrics or duplicate vectors.
+    Here: kth distance via partition, take every candidate <= it, lexsort by
+    (dist, id), truncate to k."""
+    dmat = _np_distances(metric, q_mat, c_mat)
+    kk = min(k, c_mat.shape[0])
+    out_q, out_n, out_d = [], [], []
+    thresh = np.partition(dmat, kk - 1, axis=1)[:, kk - 1]
+    for i in range(dmat.shape[0]):
+        cand = np.flatnonzero(dmat[i] <= thresh[i])
+        order = np.lexsort((c_ids[cand], dmat[i, cand]))[:kk]
+        sel = cand[order]
+        out_q.append(np.full(kk, q_ids[i], dtype=np.int64))
+        out_n.append(c_ids[sel])
+        out_d.append(sign * dmat[i, sel])
+    return pd.DataFrame(
+        {
+            "query_id": np.concatenate(out_q),
+            "neighbor_id": np.concatenate(out_n),
+            "dist": np.concatenate(out_d),
+        }
+    )
+
+
 def knn_scalable(
     queries: DataFrame,
     corpus: DataFrame,
@@ -169,20 +209,10 @@ def knn_scalable(
                 continue
             c_ids = pdf[id_col].to_numpy(dtype=np.int64)
             c_mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
-            dmat = _np_distances(metric, q_mat, c_mat)
-            kk = min(k, c_mat.shape[0])
-            # argpartition for k-smallest, then sort the slice (mirrors the
-            # reference's argpartition+argsort at utils_grid_search.py:923-928)
-            part = np.argpartition(dmat, kk - 1, axis=1)[:, :kk]
-            rows = np.repeat(np.arange(dmat.shape[0]), kk)
-            cols = part.ravel()
-            yield pd.DataFrame(
-                {
-                    "query_id": q_ids[rows],
-                    "neighbor_id": c_ids[cols],
-                    "dist": sign * dmat[rows, cols],
-                }
-            )
+            # tie-aware k-smallest (mirrors the reference's argpartition at
+            # utils_grid_search.py:923-928, plus the deterministic id
+            # tie-break the merge stage relies on)
+            yield _local_topk_tuples(q_ids, q_mat, c_ids, c_mat, metric, k, sign)
 
     partials = corpus.select(id_col, vec_col).mapInPandas(
         local_topk, schema="query_id bigint, neighbor_id bigint, dist double"
@@ -250,18 +280,7 @@ def knn_blockwise(
         q_mat = np.vstack(qpdf["q_vec"].to_numpy()).astype(np.float64)
         c_ids = cpdf["neighbor_id"].to_numpy(dtype=np.int64)
         c_mat = np.vstack(cpdf["c_vec"].to_numpy()).astype(np.float64)
-        dmat = _np_distances(metric, q_mat, c_mat)
-        kk = min(k, c_mat.shape[0])
-        part = np.argpartition(dmat, kk - 1, axis=1)[:, :kk]
-        rows = np.repeat(np.arange(dmat.shape[0]), kk)
-        cols = part.ravel()
-        return pd.DataFrame(
-            {
-                "query_id": q_ids[rows],
-                "neighbor_id": c_ids[cols],
-                "dist": sign * dmat[rows, cols],
-            }
-        )
+        return _local_topk_tuples(q_ids, q_mat, c_ids, c_mat, metric, k, sign)
 
     partials = (
         qrep.groupBy("qblock", "cblock")

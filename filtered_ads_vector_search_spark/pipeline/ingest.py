@@ -40,12 +40,13 @@ class IngestConfig:
 def ingest_reviews(
     spark: SparkSession,
     input_path: str,
-    cfg: IngestConfig = IngestConfig(),
+    cfg: IngestConfig | None = None,
     output_path: str | None = None,
 ) -> DataFrame:
     """JSONL reviews -> filtered, embedded, (optionally) truncated/fp16-cast
     DataFrame (row_id, category, text, embedding); written chunked if
     ``output_path`` given. Returns the result DataFrame either way."""
+    cfg = cfg if cfg is not None else IngestConfig()  # no shared mutable default
     df = read_reviews_jsonl(spark, input_path)
     if cfg.categories:
         df = df.filter(F.col("category").isin(cfg.categories))

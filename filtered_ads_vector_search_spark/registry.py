@@ -14,7 +14,6 @@ order-insensitive in both engines before the final double rounding.
 
 from __future__ import annotations
 
-import os
 from collections.abc import Callable
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
@@ -137,16 +136,12 @@ def _knn_hamming_packed_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q, c = TK.split_queries(emb)
     d = V.hamming_packed(F.col("q_vec"), F.col("embedding")).cast("double")
-    pairs = (
-        F.broadcast(q)
-        .crossJoin(c.select(F.col("vec_id").alias("neighbor_id"), "embedding"))
-        .select("query_id", "neighbor_id", d.alias("dist"))
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("neighbor_id").asc())
-    return (
-        pairs.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= K)
-        .select("query_id", "neighbor_id", "rnk", F.round("dist", 0).alias("dist"))
+    out = TK.knn_window(q, c, k=K, distance=(d, True))
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").alias("rnk"),
+        F.round("dist", 0).alias("dist"),
     )
 
 
@@ -181,8 +176,8 @@ def _recall_sq8_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _recall_curve_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """recall@k' of the sq8 tier for k' in {1, 5, 10} (the reference reports
     recall across the k/itopk grid; this is the per-k curve for one combo)."""
-    found = _knn_spark(spark, sf_dir, "sqeuclidean", quant="sq8")
-    truth = _knn_spark(spark, sf_dir, "sqeuclidean")
+    found = _knn_spark(spark, sf_dir, "sqeuclidean", quant="sq8").cache()
+    truth = _knn_spark(spark, sf_dir, "sqeuclidean").cache()
     out = None
     for kk in (1, 5, K):
         r = recall_at_k(
@@ -272,7 +267,6 @@ def _selectivity_sql() -> str:
 
 def _histogram_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = FL.with_rating_bucket(_tbl(spark, sf_dir, "embeddings"))
-    total = F.sum(F.count("*")).over(Window.partitionBy())
     return (
         emb.groupBy("rating_bucket")
         .agg(F.count("*").alias("n_rows"))
@@ -897,7 +891,7 @@ def _sessions_sql() -> str:
     return """
 WITH ordered AS (
   SELECT user_id, ts, value,
-         CASE WHEN epoch(ts)::BIGINT - lag(epoch(ts)::BIGINT)
+         CASE WHEN floor(epoch(ts))::BIGINT - lag(floor(epoch(ts))::BIGINT)
                    OVER (PARTITION BY user_id ORDER BY ts) > 300
               OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
               THEN 1 ELSE 0 END AS new_session

@@ -41,7 +41,11 @@ def replay_throughput(
     def pct(p: float) -> float:
         if not lat:
             return float("nan")
-        return lat[min(len(lat) - 1, int(p * len(lat)))]
+        # nearest-rank: ceil(p*n)-1 (int(p*n) overshoots by one whenever
+        # p*n is integral, e.g. p50 of 2 samples returned the max)
+        import math
+
+        return lat[max(0, min(len(lat) - 1, math.ceil(p * len(lat)) - 1))]
 
     return {
         "batches": len(latencies),

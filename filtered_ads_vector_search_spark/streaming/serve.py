@@ -11,7 +11,6 @@ batch_size, but driven by the stream trigger instead of a thread pool.
 
 from __future__ import annotations
 
-import time
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame
@@ -33,14 +32,11 @@ def serve_stream(
         index.search(q, k=10)); runs as a normal distributed job per batch.
     sink_fn: (result DataFrame, batch_id) -> None; write wherever results go.
     """
-    stats: dict = {"batches": 0, "rows": 0, "t0": time.time()}
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        out = search_fn(batch_df)
-        sink_fn(out, batch_id)
-        stats["batches"] += 1
+        sink_fn(search_fn(batch_df), batch_id)
 
     writer = query_stream.writeStream.foreachBatch(handle).option(
         "checkpointLocation", checkpoint
