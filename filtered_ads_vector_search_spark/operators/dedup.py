@@ -182,12 +182,14 @@ def minhash_pairs(
     ).filter(F.size("shingles") > 0)
     # Separate projection: `shingles` is referenced twice below (output +
     # signature input), which keeps CollapseProject from re-inlining the
-    # shingle construction into both uses.
+    # shingle construction into both uses. The cache matters because the
+    # plan references this relation three times (bands + both verify sides);
+    # at scale this is the persisted signature table of the dedup pipeline.
     sh = shingled.select(
         "doc_id",
         "shingles",
         minhash_signature_from_shingles(F.col("shingles")).alias("sig"),
-    )
+    ).cache()
 
     bands = sh.select(
         "doc_id",

@@ -98,3 +98,20 @@ def test_blockwise_matches_window(spark):
     # and invariant to the block-count choice
     b2 = _ids(TK.knn_blockwise(q, c, k=7, n_query_blocks=1, n_corpus_blocks=2))
     assert b2 == a
+
+
+def test_scalable_tie_break_with_duplicate_vectors(spark):
+    """Planted duplicate vectors create exact distance ties straddling the
+    local top-k cut; the scalable and blockwise forms must still match the
+    window form's deterministic (dist, neighbor_id) tie-break."""
+    emb = _emb(spark)
+    q, c = TK.split_queries(emb)
+    # clone the corpus with shifted ids -> every vector has an exact twin
+    twin = c.withColumn("vec_id", F.col("vec_id") + 10_000_000)
+    c2 = c.unionByName(twin)
+    a = _ids(TK.knn_window(q, c2, k=K))
+    b = _ids(TK.knn_scalable(q, c2, k=K))
+    d = _ids(TK.knn_blockwise(q, c2, k=K, n_query_blocks=2, n_corpus_blocks=3))
+    assert a == b == d
+    for n in (1, 5):
+        assert _ids(TK.knn_scalable(q, c2.repartition(n), k=K)) == a
