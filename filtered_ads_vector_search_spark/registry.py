@@ -982,16 +982,72 @@ def _token_counts_sql() -> str:
     )
 
 
+LSH_BITS, LSH_TABLES, LSH_SEED = 4, 8, 42
+
+
 def _ann_lsh_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH ANN tier (second index family, rows-only — seeded hyperplanes)."""
+    """LSH ANN tier (second index family). Hyperplanes are seeded literals,
+    so the ENTIRE approximate search — bucket assignment, candidate
+    generation, exact rerank — is reproduced by the DuckDB oracle."""
     from .operators.lsh import LSHIndex
 
     emb = _tbl(spark, sf_dir, "embeddings")
     q, c = TK.split_queries(emb)
-    idx = LSHIndex.build(c, n_bits=4, n_tables=8, metric="cosine", seed=42)
-    out = idx.search(q.limit(30), k=K)
-    out = out.select("query_id", "neighbor_id", "rank", F.round("dist", 4).alias("dist"))
-    return out
+    idx = LSHIndex.build(
+        c, dim=64, n_bits=LSH_BITS, n_tables=LSH_TABLES, metric="cosine", seed=LSH_SEED
+    )
+    out = idx.search(q, k=K)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").alias("rnk"),
+        F.round("dist", 4).alias("dist"),
+    )
+
+
+def _ann_lsh_sql() -> str:
+    """DuckDB twin of _ann_lsh_spark: same seeded hyperplane literals, same
+    bucket arithmetic, same candidate union + cosine rerank."""
+    from .operators.lsh import _hyperplanes
+
+    planes = _hyperplanes(64, LSH_BITS, LSH_TABLES, LSH_SEED)
+
+    def bucket_expr(vec: str, t: int) -> str:
+        bits = []
+        for j in range(LSH_BITS):
+            lit = "[" + ", ".join(repr(float(x)) for x in planes[t][j]) + "]"
+            dot = V.inner_product_sql(vec, lit)
+            bits.append(f"CASE WHEN {dot} > 0 THEN {1 << j} ELSE 0 END")
+        return "(" + " + ".join(bits) + ")"
+
+    q_buckets = ", ".join(f"{bucket_expr('embedding', t)} AS qb_{t}" for t in range(LSH_TABLES))
+    c_buckets = ", ".join(f"{bucket_expr('embedding', t)} AS cb_{t}" for t in range(LSH_TABLES))
+    unions = "\nUNION ALL\n".join(
+        f"SELECT q.query_id, c.neighbor_id FROM q JOIN c ON q.qb_{t} = c.cb_{t}"
+        for t in range(LSH_TABLES)
+    )
+    dist = V.cosine_distance_sql("q.q_vec", "c.c_vec")
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS q_vec, {q_buckets} FROM embeddings
+  WHERE {FL.is_query_sql('vec_id')}
+), c AS (
+  SELECT vec_id AS neighbor_id, embedding AS c_vec, {c_buckets} FROM embeddings
+  WHERE NOT {FL.is_query_sql('vec_id')}
+), cand AS (
+  SELECT DISTINCT query_id, neighbor_id FROM ({unions})
+), d AS (
+  SELECT cand.query_id, cand.neighbor_id, {dist} AS dist
+  FROM cand JOIN q ON cand.query_id = q.query_id
+            JOIN c ON cand.neighbor_id = c.neighbor_id
+), r AS (
+  SELECT query_id, neighbor_id, dist,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, neighbor_id ASC) AS rnk
+  FROM d
+)
+SELECT query_id, neighbor_id, rnk, round(dist, 4) AS dist
+FROM r WHERE rnk <= {K}
+"""
 
 
 def _embed_pipeline_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1134,6 +1190,7 @@ ORACLES: dict[str, str] = {
     "user_sessions": _sessions_sql(),
     "multimodal_meta": _multimodal_meta_sql(),
     "frame_sample_counts": _frame_counts_sql(),
+    "ann_lsh": _ann_lsh_sql(),
     # knn_scalable_filtered / knn_fp16 / ann_ivf / embed_pipeline /
     # grid_search_ivf: intentionally no oracle — mapInPandas, fp16, k-means,
     # and iterative-driver paths are non-SQL-expressible (rows-only).
