@@ -778,29 +778,62 @@ WHERE a.vec_id < b.vec_id AND round({d}, 4) <= 0.7
 
 def _embedding_dups_lsh_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale path of embedding_dup_pairs: LSH-bucket candidate self-join +
-    exact verify (rows-only — probabilistic candidate recall)."""
+    exact verify. Deterministic seeded hyperplanes -> full DuckDB oracle."""
     return DD.embedding_dup_pairs_lsh(
         _tbl(spark, sf_dir, "embeddings"), max_cos_dist=0.7, n_bits=4, n_tables=8
     )
 
 
+def _embedding_dups_lsh_sql() -> str:
+    from .operators.lsh import _hyperplanes
+
+    planes = _hyperplanes(64, 4, 8, 42)
+
+    def bucket_expr(vec: str, t: int) -> str:
+        bits = []
+        for j in range(4):
+            lit = "[" + ", ".join(repr(float(x)) for x in planes[t][j]) + "]"
+            dot = V.inner_product_sql(vec, lit)
+            bits.append(f"CASE WHEN {dot} > 0 THEN {1 << j} ELSE 0 END")
+        return "(" + " + ".join(bits) + ")"
+
+    buckets = ", ".join(f"{bucket_expr('embedding', t)} AS b_{t}" for t in range(8))
+    unions = "\nUNION ALL\n".join(
+        f"SELECT x.id AS id_a, y.id AS id_b FROM t x JOIN t y ON x.b_{i} = y.b_{i} AND x.id < y.id"
+        for i in range(8)
+    )
+    dist = V.cosine_distance_sql("a.v", "b.v")
+    return f"""
+WITH t AS (
+  SELECT vec_id AS id, embedding AS v, {buckets} FROM embeddings
+), cand AS (
+  SELECT DISTINCT id_a, id_b FROM ({unions})
+)
+SELECT id_a, id_b, round({dist}, 4) AS cos_dist
+FROM cand JOIN t a ON cand.id_a = a.id JOIN t b ON cand.id_b = b.id
+WHERE round({dist}, 4) <= 0.7
+"""
+
+
 def _knn_blockwise_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Both-sides-huge exact kNN (cogrouped block-nested-loop; rows-only —
-    identical ids/ranks to knn_exact, fp-kernel distances)."""
+    """Both-sides-huge exact kNN (cogrouped block-nested-loop). Output is
+    (ids, rank) only — the BLAS-kernel distances differ from the SQL fold in
+    the last ulps, but the ORDERING (and therefore ids/ranks) is identical,
+    so the physical form is fully oracle-checked."""
     emb = _tbl(spark, sf_dir, "embeddings")
     q, c = TK.split_queries(emb)
     out = TK.knn_blockwise(q, c, k=K, n_query_blocks=2, n_corpus_blocks=4)
-    return out.select("query_id", "neighbor_id", "rank", F.round("dist", 3).alias("dist"))
+    return out.select("query_id", "neighbor_id", F.col("rank").alias("rnk"))
 
 
 def _knn_scalable_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path filtered exact kNN (broadcast + mapInPandas local top-k).
+    (ids, rank) output -> fully oracle-checked (see _knn_blockwise_spark)."""
     emb = _tbl(spark, sf_dir, "embeddings")
     q, c = TK.split_queries(emb)
     c = FL.with_rating_bucket(c).filter(FL.named_filter_predicate("high_rated"))
     out = TK.knn_scalable(q, c, k=K, metric="sqeuclidean")
-    return out.select(
-        "query_id", "neighbor_id", F.col("rank").alias("rnk"), F.round("dist", 3).alias("dist")
-    )
+    return out.select("query_id", "neighbor_id", F.col("rank").alias("rnk"))
 
 
 def _knn_fp16_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1191,7 +1224,12 @@ ORACLES: dict[str, str] = {
     "multimodal_meta": _multimodal_meta_sql(),
     "frame_sample_counts": _frame_counts_sql(),
     "ann_lsh": _ann_lsh_sql(),
-    # knn_scalable_filtered / knn_fp16 / ann_ivf / embed_pipeline /
+    "knn_scalable_filtered": "SELECT query_id, neighbor_id, rnk FROM ("
+    + _knn_sql("sqeuclidean", filter_name="high_rated")
+    + ")",
+    "knn_blockwise": "SELECT query_id, neighbor_id, rnk FROM (" + _knn_sql("sqeuclidean") + ")",
+    "embedding_dup_pairs_lsh": _embedding_dups_lsh_sql(),
+    # knn_fp16 / ann_ivf / embed_pipeline /
     # grid_search_ivf: intentionally no oracle — mapInPandas, fp16, k-means,
     # and iterative-driver paths are non-SQL-expressible (rows-only).
 }
