@@ -35,6 +35,8 @@ __all__ = [
     "minhash_pairs",
     "simhash_col",
     "simhash_pairs",
+    "simhash_pairs_banded",
+    "simhash_pairs_banded_sql",
     "embedding_dup_pairs",
     "embedding_dup_pairs_lsh",
     "minhash_constants",
@@ -318,8 +320,7 @@ def simhash_sql(text: str) -> str:
 
 def simhash_pairs(documents: DataFrame, max_hamming: int = 2, text_col: str = "text") -> DataFrame:
     """Near-dup pairs by signature hamming <= max_hamming. Pairwise at test SF;
-    at scale, equi-join on the signature (hamming 0) or on banded signature
-    halves (the standard simhash pigeonhole trick)."""
+    simhash_pairs_banded is the scale path."""
     s = documents.select(F.col("doc_id"), simhash_col(F.col(text_col)).alias("sig"))
     a = s.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
     b = s.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
@@ -331,6 +332,83 @@ def simhash_pairs(documents: DataFrame, max_hamming: int = 2, text_col: str = "t
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def _simhash_band(sig: Column, band: int, n_bands: int) -> Column:
+    """Bits of band `band` when the SIMHASH_BITS signature is cut into
+    n_bands contiguous slices (last band takes the remainder)."""
+    width = SIMHASH_BITS // n_bands
+    start = band * width
+    nbits = width if band < n_bands - 1 else SIMHASH_BITS - start
+    return F.floor(sig / F.lit(2 ** start)).cast("bigint") % F.lit(2 ** nbits)
+
+
+def simhash_pairs_banded(
+    documents: DataFrame, max_hamming: int = 2, text_col: str = "text"
+) -> DataFrame:
+    """Scale path (EXACT, not approximate): by pigeonhole, two signatures
+    within hamming h must agree on at least one of h+1 disjoint bit bands —
+    so candidates come from h+1 equi-joins on (band_id, band_bits), never a
+    crossJoin, and the hamming verify keeps exactly simhash_pairs' result."""
+    n_bands = max_hamming + 1
+    s = documents.select(F.col("doc_id"), simhash_col(F.col(text_col)).alias("sig"))
+    bands = s.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        _simhash_band(F.col("sig"), b, n_bands).alias("band_bits"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "sig", F.col("bk.band_id").alias("band_id"), F.col("bk.band_bits").alias("band_bits"))
+    x = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"), "band_id", "band_bits"
+    )
+    y = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"), "band_id", "band_bits"
+    )
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("int")
+    return (
+        x.join(y, ["band_id", "band_bits"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def simhash_pairs_banded_sql(
+    table: str = "documents", max_hamming: int = 2
+) -> str:
+    """DuckDB twin of simhash_pairs_banded (same banding arithmetic)."""
+    n_bands = max_hamming + 1
+    sig = simhash_sql("text")
+    width = SIMHASH_BITS // n_bands
+
+    def band(b: int) -> str:
+        start = b * width
+        nbits = width if b < n_bands - 1 else SIMHASH_BITS - start
+        return f"(CAST(floor(sig / {2 ** start}) AS BIGINT) % {2 ** nbits})"
+
+    unions = "\nUNION ALL\n".join(
+        f"SELECT doc_id, sig, {b} AS band_id, {band(b)} AS band_bits FROM s"
+        for b in range(n_bands)
+    )
+    return f"""
+WITH s AS (
+  SELECT doc_id, {sig} AS sig FROM {table}
+), bands AS ({unions})
+SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       CAST(bit_count(xor(x.sig, y.sig)) AS INTEGER) AS hamming
+FROM bands x JOIN bands y ON x.band_id = y.band_id AND x.band_bits = y.band_bits
+WHERE x.doc_id < y.doc_id AND bit_count(xor(x.sig, y.sig)) <= {max_hamming}
+"""
 
 
 # --- embedding cosine near-dup ---------------------------------------------

@@ -1152,6 +1152,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": _ngram_pairs_spark,
     "dedup_minhash_lsh": _minhash_pairs_spark,
     "doc_simhash": _simhash_spark,
+    "dedup_simhash_banded": lambda s, d: DD.simhash_pairs_banded(_tbl(s, d, "documents"), max_hamming=3),
     "text_stats": _text_stats_spark,
     "lang_id": _lang_id_spark,
     "doc_fingerprint": _fingerprint_spark,
@@ -1209,6 +1210,7 @@ ORACLES: dict[str, str] = {
     "dedup_ngram_jaccard": DD.ngram_jaccard_pairs_sql(threshold=0.3),
     "dedup_minhash_lsh": DD.minhash_pairs_sql(threshold=0.3),
     "doc_simhash": _simhash_sql(),
+    "dedup_simhash_banded": DD.simhash_pairs_banded_sql(max_hamming=3),
     "text_stats": _text_stats_sql(),
     "lang_id": _lang_id_sql(),
     "doc_fingerprint": _fingerprint_sql(),

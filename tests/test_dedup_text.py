@@ -79,3 +79,12 @@ def test_token_count_matches_python(spark):
     rows = _docs(spark).limit(50).select("text", T.token_count(F.col("text")).alias("tc")).collect()
     for r in rows:
         assert r.tc == len(r.text.split())
+
+
+def test_simhash_banded_equals_brute(spark):
+    """Pigeonhole banding is EXACT: banded candidates + verify must equal the
+    brute-force pairwise result."""
+    docs = spark.read.parquet(f"{SF_TEST}/documents.parquet").limit(150)
+    brute = sorted(map(tuple, DD.simhash_pairs(docs, max_hamming=2).collect()))
+    banded = sorted(map(tuple, DD.simhash_pairs_banded(docs, max_hamming=2).collect()))
+    assert brute == banded and len(brute) > 0
