@@ -10,8 +10,8 @@ these are the standard large-corpus dedup tiers, each designed scale-first:
                      pairs come from an equi-join on band keys (shuffle on
                      band_key, NOT a crossJoin), then exact-Jaccard verify.
 * SimHash          — 16-bit token-hash signature; near-dup = small signature
-                     hamming distance; equi-join on the signature for exact
-                     collisions at scale.
+                     hamming distance; scale path = pigeonhole banding
+                     (h+1 disjoint bit bands, equi-join per band — exact).
 * embedding cosine — near-dup by vector similarity (brute pairs at test SF;
                      the IVF/LSH ANN tier is the scale path).
 
@@ -340,7 +340,9 @@ def _simhash_band(sig: Column, band: int, n_bands: int) -> Column:
     width = SIMHASH_BITS // n_bands
     start = band * width
     nbits = width if band < n_bands - 1 else SIMHASH_BITS - start
-    return F.floor(sig / F.lit(2 ** start)).cast("bigint") % F.lit(2 ** nbits)
+    # bitwise shift, not floor(x / 2^k): double division loses exactness for
+    # signatures wider than 52 bits
+    return F.shiftright(sig, start).bitwiseAND(F.lit((1 << nbits) - 1))
 
 
 def simhash_pairs_banded(
@@ -351,7 +353,12 @@ def simhash_pairs_banded(
     so candidates come from h+1 equi-joins on (band_id, band_bits), never a
     crossJoin, and the hamming verify keeps exactly simhash_pairs' result."""
     n_bands = max_hamming + 1
-    s = documents.select(F.col("doc_id"), simhash_col(F.col(text_col)).alias("sig"))
+    # cached: the plan references the signature relation on both join sides
+    # (same precedent as minhash_pairs; at scale this is the persisted
+    # signature table)
+    s = documents.select(
+        F.col("doc_id"), simhash_col(F.col(text_col)).alias("sig")
+    ).cache()
     bands = s.select(
         "doc_id",
         "sig",
@@ -394,7 +401,7 @@ def simhash_pairs_banded_sql(
     def band(b: int) -> str:
         start = b * width
         nbits = width if b < n_bands - 1 else SIMHASH_BITS - start
-        return f"(CAST(floor(sig / {2 ** start}) AS BIGINT) % {2 ** nbits})"
+        return f"((sig >> {start}) & {(1 << nbits) - 1})"
 
     unions = "\nUNION ALL\n".join(
         f"SELECT doc_id, sig, {b} AS band_id, {band(b)} AS band_bits FROM s"

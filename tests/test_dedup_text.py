@@ -84,7 +84,7 @@ def test_token_count_matches_python(spark):
 def test_simhash_banded_equals_brute(spark):
     """Pigeonhole banding is EXACT: banded candidates + verify must equal the
     brute-force pairwise result."""
-    docs = spark.read.parquet(f"{SF_TEST}/documents.parquet").limit(150)
+    docs = _docs(spark).limit(150)
     brute = sorted(map(tuple, DD.simhash_pairs(docs, max_hamming=2).collect()))
     banded = sorted(map(tuple, DD.simhash_pairs_banded(docs, max_hamming=2).collect()))
     assert brute == banded and len(brute) > 0
