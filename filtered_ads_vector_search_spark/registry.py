@@ -941,6 +941,32 @@ FROM numbered GROUP BY user_id, session_no
 """
 
 
+def _event_lag_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic-window breadth: per-user lag deltas + running value sums."""
+    ev = _tbl(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ev.select(
+        "user_id",
+        "event_id",
+        (F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)).alias("secs_since_prev"),
+        F.round(F.sum("value").over(run), 4).alias("running_value"),
+        F.row_number().over(w).alias("event_seq"),
+    )
+
+
+def _event_lag_stats_sql() -> str:
+    return """
+SELECT user_id, event_id,
+       floor(epoch(ts))::BIGINT - lag(floor(epoch(ts))::BIGINT)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS secs_since_prev,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_value,
+       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS event_seq
+FROM events
+"""
+
+
 def _multimodal_meta_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthetic payload -> binary header parse via mapInPandas. The oracle
     re-derives the same metadata arithmetically from md5(doc_id) — a full
@@ -1167,6 +1193,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_window_stats": _event_window_stats_spark,
     "event_sliding_windows": _event_sliding_windows_spark,
     "user_sessions": _sessions_spark,
+    "event_lag_stats": _event_lag_stats_spark,
     "multimodal_meta": _multimodal_meta_spark,
     "frame_sample_counts": _frame_counts_spark,
     # scale-path / non-SQL-expressible (rows-only checks)
@@ -1223,6 +1250,7 @@ ORACLES: dict[str, str] = {
     "event_window_stats": _event_window_stats_sql(),
     "event_sliding_windows": _event_sliding_windows_sql(),
     "user_sessions": _sessions_sql(),
+    "event_lag_stats": _event_lag_stats_sql(),
     "multimodal_meta": _multimodal_meta_sql(),
     "frame_sample_counts": _frame_counts_sql(),
     "ann_lsh": _ann_lsh_sql(),
