@@ -31,12 +31,83 @@ from __future__ import annotations
 import time
 from dataclasses import dataclass, field
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .topk import Metric, distance_col, knn_window
 
 __all__ = ["IVFIndex"]
+
+
+def _kmeans_numpy(
+    X: np.ndarray, k: int, seed: int, max_iter: int, n_init: int = 4
+) -> np.ndarray:
+    """Seeded k-means++ / Lloyd's on the (bounded) training sample, best of
+    `n_init` restarts by inertia.
+
+    The coarse quantizer trains on at most `train_sample_rows` points, so the
+    whole fit is a driver-local numpy job (FAISS does the same: IVF training
+    runs on a sample, not the corpus). This replaces pyspark.ml.KMeans, which
+    costs ~2 Spark jobs per iteration — pure scheduling overhead when the
+    training set is sample-sized by construction. Restarts are cheap at
+    sample scale and recover the quality of kmeans||'s more robust seeding.
+    """
+    X = np.ascontiguousarray(X, dtype=np.float64)
+    n = X.shape[0]
+    xn = (X * X).sum(axis=1)
+
+    def one_run(rng: np.random.RandomState) -> tuple[float, np.ndarray]:
+        # k-means++ seeding
+        centroids = np.empty((k, X.shape[1]), dtype=np.float64)
+        centroids[0] = X[rng.randint(n)]
+        d2 = ((X - centroids[0]) ** 2).sum(axis=1)
+        for j in range(1, k):
+            tot = d2.sum()
+            if tot <= 0:
+                centroids[j] = X[rng.randint(n)]
+            else:
+                centroids[j] = X[rng.choice(n, p=d2 / tot)]
+            d2 = np.minimum(d2, ((X - centroids[j]) ** 2).sum(axis=1))
+        dmin = d2
+        for _ in range(max_iter):
+            cn = (centroids * centroids).sum(axis=1)
+            dist = xn[:, None] - 2.0 * (X @ centroids.T) + cn[None, :]
+            assign = np.argmin(dist, axis=1)
+            dmin = dist[np.arange(n), assign]
+            new = centroids.copy()  # empty cluster keeps its previous centroid
+            for j in range(k):
+                members = X[assign == j]
+                if len(members):
+                    new[j] = members.mean(axis=0)
+            if np.allclose(new, centroids):
+                break
+            centroids = new
+        return float(dmin.sum()), centroids
+
+    best: tuple[float, np.ndarray] | None = None
+    for r in range(max(1, n_init)):
+        run = one_run(np.random.RandomState(seed + 1000003 * r))
+        if best is None or run[0] < best[0]:
+            best = run
+    return best[1]
+
+
+def _assign_udf(centroids: np.ndarray):
+    """Vectorized Arrow-batched assignment: argmin squared distance against
+    the broadcast centroid matrix — one numpy matmul per batch, the single
+    full-corpus pass of the build."""
+    C = np.ascontiguousarray(centroids, dtype=np.float64)
+    cn = (C * C).sum(axis=1)
+
+    @F.pandas_udf("int")
+    def assign(vecs: pd.Series) -> pd.Series:
+        V = np.array(vecs.tolist(), dtype=np.float64)
+        d = cn[None, :] - 2.0 * (V @ C.T)  # |v|^2 constant per row: argmin-safe
+        return pd.Series(np.argmin(d, axis=1).astype("int32"))
+
+    return assign
 
 
 @dataclass
@@ -70,32 +141,29 @@ class IVFIndex:
         KMeans iterations run over `train_sample_rows` rows, while the full
         corpus is only touched once, by the final assignment scan.
         """
-        from pyspark.ml.clustering import KMeans
-        from pyspark.ml.functions import array_to_vector, vector_to_array
-
         t0 = time.time()
-        feat = corpus.select(
-            F.col(id_col), F.col(vec_col), array_to_vector(F.col(vec_col)).alias("features")
-        )
         n_rows = corpus.count()
         if n_rows == 0:
             raise ValueError("cannot build an IVF index over an empty corpus")
-        # a high-selectivity filter can leave fewer rows than centroids
-        n_centroids = min(n_centroids, n_rows)
         if n_rows > train_sample_rows:
-            train = feat.sample(fraction=train_sample_rows / n_rows, seed=seed)
+            train = corpus.select(vec_col).sample(
+                fraction=train_sample_rows / n_rows, seed=seed
+            )
         else:
-            train = feat
-        km = KMeans(k=n_centroids, seed=seed, maxIter=max_iter, featuresCol="features")
-        model = km.fit(train)
+            train = corpus.select(vec_col)
+        X = np.array([r[0] for r in train.collect()], dtype=np.float64)
+        # a high-selectivity filter can leave fewer rows than centroids
+        n_centroids = min(n_centroids, len(X))
+        centers = _kmeans_numpy(X, n_centroids, seed=seed, max_iter=max_iter)
         spark = corpus.sparkSession
         centroids = spark.createDataFrame(
-            [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+            [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
             "centroid_id int, centroid array<float>",
         )
         assigned = (
-            model.transform(feat)
-            .select(id_col, vec_col, F.col("prediction").alias("partition_id"))
+            corpus.select(
+                id_col, vec_col, _assign_udf(centers)(F.col(vec_col)).alias("partition_id")
+            )
             .persist()
         )
         assigned.count()  # materialize: the index artifact
@@ -147,10 +215,30 @@ class IVFIndex:
         k: int = 10,
         nprobe: int = 8,
         predicate: Column | None = None,
+        adaptive_nprobe: bool = False,
     ) -> DataFrame:
         """Filtered approximate top-k. `queries` is (query_id, q_vec);
         `predicate` (over assigned-corpus columns) is applied BEFORE candidate
-        selection — filter-then-top-k semantics."""
+        selection — filter-then-top-k semantics.
+
+        ``adaptive_nprobe=True`` widens the probe count by 1/selectivity under
+        a selective predicate (clamped to n_centroids): a filter keeping s of
+        the corpus thins every probed partition to s of its rows, so holding
+        the CANDIDATE count constant requires nprobe/s probes. This is
+        standard filtered-ANN practice — the reference's own best
+        high-selectivity configs widen search_width (BASELINE.md: mid_rated
+        best uses sw=4 vs low_rated's sw=2). Costs one count() on the
+        persisted index relation to estimate selectivity.
+        """
+        corpus_all = self.assigned
+        if adaptive_nprobe and predicate is not None:
+            total = corpus_all.count()
+            kept = corpus_all.filter(predicate).count()
+            sel = kept / total if total else 1.0
+            if sel > 0:
+                import math
+
+                nprobe = int(math.ceil(nprobe / sel))
         nprobe = min(nprobe, self.n_centroids)
         # 1. rank centroids per query: tiny broadcast cross join + window
         probes = knn_window(

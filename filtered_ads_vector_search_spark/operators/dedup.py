@@ -434,28 +434,38 @@ def embedding_dup_pairs_lsh(
     LSH-bucket self-joins (shuffle on the bucket key, never a crossJoin),
     then exact cosine verify. Probabilistic containment of the brute-force
     pairs (tested as a property); recall rises with n_tables."""
-    from pyspark.sql import functions as F2
-
-    from .lsh import _bucket_col, _hyperplanes
+    from .lsh import _hyperplanes, _tag_buckets
 
     dim = len(embeddings.select(vec_col).first()[0])
     planes = _hyperplanes(dim, n_bits, n_tables, seed)
-    tagged = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    for t in range(n_tables):
-        tagged = tagged.withColumn(f"b{t}", _bucket_col(F.col("v"), planes[t]))
-    tagged = tagged.persist()
+    tagged = _tag_buckets(
+        embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")),
+        "v",
+        planes,
+        "b",
+    ).persist()
 
-    cand = None
-    for t in range(n_tables):
-        side = tagged.select("id", F.col(f"b{t}").alias("bk"))
-        ct = (
-            side.alias("x")
-            .join(side.alias("y"), "bk")
-            .filter(F.col("x.id") < F.col("y.id"))
-            .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
-        )
-        cand = ct if cand is None else cand.unionAll(ct)
-    cand = cand.distinct()
+    # ONE self-join on the composite (table, bucket) key: each side explodes
+    # its per-table keys in the same scan (narrow fan-out), so candidate
+    # generation is a single shuffle instead of n_tables joins unioned.
+    keys = tagged.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(t).alias("t"), F.col(f"b{t}").alias("bk"))
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("e"),
+    ).select("id", F.col("e.t").alias("t"), F.col("e.bk").alias("bk"))
+    cand = (
+        keys.alias("x")
+        .join(keys.alias("y"), ["t", "bk"])
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
 
     a = tagged.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"))
     b = tagged.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"))

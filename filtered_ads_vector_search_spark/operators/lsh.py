@@ -44,23 +44,66 @@ def _hyperplanes(dim: int, n_bits: int, n_tables: int, seed: int) -> np.ndarray:
     return np.random.RandomState(seed).standard_normal((n_tables, n_bits, dim))
 
 
-def _bucket_col(vec: Column, planes: np.ndarray) -> Column:
-    """Integer bucket id: Σ_j 2^j * (v . r_j > 0), all JVM-side arithmetic."""
-    n_bits, dim = planes.shape
+def _all_dots_col(vec_sql: str, flat_planes: np.ndarray) -> Column:
+    """All M = n_tables*n_bits hyperplane dot products in ONE fold, built as
+    ONE SQL string.
+
+    The constant plane matrix is embedded transposed (PT[i][m] = plane m,
+    element i); a single ``aggregate`` over the element index carries all M
+    accumulators: acc[m] += v_i * PT[i][m]. Per-plane accumulation order is
+    element-ascending — bitwise identical to folding each plane
+    independently, so the DuckDB oracle (one inner-product fold per plane)
+    reproduces the same signs.
+
+    Why a SQL string instead of the Column API: the plane matrix is
+    dim × M literals, and each ``F.lit`` is a py4j round-trip — building the
+    expression tree from Python cost ~2 s of DRIVER time per call site,
+    ~10× the actual executor time at bench scale. One ``F.expr`` parse is
+    milliseconds, and Catalyst constant-folds the literal matrix once.
+    """
+    n_planes, dim = flat_planes.shape
+    pt = (
+        "array("
+        + ", ".join(
+            "array("
+            + ", ".join(repr(float(flat_planes[m][i])) + "D" for m in range(n_planes))
+            + ")"
+            for i in range(dim)
+        )
+        + ")"
+    )
+    return F.expr(
+        f"aggregate(sequence(0, {dim - 1}), array_repeat(0.0D, {n_planes}), "
+        f"(acc, i) -> zip_with(acc, {pt}[i], "
+        f"(a, p) -> a + cast(`{vec_sql}`[i] as double) * p))"
+    )
+
+
+def _buckets_from_dots(dots: Column, n_bits: int, table: int) -> Column:
+    """Bucket id for one table from the shared dot array:
+    Σ_j 2^j * (dots[table*n_bits + j] > 0)."""
     out = F.lit(0).cast("bigint")
     for j in range(n_bits):
-        r = planes[j]
-        dot = F.aggregate(
-            F.zip_with(
-                vec,
-                F.array(*[F.lit(float(x)) for x in r]),
-                lambda x, y: x.cast("double") * y,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        out = out + F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        out = out + F.when(dots[table * n_bits + j] > 0, F.lit(1 << j)).otherwise(F.lit(0))
     return out
+
+
+def _tag_buckets(
+    df: DataFrame, vec_col: str, planes: np.ndarray, prefix: str
+) -> DataFrame:
+    """Add one bucket column per table. Two-step select: the dot array is a
+    non-cheap expression referenced n_tables times, so CollapseProject keeps
+    it materialized once per row instead of re-folding per table."""
+    n_tables, n_bits, dim = planes.shape
+    dots = _all_dots_col(vec_col, planes.reshape(n_tables * n_bits, dim))
+    tagged = df.withColumn("_dots", dots)
+    return tagged.select(
+        *df.columns,
+        *[
+            _buckets_from_dots(F.col("_dots"), n_bits, t).alias(f"{prefix}{t}")
+            for t in range(n_tables)
+        ],
+    )
 
 
 @dataclass
@@ -94,9 +137,7 @@ class LSHIndex:
                 raise ValueError("cannot build an LSH index over an empty corpus")
             dim = len(first[0])
         planes = _hyperplanes(dim, n_bits, n_tables, seed)
-        df = corpus
-        for t in range(n_tables):
-            df = df.withColumn(f"bucket_{t}", _bucket_col(F.col(vec_col), planes[t]))
+        df = _tag_buckets(corpus, vec_col, planes, "bucket_")
         df = df.persist()
         df.count()  # materialize the index artifact
         return LSHIndex(
@@ -135,15 +176,54 @@ class LSHIndex:
         if predicate is not None:
             corpus = corpus.filter(predicate)
 
-        q = queries
-        for t in range(self.n_tables):
-            q = q.withColumn(f"qb_{t}", _bucket_col(F.col("q_vec"), self.planes[t]))
+        q = _tag_buckets(queries, "q_vec", self.planes, "qb_")
 
         def probe_keys(base: Column) -> Column:
             keys = [base]
             for j in range(min(multiprobe, self.n_bits)):
                 keys.append(base.bitwiseXOR(F.lit(1 << j)))
             return F.array(*keys)
+
+        # ONE equi-join on the composite (table, bucket) key instead of one
+        # join per table: both sides explode their per-table keys (the corpus
+        # explode is a narrow n_tables× row fan-out in the same scan — no
+        # extra shuffle), so candidate generation is a single broadcast-hash
+        # join + a single aggregation, not n_tables joins unioned. At bench
+        # scale this cuts n_tables stages of fixed overhead; at 100 TB it is
+        # the same single corpus pass.
+        def tag_table(t: int):
+            # single-arg lambda: a 2-arg lambda would make Spark pass the
+            # array INDEX as the second argument, shadowing the table id
+            return lambda bk: F.struct(F.lit(t).alias("t"), bk.alias("bk"))
+
+        q_keys = q.select(
+            "query_id",
+            "q_vec",
+            F.explode(
+                F.flatten(
+                    F.array(
+                        *[
+                            F.transform(probe_keys(F.col(f"qb_{t}")), tag_table(t))
+                            for t in range(self.n_tables)
+                        ]
+                    )
+                )
+            ).alias("e"),
+        ).select("query_id", "q_vec", F.col("e.t").alias("t"), F.col("e.bk").alias("bk"))
+        c_keys = corpus.select(
+            F.col(self.id_col).alias("neighbor_id"),
+            F.col(self.vec_col),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(t).alias("t"), F.col(f"bucket_{t}").alias("bk"))
+                        for t in range(self.n_tables)
+                    ]
+                )
+            ).alias("e"),
+        ).select(
+            "neighbor_id", self.vec_col, F.col("e.t").alias("t"), F.col("e.bk").alias("bk")
+        )
 
         # Distances are computed BEFORE deduplication so the dedup shuffle
         # carries (query_id, neighbor_id, dist) — 8-byte doubles — instead of
@@ -153,27 +233,13 @@ class LSHIndex:
         # min gets map-side partial aggregation; dist is identical across
         # duplicates so min() is just dedup.
         d, asc = distance_col(self.metric, F.col("q_vec"), F.col(self.vec_col))
-        cands = None
-        for t in range(self.n_tables):
-            qt = q.select(
-                "query_id",
-                "q_vec",
-                F.explode(probe_keys(F.col(f"qb_{t}"))).alias("bk"),
-            )
-            ct = (
-                F.broadcast(qt)
-                .join(
-                    corpus.select(
-                        F.col(self.id_col).alias("neighbor_id"),
-                        F.col(self.vec_col),
-                        F.col(f"bucket_{t}").alias("bk"),
-                    ),
-                    "bk",
-                )
-                .select("query_id", "neighbor_id", d.alias("dist"))
-            )
-            cands = ct if cands is None else cands.unionAll(ct)
-        cands = cands.groupBy("query_id", "neighbor_id").agg(F.min("dist").alias("dist"))
+        cands = (
+            F.broadcast(q_keys)
+            .join(c_keys, ["t", "bk"])
+            .select("query_id", "neighbor_id", d.alias("dist"))
+            .groupBy("query_id", "neighbor_id")
+            .agg(F.min("dist").alias("dist"))
+        )
 
         order = [F.col("dist").asc() if asc else F.col("dist").desc(), F.col("neighbor_id").asc()]
         w = Window.partitionBy("query_id").orderBy(*order)
