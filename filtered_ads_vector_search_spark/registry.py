@@ -600,6 +600,331 @@ LIMIT 20
 """
 
 
+def _tpch_q4_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (adapted: no l_commitdate in testdata): priority counts
+    for orders with at least one lineitem shipped after the order date —
+    a LEFT SEMI join with a non-equi conjunct."""
+    o = _tbl(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1996-07-01"))
+    )
+    li = _tbl(spark, sf_dir, "lineitem")
+    semi = o.join(
+        li, (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate), "left_semi"
+    )
+    return semi.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+def _tpch_q4_sql() -> str:
+    return """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+"""
+
+
+def _tpch_q7_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: shipping volume between two nations by year, both
+    directions — two broadcast dims aliased twice plus a disjunctive pair
+    predicate."""
+    n1, n2 = "NATION_1", "NATION_2"
+    li = _tbl(spark, sf_dir, "lineitem")
+    o = _tbl(spark, sf_dir, "orders")
+    cu = _tbl(spark, sf_dir, "customer")
+    su = _tbl(spark, sf_dir, "supplier")
+    na = _tbl(spark, sf_dir, "nation")
+    sn = na.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    cn = na.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(cu, o.o_custkey == cu.c_custkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(
+            ((F.col("supp_nation") == n1) & (F.col("cust_nation") == n2))
+            | ((F.col("supp_nation") == n2) & (F.col("cust_nation") == n1))
+        )
+    )
+    return (
+        joined.groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year")
+        )
+        .agg(F.round(F.sum(_rev_col()).cast("double"), 2).alias("revenue"))
+    )
+
+
+def _tpch_q7_sql() -> str:
+    return f"""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       round(CAST(sum({_REV_SQL}) AS DOUBLE), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+   OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+GROUP BY sn.n_name, cn.n_name, CAST(year(l_shipdate) AS BIGINT)
+"""
+
+
+def _tpch_q12_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (adapted: no l_shipmode in testdata): conditional
+    CASE-sum aggregation over a join, keyed by return flag."""
+    li = _tbl(spark, sf_dir, "lineitem")
+    o = _tbl(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+def _tpch_q12_sql() -> str:
+    return """
+SELECT l_returnflag,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY l_returnflag
+"""
+
+
+def _tpch_q14_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: promo revenue share over a one-month ship window — global
+    conditional-ratio aggregate with a broadcast part join."""
+    li = _tbl(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01")) & (F.col("l_shipdate") < F.lit("1997-07-01"))
+    )
+    pa = _tbl(spark, sf_dir, "part")
+    j = li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+    promo = F.when(F.col("p_type") == "PROMO", _rev_col()).otherwise(
+        F.lit(0).cast("decimal(18,4)")
+    )
+    return j.agg(
+        F.round(
+            (F.lit(100.0) * F.sum(promo).cast("double") / F.sum(_rev_col()).cast("double")), 4
+        ).alias("promo_revenue_pct")
+    )
+
+
+def _tpch_q14_sql() -> str:
+    return f"""
+SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN {_REV_SQL}
+                                   ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+             / CAST(sum({_REV_SQL}) AS DOUBLE), 4) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-07-01'
+"""
+
+
+def _tpch_q17_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: small-quantity orders for one brand vs the per-part average
+    — correlated scalar subquery expressed as an aggregate self-join. The
+    threshold uses exact decimal sum / count so both engines compare the
+    identical double."""
+    li = _tbl(spark, sf_dir, "lineitem")
+    pa = _tbl(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    avg_qty = li.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
+        (F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double") / F.count("*")).alias(
+            "avg_qty"
+        )
+    )
+    j = li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey).join(
+        avg_qty, li.l_partkey == avg_qty.ap_partkey
+    )
+    small = j.filter(F.col("l_quantity").cast("double") < 0.2 * F.col("avg_qty"))
+    return small.agg(
+        F.round(
+            (F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double") / F.lit(7.0)), 4
+        ).alias("avg_yearly")
+    )
+
+
+def _tpch_q17_sql() -> str:
+    return """
+SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0, 4) AS avg_yearly
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN (SELECT l_partkey AS ap_partkey,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_qty
+      FROM lineitem GROUP BY l_partkey) a ON l_partkey = ap_partkey
+WHERE p_brand = 'Brand#23'
+  AND CAST(l_quantity AS DOUBLE) < 0.2 * avg_qty
+"""
+
+
+def _tpch_q18_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: large-volume customers — HAVING over an order-grain rollup
+    joined back to orders/customer."""
+    li = _tbl(spark, sf_dir, "lineitem")
+    o = _tbl(spark, sf_dir, "orders")
+    cu = _tbl(spark, sf_dir, "customer")
+    big = (
+        li.groupBy(F.col("l_orderkey").alias("b_orderkey"))
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("_sum_qty"))
+        .filter(F.col("_sum_qty").cast("double") > 150.0)
+    )
+    return (
+        o.join(big, o.o_orderkey == big.b_orderkey)
+        .join(F.broadcast(cu), o.o_custkey == cu.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").cast("string").alias("o_orderdate"),
+            F.round(F.col("o_totalprice").cast("double"), 2).alias("o_totalprice"),
+            F.round(F.col("_sum_qty").cast("double"), 2).alias("sum_qty"),
+        )
+    )
+
+
+def _tpch_q18_sql() -> str:
+    return """
+SELECT c_name, c_custkey, o_orderkey,
+       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_orderdate,
+       round(CAST(o_totalprice AS DOUBLE), 2) AS o_totalprice,
+       round(CAST(_sum_qty AS DOUBLE), 2) AS sum_qty
+FROM orders
+JOIN (SELECT l_orderkey AS b_orderkey,
+             sum(CAST(l_quantity AS DECIMAL(18,4))) AS _sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) > 150.0) b
+  ON o_orderkey = b_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def _tpch_q22_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (adapted: nationkey stands in for the phone country
+    code): positive-balance customers above the global average with no orders
+    — scalar subquery + LEFT ANTI join."""
+    cu = _tbl(spark, sf_dir, "customer")
+    # "no recent orders" (synthetic data is dense: every customer has SOME
+    # order, so the classic no-orders-at-all predicate is vacuous)
+    o = _tbl(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= F.lit("2000-01-01"))
+    pos = cu.filter(F.col("c_acctbal").cast("double") > 0.0)
+    avg_row = pos.agg(
+        (F.sum(F.col("c_acctbal").cast("decimal(18,4)")).cast("double") / F.count("*")).alias("a")
+    )
+    rich = pos.join(F.broadcast(avg_row)).filter(
+        F.col("c_acctbal").cast("double") > F.col("a")
+    )
+    no_orders = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+    return no_orders.groupBy(F.col("c_nationkey").alias("cntrycode")).agg(
+        F.count("*").alias("numcust"),
+        F.round(F.sum(F.col("c_acctbal").cast("decimal(18,4)")).cast("double"), 2).alias(
+            "totacctbal"
+        ),
+    )
+
+
+def _tpch_q22_sql() -> str:
+    return """
+SELECT c_nationkey AS cntrycode, count(*) AS numcust,
+       round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE), 2) AS totacctbal
+FROM customer
+WHERE CAST(c_acctbal AS DOUBLE) > 0.0
+  AND CAST(c_acctbal AS DOUBLE) >
+      (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / count(*)
+       FROM customer WHERE CAST(c_acctbal AS DOUBLE) > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c_nationkey
+"""
+
+
+def _event_attribution_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase is attributed to the latest strictly-earlier
+    view/click by the same user (union-window form — one shuffle, no
+    explosion). Oracle is an independent correlated-subquery formulation."""
+    from .operators.asof import asof_join
+
+    ev = _tbl(spark, sf_dir, "events").withColumn("us", F.unix_micros(F.col("ts")))
+    imps = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id", "event_id", "us"
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select("user_id", "event_id", "us")
+    j = asof_join(
+        purch,
+        imps,
+        key="user_id",
+        left_order=["us", "event_id"],
+        right_order=["us", "event_id"],
+        right_payload=["event_id", "us"],
+        strictly_before=True,
+    )
+    return j.select(
+        "user_id",
+        "event_id",
+        F.col("r_event_id").alias("imp_event_id"),
+        (F.col("us") - F.col("r_us")).alias("gap_us"),
+    )
+
+
+def _event_attribution_sql() -> str:
+    # epoch_ns // 1000 == Spark's `ts DIV 1000` micros (both floor positive ns)
+    return """
+WITH ev AS (SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS us FROM events),
+imps AS (SELECT * FROM ev WHERE event_type IN ('view', 'click')),
+p AS (SELECT * FROM ev WHERE event_type = 'purchase')
+SELECT p.user_id, p.event_id,
+       (SELECT i.event_id FROM imps i
+        WHERE i.user_id = p.user_id
+          AND (i.us < p.us OR (i.us = p.us AND i.event_id < p.event_id))
+        ORDER BY i.us DESC, i.event_id DESC LIMIT 1) AS imp_event_id,
+       p.us - (SELECT i.us FROM imps i
+               WHERE i.user_id = p.user_id
+                 AND (i.us < p.us OR (i.us = p.us AND i.event_id < p.event_id))
+               ORDER BY i.us DESC, i.event_id DESC LIMIT 1) AS gap_us
+FROM p
+"""
+
+
+def _event_error_context_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded range join: events by the same user in the 10 minutes before
+    each error, counted per error — bucketed-equi-join plan (never a
+    nested-loop join). Oracle is the plain inequality join."""
+    from .operators.asof import range_join_bucketed
+
+    ev = _tbl(spark, sf_dir, "events").withColumn("us", F.unix_micros(F.col("ts")))
+    errors = ev.filter(F.col("event_type") == "error").select("user_id", "event_id", "us")
+    others = ev.filter(F.col("event_type") != "error").select("user_id", "us", "value")
+    j = range_join_bucketed(
+        errors, others, key="user_id", left_ts="us", right_ts="us",
+        lower=-600_000_000, upper=0,
+    )
+    return j.groupBy("user_id", "event_id").agg(
+        F.count("*").alias("n_ctx"),
+        F.round(
+            F.sum(F.col("_rrow").getField("value").cast("decimal(18,4)")).cast("double"), 4
+        ).alias("ctx_value"),
+    )
+
+
+def _event_error_context_sql() -> str:
+    return """
+WITH ev AS (SELECT event_id, user_id, event_type, value, epoch_ns(ts) // 1000 AS us FROM events),
+e AS (SELECT * FROM ev WHERE event_type = 'error'),
+o AS (SELECT * FROM ev WHERE event_type <> 'error')
+SELECT e.user_id, e.event_id, count(*) AS n_ctx,
+       round(CAST(sum(CAST(o.value AS DECIMAL(18,4))) AS DOUBLE), 4) AS ctx_value
+FROM e JOIN o ON o.user_id = e.user_id
+             AND o.us - e.us >= -600000000 AND o.us - e.us < 0
+GROUP BY e.user_id, e.event_id
+"""
+
+
 # ANSI SQL text that parses identically in Spark SQL and DuckDB — the
 # engine's SQL-API surface (spark.sql over registered views).
 _TPCH_Q1_ANSI = """
@@ -1173,6 +1498,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q1_sql_api": _tpch_q1_sqlapi_spark,
     "tpch_q6": _tpch_q6_spark,
     "tpch_q10": _tpch_q10_spark,
+    "tpch_q4": _tpch_q4_spark,
+    "tpch_q7": _tpch_q7_spark,
+    "tpch_q12": _tpch_q12_spark,
+    "tpch_q14": _tpch_q14_spark,
+    "tpch_q17": _tpch_q17_spark,
+    "tpch_q18": _tpch_q18_spark,
+    "tpch_q22": _tpch_q22_spark,
+    # temporal joins (training-data pipeline breadth)
+    "event_attribution": _event_attribution_spark,
+    "event_error_context": _event_error_context_spark,
     # dedup / text pipeline
     "dedup_exact": _exact_dedup_spark,
     "dedup_ngram_jaccard": _ngram_pairs_spark,
@@ -1233,6 +1568,15 @@ ORACLES: dict[str, str] = {
     "tpch_q1_sql_api": _TPCH_Q1_ANSI,
     "tpch_q6": _tpch_q6_sql(),
     "tpch_q10": _tpch_q10_sql(),
+    "tpch_q4": _tpch_q4_sql(),
+    "tpch_q7": _tpch_q7_sql(),
+    "tpch_q12": _tpch_q12_sql(),
+    "tpch_q14": _tpch_q14_sql(),
+    "tpch_q17": _tpch_q17_sql(),
+    "tpch_q18": _tpch_q18_sql(),
+    "tpch_q22": _tpch_q22_sql(),
+    "event_attribution": _event_attribution_sql(),
+    "event_error_context": _event_error_context_sql(),
     "dedup_exact": DD.exact_dedup_sql(),
     "dedup_ngram_jaccard": DD.ngram_jaccard_pairs_sql(threshold=0.3),
     "dedup_minhash_lsh": DD.minhash_pairs_sql(threshold=0.3),

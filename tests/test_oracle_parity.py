@@ -23,6 +23,9 @@ SUBSET = [
     "text_stats",
     "dedup_minhash_lsh",
     "qps_windows",
+    "tpch_q4",
+    "tpch_q17",
+    "tpch_q22",
 ]
 
 
