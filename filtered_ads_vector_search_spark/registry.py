@@ -925,6 +925,28 @@ GROUP BY e.user_id, e.event_id
 """
 
 
+def _purchase_attribution_pairs_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-stream interval join (streaming/joins.py):
+    every (purchase, impression) pair within 10 minutes. The streaming form
+    is availableNow-equality-tested against this exact plan."""
+    from .streaming.joins import attribution_pairs_batch
+
+    ev = _tbl(spark, sf_dir, "events")
+    return attribution_pairs_batch(ev)
+
+
+def _purchase_attribution_pairs_sql() -> str:
+    return """
+WITH ev AS (SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS us FROM events),
+i AS (SELECT * FROM ev WHERE event_type IN ('view', 'click')),
+p AS (SELECT * FROM ev WHERE event_type = 'purchase')
+SELECT p.user_id, p.event_id AS purchase_event_id, i.event_id AS imp_event_id,
+       p.us - i.us AS gap_us
+FROM p JOIN i ON i.user_id = p.user_id
+             AND i.us >= p.us - 600000000 AND i.us < p.us
+"""
+
+
 # ANSI SQL text that parses identically in Spark SQL and DuckDB — the
 # engine's SQL-API surface (spark.sql over registered views).
 _TPCH_Q1_ANSI = """
@@ -1508,6 +1530,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # temporal joins (training-data pipeline breadth)
     "event_attribution": _event_attribution_spark,
     "event_error_context": _event_error_context_spark,
+    "purchase_attribution_pairs": _purchase_attribution_pairs_spark,
     # dedup / text pipeline
     "dedup_exact": _exact_dedup_spark,
     "dedup_ngram_jaccard": _ngram_pairs_spark,
@@ -1577,6 +1600,7 @@ ORACLES: dict[str, str] = {
     "tpch_q22": _tpch_q22_sql(),
     "event_attribution": _event_attribution_sql(),
     "event_error_context": _event_error_context_sql(),
+    "purchase_attribution_pairs": _purchase_attribution_pairs_sql(),
     "dedup_exact": DD.exact_dedup_sql(),
     "dedup_ngram_jaccard": DD.ngram_jaccard_pairs_sql(threshold=0.3),
     "dedup_minhash_lsh": DD.minhash_pairs_sql(threshold=0.3),

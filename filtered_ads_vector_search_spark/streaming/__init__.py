@@ -13,12 +13,15 @@ same capability needs:
   a target rate and measuring achieved QPS (the non_stop_search analog).
 * ``state``    — applyInPandasWithState per-key sessionization, the custom
   stateful-operator extension point.
+* ``joins``    — watermarked stream-stream interval join (purchase →
+  impression attribution), with a batch twin for oracle checking.
 """
 
 from .windows import windowed_event_stats, windowed_event_stats_batch, stream_events
 from .replay import replay_throughput
 from .state import sessionize_stream
 from .serve import serve_stream
+from .joins import attribution_pairs_stream, attribution_pairs_batch
 
 __all__ = [
     "windowed_event_stats",
@@ -27,4 +30,6 @@ __all__ = [
     "replay_throughput",
     "sessionize_stream",
     "serve_stream",
+    "attribution_pairs_stream",
+    "attribution_pairs_batch",
 ]

@@ -46,6 +46,35 @@ def test_streaming_windows_match_batch(spark, tmp_path):
     assert got == want and len(got) > 0
 
 
+def test_stream_stream_join_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream interval join (availableNow) emits exactly
+    the batch twin's attribution pairs."""
+    from filtered_ads_vector_search_spark.streaming.joins import (
+        attribution_pairs_batch,
+        attribution_pairs_stream,
+    )
+
+    q = (
+        attribution_pairs_stream(spark, SF_SMOKE)
+        .writeStream.format("memory")
+        .queryName("attrib")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt-ss"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.user_id, r.purchase_event_id, r.imp_event_id, r.gap_us)
+        for r in spark.sql("select * from attrib").collect()
+    )
+    want = sorted(
+        (r.user_id, r.purchase_event_id, r.imp_event_id, r.gap_us)
+        for r in attribution_pairs_batch(load_events(spark, SF_SMOKE)).collect()
+    )
+    assert got == want and len(got) > 0
+
+
 def test_replay_throughput(spark):
     emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").limit(100).cache()
     emb.count()
