@@ -47,6 +47,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB oracle SQL for each oracle-checkable query. Keys absent here
-    (knn_scalable_filtered, knn_fp16, ann_ivf) are non-SQL-expressible
-    physical forms -> driver records rows-only checks."""
+    (knn_fp16, ann_ivf, grid_search_ivf) are non-SQL-expressible physical
+    forms (fp16, k-means, iterative driver) -> driver records rows-only
+    checks."""
     return dict(registry.ORACLES)

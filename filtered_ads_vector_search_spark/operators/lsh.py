@@ -61,6 +61,10 @@ def _all_dots_col(vec_sql: str, flat_planes: np.ndarray) -> Column:
     ~10× the actual executor time at bench scale. One ``F.expr`` parse is
     milliseconds, and Catalyst constant-folds the literal matrix once.
     """
+    return F.expr(_all_dots_sql(vec_sql, flat_planes))
+
+
+def _all_dots_sql(vec_sql: str, flat_planes: np.ndarray) -> str:
     n_planes, dim = flat_planes.shape
     pt = (
         "array("
@@ -72,37 +76,44 @@ def _all_dots_col(vec_sql: str, flat_planes: np.ndarray) -> Column:
         )
         + ")"
     )
-    return F.expr(
+    return (
         f"aggregate(sequence(0, {dim - 1}), array_repeat(0.0D, {n_planes}), "
         f"(acc, i) -> zip_with(acc, {pt}[i], "
         f"(a, p) -> a + cast(`{vec_sql}`[i] as double) * p))"
     )
 
 
-def _buckets_from_dots(dots: Column, n_bits: int, table: int) -> Column:
-    """Bucket id for one table from the shared dot array:
-    Σ_j 2^j * (dots[table*n_bits + j] > 0)."""
-    out = F.lit(0).cast("bigint")
-    for j in range(n_bits):
-        out = out + F.when(dots[table * n_bits + j] > 0, F.lit(1 << j)).otherwise(F.lit(0))
-    return out
+def _buckets_sql(dots_sql: str, n_bits: int, n_tables: int) -> str:
+    """All-table bucket array from a dots expression, with the dots fold
+    evaluated ONCE per row via the 1-element-array let binding (a lambda var
+    can be referenced many times; a projected column referenced once gets
+    inlined by CollapseProject and then re-evaluated per lambda element)."""
+    bucket = (
+        f"aggregate(sequence(0, {n_bits - 1}), 0L, (acc, j) -> "
+        f"acc + IF(d[t * {n_bits} + j] > 0D, shiftleft(1L, j), 0L))"
+    )
+    return (
+        f"transform(array({dots_sql}), d -> "
+        f"transform(sequence(0, {n_tables - 1}), t -> {bucket}))[0]"
+    )
 
 
 def _tag_buckets(
     df: DataFrame, vec_col: str, planes: np.ndarray, prefix: str
 ) -> DataFrame:
-    """Add one bucket column per table. Two-step select: the dot array is a
-    non-cheap expression referenced n_tables times, so CollapseProject keeps
-    it materialized once per row instead of re-folding per table."""
+    """Add one bucket column per table. The whole dots->buckets pipeline is
+    ONE parsed SQL expression (per-literal Column construction costs a py4j
+    round-trip each — driver time that dwarfs executor time at small scale),
+    let-bound so the plane fold runs once per row; the two-step select keeps
+    the bucket array materialized across its n_tables extraction references
+    (CollapseProject only preserves multiply-referenced projections)."""
     n_tables, n_bits, dim = planes.shape
-    dots = _all_dots_col(vec_col, planes.reshape(n_tables * n_bits, dim))
-    tagged = df.withColumn("_dots", dots)
-    return tagged.select(
+    buckets = _buckets_sql(
+        _all_dots_sql(vec_col, planes.reshape(n_tables * n_bits, dim)), n_bits, n_tables
+    )
+    return df.withColumn("_buckets", F.expr(buckets)).select(
         *df.columns,
-        *[
-            _buckets_from_dots(F.col("_dots"), n_bits, t).alias(f"{prefix}{t}")
-            for t in range(n_tables)
-        ],
+        *[F.col("_buckets")[t].alias(f"{prefix}{t}") for t in range(n_tables)],
     )
 
 
@@ -175,78 +186,78 @@ class LSHIndex:
         corpus = self.tagged
         if predicate is not None:
             corpus = corpus.filter(predicate)
-
-        q = _tag_buckets(queries, "q_vec", self.planes, "qb_")
-
-        def probe_keys(base: Column) -> Column:
-            keys = [base]
-            for j in range(min(multiprobe, self.n_bits)):
-                keys.append(base.bitwiseXOR(F.lit(1 << j)))
-            return F.array(*keys)
+        T, B = self.n_tables, self.n_bits
+        m = min(multiprobe, B)
+        dim = self.planes.shape[2]
 
         # ONE equi-join on the composite (table, bucket) key instead of one
         # join per table: both sides explode their per-table keys (the corpus
         # explode is a narrow n_tables× row fan-out in the same scan — no
         # extra shuffle), so candidate generation is a single broadcast-hash
-        # join + a single aggregation, not n_tables joins unioned. At bench
-        # scale this cuts n_tables stages of fixed overhead; at 100 TB it is
-        # the same single corpus pass.
-        def tag_table(t: int):
-            # single-arg lambda: a 2-arg lambda would make Spark pass the
-            # array INDEX as the second argument, shadowing the table id
-            return lambda bk: F.struct(F.lit(t).alias("t"), bk.alias("bk"))
-
-        q_keys = q.select(
-            "query_id",
-            "q_vec",
-            F.explode(
-                F.flatten(
-                    F.array(
-                        *[
-                            F.transform(probe_keys(F.col(f"qb_{t}")), tag_table(t))
-                            for t in range(self.n_tables)
-                        ]
-                    )
-                )
-            ).alias("e"),
+        # join, not n_tables joins unioned. The whole query-side key pipeline
+        # (dots -> buckets -> multiprobe bit-flips -> (t, bucket) structs) is
+        # ONE parsed SQL expression: per-Column construction would cost a
+        # py4j round-trip each, which at bench scale is more driver time than
+        # the executors spend on the query.
+        # bs = let-bound per-table bucket array (plane fold runs once/row)
+        probe = (
+            f"concat(array(bs[t]), "
+            f"transform(sequence(0, {m - 1}), j -> bs[t] ^ shiftleft(1L, j)))"
+            if m > 0
+            else "array(bs[t])"
+        )
+        buckets = _buckets_sql(
+            _all_dots_sql("q_vec", self.planes.reshape(T * B, dim)), B, T
+        )
+        key_expr = (
+            f"explode(flatten(transform(array({buckets}), bs -> "
+            f"flatten(transform(sequence(0, {T - 1}), t -> "
+            f"transform({probe}, bk -> named_struct('t', t, 'bk', bk)))))))"
+        )
+        q_keys = queries.select(
+            "query_id", "q_vec", F.expr(key_expr).alias("e")
         ).select("query_id", "q_vec", F.col("e.t").alias("t"), F.col("e.bk").alias("bk"))
+        c_struct = ", ".join(
+            f"named_struct('t', {t}, 'bk', bucket_{t})" for t in range(T)
+        )
         c_keys = corpus.select(
             F.col(self.id_col).alias("neighbor_id"),
             F.col(self.vec_col),
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(F.lit(t).alias("t"), F.col(f"bucket_{t}").alias("bk"))
-                        for t in range(self.n_tables)
-                    ]
-                )
-            ).alias("e"),
+            F.expr(f"explode(array({c_struct}))").alias("e"),
         ).select(
             "neighbor_id", self.vec_col, F.col("e.t").alias("t"), F.col("e.bk").alias("bk")
         )
 
-        # Distances are computed BEFORE deduplication so the dedup shuffle
-        # carries (query_id, neighbor_id, dist) — 8-byte doubles — instead of
-        # two full vectors per row. A duplicate candidate (same pair from two
-        # tables) costs one redundant JVM-side distance eval, which is far
-        # cheaper than shipping vectors through an extra shuffle. groupBy +
-        # min gets map-side partial aggregation; dist is identical across
-        # duplicates so min() is just dedup.
+        # Distances are computed BEFORE deduplication so the only shuffle
+        # carries (query_id, dist, neighbor_id) — no vectors. Dedup + top-k
+        # fuse into ONE aggregation: a duplicate candidate (same pair from
+        # two tables) is a bit-identical struct, so array_distinct IS the
+        # dedup, and sort+slice replaces the row_number window — one shuffle
+        # total instead of groupBy + window (two). Per-query state is the
+        # candidate set (corpus/2^n_bits × n_tables expected), the same rows
+        # the window form would sort — sized by n_bits at build time.
         d, asc = distance_col(self.metric, F.col("q_vec"), F.col(self.vec_col))
-        cands = (
+        pairs = (
             F.broadcast(q_keys)
             .join(c_keys, ["t", "bk"])
             .select("query_id", "neighbor_id", d.alias("dist"))
-            .groupBy("query_id", "neighbor_id")
-            .agg(F.min("dist").alias("dist"))
         )
-
-        order = [F.col("dist").asc() if asc else F.col("dist").desc(), F.col("neighbor_id").asc()]
-        w = Window.partitionBy("query_id").orderBy(*order)
-        return (
-            cands.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select("query_id", "neighbor_id", "rank", "dist")
+        # two-step select: keep `dist` materialized (referenced twice below)
+        skey = F.col("dist") if asc else -F.col("dist")
+        pairs = pairs.select(
+            "query_id",
+            F.struct(
+                skey.alias("o"), F.col("neighbor_id").alias("nid"), F.col("dist").alias("dist")
+            ).alias("s"),
+        )
+        top = pairs.groupBy("query_id").agg(
+            F.slice(F.array_distinct(F.array_sort(F.collect_list("s"))), 1, k).alias("arr")
+        )
+        return top.select("query_id", F.posexplode("arr").alias("pos", "s")).select(
+            "query_id",
+            F.col("s.nid").alias("neighbor_id"),
+            (F.col("pos") + 1).alias("rank"),
+            F.col("s.dist").alias("dist"),
         )
 
     def unpersist(self) -> None:

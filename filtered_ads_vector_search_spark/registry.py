@@ -1458,8 +1458,8 @@ FROM r WHERE rnk <= {K}
 
 def _embed_pipeline_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingest-pipeline shape over the documents table: min-token filter ->
-    mock embed -> dim/norm stats. Embedding floats are UDF-produced (rows-only
-    check); determinism is covered by pytest."""
+    mock embed -> dim/norm stats. The oracle checks the UDF output contract
+    (row set, dim, unit norm); embedding-value determinism is pytest-covered."""
     from .pipeline import mock_embed
 
     docs = _tbl(spark, sf_dir, "documents").filter(
@@ -1627,7 +1627,14 @@ ORACLES: dict[str, str] = {
     + ")",
     "knn_blockwise": "SELECT query_id, neighbor_id, rnk FROM (" + _knn_sql("sqeuclidean") + ")",
     "embedding_dup_pairs_lsh": _embedding_dups_lsh_sql(),
-    # knn_fp16 / ann_ivf / embed_pipeline /
-    # grid_search_ivf: intentionally no oracle — mapInPandas, fp16, k-means,
-    # and iterative-driver paths are non-SQL-expressible (rows-only).
+    # The mock embedder L2-normalizes, so dim and norm are arithmetically
+    # determined per surviving row: the oracle checks the UDF's output
+    # contract (row set + unit norm + dim), not the Gaussian draws
+    # themselves (those are pytest-covered determinism).
+    "embed_pipeline": f"""
+SELECT doc_id, CAST(64 AS INTEGER) AS dim, CAST(1.0 AS DOUBLE) AS norm
+FROM documents WHERE {T.token_count_sql("text")} >= 5
+""",
+    # knn_fp16 / ann_ivf / grid_search_ivf: intentionally no oracle — fp16,
+    # k-means, and iterative-driver paths are non-SQL-expressible (rows-only).
 }
