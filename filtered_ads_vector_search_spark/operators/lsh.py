@@ -35,7 +35,7 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .topk import Metric, distance_col
+from .topk import Metric, distance_col, topk_agg
 
 __all__ = ["LSHIndex"]
 
@@ -242,23 +242,7 @@ class LSHIndex:
             .join(c_keys, ["t", "bk"])
             .select("query_id", "neighbor_id", d.alias("dist"))
         )
-        # two-step select: keep `dist` materialized (referenced twice below)
-        skey = F.col("dist") if asc else -F.col("dist")
-        pairs = pairs.select(
-            "query_id",
-            F.struct(
-                skey.alias("o"), F.col("neighbor_id").alias("nid"), F.col("dist").alias("dist")
-            ).alias("s"),
-        )
-        top = pairs.groupBy("query_id").agg(
-            F.slice(F.array_distinct(F.array_sort(F.collect_list("s"))), 1, k).alias("arr")
-        )
-        return top.select("query_id", F.posexplode("arr").alias("pos", "s")).select(
-            "query_id",
-            F.col("s.nid").alias("neighbor_id"),
-            (F.col("pos") + 1).alias("rank"),
-            F.col("s.dist").alias("dist"),
-        )
+        return topk_agg(pairs, k, asc=asc, dedup=True)
 
     def unpersist(self) -> None:
         self.tagged.unpersist()

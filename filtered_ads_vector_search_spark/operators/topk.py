@@ -118,6 +118,37 @@ def knn_window(
     )
 
 
+def topk_agg(pairs: DataFrame, k: int, asc: bool = True, dedup: bool = False) -> DataFrame:
+    """Per-query top-k over a (query_id, neighbor_id, dist) relation as ONE
+    hash aggregation: collect -> sort -> (distinct) -> slice -> re-explode.
+
+    One shuffle (with map-side partial aggregation) versus the window form's
+    shuffle + sort; ``dedup=True`` drops duplicate candidates, relying on
+    duplicates being bit-identical (dist computed from identical inputs).
+    Per-query aggregation state is the candidate set for that query — the
+    same rows the window form would sort — so it is safe whenever the
+    upstream candidate generator bounds per-query candidates (top-k inputs
+    always should; an unbounded candidate set is the bug, not the agg).
+    Tie-break matches the window form: (dist asc|desc, neighbor_id asc)."""
+    skey = F.col("dist") if asc else -F.col("dist")
+    s = pairs.select(
+        "query_id",
+        F.struct(
+            skey.alias("o"), F.col("neighbor_id").alias("nid"), F.col("dist").alias("dist")
+        ).alias("s"),
+    )
+    arr = F.array_sort(F.collect_list("s"))
+    if dedup:
+        arr = F.array_distinct(arr)
+    top = s.groupBy("query_id").agg(F.slice(arr, 1, k).alias("arr"))
+    return top.select("query_id", F.posexplode("arr").alias("pos", "s")).select(
+        "query_id",
+        F.col("s.nid").alias("neighbor_id"),
+        (F.col("pos") + 1).alias("rank"),
+        F.col("s.dist").alias("dist"),
+    )
+
+
 def _np_distances(metric: Metric, q: np.ndarray, c: np.ndarray) -> np.ndarray:
     """queries×corpus distance matrix in float64 (similarities negated so that
     'smaller is better' holds uniformly)."""
