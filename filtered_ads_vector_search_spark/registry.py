@@ -844,6 +844,107 @@ GROUP BY c_nationkey
 """
 
 
+def _tpch_q2_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (adapted: unit price from lineitem stands in for the
+    missing partsupp supply cost): cheapest supplier per size-10 part —
+    per-group argmin via window, deterministic tie-break on suppkey."""
+    li = _tbl(spark, sf_dir, "lineitem")
+    pa = _tbl(spark, sf_dir, "part").filter(F.col("p_size") == 10)
+    su = _tbl(spark, sf_dir, "supplier")
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        (
+            F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double")
+            / F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double")
+        ).alias("unit_cost")
+    )
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.col("unit_cost").asc(), F.col("l_suppkey").asc()
+    )
+    best = cost.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") == 1)
+    return (
+        best.join(F.broadcast(pa), best.l_partkey == pa.p_partkey)
+        .join(F.broadcast(su), best.l_suppkey == su.s_suppkey)
+        .select(
+            "p_partkey", "p_name", "s_name", F.round(F.col("unit_cost"), 4).alias("unit_cost")
+        )
+    )
+
+
+def _tpch_q2_sql() -> str:
+    return """
+WITH cost AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+         / CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS unit_cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey),
+best AS (
+  SELECT l_partkey, l_suppkey, unit_cost,
+         row_number() OVER (PARTITION BY l_partkey
+                            ORDER BY unit_cost ASC, l_suppkey ASC) AS rnk
+  FROM cost)
+SELECT p_partkey, p_name, s_name, round(unit_cost, 4) AS unit_cost
+FROM best
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE rnk = 1 AND p_size = 10
+"""
+
+
+def _tpch_q15_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: top supplier(s) by revenue in a quarter — aggregate view
+    joined against its own max (scalar subquery as broadcast join)."""
+    li = _tbl(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01")) & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    su = _tbl(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(F.sum(_rev_col()).cast("double"), 2).alias("total_rev")
+    )
+    mx = rev.agg(F.max("total_rev").alias("mx"))
+    return (
+        rev.join(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("mx"))
+        .join(F.broadcast(su), F.col("l_suppkey") == su.s_suppkey)
+        .select("s_suppkey", "s_name", "total_rev")
+    )
+
+
+def _tpch_q15_sql() -> str:
+    return f"""
+WITH rev AS (
+  SELECT l_suppkey, round(CAST(sum({_REV_SQL}) AS DOUBLE), 2) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_rev
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_rev = (SELECT max(total_rev) FROM rev)
+"""
+
+
+def _tpch_q16_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct supplier count per part attribute group
+    (lineitem stands in for partsupp) — COUNT(DISTINCT) expand path."""
+    li = _tbl(spark, sf_dir, "lineitem")
+    pa = _tbl(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(1, 5, 10, 15)
+    )
+    return (
+        li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def _tpch_q16_sql() -> str:
+    return """
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1' AND p_size IN (1, 5, 10, 15)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
 def _event_attribution_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each purchase is attributed to the latest strictly-earlier
     view/click by the same user (union-window form — one shuffle, no
@@ -1527,6 +1628,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q17": _tpch_q17_spark,
     "tpch_q18": _tpch_q18_spark,
     "tpch_q22": _tpch_q22_spark,
+    "tpch_q2": _tpch_q2_spark,
+    "tpch_q15": _tpch_q15_spark,
+    "tpch_q16": _tpch_q16_spark,
     # temporal joins (training-data pipeline breadth)
     "event_attribution": _event_attribution_spark,
     "event_error_context": _event_error_context_spark,
@@ -1598,6 +1702,9 @@ ORACLES: dict[str, str] = {
     "tpch_q17": _tpch_q17_sql(),
     "tpch_q18": _tpch_q18_sql(),
     "tpch_q22": _tpch_q22_sql(),
+    "tpch_q2": _tpch_q2_sql(),
+    "tpch_q15": _tpch_q15_sql(),
+    "tpch_q16": _tpch_q16_sql(),
     "event_attribution": _event_attribution_sql(),
     "event_error_context": _event_error_context_sql(),
     "purchase_attribution_pairs": _purchase_attribution_pairs_sql(),
