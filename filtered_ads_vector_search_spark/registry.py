@@ -945,6 +945,37 @@ GROUP BY p_brand, p_type, p_size
 """
 
 
+def _lineitem_rollup_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level aggregation (ROLLUP): revenue at (flag, status), per-flag
+    subtotal, and grand total in one Expand pass — subtotal NULLs are
+    coalesced to 'ALL' so both engines label levels identically."""
+    li = _tbl(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(_rev_col()).cast("double"), 2).alias("revenue"),
+            F.count("*").alias("n_rows"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("ret_flag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("line_status"),
+            "revenue",
+            "n_rows",
+        )
+    )
+
+
+def _lineitem_rollup_sql() -> str:
+    return f"""
+SELECT coalesce(l_returnflag, 'ALL') AS ret_flag,
+       coalesce(l_linestatus, 'ALL') AS line_status,
+       round(CAST(sum({_REV_SQL}) AS DOUBLE), 2) AS revenue,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
 def _event_attribution_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each purchase is attributed to the latest strictly-earlier
     view/click by the same user (union-window form — one shuffle, no
@@ -1631,6 +1662,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q2": _tpch_q2_spark,
     "tpch_q15": _tpch_q15_spark,
     "tpch_q16": _tpch_q16_spark,
+    "lineitem_rollup": _lineitem_rollup_spark,
     # temporal joins (training-data pipeline breadth)
     "event_attribution": _event_attribution_spark,
     "event_error_context": _event_error_context_spark,
@@ -1705,6 +1737,7 @@ ORACLES: dict[str, str] = {
     "tpch_q2": _tpch_q2_sql(),
     "tpch_q15": _tpch_q15_sql(),
     "tpch_q16": _tpch_q16_sql(),
+    "lineitem_rollup": _lineitem_rollup_sql(),
     "event_attribution": _event_attribution_sql(),
     "event_error_context": _event_error_context_sql(),
     "purchase_attribution_pairs": _purchase_attribution_pairs_sql(),
