@@ -1420,6 +1420,53 @@ FROM numbered GROUP BY user_id, session_no
 """
 
 
+def _sessions_native_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's built-in session_window (vs the hand-rolled lag/running-sum
+    form in user_sessions): gap-merged sessions at microsecond precision,
+    window end = last event + gap. Output in epoch micros so both engines
+    compare exact integers."""
+    ev = _tbl(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "5 minutes").alias("sw"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("sw.start")).alias("start_us"),
+            F.unix_micros(F.col("sw.end")).alias("end_us"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def _sessions_native_sql() -> str:
+    # session_window semantics: a NEW session starts when the gap is >= 5
+    # minutes (windows are [start, last+gap)); end = last event + gap
+    return """
+WITH ev AS (
+  SELECT user_id, value, epoch_ns(ts) // 1000 AS us FROM events
+), ordered AS (
+  SELECT user_id, value, us,
+         CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+                   >= 300000000
+              OR lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM ev
+), numbered AS (
+  SELECT *, sum(new_session) OVER (
+           PARTITION BY user_id ORDER BY us
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+  FROM ordered
+)
+SELECT user_id, min(us) AS start_us, max(us) + 300000000 AS end_us,
+       count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM numbered GROUP BY user_id, session_no
+"""
+
+
 def _event_lag_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Analytic-window breadth: per-user lag deltas + running value sums."""
     ev = _tbl(spark, sf_dir, "events")
@@ -1687,6 +1734,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_window_stats": _event_window_stats_spark,
     "event_sliding_windows": _event_sliding_windows_spark,
     "user_sessions": _sessions_spark,
+    "user_sessions_native": _sessions_native_spark,
     "event_lag_stats": _event_lag_stats_spark,
     "multimodal_meta": _multimodal_meta_spark,
     "frame_sample_counts": _frame_counts_spark,
@@ -1758,6 +1806,7 @@ ORACLES: dict[str, str] = {
     "event_window_stats": _event_window_stats_sql(),
     "event_sliding_windows": _event_sliding_windows_sql(),
     "user_sessions": _sessions_sql(),
+    "user_sessions_native": _sessions_native_sql(),
     "event_lag_stats": _event_lag_stats_sql(),
     "multimodal_meta": _multimodal_meta_sql(),
     "frame_sample_counts": _frame_counts_sql(),

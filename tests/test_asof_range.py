@@ -54,6 +54,48 @@ def test_asof_no_match_keeps_left_row(spark):
     assert len(out) == 1 and out[0].r_rid is None
 
 
+def test_asof_matches_bruteforce_reference(spark):
+    """Randomized (seeded) as-of join vs a quadratic in-Python reference,
+    including duplicate timestamps across and within sides."""
+    import random
+
+    rng = random.Random(123)
+    left = [(rng.randint(0, 4), rng.randint(0, 50), i) for i in range(120)]
+    right = [(rng.randint(0, 4), rng.randint(0, 50), 1000 + i) for i in range(150)]
+    ldf = _mk(spark, left, "k int, t int, lid int")
+    rdf = _mk(spark, right, "k int, t int, rid int")
+
+    # timestamp-only ordering with unique (k, t) right rows: equal-t ties
+    # between sides occur and distinguish strict from inclusive
+    runiq = list({(rk, rt): (rk, rt, rid) for (rk, rt, rid) in right}.values())
+    rdf_u = _mk(spark, runiq, "k int, t int, rid int")
+
+    for strict in (True, False):
+        got = {
+            r.lid: r.r_rid
+            for r in asof_join(
+                ldf, rdf_u, key="k", left_order=["t"], right_order=["t"],
+                right_payload=["rid"], strictly_before=strict,
+            ).collect()
+        }
+
+        def expect(k, t):
+            cand = [
+                (rt, rid)
+                for (rk, rt, rid) in runiq
+                if rk == k and (rt < t or (not strict and rt == t))
+            ]
+            return max(cand)[1] if cand else None
+
+        want = {lid: expect(k, t) for (k, t, lid) in left}
+        assert got == want
+        if not strict:
+            hits = [
+                (k, t) for (k, t, lid) in left if any(rk == k and rt == t for (rk, rt, _) in runiq)
+            ]
+            assert hits, "seed produced no equal-timestamp tie; inclusive case untested"
+
+
 def test_range_join_matches_naive_inequality_join(spark):
     import random
 
