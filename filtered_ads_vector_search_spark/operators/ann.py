@@ -177,6 +177,75 @@ class IVFIndex:
             vec_col=vec_col,
         )
 
+    @staticmethod
+    def build_fixed(
+        corpus: DataFrame,
+        n_centroids: int = 32,
+        metric: Metric = "sqeuclidean",
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> "IVFIndex":
+        """Deterministic coarse quantizer: centroids are the ``n_centroids``
+        corpus vectors with the smallest ``(md5(id), id)`` — no training
+        loop, so the ENTIRE index (centroid pick, assignment, probe, rerank)
+        is reproducible in SQL and DuckDB-oracle-checkable. Recall is below
+        trained KMeans (random pivots), but the search path it exercises is
+        identical — this is the correctness harness for the IVF machinery;
+        ``build`` is the quality path.
+
+        Assignment is a single JVM expression: literal centroid matrix +
+        argmin fold whose per-centroid distance uses the same
+        element-ascending zip_with/aggregate fold as vec_sqeuclidean, so
+        the oracle's distances are bit-identical doubles.
+        """
+        t0 = time.time()
+        pick = (
+            corpus.select(id_col, vec_col)
+            .withColumn("_h", F.md5(F.col(id_col).cast("string")))
+            .orderBy(F.col("_h").asc(), F.col(id_col).asc())
+            .limit(n_centroids)
+            .collect()
+        )
+        if not pick:
+            raise ValueError("cannot build an IVF index over an empty corpus")
+        centers = np.array([r[vec_col] for r in pick], dtype=np.float64)
+        spark = corpus.sparkSession
+        centroids = spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
+            "centroid_id int, centroid array<float>",
+        )
+        n = len(centers)
+        cent_lit = (
+            "array("
+            + ", ".join(
+                "array(" + ", ".join(repr(float(x)) + "D" for x in c) + ")" for c in centers
+            )
+            + ")"
+        )
+        dist_i = (
+            f"aggregate(zip_with(cast({vec_col} as array<double>), {cent_lit}[i], "
+            "(x, y) -> (x - y) * (x - y)), 0.0D, (acc2, x) -> acc2 + x)"
+        )
+        # let-bind the distance so the fold runs once per (row, centroid);
+        # strict < keeps the LOWEST centroid_id on ties — the argmin the
+        # oracle's (dist ASC, centroid_id ASC) row_number reproduces
+        argmin = (
+            f"aggregate(sequence(0, {n - 1}), named_struct('d', CAST('Infinity' AS DOUBLE), 'i', -1), "
+            f"(acc, i) -> transform(array({dist_i}), dd -> "
+            "IF(dd < acc.d, named_struct('d', dd, 'i', i), acc))[0]).i"
+        )
+        assigned = corpus.withColumn("partition_id", F.expr(argmin)).persist()
+        assigned.count()
+        return IVFIndex(
+            centroids=centroids,
+            assigned=assigned,
+            metric=metric,
+            n_centroids=n,
+            build_seconds=time.time() - t0,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+
     def write_bucketed(self, path: str, n_buckets: int | None = None) -> None:
         """Persist the IVF layout: corpus Parquet partitioned by partition_id
         (so a probe scan prunes to nprobe directories) + the centroid table.

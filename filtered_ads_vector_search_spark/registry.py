@@ -1338,6 +1338,68 @@ def _ann_ivf_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVF_FIXED_CENTROIDS, IVF_FIXED_NPROBE = 16, 4
+
+
+def _ann_ivf_fixed_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search path with the deterministic (hash-picked) coarse quantizer:
+    centroid selection, assignment, probe ranking, and exact rerank are ALL
+    SQL-reproducible, so this is the full DuckDB oracle for the IVF
+    machinery (the trained-KMeans tier ann_ivf stays rows-only)."""
+    from .operators.ann import IVFIndex
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    q, c = TK.split_queries(emb)
+    idx = IVFIndex.build_fixed(c, n_centroids=IVF_FIXED_CENTROIDS)
+    out = idx.search(q, k=K, nprobe=IVF_FIXED_NPROBE)
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").alias("rnk"), F.round("dist", 3).alias("dist")
+    )
+
+
+def _ann_ivf_fixed_sql() -> str:
+    d_assign = V.sqeuclidean_sql("c.embedding", "cent.centroid")
+    d_probe = V.sqeuclidean_sql("q.q_vec", "cent.centroid")
+    d_rerank = V.sqeuclidean_sql("q.q_vec", "a.embedding")
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings
+  WHERE {FL.is_query_sql('vec_id')}
+), c AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE NOT {FL.is_query_sql('vec_id')}
+), cent AS (
+  SELECT centroid_id, centroid FROM (
+    SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC) - 1
+             AS centroid_id,
+           embedding AS centroid
+    FROM c) WHERE centroid_id < {IVF_FIXED_CENTROIDS}
+), assign AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT c.vec_id, c.embedding, cent.centroid_id,
+           row_number() OVER (PARTITION BY c.vec_id
+                              ORDER BY {d_assign} ASC, cent.centroid_id ASC) AS arn
+    FROM c CROSS JOIN cent) WHERE arn = 1
+), probes AS (
+  SELECT query_id, centroid_id FROM (
+    SELECT q.query_id, cent.centroid_id,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {d_probe} ASC, cent.centroid_id ASC) AS prn
+    FROM q CROSS JOIN cent) WHERE prn <= {IVF_FIXED_NPROBE}
+), d AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id, {d_rerank} AS dist
+  FROM probes p
+  JOIN assign a ON a.centroid_id = p.centroid_id
+  JOIN q ON q.query_id = p.query_id
+), r AS (
+  SELECT query_id, neighbor_id, dist,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, neighbor_id ASC) AS rnk
+  FROM d
+)
+SELECT query_id, neighbor_id, rnk, round(dist, 3) AS dist FROM r WHERE rnk <= {K}
+"""
+
+
 def _minhash_pairs_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.minhash_pairs(_tbl(spark, sf_dir, "documents"), threshold=0.3)
 
@@ -1743,6 +1805,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_blockwise": _knn_blockwise_spark,
     "knn_fp16": _knn_fp16_spark,
     "ann_ivf": _ann_ivf_spark,
+    "ann_ivf_fixed": _ann_ivf_fixed_spark,
     "embed_pipeline": _embed_pipeline_spark,
     "grid_search_ivf": _grid_search_spark,
     "ann_lsh": _ann_lsh_spark,
@@ -1811,6 +1874,7 @@ ORACLES: dict[str, str] = {
     "multimodal_meta": _multimodal_meta_sql(),
     "frame_sample_counts": _frame_counts_sql(),
     "ann_lsh": _ann_lsh_sql(),
+    "ann_ivf_fixed": _ann_ivf_fixed_sql(),
     "knn_scalable_filtered": "SELECT query_id, neighbor_id, rnk FROM ("
     + _knn_sql("sqeuclidean", filter_name="high_rated")
     + ")",

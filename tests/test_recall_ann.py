@@ -41,6 +41,19 @@ def test_ivf_full_probe_equals_exact(spark):
     idx.unpersist()
 
 
+def test_ivf_fixed_full_probe_equals_exact(spark):
+    """The deterministic (hash-picked-centroid) build must also recover the
+    exact result when probing every centroid — same machinery, no training."""
+    q, c = _split(spark)
+    truth = TK.knn_window(q, c, k=K)
+    idx = IVFIndex.build_fixed(c, n_centroids=8)
+    found = idx.search(q, k=K, nprobe=8)
+    r = recall_at_k(found, truth, k=K).collect()[0]
+    assert r.recall_at_k == 1.0
+    assert idx.assigned.select("partition_id").distinct().count() <= 8
+    idx.unpersist()
+
+
 def test_ivf_partial_probe_recall_floor(spark):
     """nprobe=4 of 8 centroids: recall must beat the reference's filtered
     ANN floor of 0.80 (tests.py:135) on this data."""
