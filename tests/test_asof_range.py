@@ -100,14 +100,15 @@ def test_range_join_matches_naive_inequality_join(spark):
     import random
 
     rng = random.Random(7)
+    # negative timestamps included: bucket math must floor, not truncate
     left = _mk(
         spark,
-        [(rng.randint(0, 3), rng.randint(0, 1000), i) for i in range(60)],
+        [(rng.randint(0, 3), rng.randint(-500, 500), i) for i in range(60)],
         "k int, t long, lid int",
     )
     right = _mk(
         spark,
-        [(rng.randint(0, 3), rng.randint(0, 1000), 1000 + i) for i in range(80)],
+        [(rng.randint(0, 3), rng.randint(-500, 500), 1000 + i) for i in range(80)],
         "k int, t long, rid int",
     )
     lower, upper = -150, 40
