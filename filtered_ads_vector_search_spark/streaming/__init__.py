@@ -15,6 +15,8 @@ same capability needs:
   stateful-operator extension point.
 * ``joins``    — watermarked stream-stream interval join (purchase →
   impression attribution), with a batch twin for oracle checking.
+* ``dedup``    — dropDuplicatesWithinWatermark streaming exact dedup
+  (state bounded by the watermark horizon), with a batch twin.
 """
 
 from .windows import windowed_event_stats, windowed_event_stats_batch, stream_events
@@ -22,8 +24,11 @@ from .replay import replay_throughput
 from .state import sessionize_stream
 from .serve import serve_stream
 from .joins import attribution_pairs_stream, attribution_pairs_batch
+from .dedup import dedup_events_stream, dedup_events_batch
 
 __all__ = [
+    "dedup_events_stream",
+    "dedup_events_batch",
     "windowed_event_stats",
     "windowed_event_stats_batch",
     "stream_events",

@@ -75,6 +75,34 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
     assert got == want and len(got) > 0
 
 
+def test_streaming_dedup_one_row_per_key(spark, tmp_path):
+    """dropDuplicatesWithinWatermark (availableNow) emits exactly one row
+    per key and exactly the keys the batch twin keeps. (Which row survives
+    is arrival-order-dependent in the stream, so rows aren't compared.)"""
+    from filtered_ads_vector_search_spark.streaming.dedup import (
+        dedup_events_batch,
+        dedup_events_stream,
+    )
+
+    q = (
+        dedup_events_stream(spark, SF_SMOKE)
+        .writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt-dd"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = [(r.user_id, r.event_type) for r in spark.sql("select * from dedup_stream").collect()]
+    want = {
+        (r.user_id, r.event_type)
+        for r in dedup_events_batch(load_events(spark, SF_SMOKE)).collect()
+    }
+    assert len(got) == len(set(got)), "stream emitted duplicate keys"
+    assert set(got) == want and len(want) > 0
+
+
 def test_replay_throughput(spark):
     emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").limit(100).cache()
     emb.count()
