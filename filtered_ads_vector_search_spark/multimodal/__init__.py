@@ -9,12 +9,13 @@ real-codec path raises NotImplementedError at the clearly marked seam.
 """
 
 from .columns import MEDIA_META_SCHEMA, with_synthetic_media
-from .udfs import decode_media_meta, extract_features, sample_frames
+from .udfs import decode_media_meta, extract_features, resize_images, sample_frames
 
 __all__ = [
     "MEDIA_META_SCHEMA",
     "with_synthetic_media",
     "decode_media_meta",
     "extract_features",
+    "resize_images",
     "sample_frames",
 ]

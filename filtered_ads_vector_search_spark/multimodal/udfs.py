@@ -89,6 +89,34 @@ def extract_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     return df.mapInPandas(run, schema=schema)
 
 
+def resize_images(
+    df: DataFrame, width: int, height: int, payload_col: str = "payload"
+) -> DataFrame:
+    """Image resize: rewrite the payload with the target dimensions (body
+    re-derived deterministically from the original bytes + dims at the
+    clearly-marked real-codec seam); audio/video rows pass through
+    unchanged. Output schema == input schema, so resizes compose with
+    decode/feature/frame stages."""
+    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def resize_one(raw: bytes) -> bytes:
+            meta = _parse_header(raw)
+            if meta["media_type"] != "image":
+                return raw
+            t, _, _, duration = struct.unpack("<BHHI", raw[4:13])
+            # ---- real-codec seam: plug PIL resampling here ----
+            body = hashlib.md5(raw[13:] + struct.pack("<HH", width, height)).digest()
+            return MAGIC + struct.pack("<BHHI", t, width, height, duration) + body
+
+        for pdf in batches:
+            out = pdf.copy()
+            out[payload_col] = out[payload_col].map(lambda b: resize_one(bytes(b)))
+            yield out
+
+    return df.mapInPandas(run, schema=fields)
+
+
 def sample_frames(
     df: DataFrame, every_ms: int = 1000, payload_col: str = "payload"
 ) -> DataFrame:

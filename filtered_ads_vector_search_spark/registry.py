@@ -1585,6 +1585,31 @@ FROM documents
 """
 
 
+def _multimodal_resize_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize stage composed with decode: images take the target dims, audio/
+    video pass through — the oracle re-derives both cases arithmetically
+    from md5(doc_id), cross-checking the payload rewrite end-to-end."""
+    from .multimodal import decode_media_meta, resize_images, with_synthetic_media
+
+    docs = _tbl(spark, sf_dir, "documents").select("doc_id")
+    resized = resize_images(with_synthetic_media(docs), width=128, height=96)
+    return decode_media_meta(resized).select("doc_id", "media_type", "width", "height")
+
+
+def _multimodal_resize_sql() -> str:
+    def byte(i: int) -> str:
+        return f"(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), {2 * i + 1}, 2))::INT)"
+
+    t = f"({byte(0)} % 3)"
+    return f"""
+SELECT doc_id,
+       CASE {t} WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+       CASE WHEN {t} = 0 THEN 128 ELSE 64 + {byte(1)} % 192 END AS width,
+       CASE WHEN {t} = 0 THEN 96 ELSE 64 + {byte(2)} % 192 END AS height
+FROM documents
+"""
+
+
 def _frame_counts_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling fan-out: rows per doc after sampling every 10s — the
     oracle recomputes the fan-out arithmetically."""
@@ -1799,6 +1824,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "user_sessions_native": _sessions_native_spark,
     "event_lag_stats": _event_lag_stats_spark,
     "multimodal_meta": _multimodal_meta_spark,
+    "multimodal_resize": _multimodal_resize_spark,
     "frame_sample_counts": _frame_counts_spark,
     # scale-path / non-SQL-expressible (rows-only checks)
     "knn_scalable_filtered": _knn_scalable_spark,
@@ -1873,6 +1899,7 @@ ORACLES: dict[str, str] = {
     "event_lag_stats": _event_lag_stats_sql(),
     "multimodal_meta": _multimodal_meta_sql(),
     "frame_sample_counts": _frame_counts_sql(),
+    "multimodal_resize": _multimodal_resize_sql(),
     "ann_lsh": _ann_lsh_sql(),
     "ann_ivf_fixed": _ann_ivf_fixed_sql(),
     "knn_scalable_filtered": "SELECT query_id, neighbor_id, rnk FROM ("

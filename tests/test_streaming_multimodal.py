@@ -160,6 +160,27 @@ def test_multimodal_pipeline(spark):
         assert len(by_doc[d]) > 1
 
 
+def test_multimodal_resize(spark):
+    """Images take the target dims with a rewritten body; audio/video
+    payloads pass through byte-for-byte."""
+    from filtered_ads_vector_search_spark.multimodal import resize_images
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select("doc_id").limit(60)
+    media = with_synthetic_media(docs)
+    before = {r.doc_id: bytes(r.payload) for r in media.collect()}
+    resized = resize_images(media, width=128, height=96)
+    meta = {r.doc_id: r for r in decode_media_meta(resized).collect()}
+    after = {r.doc_id: bytes(r.payload) for r in resized.collect()}
+    types = {r.doc_id: r.media_type for r in decode_media_meta(media).collect()}
+    assert set(types.values()) == {"image", "audio", "video"}
+    for d, t in types.items():
+        if t == "image":
+            assert (meta[d].width, meta[d].height) == (128, 96)
+            assert after[d] != before[d]
+        else:
+            assert after[d] == before[d]
+
+
 def test_multimodal_real_codec_seam(spark):
     df = spark.createDataFrame([(1, bytearray(b"\xff\xd8\xff\xe0realjpeg"))], "doc_id bigint, payload binary")
     with pytest.raises(Exception):  # NotImplementedError inside the UDF
