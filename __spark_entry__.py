@@ -47,7 +47,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB oracle SQL for each oracle-checkable query. Keys absent here
-    (knn_fp16, ann_ivf, grid_search_ivf) are non-SQL-expressible physical
-    forms (fp16, k-means, iterative driver) -> driver records rows-only
-    checks."""
+    (knn_fp16, ann_ivf, grid_search_ivf, grid_search_lsh) are
+    non-SQL-expressible physical forms (fp16, k-means training, iterative
+    grid drivers) -> driver records rows-only checks. The IVF search
+    machinery itself IS oracle-checked via ann_ivf_fixed."""
     return dict(registry.ORACLES)

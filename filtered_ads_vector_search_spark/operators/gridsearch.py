@@ -118,6 +118,86 @@ def grid_search(
     return spark.createDataFrame(results)
 
 
+@dataclass
+class LSHGridConfig:
+    """Second grid family — the HNSW-side sweep (reference grid-searches
+    CAGRA and HNSW separately, 132 + 48 combos; all_runs_summary-2.csv has
+    one block per family). Knob mapping per SURVEY.md §2 I2:
+    n_bits ~ M (bucket granularity), n_tables ~ efConstruction (build-side
+    recall), multiprobe ~ efSearch (search-side recall); constraint
+    multiprobe <= n_bits mirrors the efSearch >= k validity rule."""
+
+    n_bits: list[int] = field(default_factory=lambda: [2, 4])
+    n_tables: list[int] = field(default_factory=lambda: [4, 8])
+    multiprobe: list[int] = field(default_factory=lambda: [0, 2])
+    k: int = 10
+    metric: Metric = "cosine"
+    seed: int = 42
+
+
+def lsh_param_grid(cfg: LSHGridConfig) -> list[dict]:
+    return [
+        {"n_bits": b, "n_tables": t, "multiprobe": m}
+        for b, t, m in itertools.product(cfg.n_bits, cfg.n_tables, cfg.multiprobe)
+        if m <= b
+    ]
+
+
+def grid_search_lsh(
+    spark: SparkSession,
+    queries: DataFrame,
+    corpus: DataFrame,
+    cfg: LSHGridConfig | None = None,
+    predicate: Column | None = None,
+    run_name: str = "lsh",
+    csv_path: str | None = None,
+) -> DataFrame:
+    """LSH-family grid: same lifecycle as grid_search (one cached truth,
+    per-combo build/search/recall/QPS rows, same CSV schema modulo knobs)."""
+    from .lsh import LSHIndex
+
+    cfg = cfg if cfg is not None else LSHGridConfig()
+    filtered = corpus.filter(predicate) if predicate is not None else corpus
+    truth = knn_scalable(queries, filtered, k=cfg.k, metric=cfg.metric).cache()
+    truth.count()
+    n_queries = queries.count()
+
+    results: list[dict] = []
+    for combo in lsh_param_grid(cfg):
+        index = LSHIndex.build(
+            filtered,
+            n_bits=combo["n_bits"],
+            n_tables=combo["n_tables"],
+            metric=cfg.metric,
+            seed=cfg.seed,
+        )
+        t0 = time.time()
+        found = index.search(queries, k=cfg.k, multiprobe=combo["multiprobe"])
+        n_found = found.count()
+        search_s = time.time() - t0
+        rec = recall_at_k(found, truth, k=cfg.k).first()["recall_at_k"]
+        row = {
+            "run": run_name,
+            "n_bits": combo["n_bits"],
+            "n_tables": combo["n_tables"],
+            "multiprobe": combo["multiprobe"],
+            "k": cfg.k,
+            "metric": cfg.metric,
+            "build_time_seconds": round(index.build_seconds, 3),
+            "search_time_seconds": round(search_s, 3),
+            "qps": round(n_queries / search_s, 2) if search_s > 0 else None,
+            "recall": float(rec) if rec is not None else 0.0,
+            "n_result_rows": n_found,
+        }
+        results.append(row)
+        if csv_path:
+            append_metrics_csv(row, csv_path)
+        index.unpersist()
+
+    truth.unpersist()
+    return spark.createDataFrame(results)
+
+
 def summarize(metrics: DataFrame) -> DataFrame:
     """Best-recall and best-QPS rows per run (reference summary schema:
     all_runs_summary-2.csv) via argmax windows."""

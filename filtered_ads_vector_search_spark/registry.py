@@ -1752,6 +1752,19 @@ def _grid_search_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _grid_search_lsh_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The second grid family (HNSW-side analog): 2 LSH combos. Iterative
+    driver loop -> rows-only check."""
+    from .operators.gridsearch import LSHGridConfig, grid_search_lsh
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    q, c = TK.split_queries(emb)
+    cfg = LSHGridConfig(n_bits=[4], n_tables=[8], multiprobe=[0, 2], k=5)
+    return grid_search_lsh(spark, q, c, cfg).select(
+        "run", "n_bits", "n_tables", "multiprobe", "recall", "n_result_rows"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1834,6 +1847,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_fixed": _ann_ivf_fixed_spark,
     "embed_pipeline": _embed_pipeline_spark,
     "grid_search_ivf": _grid_search_spark,
+    "grid_search_lsh": _grid_search_lsh_spark,
     "ann_lsh": _ann_lsh_spark,
     "embedding_dup_pairs_lsh": _embedding_dups_lsh_spark,
 }
@@ -1915,6 +1929,8 @@ ORACLES: dict[str, str] = {
 SELECT doc_id, CAST(64 AS INTEGER) AS dim, CAST(1.0 AS DOUBLE) AS norm
 FROM documents WHERE {T.token_count_sql("text")} >= 5
 """,
-    # knn_fp16 / ann_ivf / grid_search_ivf: intentionally no oracle — fp16,
-    # k-means, and iterative-driver paths are non-SQL-expressible (rows-only).
+    # knn_fp16 / ann_ivf / grid_search_ivf / grid_search_lsh: intentionally
+    # no oracle — fp16, k-means training, and iterative-grid-driver paths are
+    # non-SQL-expressible (rows-only). The IVF search machinery itself is
+    # oracle-checked via ann_ivf_fixed.
 }

@@ -25,6 +25,32 @@ def test_param_grid_constraint():
     }
 
 
+def test_grid_search_lsh_end_to_end(spark, tmp_path):
+    from filtered_ads_vector_search_spark.operators.gridsearch import (
+        LSHGridConfig,
+        grid_search_lsh,
+        lsh_param_grid,
+    )
+
+    assert len(lsh_param_grid(LSHGridConfig())) == 8  # defaults: nothing pruned
+    assert (
+        len(lsh_param_grid(LSHGridConfig(n_bits=[2], n_tables=[4], multiprobe=[0, 3]))) == 1
+    )  # multiprobe > n_bits pruned
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    q, c = TK.split_queries(emb)
+    csv_path = str(tmp_path / "lsh_grid.csv")
+    cfg = LSHGridConfig(n_bits=[4], n_tables=[8], multiprobe=[0, 2], k=5)
+    rows = grid_search_lsh(spark, q, c, cfg, csv_path=csv_path).collect()
+    assert len(rows) == 2
+    assert all(0.0 <= r["recall"] <= 1.0 for r in rows)
+    assert all(r["build_time_seconds"] > 0 for r in rows)
+    rec = {r["multiprobe"]: r["recall"] for r in rows}
+    # multiprobe widens candidates -> recall must not decrease
+    assert rec[2] >= rec[0] - 1e-9
+    with open(csv_path) as f:
+        assert len(f.readlines()) == 3  # header + 2 combos
+
+
 def test_grid_search_end_to_end(spark, tmp_path):
     emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
     q, c = TK.split_queries(emb)
