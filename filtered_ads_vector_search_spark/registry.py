@@ -945,6 +945,61 @@ GROUP BY p_brand, p_type, p_size
 """
 
 
+def _customer_setops_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations: BUILDING-segment customers INTERSECT high-balance
+    customers, EXCEPT customers with any 1995 order — exercises Spark's
+    INTERSECT/EXCEPT (left-semi/anti rewrites under the hood)."""
+    cu = _tbl(spark, sf_dir, "customer")
+    o = _tbl(spark, sf_dir, "orders")
+    building = cu.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    rich = cu.filter(F.col("c_acctbal").cast("double") > 5000.0).select("c_custkey")
+    early = (
+        o.filter(F.col("o_orderdate") < F.lit("1996-01-01"))
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return building.intersect(rich).subtract(early)  # subtract == EXCEPT (set)
+
+
+def _customer_setops_sql() -> str:
+    return """
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+INTERSECT
+SELECT c_custkey FROM customer WHERE CAST(c_acctbal AS DOUBLE) > 5000.0
+EXCEPT
+SELECT DISTINCT o_custkey AS c_custkey FROM orders
+WHERE o_orderdate < TIMESTAMP '1996-01-01'
+"""
+
+
+def _orders_pivot_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order counts per status spread across priority columns —
+    Spark's groupBy().pivot() vs the oracle's explicit conditional aggs."""
+    o = _tbl(spark, sf_dir, "orders")
+    pri = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    cols = {p: f"p{p[0]}" for p in pri}
+    piv = (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", pri)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+    return piv.select(
+        "o_orderstatus", *[F.col(f"`{p}`").alias(c) for p, c in cols.items()]
+    )
+
+
+def _orders_pivot_sql() -> str:
+    pri = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    conds = ",\n       ".join(
+        f"sum(CASE WHEN o_orderpriority = '{p}' THEN 1 ELSE 0 END) AS p{p[0]}" for p in pri
+    )
+    return f"""
+SELECT o_orderstatus,
+       {conds}
+FROM orders GROUP BY o_orderstatus
+"""
+
+
 def _lineitem_rollup_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-level aggregation (ROLLUP): revenue at (flag, status), per-flag
     subtotal, and grand total in one Expand pass — subtotal NULLs are
@@ -1810,6 +1865,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q15": _tpch_q15_spark,
     "tpch_q16": _tpch_q16_spark,
     "lineitem_rollup": _lineitem_rollup_spark,
+    "customer_setops": _customer_setops_spark,
+    "orders_pivot": _orders_pivot_spark,
     # temporal joins (training-data pipeline breadth)
     "event_attribution": _event_attribution_spark,
     "event_error_context": _event_error_context_spark,
@@ -1889,6 +1946,8 @@ ORACLES: dict[str, str] = {
     "tpch_q15": _tpch_q15_sql(),
     "tpch_q16": _tpch_q16_sql(),
     "lineitem_rollup": _lineitem_rollup_sql(),
+    "customer_setops": _customer_setops_sql(),
+    "orders_pivot": _orders_pivot_sql(),
     "event_attribution": _event_attribution_sql(),
     "event_error_context": _event_error_context_sql(),
     "purchase_attribution_pairs": _purchase_attribution_pairs_sql(),
