@@ -48,6 +48,36 @@ def test_knn_broadcasts_queries(spark):
     assert_broadcast_join(_knn(spark))
 
 
+def test_lsh_search_single_shuffle(spark):
+    """The fused LSH search plan: exactly ONE shuffle exchange (the fused
+    dedup+top-k aggregation) — the claim EXPLAIN.md documents."""
+    from filtered_ads_vector_search_spark.operators.lsh import LSHIndex
+    from filtered_ads_vector_search_spark.plans import count_exchanges
+
+    emb = spark.read.parquet(f"{SF_TEST}/embeddings.parquet")
+    q, c = TK.split_queries(emb)
+    idx = LSHIndex.build(c, n_bits=4, n_tables=4, seed=42)
+    try:
+        assert count_exchanges(idx.search(q, k=10)) == 1
+    finally:
+        idx.unpersist()
+
+
+def test_asof_join_single_shuffle(spark):
+    """As-of join = one hash exchange on the key (the cost of one
+    sort-merge-join shuffle), no row explosion."""
+    from filtered_ads_vector_search_spark.operators.asof import asof_join
+    from filtered_ads_vector_search_spark.plans import count_exchanges
+
+    left = spark.createDataFrame([(1, 10, 1)], "k int, t int, lid int")
+    right = spark.createDataFrame([(1, 5, 7)], "k int, t int, rid int")
+    out = asof_join(
+        left, right, key="k", left_order=["t", "lid"], right_order=["t", "rid"],
+        right_payload=["rid"],
+    )
+    assert count_exchanges(out) == 1
+
+
 def test_minhash_partition_count_invariance(spark):
     docs = spark.read.parquet(f"{SF_TEST}/documents.parquet")
     a = DD.minhash_pairs(docs.repartition(1), threshold=0.3)
