@@ -26,7 +26,30 @@ SUBSET = [
     "tpch_q4",
     "tpch_q17",
     "tpch_q22",
+    "ann_ivf_fixed",
+    "event_attribution",
+    "multimodal_resize",
+    "lineitem_rollup",
 ]
+
+
+def test_every_oracle_key_has_a_query():
+    assert set(registry.ORACLES) <= set(registry.QUERIES)
+
+
+def test_every_query_analyzes(spark):
+    """Catalyst-analyze every registry query at the smoke SF: catches
+    unresolved columns / bad expressions in queries outside SUBSET without
+    executing them. Driver-loop queries (grids) are excluded — analysis
+    would run their builds."""
+    from conftest import SF_SMOKE
+
+    skip = {"grid_search_ivf", "grid_search_lsh", "ann_ivf", "ann_ivf_fixed", "ann_lsh"}
+    for name, fn in registry.QUERIES.items():
+        if name in skip:
+            continue
+        df = fn(spark, SF_SMOKE)
+        assert len(df.schema.fields) > 0, name
 
 
 def _norm_cell(v):
