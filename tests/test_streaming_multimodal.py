@@ -103,6 +103,32 @@ def test_streaming_dedup_one_row_per_key(spark, tmp_path):
     assert set(got) == want and len(want) > 0
 
 
+def test_streaming_parquet_sink_exactly_once(spark, tmp_path):
+    """File sink + checkpoint: availableNow writes the windowed aggregate to
+    parquet; restarting the same query on the same checkpoint with no new
+    input appends NOTHING (exactly-once via the sink's commit log)."""
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt-pq")
+
+    def run_once():
+        q = (
+            windowed_event_stats(stream_events(spark, SF_SMOKE), "1 minute", "2 minutes")
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    first = spark.read.parquet(out_dir).count()
+    assert first > 0
+    run_once()  # same checkpoint, no new files -> no new rows
+    assert spark.read.parquet(out_dir).count() == first
+
+
 def test_replay_throughput(spark):
     emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").limit(100).cache()
     emb.count()
