@@ -945,6 +945,32 @@ GROUP BY p_brand, p_type, p_size
 """
 
 
+def _tpch_q13_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (adapted: priority predicate stands in for the
+    missing o_comment filter): customer distribution by order count —
+    LEFT OUTER join with an extra join-side predicate + double aggregation
+    (customers with zero qualifying orders land in the c_count=0 bucket)."""
+    cu = _tbl(spark, sf_dir, "customer")
+    o = _tbl(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "5-LOW")
+    per_cust = (
+        cu.join(o, cu.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+def _tpch_q13_sql() -> str:
+    return """
+SELECT c_count, count(*) AS custdist FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer
+  LEFT OUTER JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+  GROUP BY c_custkey) t
+GROUP BY c_count
+"""
+
+
 def _customer_setops_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set operations: BUILDING-segment customers INTERSECT high-balance
     customers, EXCEPT customers with any 1995 order — exercises Spark's
@@ -1866,6 +1892,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q16": _tpch_q16_spark,
     "lineitem_rollup": _lineitem_rollup_spark,
     "customer_setops": _customer_setops_spark,
+    "tpch_q13": _tpch_q13_spark,
     "orders_pivot": _orders_pivot_spark,
     # temporal joins (training-data pipeline breadth)
     "event_attribution": _event_attribution_spark,
@@ -1947,6 +1974,7 @@ ORACLES: dict[str, str] = {
     "tpch_q16": _tpch_q16_sql(),
     "lineitem_rollup": _lineitem_rollup_sql(),
     "customer_setops": _customer_setops_sql(),
+    "tpch_q13": _tpch_q13_sql(),
     "orders_pivot": _orders_pivot_sql(),
     "event_attribution": _event_attribution_sql(),
     "event_error_context": _event_error_context_sql(),
