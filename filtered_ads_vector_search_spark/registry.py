@@ -945,6 +945,89 @@ GROUP BY p_brand, p_type, p_size
 """
 
 
+def _tpch_q8_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one supplier nation's share of revenue among orders
+    from customers in one region, by year — conditional-numerator ratio over
+    a two-sided dimension tree (supplier nation + customer region)."""
+    li = _tbl(spark, sf_dir, "lineitem")
+    o = _tbl(spark, sf_dir, "orders")
+    cu = _tbl(spark, sf_dir, "customer")
+    su = _tbl(spark, sf_dir, "supplier")
+    na = _tbl(spark, sf_dir, "nation")
+    re = _tbl(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    sn = na.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    cn = na.select(F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk"))
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(cu, o.o_custkey == cu.c_custkey)
+        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(re), F.col("c_rk") == re.r_regionkey)
+    )
+    nat = F.when(F.col("supp_nation") == "NATION_3", _rev_col()).otherwise(
+        F.lit(0).cast("decimal(18,4)")
+    )
+    return (
+        j.groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(nat).cast("double") / F.sum(_rev_col()).cast("double"), 6
+            ).alias("mkt_share")
+        )
+    )
+
+
+def _tpch_q8_sql() -> str:
+    return f"""
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       round(CAST(sum(CASE WHEN sn.n_name = 'NATION_3' THEN {_REV_SQL}
+                           ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+             / CAST(sum({_REV_SQL}) AS DOUBLE), 6) AS mkt_share
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN region ON cn.n_regionkey = r_regionkey
+WHERE r_name = 'EUROPE'
+GROUP BY CAST(year(o_orderdate) AS BIGINT)
+"""
+
+
+def _tpch_q19_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (adapted: no shipmode/shipinstruct in testdata):
+    disjunction of three (brand, size-bracket, quantity-bracket) conjunctions
+    — the OR-of-ANDs predicate Catalyst must split across the join."""
+    li = _tbl(spark, sf_dir, "lineitem")
+    pa = _tbl(spark, sf_dir, "part")
+    qty = F.col("l_quantity").cast("double")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5) & qty.between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10) & qty.between(10, 20))
+        | ((F.col("p_brand") == "Brand#4") & F.col("p_size").between(1, 15) & qty.between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+        .filter(cond)
+        .agg(F.round(F.sum(_rev_col()).cast("double"), 2).alias("revenue"))
+    )
+
+
+def _tpch_q19_sql() -> str:
+    return f"""
+SELECT round(CAST(sum({_REV_SQL}) AS DOUBLE), 2) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND CAST(l_quantity AS DOUBLE) BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND CAST(l_quantity AS DOUBLE) BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15
+       AND CAST(l_quantity AS DOUBLE) BETWEEN 20 AND 30)
+"""
+
+
 def _tpch_q13_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13 shape (adapted: priority predicate stands in for the
     missing o_comment filter): customer distribution by order count —
@@ -1893,6 +1976,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lineitem_rollup": _lineitem_rollup_spark,
     "customer_setops": _customer_setops_spark,
     "tpch_q13": _tpch_q13_spark,
+    "tpch_q8": _tpch_q8_spark,
+    "tpch_q19": _tpch_q19_spark,
     "orders_pivot": _orders_pivot_spark,
     # temporal joins (training-data pipeline breadth)
     "event_attribution": _event_attribution_spark,
@@ -1975,6 +2060,8 @@ ORACLES: dict[str, str] = {
     "lineitem_rollup": _lineitem_rollup_sql(),
     "customer_setops": _customer_setops_sql(),
     "tpch_q13": _tpch_q13_sql(),
+    "tpch_q8": _tpch_q8_sql(),
+    "tpch_q19": _tpch_q19_sql(),
     "orders_pivot": _orders_pivot_sql(),
     "event_attribution": _event_attribution_sql(),
     "event_error_context": _event_error_context_sql(),

@@ -23,6 +23,42 @@ def _ids(df):
     return sorted((r.query_id, r.neighbor_id, r["rank"]) for r in df.collect())
 
 
+def test_topk_agg_matches_window_form(spark):
+    """topk_agg (the fused LSH tail) and the row_number window produce the
+    same ranks under the same (dist, neighbor_id) tie-break, both
+    directions, including duplicate distances."""
+    import random
+
+    rng = random.Random(99)
+    rows = [
+        (q, n, float(rng.choice([1.0, 2.0, 2.0, 3.0, rng.random()])))
+        for q in range(6)
+        for n in range(40)
+    ]
+    pairs = spark.createDataFrame(rows, "query_id long, neighbor_id long, dist double")
+    from pyspark.sql import Window
+
+    for asc in (True, False):
+        got = _ids(TK.topk_agg(pairs, k=5, asc=asc))
+        order = [F.col("dist").asc() if asc else F.col("dist").desc(), F.col("neighbor_id").asc()]
+        w = Window.partitionBy("query_id").orderBy(*order)
+        want = _ids(
+            pairs.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 5)
+            .select("query_id", "neighbor_id", "rank", "dist")
+        )
+        assert got == want
+
+
+def test_topk_agg_dedup_drops_duplicate_pairs(spark):
+    pairs = spark.createDataFrame(
+        [(1, 7, 0.5), (1, 7, 0.5), (1, 8, 0.4)],
+        "query_id long, neighbor_id long, dist double",
+    )
+    out = TK.topk_agg(pairs, k=5, dedup=True).collect()
+    assert sorted((r.neighbor_id, r["rank"]) for r in out) == [(7, 2), (8, 1)]
+
+
 def test_scalable_matches_window(spark):
     """The mapInPandas local-top-k + merge form must produce exactly the same
     result set as the declarative window form (same ids and ranks)."""
