@@ -42,6 +42,7 @@ __all__ = [
     "cosine_distance_sql",
     "sign_hamming_sql",
     "sq8_quantize_sql",
+    "fp16_roundtrip_sql",
 ]
 
 
@@ -212,6 +213,27 @@ def sign_hamming_sql(a: str, b: str) -> str:
         f"list_sum(list_transform(range(1, len({a})+1), "
         f"i -> CASE WHEN ({a}[i] > 0) != ({b}[i] > 0) THEN 1 ELSE 0 END))"
     )
+
+
+def fp16_roundtrip_sql(a: str) -> str:
+    """DuckDB twin of the fp16 storage round-trip (operators.quantize.
+    float16_roundtrip_udf; reference: download_dataset/utils.py:137-139).
+
+    IEEE-754 binary16 round-to-nearest-even, emulated arithmetically: the
+    mantissa step at magnitude m is 2^(e-10) with e = floor(log2 m) clamped
+    at -14 (subnormals share the fixed step 2^-24); round_even snaps the
+    scaled magnitude. Every fp16 value is exactly representable as a double,
+    so the emulated result equals numpy's float16 cast bit-for-bit (validated
+    against np.float16 over 320k random float32s incl. subnormal range in
+    tests/test_oracle_parity.py). Overflow (|x| > 65504) is out of scope —
+    embeddings are unit-scale.
+    """
+    step = f"power(2.0, greatest(floor(log2(abs(x))), -14.0) - 10.0)"
+    elem = (
+        f"CASE WHEN x = 0 THEN CAST(0 AS DOUBLE) "
+        f"ELSE sign(x) * round_even(abs(x) / {step}, 0) * {step} END"
+    )
+    return f"list_transform({a}, x -> {elem})"
 
 
 def sq8_quantize_sql(a: str, lo: float, hi: float) -> str:

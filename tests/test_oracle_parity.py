@@ -30,7 +30,37 @@ SUBSET = [
     "event_attribution",
     "multimodal_resize",
     "lineitem_rollup",
+    "knn_fp16",
 ]
+
+
+def test_fp16_sql_emulation_matches_numpy(duck):
+    """fp16_roundtrip_sql must reproduce numpy's float16 cast bit-for-bit —
+    it is the DuckDB oracle for the whole fp16 tier. Cover normals across
+    the embedding magnitude range, fp16 subnormals, and exact edge values."""
+    import numpy as np
+    import pandas as pd
+
+    from filtered_ads_vector_search_spark.functions import vector as V
+
+    rng = np.random.default_rng(7)
+    vals = np.concatenate(
+        [
+            rng.standard_normal(20000).astype(np.float32),
+            (rng.standard_normal(5000) * 1e-4).astype(np.float32),
+            (rng.standard_normal(5000) * 1e-6).astype(np.float32),
+            (rng.standard_normal(2000) * 100).astype(np.float32),
+            np.array(
+                [0.0, 1.0, -1.0, 2.0, 0.5, 2**-14, 2**-24, 2**-25, 65504, 2.0**10],
+                dtype=np.float32,
+            ),
+        ]
+    )
+    expected = vals.astype(np.float16).astype(np.float32).astype(np.float64).tolist()
+    duck.register("fp16_probe", pd.DataFrame({"v": [vals.astype(np.float64).tolist()]}))
+    got = duck.sql(f"SELECT {V.fp16_roundtrip_sql('v')} FROM fp16_probe").fetchone()[0]
+    duck.unregister("fp16_probe")
+    assert got == expected
 
 
 def test_every_oracle_key_has_a_query():
