@@ -1567,6 +1567,109 @@ SELECT query_id, neighbor_id, rnk, round(dist, 3) AS dist FROM r WHERE rnk <= {K
 """
 
 
+GRID_FIXED_NPROBES = (1, 2, 4)
+
+
+def _grid_metrics_fixed_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-search METRICS derivation, value-checkable end to end: per-combo
+    recall of the fixed-centroid IVF index across the nprobe axis, plus the
+    summarize() best-combo argmax. This splits the verifiable part of the
+    grid lifecycle (reference per-combo row schema,
+    cuvs_bench_grid_search_v3.py:655-722; summary :724-743) from the
+    wall-clock columns, which only the rows-only grid_search_ivf carries."""
+    from .operators.ann import IVFIndex
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    q, c = TK.split_queries(emb)
+    idx = IVFIndex.build_fixed(c, n_centroids=IVF_FIXED_CENTROIDS)
+    truth = TK.knn_window(q, c, k=K, metric="sqeuclidean")
+    rows = None
+    for np_ in GRID_FIXED_NPROBES:
+        found = idx.search(q, k=K, nprobe=np_)
+        r = recall_at_k(found, truth, k=K).select(
+            F.lit("ivf_fixed").alias("run"),
+            F.lit(IVF_FIXED_CENTROIDS).alias("n_centroids"),
+            F.lit(np_).alias("nprobe"),
+            F.lit(K).alias("k"),
+            "recall_at_k",
+            "n_queries",
+        )
+        rows = r if rows is None else rows.unionAll(r)
+    w = Window.partitionBy("run").orderBy(F.col("recall_at_k").desc(), F.col("nprobe").asc())
+    return rows.withColumn("is_best", F.row_number().over(w) == 1)
+
+
+def _grid_metrics_fixed_sql() -> str:
+    d_assign = V.sqeuclidean_sql("c.embedding", "cent.centroid")
+    d_probe = V.sqeuclidean_sql("q.q_vec", "cent.centroid")
+    d_rerank = V.sqeuclidean_sql("q.q_vec", "a.embedding")
+    d_truth = V.sqeuclidean_sql("q.q_vec", "c.embedding")
+    nprobes = ", ".join(str(n) for n in GRID_FIXED_NPROBES)
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings
+  WHERE {FL.is_query_sql('vec_id')}
+), c AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE NOT {FL.is_query_sql('vec_id')}
+), cent AS (
+  SELECT centroid_id, centroid FROM (
+    SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC) - 1
+             AS centroid_id,
+           embedding AS centroid
+    FROM c) WHERE centroid_id < {IVF_FIXED_CENTROIDS}
+), assign AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT c.vec_id, c.embedding, cent.centroid_id,
+           row_number() OVER (PARTITION BY c.vec_id
+                              ORDER BY {d_assign} ASC, cent.centroid_id ASC) AS arn
+    FROM c CROSS JOIN cent) WHERE arn = 1
+), truth AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {d_truth} ASC, c.vec_id ASC) AS rnk
+    FROM q CROSS JOIN c) WHERE rnk <= {K}
+), combos AS (
+  SELECT unnest([{nprobes}]) AS nprobe
+), probe_rank AS (
+  SELECT query_id, centroid_id, prn FROM (
+    SELECT q.query_id, cent.centroid_id,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {d_probe} ASC, cent.centroid_id ASC) AS prn
+    FROM q CROSS JOIN cent)
+), cand AS (
+  SELECT cb.nprobe, pr.query_id, a.vec_id AS neighbor_id, {d_rerank} AS dist
+  FROM combos cb
+  JOIN probe_rank pr ON pr.prn <= cb.nprobe
+  JOIN assign a ON a.centroid_id = pr.centroid_id
+  JOIN q ON q.query_id = pr.query_id
+), found AS (
+  SELECT nprobe, query_id, neighbor_id FROM (
+    SELECT nprobe, query_id, neighbor_id,
+           row_number() OVER (PARTITION BY nprobe, query_id
+                              ORDER BY dist ASC, neighbor_id ASC) AS rnk
+    FROM cand) WHERE rnk <= {K}
+), matches AS (
+  SELECT f.nprobe, f.query_id, count(*) AS n_matched
+  FROM found f JOIN truth t ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
+  GROUP BY 1, 2
+), allq AS (SELECT DISTINCT query_id FROM truth),
+per_combo AS (
+  SELECT cb.nprobe,
+         round(avg(coalesce(m.n_matched, 0) / {float(K)}), 4) AS recall_at_k,
+         count(*) AS n_queries
+  FROM combos cb CROSS JOIN allq aq
+  LEFT JOIN matches m ON m.nprobe = cb.nprobe AND m.query_id = aq.query_id
+  GROUP BY cb.nprobe)
+SELECT 'ivf_fixed' AS run, {IVF_FIXED_CENTROIDS} AS n_centroids, nprobe, {K} AS k,
+       recall_at_k, n_queries,
+       row_number() OVER (PARTITION BY 'ivf_fixed'
+                          ORDER BY recall_at_k DESC, nprobe ASC) = 1 AS is_best
+FROM per_combo
+"""
+
+
 def _minhash_pairs_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.minhash_pairs(_tbl(spark, sf_dir, "documents"), threshold=0.3)
 
@@ -1973,6 +2076,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- fixed this round (HUGEINT->BIGINT oracle casts) ---
     "tpch_q12": _tpch_q12_spark,
     "orders_pivot": _orders_pivot_spark,
+    # --- added this round ---
+    "grid_metrics_fixed": _grid_metrics_fixed_spark,
     # --- load-bearing round-1-green queries (k-NN family, SURVEY §2 D1/F1/B5) ---
     "knn_exact": lambda s, d: _knn_spark(s, d, "sqeuclidean"),
     "knn_filtered_high": lambda s, d: _knn_spark(s, d, "sqeuclidean", filter_name="high_rated"),
@@ -2103,6 +2208,7 @@ ORACLES: dict[str, str] = {
     # (functions.vector.fp16_roundtrip_sql) — bit-identical, so the last
     # quantization tier is value-checked, not rows-only.
     "knn_fp16": _knn_sql("sqeuclidean", quant="fp16"),
+    "grid_metrics_fixed": _grid_metrics_fixed_sql(),
     "knn_scalable_filtered": "SELECT query_id, neighbor_id, rnk FROM ("
     + _knn_sql("sqeuclidean", filter_name="high_rated")
     + ")",
