@@ -198,37 +198,28 @@ def grid_search_lsh(
     return spark.createDataFrame(results)
 
 
+#: knob columns across both grid families; summarize() keeps whichever the
+#: metrics DataFrame actually carries (IVF: n_centroids/nprobe, LSH:
+#: n_bits/n_tables/multiprobe).
+_KNOB_COLUMNS = ("n_centroids", "nprobe", "n_bits", "n_tables", "multiprobe")
+
+
 def summarize(metrics: DataFrame) -> DataFrame:
     """Best-recall and best-QPS rows per run (reference summary schema:
-    all_runs_summary-2.csv) via argmax windows."""
+    all_runs_summary-2.csv) via argmax windows. Works on either grid
+    family's metrics: knob columns are intersected with the input schema."""
     from pyspark.sql import Window
 
+    knobs = [c for c in _KNOB_COLUMNS if c in metrics.columns]
+    cols = ["run", "recall", "qps", "build_time_seconds", *knobs]
     by_recall = Window.partitionBy("run").orderBy(F.col("recall").desc(), F.col("qps").desc())
     by_qps = Window.partitionBy("run").orderBy(F.col("qps").desc(), F.col("recall").desc())
-    best_r = (
-        metrics.withColumn("rn", F.row_number().over(by_recall))
-        .filter(F.col("rn") == 1)
-        .select(
-            "run",
-            F.lit("best_recall").alias("which"),
-            "n_centroids",
-            "nprobe",
-            "recall",
-            "qps",
-            "build_time_seconds",
+
+    def best(window, which: str) -> DataFrame:
+        return (
+            metrics.withColumn("rn", F.row_number().over(window))
+            .filter(F.col("rn") == 1)
+            .select("run", F.lit(which).alias("which"), *cols[1:])
         )
-    )
-    best_q = (
-        metrics.withColumn("rn", F.row_number().over(by_qps))
-        .filter(F.col("rn") == 1)
-        .select(
-            "run",
-            F.lit("best_qps").alias("which"),
-            "n_centroids",
-            "nprobe",
-            "recall",
-            "qps",
-            "build_time_seconds",
-        )
-    )
-    return best_r.unionAll(best_q)
+
+    return best(by_recall, "best_recall").unionAll(best(by_qps, "best_qps"))

@@ -41,6 +41,11 @@ from .filters import is_query_col
 
 Metric = Literal["sqeuclidean", "inner_product", "cosine", "hamming"]
 
+# knn_scalable collects + broadcasts the query matrix; at 64 dims float64 this
+# cap is ~50 MB of driver memory — far above the reference's 1-10k query sets,
+# far below anything corpus-shaped.
+MAX_BROADCAST_QUERIES = 100_000
+
 __all__ = [
     "split_queries",
     "knn_window",
@@ -220,8 +225,21 @@ def knn_scalable(
     At 100 TB the corpus scan is embarrassingly parallel, nothing shuffles
     except partitions×queries×k partial rows, and the final merge is a
     per-query top-k over ~(#partitions × k) rows.
+
+    The QUERY side is collected to the driver and broadcast, so it must be
+    small by design (the reference's query set is 1-10k rows). Collecting
+    through limit(cap+1) bounds driver memory in the same single job — no
+    extra count scan — and a mis-routed corpus-sized DataFrame raises
+    instead of OOMing the driver; route huge query sets through
+    knn_blockwise instead.
     """
-    qrows = queries.select("query_id", "q_vec").collect()
+    qrows = queries.select("query_id", "q_vec").limit(MAX_BROADCAST_QUERIES + 1).collect()
+    if len(qrows) > MAX_BROADCAST_QUERIES:
+        raise ValueError(
+            f"knn_scalable broadcasts the query matrix via the driver; got "
+            f"> {MAX_BROADCAST_QUERIES} queries. Use knn_blockwise for "
+            f"corpus-sized query sets."
+        )
     if not qrows:
         return queries.sparkSession.createDataFrame(
             [], "query_id bigint, neighbor_id bigint, rank int, dist double"

@@ -79,13 +79,26 @@ def read_bigann(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+# write_bigann materializes on the driver (single headered file, no parallel
+# layout); the cap keeps a corpus-sized DataFrame from OOMing the driver. A
+# real corpus belongs in Parquet — this sink exists only for reference-format
+# interop (query sets, ground-truth matrices).
+MAX_BIGANN_WRITE_ROWS = 1_000_000
+
+
 def write_bigann(df: DataFrame, path: str, dtype=np.float32, vec_col: str = "vec") -> int:
     """Write (ordered by an id column upstream) vectors as one bigann file.
 
     Interop sink only: materializes on the driver (the format is a single
-    headered file and has no parallel layout). Returns rows written.
+    headered file and has no parallel layout). Returns rows written; raises
+    ValueError beyond MAX_BIGANN_WRITE_ROWS.
     """
-    pdf = df.select(vec_col).toPandas()
+    pdf = df.select(vec_col).limit(MAX_BIGANN_WRITE_ROWS + 1).toPandas()
+    if len(pdf) > MAX_BIGANN_WRITE_ROWS:
+        raise ValueError(
+            f"write_bigann materializes on the driver; got > "
+            f"{MAX_BIGANN_WRITE_ROWS} rows. Write Parquet for corpus-scale data."
+        )
     mat = np.vstack(pdf[vec_col].to_numpy()).astype(dtype)
     with open(path, "wb") as f:
         f.write(struct.pack("<II", mat.shape[0], mat.shape[1]))

@@ -10,7 +10,7 @@ column pruning reaches the parser.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -54,10 +54,30 @@ def read_reviews_jsonl(
 def read_embeddings_jsonl(spark: SparkSession, path: str) -> DataFrame:
     """Embedding JSONL scan: one row per line, vector = output_embeddings[0]
     (reference: load_embeddings_from_jsonl, index_data.ipynb cell 0).
-    Returns (row_id, embedding, text) with a stable per-file row id."""
-    df = spark.read.schema(EMBEDDING_JSONL_SCHEMA).json(path)
-    return df.select(
-        F.monotonically_increasing_id().alias("row_id"),
-        F.element_at(F.col("output_embeddings"), 1).alias("embedding"),
-        F.col("text"),
+
+    Returns (row_id, embedding, text) where row_id is the 0-based line number
+    within its file — STABLE across re-reads and split layouts, matching the
+    reference's per-file line numbering. Line order is recovered from
+    (input_file_block_start, intra-split read order): a split's byte offset
+    is a property of the file content, and rows within a split arrive in file
+    order, so sorting on the pair reconstructs file order no matter how the
+    file was split. JSON parsing stays JVM-side via from_json. The window is
+    partitioned per file, so parallelism of the id assignment is #files —
+    inherent to exact line numbering (a global prefix count per file).
+    """
+    lines = spark.read.text(path).select(
+        F.input_file_name().alias("_file"),
+        F.input_file_block_start().alias("_blk"),
+        F.monotonically_increasing_id().alias("_seq"),
+        "value",
+    )
+    w = Window.partitionBy("_file").orderBy("_blk", "_seq")
+    return (
+        lines.withColumn("row_id", (F.row_number().over(w) - 1).cast("bigint"))
+        .withColumn("j", F.from_json("value", EMBEDDING_JSONL_SCHEMA))
+        .select(
+            "row_id",
+            F.element_at(F.col("j.output_embeddings"), 1).alias("embedding"),
+            F.col("j.text").alias("text"),
+        )
     )

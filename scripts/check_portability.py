@@ -122,14 +122,20 @@ drows = con.sql(
 ).fetchall()
 check("text_fns", [tuple(r) for r in srows], drows)
 
-# 7. shingles equality (sorted)
-srows = docs.select("doc_id", F.array_sort(T.word_shingles(F.col("text"), 3)).alias("sh")).limit(50).collect()
+# 7. shingles equality (sorted). Filter (not limit) on both engines so the
+# compared row sets are identical and deterministic.
+srows = (
+    docs.filter(F.col("doc_id") < 50)
+    .select("doc_id", F.array_sort(T.word_shingles(F.col("text"), 3)).alias("sh"))
+    .collect()
+)
 drows = con.sql(
     f"SELECT doc_id, list_sort({T.word_shingles_sql('text', 3)}) sh FROM documents WHERE doc_id < 50 ORDER BY doc_id"
 ).fetchall()
+assert len(srows) == len(drows), (len(srows), len(drows))
 check(
     "shingles",
-    [(r[0], tuple(r[1])) for r in srows if r[0] < 50],
+    [(r[0], tuple(r[1])) for r in srows],
     [(r[0], tuple(r[1])) for r in drows],
 )
 
@@ -149,14 +155,23 @@ drow = con.sql(
 check("percentile", [tuple(srow[0])], drow)
 
 # 9. simhash
-srows = docs.select("doc_id", DD.simhash_col(F.col("text")).alias("s")).limit(30).collect()
+srows = (
+    docs.filter(F.col("doc_id") < 30)
+    .select("doc_id", DD.simhash_col(F.col("text")).alias("s"))
+    .collect()
+)
 drows = con.sql(
     f"SELECT doc_id, {DD.simhash_sql('text')} s FROM documents WHERE doc_id < 30 ORDER BY doc_id"
 ).fetchall()
-check("simhash", [tuple(r) for r in srows if r[0] < 30], drows)
+assert len(srows) == len(drows), (len(srows), len(drows))
+check("simhash", [tuple(r) for r in srows], drows)
 
 # 10. minhash signature
-srows = docs.select("doc_id", DD.minhash_signature_col(F.col("text")).alias("sig")).limit(20).collect()
+srows = (
+    docs.filter(F.col("doc_id") < 20)
+    .select("doc_id", DD.minhash_signature_col(F.col("text")).alias("sig"))
+    .collect()
+)
 sh = T.word_shingles_sql("text", 3)
 sig_exprs = ", ".join(
     f"list_aggregate(list_transform(hashes, x -> (x * {a} + {b}) % {DD.P}), 'min')"
@@ -166,9 +181,10 @@ drows = con.sql(
     f"""WITH nz AS (SELECT doc_id, list_transform({sh}, s -> {H.str_hash_sql('s')} % {DD.P}) hashes FROM documents WHERE doc_id < 20)
     SELECT doc_id, [{sig_exprs}] sig FROM nz ORDER BY doc_id"""
 ).fetchall()
+assert len(srows) == len(drows), (len(srows), len(drows))
 check(
     "minhash_sig",
-    [(r[0], tuple(r[1])) for r in srows if r[0] < 20],
+    [(r[0], tuple(r[1])) for r in srows],
     [(r[0], tuple(r[1])) for r in drows],
 )
 

@@ -75,3 +75,27 @@ def test_grid_search_end_to_end(spark, tmp_path):
     assert which == {"best_recall", "best_qps"}
     best_recall_row = [r for r in summ if r["which"] == "best_recall"][0]
     assert best_recall_row["recall"] == max(r["recall"] for r in rows)
+
+
+def test_summarize_works_for_both_grid_families(spark):
+    """summarize() must accept either family's metrics schema (ADVICE r1):
+    knob columns are intersected, shared metric columns always present."""
+    from filtered_ads_vector_search_spark.operators.gridsearch import summarize
+
+    ivf = spark.createDataFrame(
+        [("ivf", 16, 4, 0.9, 100.0, 1.5), ("ivf", 32, 8, 0.95, 80.0, 2.0)],
+        "run string, n_centroids int, nprobe int, recall double, qps double,"
+        " build_time_seconds double",
+    )
+    lsh = spark.createDataFrame(
+        [("lsh", 4, 8, 0, 0.7, 300.0, 0.8), ("lsh", 4, 8, 2, 0.85, 150.0, 0.8)],
+        "run string, n_bits int, n_tables int, multiprobe int, recall double,"
+        " qps double, build_time_seconds double",
+    )
+    s_ivf = summarize(ivf).collect()
+    assert {r["which"] for r in s_ivf} == {"best_recall", "best_qps"}
+    assert {r["n_centroids"] for r in s_ivf} == {32, 16}
+    s_lsh = summarize(lsh).collect()
+    assert {r["which"] for r in s_lsh} == {"best_recall", "best_qps"}
+    best_recall = [r for r in s_lsh if r["which"] == "best_recall"][0]
+    assert best_recall["multiprobe"] == 2 and best_recall["recall"] == 0.85

@@ -122,3 +122,46 @@ def test_quantized_tiers(spark, tmp_path):
     a = np.array(fp.orderBy("vec_id").first()["embedding"])
     b = np.array(hp.orderBy("vec_id").first()["embedding"])
     np.testing.assert_allclose(a, b, atol=2e-3)
+
+
+def test_embeddings_jsonl_row_id_is_file_line_number(spark, tmp_path):
+    """row_id must equal the 0-based line number within its file, stable
+    across re-reads and split layouts (the reference's per-file numbering,
+    load_embeddings_from_jsonl)."""
+    from filtered_ads_vector_search_spark.sources import read_embeddings_jsonl
+
+    path = tmp_path / "emb.jsonl"
+    n = 200
+    with open(path, "w") as f:
+        for i in range(n):
+            f.write(
+                json.dumps({"output_embeddings": [[float(i), 0.5]], "text": f"line-{i}"}) + "\n"
+            )
+
+    def id_map(df):
+        return {r["text"]: (r["row_id"], tuple(r["embedding"])) for r in df.collect()}
+
+    m1 = id_map(read_embeddings_jsonl(spark, str(path)))
+    assert len(m1) == n
+    for i in range(n):
+        rid, vec = m1[f"line-{i}"]
+        assert rid == i
+        assert vec[0] == float(i)
+    # force a different split layout; ids must not move
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "2048")
+        assert id_map(read_embeddings_jsonl(spark, str(path))) == m1
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
+def test_write_bigann_driver_cap(spark, tmp_path, monkeypatch):
+    """The interop sink must refuse corpus-sized inputs instead of
+    materializing them on the driver."""
+    import filtered_ads_vector_search_spark.sources.bigann as BA
+
+    monkeypatch.setattr(BA, "MAX_BIGANN_WRITE_ROWS", 5)
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").limit(10)
+    with pytest.raises(ValueError, match="Parquet"):
+        BA.write_bigann(emb.select(F.col("embedding").alias("vec")), str(tmp_path / "x.fbin"))

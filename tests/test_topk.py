@@ -151,3 +151,15 @@ def test_scalable_tie_break_with_duplicate_vectors(spark):
     assert a == b == d
     for n in (1, 5):
         assert _ids(TK.knn_scalable(q, c2.repartition(n), k=K)) == a
+
+
+def test_scalable_query_broadcast_cap(spark, monkeypatch):
+    """knn_scalable collects the query side to the driver; beyond the cap it
+    must raise (pointing at knn_blockwise) instead of OOMing the driver."""
+    import pytest
+
+    monkeypatch.setattr(TK, "MAX_BROADCAST_QUERIES", 5)
+    q, c = TK.split_queries(_emb(spark))
+    big_q = c.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec"))
+    with pytest.raises(ValueError, match="knn_blockwise"):
+        TK.knn_scalable(big_q, c, k=3)
