@@ -99,3 +99,58 @@ def test_summarize_works_for_both_grid_families(spark):
     assert {r["which"] for r in s_lsh} == {"best_recall", "best_qps"}
     best_recall = [r for r in s_lsh if r["which"] == "best_recall"][0]
     assert best_recall["multiprobe"] == 2 and best_recall["recall"] == 0.85
+
+
+def test_yaml_config_roundtrip_reference_files(spark):
+    """Load the reference's own filter_config.yaml/params_config.yaml
+    (utils_grid_search.py:90-139 semantics) and drive a grid run at the
+    smoke SF from them."""
+    from filtered_ads_vector_search_spark.operators.filters import with_rating_bucket
+    from filtered_ads_vector_search_spark.operators.gridsearch import grid_search
+    from filtered_ads_vector_search_spark.sources import (
+        filter_predicates,
+        ivf_grid_from_config,
+        load_all_input_configs,
+        lsh_grid_from_config,
+    )
+
+    cfg = load_all_input_configs("/root/reference")
+    # merge semantics: active_filters selection, settings flattened, defaults
+    assert [name for _, name in cfg["filter_configurations"]] == ["mid_rated"]
+    assert cfg["filter_configurations"][0][0] == ["1.0-2.0", "2.0-3.0"]
+    assert cfg["num_queries"] == 10000          # global_settings flattened
+    assert cfg["run_time_seconds"] == 30
+    assert cfg["num_workers_throughput"] == 2   # absent in YAML -> default
+    assert cfg["results_dir"] == "comprehensive_comparison_results"
+    assert cfg["data_sizes"] == [5000000]
+
+    preds = filter_predicates(cfg)
+    assert set(preds) == {"mid_rated"}
+
+    ivf = ivf_grid_from_config(cfg)
+    assert ivf.n_centroids == [32, 64, 96, 128] and ivf.k == 10
+    lsh = lsh_grid_from_config(cfg)
+    assert lsh.n_bits == [4, 5] and lsh.k == 10
+    assert all(0 <= m <= max(lsh.n_bits) for m in lsh.multiprobe)
+
+    # drive an actual (knob-truncated) grid run from the YAML-derived config
+    emb = with_rating_bucket(spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet"))
+    q, c = TK.split_queries(emb)
+    small = ivf_grid_from_config(cfg, limit_values=1)
+    rows = grid_search(spark, q, c, small, predicate=preds["mid_rated"]).collect()
+    assert len(rows) == 1
+    assert rows[0]["n_centroids"] == 32 and rows[0]["nprobe"] == 1
+    assert 0.0 <= rows[0]["recall"] <= 1.0
+
+
+def test_yaml_load_config_default_fallback(tmp_path):
+    from filtered_ads_vector_search_spark.sources import load_config
+
+    import pytest
+
+    assert load_config(str(tmp_path / "missing.yaml"), {"a": 1}) == {"a": 1}
+    with pytest.raises(FileNotFoundError):
+        load_config(str(tmp_path / "missing.yaml"))
+    p = tmp_path / "c.yaml"
+    p.write_text("x:\n  y: [1, 2]\n")
+    assert load_config(str(p)) == {"x": {"y": [1, 2]}}
