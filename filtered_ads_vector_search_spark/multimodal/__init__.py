@@ -2,18 +2,27 @@
 ``binary`` columns with typed metadata; decode/feature-extract as Pandas UDFs
 over ``mapInPandas``).
 
-The decode step is STUBBED (no image/audio libs in this container): the
-deterministic fake payload carries a parseable header, so schema, batch
-shapes, partitioning, and UDF signatures are real and tested end-to-end; the
-real-codec path raises NotImplementedError at the clearly marked seam.
+Uncompressed BMP and PCM WAV payloads are decoded FOR REAL by the pure-Python
+codecs module (headers, pixels, samples — no external libs); the
+deterministic fake payload covers the remaining media types, and compressed
+formats raise NotImplementedError at the clearly marked seam where
+PIL/ffmpeg would plug in.
 """
 
-from .columns import MEDIA_META_SCHEMA, with_synthetic_media
-from .udfs import decode_media_meta, extract_features, resize_images, sample_frames
+from .columns import MEDIA_META_SCHEMA, with_real_media, with_synthetic_media
+from .udfs import (
+    content_stats,
+    decode_media_meta,
+    extract_features,
+    resize_images,
+    sample_frames,
+)
 
 __all__ = [
     "MEDIA_META_SCHEMA",
+    "with_real_media",
     "with_synthetic_media",
+    "content_stats",
     "decode_media_meta",
     "extract_features",
     "resize_images",

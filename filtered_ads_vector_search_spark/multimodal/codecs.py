@@ -1,0 +1,136 @@
+"""Minimal pure-Python real-media codecs: uncompressed BMP and PCM WAV.
+
+This makes the real-codec seam in udfs._parse_header exercisable without any
+external image/audio library: BI_RGB 24-bit BMP and RIFF/WAVE PCM s16le mono
+are simple enough to encode/decode with struct + numpy, yet are REAL file
+formats a user could drop into the payload column. Compressed codecs
+(JPEG/H.264/AAC) remain behind the NotImplementedError seam.
+
+The reference has no media pipeline at all — this is part of the
+beyond-reference training-data-pipeline surface (brief: multimodal columns).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+__all__ = [
+    "encode_bmp",
+    "decode_bmp_meta",
+    "decode_bmp_pixels",
+    "resize_bmp",
+    "encode_wav",
+    "decode_wav_meta",
+    "decode_wav_samples",
+    "sniff",
+]
+
+_BMP_HEADER_SIZE = 54  # BITMAPFILEHEADER (14) + BITMAPINFOHEADER (40)
+_WAV_HEADER_SIZE = 44  # RIFF + fmt(16) + data chunk headers
+
+
+def _row_size(width: int) -> int:
+    return ((3 * width + 3) // 4) * 4  # rows padded to 4-byte boundaries
+
+
+def sniff(raw: bytes) -> str | None:
+    """'bmp' | 'wav' | None for unrecognized payloads."""
+    if raw[:2] == b"BM":
+        return "bmp"
+    if raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
+        return "wav"
+    return None
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """(height, width, 3) uint8 RGB -> BI_RGB 24-bit BMP bytes (rows stored
+    bottom-up, channels as BGR, rows padded to 4 bytes, per the format)."""
+    h, w, c = pixels.shape
+    assert c == 3
+    row = _row_size(w)
+    size = _BMP_HEADER_SIZE + row * h
+    out = bytearray()
+    out += struct.pack("<2sIHHI", b"BM", size, 0, 0, _BMP_HEADER_SIZE)
+    out += struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, row * h, 2835, 2835, 0, 0)
+    bgr = pixels[::-1, :, ::-1]  # bottom-up rows, BGR channels
+    pad = row - 3 * w
+    for r in bgr:
+        out += r.tobytes() + b"\x00" * pad
+    return bytes(out)
+
+
+def decode_bmp_meta(raw: bytes) -> dict:
+    magic, size, _, _, offset = struct.unpack("<2sIHHI", raw[:14])
+    if magic != b"BM":
+        raise ValueError("not a BMP payload")
+    hdr_sz, w, h, _planes, bpp = struct.unpack("<IiiHH", raw[14:30])
+    if bpp != 24 or hdr_sz != 40:
+        raise NotImplementedError(f"only BI_RGB 24-bit BMP supported (bpp={bpp})")
+    return {
+        "media_type": "image",
+        "codec": "bmp",
+        "width": int(w),
+        "height": int(abs(h)),
+        "duration_ms": 0,
+        "n_bytes": len(raw),
+    }
+
+
+def decode_bmp_pixels(raw: bytes) -> np.ndarray:
+    """BMP bytes -> (height, width, 3) uint8 RGB."""
+    meta = decode_bmp_meta(raw)
+    w, h = meta["width"], meta["height"]
+    offset = struct.unpack("<I", raw[10:14])[0]
+    row = _row_size(w)
+    data = np.frombuffer(raw, dtype=np.uint8, offset=offset, count=row * h)
+    rows = data.reshape(h, row)[:, : 3 * w].reshape(h, w, 3)
+    return rows[::-1, :, ::-1].copy()  # back to top-down RGB
+
+
+def resize_bmp(raw: bytes, width: int, height: int) -> bytes:
+    """Nearest-neighbor resample — a real resize of real pixels."""
+    px = decode_bmp_pixels(raw)
+    h0, w0, _ = px.shape
+    ys = (np.arange(height) * h0 // height).clip(0, h0 - 1)
+    xs = (np.arange(width) * w0 // width).clip(0, w0 - 1)
+    return encode_bmp(px[ys][:, xs])
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """int16 mono samples -> RIFF/WAVE PCM s16le bytes."""
+    data = samples.astype("<i2").tobytes()
+    out = bytearray()
+    out += struct.pack("<4sI4s", b"RIFF", 36 + len(data), b"WAVE")
+    out += struct.pack(
+        "<4sIHHIIHH", b"fmt ", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16
+    )
+    out += struct.pack("<4sI", b"data", len(data))
+    out += data
+    return bytes(out)
+
+
+def decode_wav_meta(raw: bytes) -> dict:
+    if raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    fmt_tag, channels, rate = struct.unpack("<HHI", raw[20:28])
+    bits = struct.unpack("<H", raw[34:36])[0]
+    if fmt_tag != 1 or channels != 1 or bits != 16:
+        raise NotImplementedError("only PCM s16le mono WAV supported")
+    n_data = struct.unpack("<I", raw[40:44])[0]
+    n_samples = n_data // 2
+    return {
+        "media_type": "audio",
+        "codec": "pcm_s16le",
+        "width": 0,
+        "height": 0,
+        "duration_ms": int(n_samples * 1000 // rate),
+        "n_bytes": len(raw),
+    }
+
+
+def decode_wav_samples(raw: bytes) -> np.ndarray:
+    decode_wav_meta(raw)  # validates format
+    n_data = struct.unpack("<I", raw[40:44])[0]
+    return np.frombuffer(raw, dtype="<i2", offset=_WAV_HEADER_SIZE, count=n_data // 2)

@@ -50,6 +50,37 @@ def media_type_of(doc_id: int) -> str:
     return _TYPES[hashlib.md5(str(doc_id).encode()).digest()[0] % 3]
 
 
+def real_payload(doc_id: int) -> bytes:
+    """Deterministic REAL media payload (arithmetically specified so a SQL
+    oracle can verify the decode): even ids get a BI_RGB BMP whose pixel
+    (y, x, c) = (id*7 + y*31 + x*13 + c*5) % 256 at width 4+id%5, height
+    3+id%4; odd ids get a PCM WAV with 800+(id%7)*100 samples of
+    ((id*11 + i*17) % 2048) - 1024 at 8 kHz. Encoded by the pure-Python
+    codecs module, decoded back by udfs — a true encode->decode round trip
+    over real file formats."""
+    import numpy as np
+
+    from . import codecs as C
+
+    if doc_id % 2 == 0:
+        w, h = 4 + doc_id % 5, 3 + doc_id % 4
+        y, x, c = np.ogrid[0:h, 0:w, 0:3]
+        px = (doc_id * 7 + y * 31 + x * 13 + c * 5) % 256
+        return C.encode_bmp(px.astype(np.uint8))
+    n = 800 + (doc_id % 7) * 100
+    i = np.arange(n)
+    return C.encode_wav(((doc_id * 11 + i * 17) % 2048 - 1024).astype(np.int16))
+
+
+def with_real_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach the deterministic real BMP/WAV payload column keyed by id."""
+    @F.pandas_udf(T.BinaryType())
+    def gen(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda i: real_payload(int(i)))
+
+    return df.withColumn("payload", gen(F.col(id_col)))
+
+
 def with_synthetic_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Attach a deterministic fake payload column (binary) keyed by id — the
     test harness for the multimodal pipeline (no real media in testdata)."""

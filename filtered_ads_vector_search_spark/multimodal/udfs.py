@@ -5,9 +5,11 @@ stay inside the executor, batches are bounded by
 ``spark.sql.execution.arrow.maxRecordsPerBatch``, and the output schema is
 explicit so downstream operators are fully declarative.
 
-Real codecs (PIL/ffmpeg/librosa) are NOT in this container: each UDF decodes
-the deterministic fake header from columns.synth_payload and raises
-NotImplementedError at the clearly marked seam if handed real media.
+Real codecs: uncompressed BMP and PCM WAV payloads are decoded for real by
+the pure-Python codecs module (no external libs). The deterministic fake
+header from columns.synth_payload remains the stand-in for everything else;
+compressed formats (JPEG/H.264/...) raise NotImplementedError at the
+clearly marked seam — PIL/ffmpeg would plug in there.
 """
 
 from __future__ import annotations
@@ -20,6 +22,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
+from . import codecs as C
 from .columns import MAGIC, _TYPES, _CODECS
 
 FEATURE_DIM = 16
@@ -27,10 +30,16 @@ FEATURE_DIM = 16
 
 def _parse_header(raw: bytes) -> dict:
     if raw[:4] != MAGIC:
-        # ---- real-codec seam: plug PIL/ffmpeg probing here ----
+        kind = C.sniff(raw)
+        if kind == "bmp":
+            return C.decode_bmp_meta(raw)
+        if kind == "wav":
+            return C.decode_wav_meta(raw)
+        # ---- real-codec seam: plug PIL/ffmpeg probing here for formats
+        # ---- beyond uncompressed BMP / PCM WAV ----
         raise NotImplementedError(
-            "real media decoding requires image/audio libs not present in "
-            "this container; payload did not carry the FAKE header"
+            "compressed media decoding requires image/audio libs not present "
+            "in this container; payload is neither FAKE, BMP, nor WAV"
         )
     t, width, height, duration = struct.unpack("<BHHI", raw[4:13])
     media_type = _TYPES[t]
@@ -104,8 +113,11 @@ def resize_images(
             meta = _parse_header(raw)
             if meta["media_type"] != "image":
                 return raw
+            if meta["codec"] == "bmp":
+                return C.resize_bmp(raw, width, height)  # real resample
             t, _, _, duration = struct.unpack("<BHHI", raw[4:13])
-            # ---- real-codec seam: plug PIL resampling here ----
+            # ---- real-codec seam: plug PIL resampling here for compressed
+            # ---- formats; the fake path just rewrites header + body hash ----
             body = hashlib.md5(raw[13:] + struct.pack("<HH", width, height)).digest()
             return MAGIC + struct.pack("<BHHI", t, width, height, duration) + body
 
@@ -115,6 +127,35 @@ def resize_images(
             yield out
 
     return df.mapInPandas(run, schema=fields)
+
+
+def content_stats(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Decode the payload CONTENT (not just headers) and emit a checksum:
+    sum of all RGB pixel values for BMP, sum of all samples for WAV, sum of
+    body bytes for FAKE payloads. This is the value-level proof that the
+    decoder reads real bytes correctly — the registry query
+    `multimodal_decode` checks it against an arithmetic DuckDB oracle.
+    Output: input cols minus payload, + content_sum bigint."""
+    keep = [f for f in df.schema.fields if f.name != payload_col]
+    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in keep)
+    schema = f"{fields}, content_sum bigint"
+
+    def checksum(raw: bytes) -> int:
+        kind = C.sniff(raw)
+        if kind == "bmp":
+            return int(C.decode_bmp_pixels(raw).astype(np.int64).sum())
+        if kind == "wav":
+            return int(C.decode_wav_samples(raw).astype(np.int64).sum())
+        _parse_header(raw)  # FAKE (or raises the seam error)
+        return int(np.frombuffer(raw[13:], dtype=np.uint8).astype(np.int64).sum())
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.drop(columns=[payload_col])
+            out["content_sum"] = pdf[payload_col].map(lambda b: checksum(bytes(b)))
+            yield out
+
+    return df.mapInPandas(run, schema=schema)
 
 
 def sample_frames(

@@ -1880,6 +1880,53 @@ FROM documents
 """
 
 
+def _multimodal_decode_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-format media decode: BMP/WAV payloads (arithmetically specified
+    pixels/samples, columns.real_payload) are encoded by the pure-Python
+    codecs, then decoded back — header fields AND a full content checksum —
+    by the mapInPandas decode path. The oracle recomputes every output field
+    from doc_id alone, so a single wrong byte anywhere in the encode->decode
+    round trip fails the hash."""
+    from .multimodal import content_stats, decode_media_meta, with_real_media
+
+    docs = _tbl(spark, sf_dir, "documents").select("doc_id")
+    decoded = decode_media_meta(with_real_media(docs))
+    return content_stats(decoded).select(
+        "doc_id",
+        "media_type",
+        "codec",
+        "width",
+        "height",
+        "duration_ms",
+        "n_bytes",
+        "content_sum",
+    )
+
+
+def _multimodal_decode_sql() -> str:
+    w, h = "(4 + doc_id % 5)", "(3 + doc_id % 4)"
+    n = "(800 + (doc_id % 7) * 100)"
+    pix = (
+        f"list_sum(list_transform(range(0, {h} * {w} * 3), "
+        f"i -> (doc_id * 7 + (i // ({w} * 3)) * 31 "
+        f"+ ((i % ({w} * 3)) // 3) * 13 + (i % 3) * 5) % 256))"
+    )
+    samp = f"list_sum(list_transform(range(0, {n}), i -> (doc_id * 11 + i * 17) % 2048 - 1024))"
+    return f"""
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS media_type,
+       CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'pcm_s16le' END AS codec,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN {w} ELSE 0 END AS INT) AS width,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN {h} ELSE 0 END AS INT) AS height,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE {n} // 8 END AS INT) AS duration_ms,
+       CAST(CASE WHEN doc_id % 2 = 0
+            THEN 54 + ((3 * {w} + 3) // 4 * 4) * {h}
+            ELSE 44 + 2 * {n} END AS BIGINT) AS n_bytes,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN {pix} ELSE {samp} END AS BIGINT) AS content_sum
+FROM documents
+"""
+
+
 def _frame_counts_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling fan-out: rows per doc after sampling every 10s — the
     oracle recomputes the fan-out arithmetically."""
@@ -2078,6 +2125,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_pivot": _orders_pivot_spark,
     # --- added this round ---
     "grid_metrics_fixed": _grid_metrics_fixed_spark,
+    "multimodal_decode": _multimodal_decode_spark,
     # --- load-bearing round-1-green queries (k-NN family, SURVEY §2 D1/F1/B5) ---
     "knn_exact": lambda s, d: _knn_spark(s, d, "sqeuclidean"),
     "knn_filtered_high": lambda s, d: _knn_spark(s, d, "sqeuclidean", filter_name="high_rated"),
@@ -2209,6 +2257,7 @@ ORACLES: dict[str, str] = {
     # quantization tier is value-checked, not rows-only.
     "knn_fp16": _knn_sql("sqeuclidean", quant="fp16"),
     "grid_metrics_fixed": _grid_metrics_fixed_sql(),
+    "multimodal_decode": _multimodal_decode_sql(),
     "knn_scalable_filtered": "SELECT query_id, neighbor_id, rnk FROM ("
     + _knn_sql("sqeuclidean", filter_name="high_rated")
     + ")",

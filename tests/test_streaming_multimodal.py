@@ -280,3 +280,84 @@ def test_serve_stream_answers_query_stream(spark, tmp_path):
     expected = sorted(tuple(r) for r in idx.search(q, k=5, nprobe=8).collect())
     assert sorted(results) == expected and len(results) > 0
     idx.unpersist()
+
+
+def test_bmp_codec_roundtrip_and_resize():
+    """Real BMP bytes: encode->decode returns the exact pixel array
+    (bottom-up rows + BGR + padding handled); resize matches an independent
+    numpy nearest-neighbor resample."""
+    import numpy as np
+
+    from filtered_ads_vector_search_spark.multimodal import codecs as C
+
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)  # odd width -> padding
+    raw = C.encode_bmp(px)
+    assert raw[:2] == b"BM" and C.sniff(raw) == "bmp"
+    meta = C.decode_bmp_meta(raw)
+    assert (meta["width"], meta["height"], meta["n_bytes"]) == (7, 5, len(raw))
+    np.testing.assert_array_equal(C.decode_bmp_pixels(raw), px)
+
+    out = C.decode_bmp_pixels(C.resize_bmp(raw, 4, 3))
+    ys = (np.arange(3) * 5 // 3).clip(0, 4)
+    xs = (np.arange(4) * 7 // 4).clip(0, 6)
+    np.testing.assert_array_equal(out, px[ys][:, xs])
+
+
+def test_wav_codec_roundtrip():
+    import numpy as np
+
+    from filtered_ads_vector_search_spark.multimodal import codecs as C
+
+    samples = (np.arange(1000) * 37 % 4096 - 2048).astype(np.int16)
+    raw = C.encode_wav(samples, sample_rate=8000)
+    assert C.sniff(raw) == "wav"
+    meta = C.decode_wav_meta(raw)
+    assert meta["duration_ms"] == 125 and meta["media_type"] == "audio"
+    np.testing.assert_array_equal(C.decode_wav_samples(raw), samples)
+
+
+def test_parse_header_dispatches_real_formats():
+    """The decode seam: real BMP/WAV bytes decode for real; unknown bytes
+    still raise at the compressed-codec seam."""
+    import numpy as np
+    import pytest
+
+    from filtered_ads_vector_search_spark.multimodal import codecs as C
+    from filtered_ads_vector_search_spark.multimodal.udfs import _parse_header
+
+    bmp = C.encode_bmp(np.zeros((2, 2, 3), dtype=np.uint8))
+    assert _parse_header(bmp)["codec"] == "bmp"
+    wav = C.encode_wav(np.zeros(8, dtype=np.int16))
+    assert _parse_header(wav)["codec"] == "pcm_s16le"
+    with pytest.raises(NotImplementedError):
+        _parse_header(b"\x89PNG\r\n\x1a\nnotsupported")
+
+
+def test_real_media_resize_in_spark(spark):
+    """resize_images over real BMP payloads does a true resample inside
+    mapInPandas: decoded output pixels equal the expected nearest-neighbor
+    of the arithmetic source image."""
+    import numpy as np
+
+    from filtered_ads_vector_search_spark.multimodal import (
+        codecs as C,
+    )
+    from filtered_ads_vector_search_spark.multimodal import (
+        decode_media_meta,
+        resize_images,
+        with_real_media,
+    )
+    from filtered_ads_vector_search_spark.multimodal.columns import real_payload
+
+    ids = spark.createDataFrame([(i,) for i in range(0, 20, 2)], "doc_id bigint")
+    resized = resize_images(with_real_media(ids), width=8, height=6)
+    rows = {r["doc_id"]: bytes(r["payload"]) for r in resized.collect()}
+    meta = decode_media_meta(resized).select("doc_id", "width", "height").collect()
+    assert all(r["width"] == 8 and r["height"] == 6 for r in meta)
+    for doc_id, raw in rows.items():
+        src = C.decode_bmp_pixels(real_payload(doc_id))
+        h0, w0, _ = src.shape
+        ys = (np.arange(6) * h0 // 6).clip(0, h0 - 1)
+        xs = (np.arange(8) * w0 // 8).clip(0, w0 - 1)
+        np.testing.assert_array_equal(C.decode_bmp_pixels(raw), src[ys][:, xs])
