@@ -1112,6 +1112,66 @@ FROM orders GROUP BY o_orderstatus
 """
 
 
+def _tpch_q21_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (adapted: late = shipped after 1997-06-01, since
+    testdata lacks commit/receipt dates): suppliers from NATION_1 whose late
+    lineitem is the ONLY late one on a multi-supplier finished order — a
+    four-way join plus correlated EXISTS (left-semi) and NOT EXISTS
+    (left-anti) self-joins on lineitem. The nation dim is broadcast; the two
+    self-joins shuffle on l_orderkey only."""
+    li = _tbl(spark, sf_dir, "lineitem")
+    late = F.col("l_shipdate") > F.lit("1997-06-01")
+    l1 = li.filter(late).alias("l1")
+    o = _tbl(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = _tbl(spark, sf_dir, "supplier")
+    n = _tbl(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+    l2 = li.alias("l2")
+    l3 = li.filter(late).alias("l3")
+    base = (
+        l1.join(o, F.col("l1.l_orderkey") == F.col("o_orderkey"))
+        .join(s, F.col("l1.l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    semi = base.join(
+        l2,
+        (F.col("l2.l_orderkey") == F.col("l1.l_orderkey"))
+        & (F.col("l2.l_suppkey") != F.col("l1.l_suppkey")),
+        "left_semi",
+    )
+    anti = semi.join(
+        l3,
+        (F.col("l3.l_orderkey") == F.col("l1.l_orderkey"))
+        & (F.col("l3.l_suppkey") != F.col("l1.l_suppkey")),
+        "left_anti",
+    )
+    return (
+        anti.groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(20)
+    )
+
+
+def _tpch_q21_sql() -> str:
+    return """
+SELECT s_name, count(*) AS numwait
+FROM lineitem l1
+JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+JOIN supplier ON s_suppkey = l1.l_suppkey
+JOIN nation ON n_nationkey = s_nationkey AND n_name = 'NATION_1'
+WHERE l1.l_shipdate > TIMESTAMP '1997-06-01'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > TIMESTAMP '1997-06-01')
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+
 def _lineitem_rollup_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-level aggregation (ROLLUP): revenue at (flag, status), per-flag
     subtotal, and grand total in one Expand pass — subtotal NULLs are
@@ -2126,6 +2186,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- added this round ---
     "grid_metrics_fixed": _grid_metrics_fixed_spark,
     "multimodal_decode": _multimodal_decode_spark,
+    "tpch_q21": _tpch_q21_spark,
     # --- load-bearing round-1-green queries (k-NN family, SURVEY §2 D1/F1/B5) ---
     "knn_exact": lambda s, d: _knn_spark(s, d, "sqeuclidean"),
     "knn_filtered_high": lambda s, d: _knn_spark(s, d, "sqeuclidean", filter_name="high_rated"),
@@ -2258,6 +2319,7 @@ ORACLES: dict[str, str] = {
     "knn_fp16": _knn_sql("sqeuclidean", quant="fp16"),
     "grid_metrics_fixed": _grid_metrics_fixed_sql(),
     "multimodal_decode": _multimodal_decode_sql(),
+    "tpch_q21": _tpch_q21_sql(),
     "knn_scalable_filtered": "SELECT query_id, neighbor_id, rnk FROM ("
     + _knn_sql("sqeuclidean", filter_name="high_rated")
     + ")",
