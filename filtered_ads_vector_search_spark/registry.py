@@ -1172,6 +1172,154 @@ LIMIT 20
 """
 
 
+def _tpch_q9_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (adapted: no partsupp in testdata, so supply cost is
+    stood in by 10% of p_retailprice): profit by supplier nation and order
+    year for parts whose name contains 'rod' — the classic five-way join
+    with an expression aggregate. part/supplier/nation are broadcast dims;
+    only the lineitem<->orders join shuffles."""
+    li = _tbl(spark, sf_dir, "lineitem")
+    o = _tbl(spark, sf_dir, "orders")
+    pa = _tbl(spark, sf_dir, "part").filter(F.col("p_name").contains("rod"))
+    su = _tbl(spark, sf_dir, "supplier")
+    na = _tbl(spark, sf_dir, "nation")
+    cost = (F.col("p_retailprice") * F.col("l_quantity") * F.lit(0.1)).cast(
+        "decimal(18,4)"
+    )
+    return (
+        li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(na), F.col("s_nationkey") == na.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.round(F.sum(_rev_col() - cost).cast("double"), 2).alias("sum_profit"))
+    )
+
+
+def _tpch_q9_sql() -> str:
+    return f"""
+SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       round(CAST(sum({_REV_SQL}
+                      - CAST(p_retailprice * l_quantity * 0.1 AS DECIMAL(18,4)))
+             AS DOUBLE), 2) AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%rod%'
+GROUP BY n_name, CAST(year(o_orderdate) AS BIGINT)
+"""
+
+
+def _tpch_q11_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (adapted: lineitem stands in for partsupp): per-part
+    shipped value from NATION_2 suppliers, kept only when it exceeds 0.1% of
+    the nation's total — a HAVING over a scalar subquery. The grand total is
+    a single-row aggregate broadcast against the per-part aggregate, so the
+    threshold comparison adds no shuffle beyond the two aggregations."""
+    li = _tbl(spark, sf_dir, "lineitem")
+    su = _tbl(spark, sf_dir, "supplier")
+    na = _tbl(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_2")
+    base = li.join(F.broadcast(su), li.l_suppkey == su.s_suppkey).join(
+        F.broadcast(na), F.col("s_nationkey") == na.n_nationkey
+    )
+    per_part = base.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).alias("value_dec")
+    )
+    total = per_part.agg(F.sum("value_dec").alias("total_dec"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("value_dec").cast("double") > F.col("total_dec").cast("double") * 0.001)
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.round(F.col("value_dec").cast("double"), 2).alias("part_value"),
+        )
+    )
+
+
+def _tpch_q11_sql() -> str:
+    return """
+WITH base AS (
+  SELECT l_partkey, CAST(l_extendedprice AS DECIMAL(18,4)) AS px
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_2'),
+per_part AS (SELECT l_partkey, sum(px) AS value_dec FROM base GROUP BY l_partkey)
+SELECT l_partkey AS partkey, round(CAST(value_dec AS DOUBLE), 2) AS part_value
+FROM per_part
+WHERE CAST(value_dec AS DOUBLE) >
+      (SELECT CAST(sum(value_dec) AS DOUBLE) FROM per_part) * 0.001
+"""
+
+
+def _tpch_q20_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (adapted: availqty stood in by a supplier's all-time
+    shipped quantity per part): NATION_1 suppliers of 'blue' parts whose
+    shipped quantity for some such part exceeds half that part's total 1997
+    shipments — nested semi-join over a correlated aggregate. Both aggregates
+    shuffle on part keys; the supplier probe is a left-semi against the
+    qualifying (part, supplier) set."""
+    li = _tbl(spark, sf_dir, "lineitem")
+    pa = _tbl(spark, sf_dir, "part").filter(F.col("p_name").startswith("blue"))
+    su = _tbl(spark, sf_dir, "supplier")
+    na = _tbl(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+    blue = li.join(F.broadcast(pa.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+    per_ps = blue.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("supp_qty")
+    )
+    part_1997 = (
+        blue.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+        )
+        .groupBy(F.col("l_partkey").alias("pk"))
+        .agg(F.sum("l_quantity").alias("year_qty"))
+    )
+    qualifying = per_ps.join(part_1997, per_ps.l_partkey == F.col("pk")).filter(
+        F.col("supp_qty") > F.col("year_qty") * 0.5
+    )
+    return (
+        su.join(F.broadcast(na), F.col("s_nationkey") == na.n_nationkey)
+        .join(
+            qualifying.select(F.col("l_suppkey").alias("qk")).distinct(),
+            F.col("s_suppkey") == F.col("qk"),
+            "left_semi",
+        )
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+def _tpch_q20_sql() -> str:
+    return """
+WITH blue AS (
+  SELECT l_partkey, l_suppkey, l_quantity, l_shipdate
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE 'blue%'),
+per_ps AS (
+  SELECT l_partkey, l_suppkey, sum(l_quantity) AS supp_qty
+  FROM blue GROUP BY l_partkey, l_suppkey),
+part_1997 AS (
+  SELECT l_partkey AS pk, sum(l_quantity) AS year_qty
+  FROM blue
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY l_partkey)
+SELECT s_suppkey, s_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_1'
+  AND s_suppkey IN (
+    SELECT l_suppkey FROM per_ps JOIN part_1997 ON l_partkey = pk
+    WHERE supp_qty > year_qty * 0.5)
+ORDER BY s_suppkey
+"""
+
+
 def _lineitem_rollup_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-level aggregation (ROLLUP): revenue at (flag, status), per-flag
     subtotal, and grand total in one Expand pass — subtotal NULLs are
@@ -2187,11 +2335,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "grid_metrics_fixed": _grid_metrics_fixed_spark,
     "multimodal_decode": _multimodal_decode_spark,
     "tpch_q21": _tpch_q21_spark,
+    "tpch_q9": _tpch_q9_spark,
+    "tpch_q11": _tpch_q11_spark,
+    "tpch_q20": _tpch_q20_spark,
     # --- load-bearing round-1-green queries (k-NN family, SURVEY §2 D1/F1/B5) ---
     "knn_exact": lambda s, d: _knn_spark(s, d, "sqeuclidean"),
     "knn_filtered_high": lambda s, d: _knn_spark(s, d, "sqeuclidean", filter_name="high_rated"),
-    "knn_filtered_mid": lambda s, d: _knn_spark(s, d, "sqeuclidean", filter_name="mid_rated"),
-    "knn_filtered_low": lambda s, d: _knn_spark(s, d, "sqeuclidean", filter_name="low_rated"),
     "knn_inner_product": lambda s, d: _knn_spark(s, d, "inner_product"),
     "knn_cosine": lambda s, d: _knn_spark(s, d, "cosine", round_digits=4),
     "knn_hamming": lambda s, d: _knn_spark(s, d, "hamming", round_digits=0),
@@ -2199,7 +2348,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_sq8": lambda s, d: _knn_spark(s, d, "sqeuclidean", quant="sq8"),
     "recall_sq8_vs_fp": _recall_sq8_spark,
     "recall_curve_sq8": _recall_curve_spark,
-    "knn_sq8_filtered_high": lambda s, d: _knn_spark(s, d, "sqeuclidean", filter_name="high_rated", quant="sq8"),
     # filters / selectivity (SURVEY §2 B5/B6/E7/E8)
     "filter_selectivity": _selectivity_spark,
     "rating_histogram": _histogram_spark,
@@ -2210,8 +2358,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": _exact_dedup_spark,
     "dedup_minhash_lsh": _minhash_pairs_spark,
     # --- beyond the driver's 50-entry verification window (all driver-green
-    # --- in round 1's CORRECTNESS_r01.json) ---
+    # --- in round 1's CORRECTNESS_r01.json; the three knn variants moved
+    # --- here share every code path with in-window siblings) ---
     "best_order_per_priority": _best_order_spark,
+    "knn_filtered_mid": lambda s, d: _knn_spark(s, d, "sqeuclidean", filter_name="mid_rated"),
+    "knn_filtered_low": lambda s, d: _knn_spark(s, d, "sqeuclidean", filter_name="low_rated"),
+    "knn_sq8_filtered_high": lambda s, d: _knn_spark(s, d, "sqeuclidean", filter_name="high_rated", quant="sq8"),
     "pareto_frontier_suppliers": _pareto_spark,
     "quality_brackets": _bracket_spark,
     "tpch_q1": _tpch_q1_spark,
@@ -2320,6 +2472,9 @@ ORACLES: dict[str, str] = {
     "grid_metrics_fixed": _grid_metrics_fixed_sql(),
     "multimodal_decode": _multimodal_decode_sql(),
     "tpch_q21": _tpch_q21_sql(),
+    "tpch_q9": _tpch_q9_sql(),
+    "tpch_q11": _tpch_q11_sql(),
+    "tpch_q20": _tpch_q20_sql(),
     "knn_scalable_filtered": "SELECT query_id, neighbor_id, rnk FROM ("
     + _knn_sql("sqeuclidean", filter_name="high_rated")
     + ")",

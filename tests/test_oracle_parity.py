@@ -31,6 +31,8 @@ SUBSET = [
     "multimodal_resize",
     "lineitem_rollup",
     "knn_fp16",
+    "tpch_q9",
+    "tpch_q20",
 ]
 
 
