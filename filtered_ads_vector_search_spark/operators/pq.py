@@ -1,0 +1,265 @@
+"""Product quantization (PQ) tier with asymmetric-distance (ADC) search.
+
+The reference's quantization family (index_data.ipynb cell 0) covers fp16 /
+scalar-int8 / binary; PQ is the fourth classic member (the one FAISS/cuVS
+pair with IVF for billion-scale corpora), added here as beyond-reference
+breadth with the same oracle discipline as the other tiers.
+
+Semantics: the 64-dim vector is split into ``m`` contiguous subspaces; each
+subspace is replaced by the index of its nearest codebook centroid
+(sqeuclidean, first-match tie-break). ADC distance between a full-precision
+query and a coded corpus vector is the sum over subspaces of the exact
+distance from the query's subvector to the selected centroid — equal to
+sqeuclidean(query, reconstructed_vector), but computed with a per-query
+lookup table so the corpus side never materializes floats.
+
+Scale story (the reason PQ exists): the corpus column shrinks from
+dim × 4 bytes to ``m`` small ints per vector (64× at m=8/dim=64 before
+Parquet encoding), so a 100 TB fp32 corpus scans as ~1.5 TB of codes. The
+query side precomputes LUT[j][c] = d(q_j, codebook[j][c]) — m × n_codes
+doubles per query — broadcast with the (small) query relation; the corpus
+side is one scan whose per-row cost is ``m`` array lookups inside
+whole-stage codegen. No Python, no shuffle of corpus floats, and the
+encode/search expressions are built as ONE parsed SQL string each (the
+literal codebook would cost a py4j round-trip per F.lit otherwise — same
+trick as lsh._all_dots_sql).
+
+Codebooks come in two flavors:
+* ``fixed_codebooks`` — deterministic integer-hash centroids; arithmetic on
+  both engines, so the full encode+search path has a DuckDB oracle twin
+  (same pattern as ann.IVFIndex.build_fixed).
+* ``pq_train`` — Lloyd's k-means per subspace over a bounded, deterministic
+  hash-sample of the corpus (same bounded-sample discipline as
+  IVFIndex.build's KMeans tier); the trained tier is pytest-verified
+  (recall floor + exact-equivalence of the two physical forms).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import vector as V
+
+__all__ = [
+    "fixed_codebooks",
+    "pq_train",
+    "pq_encode_expr",
+    "pq_encode_sql",
+    "pq_adc_search",
+    "pq_adc_dist_sql",
+    "pq_decode_expr",
+]
+
+Codebooks = list[list[list[float]]]  # [m][n_codes][sub_dim]
+
+
+def _validate(codebooks: Codebooks, dim: int | None = None) -> tuple[int, int, int]:
+    m = len(codebooks)
+    if m == 0:
+        raise ValueError("codebooks must have at least one subspace")
+    n_codes = len(codebooks[0])
+    sub_dim = len(codebooks[0][0])
+    for j, cb in enumerate(codebooks):
+        if len(cb) != n_codes or any(len(c) != sub_dim for c in cb):
+            raise ValueError(f"ragged codebook at subspace {j}")
+    if dim is not None and m * sub_dim != dim:
+        raise ValueError(f"codebooks cover {m * sub_dim} dims, embedding has {dim}")
+    return m, n_codes, sub_dim
+
+
+def fixed_codebooks(
+    dim: int = 64, m: int = 4, n_codes: int = 16, seed: int = 42
+) -> Codebooks:
+    """Deterministic centroids from integer hashing (no RNG state): spread in
+    [-1, 1] like the unit-scale embeddings. Exact decimal literals, so both
+    engines parse identical doubles."""
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sd = dim // m
+    return [
+        [
+            [
+                ((j * 2654435761 + c * 19349663 + t * 83492791 + seed * 97) % 2001 - 1000)
+                / 1000.0
+                for t in range(sd)
+            ]
+            for c in range(n_codes)
+        ]
+        for j in range(m)
+    ]
+
+
+def pq_train(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    m: int = 8,
+    n_codes: int = 16,
+    sample_n: int = 100_000,
+    iters: int = 10,
+    seed: int = 42,
+) -> Codebooks:
+    """Lloyd's k-means per subspace on a bounded deterministic sample.
+
+    The sample is hash-ordered (not .limit on an arbitrary scan) so training
+    is partition-invariant; at 100 TB the sample is still ``sample_n`` rows.
+    Driver memory: sample_n × dim × 8 bytes (100k × 64 ≈ 51 MB)."""
+    rows = (
+        corpus.select(F.col(vec_col).alias("v"), F.crc32(F.col(vec_col).cast("string")).alias("h"))
+        .orderBy("h")
+        .limit(sample_n)
+        .collect()
+    )
+    X = np.asarray([r["v"] for r in rows], dtype=np.float64)
+    dim = X.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sd = dim // m
+    rng = np.random.RandomState(seed)
+    out: Codebooks = []
+    for j in range(m):
+        S = X[:, j * sd : (j + 1) * sd]
+        cb = S[rng.choice(len(S), size=min(n_codes, len(S)), replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((S[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(len(cb)):
+                mask = assign == c
+                if mask.any():
+                    cb[c] = S[mask].mean(axis=0)
+        out.append([[float(x) for x in row] for row in cb])
+    return out
+
+
+def _cb_spark_literal(codebooks: Codebooks) -> str:
+    """Nested array literal (Spark SQL): CB[j][c][t], all 0-indexed via []."""
+    return (
+        "array("
+        + ", ".join(
+            "array("
+            + ", ".join(
+                "array(" + ", ".join(f"{x!r}D" for x in code) + ")" for code in cb
+            )
+            + ")"
+            for cb in codebooks
+        )
+        + ")"
+    )
+
+
+def pq_encode_expr(vec_sql: str, codebooks: Codebooks) -> Column:
+    """ARRAY<INT> of per-subspace nearest-code indices, as ONE parsed
+    expression. Per-subspace distance is the same element-ascending double
+    fold as vec_sqeuclidean; argmin is first-match (array_position on the
+    min), matching the DuckDB twin's list_position semantics."""
+    m, n_codes, sd = _validate(codebooks)
+    cb = _cb_spark_literal(codebooks)
+    # let-bind the distance array via 1-element transform so it's computed once
+    dists = (
+        f"transform(sequence(0, {n_codes - 1}), c -> "
+        f"aggregate(sequence(0, {sd - 1}), 0.0D, (acc, i) -> "
+        f"acc + (cast(`{vec_sql}`[j * {sd} + i] as double) - {cb}[j][c][i]) * "
+        f"(cast(`{vec_sql}`[j * {sd} + i] as double) - {cb}[j][c][i])))"
+    )
+    return F.expr(
+        f"transform(sequence(0, {m - 1}), j -> "
+        f"transform(array({dists}), d -> "
+        f"cast(array_position(d, array_min(d)) - 1 as int))[0])"
+    )
+
+
+def _sub_dist_flat(vec_sql: str, code: list[float], offset: int) -> str:
+    """Flat unrolled Σ(v[offset+i] - c_i)² — scalar constants only. DuckDB
+    re-constructs any list LITERAL referenced inside a lambda on every
+    element evaluation (measured: ~5 s/row even for a 128-literal codebook),
+    so the twins must never put a codebook literal under a lambda. Flat
+    left-associated `+` chains equal Spark's 0.0-seeded left fold exactly
+    (0.0 + t ≡ t for the non-negative squared terms)."""
+    return " + ".join(
+        f"(CAST({vec_sql}[{offset + i + 1}] AS DOUBLE) - {float(c)!r}) * "
+        f"(CAST({vec_sql}[{offset + i + 1}] AS DOUBLE) - {float(c)!r})"
+        for i, c in enumerate(code)
+    )
+
+
+def pq_encode_sql(vec_sql: str, codebooks: Codebooks) -> str:
+    """DuckDB twin of pq_encode_expr: per-subspace distance lists are built
+    from fully unrolled scalar expressions (see _sub_dist_flat), argmin is
+    first-match list_position over the let-bound list. Same fold order and
+    tie-break as the Spark side."""
+    m, n_codes, sd = _validate(codebooks)
+    codes = []
+    for j in range(m):
+        dlist = ", ".join(
+            _sub_dist_flat(vec_sql, codebooks[j][c], j * sd) for c in range(n_codes)
+        )
+        codes.append(
+            f"list_transform([[{dlist}]], d -> "
+            f"CAST(list_position(d, list_min(d)) - 1 AS INTEGER))[1]"
+        )
+    return "[" + ", ".join(codes) + "]"
+
+
+def pq_adc_dist_sql(qvec_sql: str, codes_sql: str, codebooks: Codebooks) -> str:
+    """DuckDB ADC distance: Σ_j sqeuclidean(q_subspace_j, CB[j][codes[j]]),
+    unrolled as one CASE per subspace over flat scalar sums — j-ascending,
+    element-ascending accumulation, bit-identical to the Spark LUT path."""
+    m, n_codes, sd = _validate(codebooks)
+    subs = []
+    for j in range(m):
+        branches = " ".join(
+            f"WHEN {c} THEN {_sub_dist_flat(qvec_sql, codebooks[j][c], j * sd)}"
+            for c in range(n_codes)
+        )
+        subs.append(f"(CASE {codes_sql}[{j + 1}] {branches} END)")
+    return "(" + " + ".join(subs) + ")"
+
+
+def pq_decode_expr(codes_sql: str, codebooks: Codebooks) -> Column:
+    """Reconstructed ARRAY<DOUBLE> from codes (flatten of selected centroids)
+    — the exact-equivalence bridge: sqeuclidean(q, decode(codes)) equals the
+    ADC distance by construction."""
+    _validate(codebooks)
+    cb = _cb_spark_literal(codebooks)
+    m = len(codebooks)
+    return F.expr(
+        f"flatten(transform(sequence(0, {m - 1}), j -> {cb}[j][`{codes_sql}`[j]]))"
+    )
+
+
+def pq_adc_search(
+    queries: DataFrame,
+    coded_corpus: DataFrame,
+    codebooks: Codebooks,
+    k: int = 10,
+    codes_col: str = "codes",
+) -> DataFrame:
+    """ADC top-k: queries (query_id, q_vec) × coded corpus (neighbor_id,
+    codes) -> (query_id, neighbor_id, rank, dist).
+
+    Plan shape: the query side carries its LUT (m × n_codes doubles, computed
+    once per query row) and is broadcast; the coded corpus only streams; the
+    per-row distance is an m-step fold of two array lookups; per-query top-k
+    goes through the rank window so WindowGroupLimit applies partial top-k
+    before the exchange (same shape as topk.knn_window, EXPLAIN.md)."""
+    m, n_codes, sd = _validate(codebooks)
+    cb = _cb_spark_literal(codebooks)
+    lut = F.expr(
+        f"transform(sequence(0, {m - 1}), j -> "
+        f"transform(sequence(0, {n_codes - 1}), c -> "
+        f"aggregate(sequence(0, {sd - 1}), 0.0D, (acc, i) -> "
+        f"acc + (cast(q_vec[j * {sd} + i] as double) - {cb}[j][c][i]) * "
+        f"(cast(q_vec[j * {sd} + i] as double) - {cb}[j][c][i]))))"
+    )
+    q = queries.select("query_id", "q_vec").withColumn("lut", lut)
+    dist = F.expr(
+        f"aggregate(sequence(0, {m - 1}), 0.0D, (acc, j) -> acc + lut[j][`{codes_col}`[j]])"
+    )
+    pairs = F.broadcast(q).crossJoin(coded_corpus).withColumn("dist", dist)
+    w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("neighbor_id").asc())
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "dist")
+    )

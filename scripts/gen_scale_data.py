@@ -65,7 +65,15 @@ def gen_documents(spark, n: int, out: str) -> None:
     duplicate — planted positives for the dedup tiers."""
 
     def words_for(seed: int) -> list[str]:
-        return [f"w{(seed * 31 + k * 17) % VOCAB}" for k in range(DOC_WORDS)]
+        # splitmix-style avalanche per (seed, k): a LINEAR picker
+        # (seed*31 + k*17) aliases — seeds at distance 17*31^-1 mod VOCAB
+        # share ~29/30 words, planting ~600 unintended near-dups per doc.
+        out = []
+        for k in range(DOC_WORDS):
+            z = (seed * 0x9E3779B97F4A7C15 + k * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+            z = ((z ^ (z >> 30)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+            out.append(f"w{(z ^ (z >> 31)) % VOCAB}")
+        return out
 
     def gen(batches):
         for pdf in batches:

@@ -154,3 +154,60 @@ def test_yaml_load_config_default_fallback(tmp_path):
     p = tmp_path / "c.yaml"
     p.write_text("x:\n  y: [1, 2]\n")
     assert load_config(str(p)) == {"x": {"y": [1, 2]}}
+
+
+def test_cli_end_to_end_reference_configs(spark, tmp_path):
+    """Drive the CLI exactly as a reference user would — their own YAML
+    configs, both algo types — and check the reference-shaped artifacts:
+    per-run incremental CSV (one row per combo) + all_runs_summary.csv
+    (best_recall/best_qps per run). Reference: cuvs_bench_grid_search_v3.py
+    main:746-838 + argparse :845-874."""
+    import csv
+
+    from filtered_ads_vector_search_spark.cli import run
+
+    for algo in ("cagra", "hnsw"):
+        out = run(
+            [
+                "--data", SF_SMOKE,
+                "--quantization-folder", "full_precision",
+                "--config-path", "/root/reference",
+                "--algo-type", algo,
+                "--results-dir", str(tmp_path / algo),
+                "--limit-values", "1",
+            ],
+            spark=spark,
+        )
+        run_name = f"{algo}_full_precision_mid_rated"
+        with open(f"{out}/{run_name}_grid_search_results.csv") as f:
+            combos = list(csv.DictReader(f))
+        assert len(combos) == 1 and combos[0]["run"] == run_name
+        assert 0.0 <= float(combos[0]["recall"]) <= 1.0
+        summary_dir = f"{out}/all_runs_summary.csv"
+        found = []
+        for name in os.listdir(summary_dir):
+            if name.endswith(".csv"):
+                with open(os.path.join(summary_dir, name)) as f:
+                    found.extend(csv.DictReader(f))
+        assert {r["which"] for r in found} == {"best_recall", "best_qps"}
+
+
+def test_cli_half_precision_tier(spark, tmp_path):
+    """--quantization-folder half_precision routes the corpus through the
+    fp16 round-trip before the split (reference folder-selection semantics,
+    index_data.ipynb cell 0)."""
+    from filtered_ads_vector_search_spark.cli import run
+
+    out = run(
+        [
+            "--data", SF_SMOKE,
+            "--quantization-folder", "half_precision",
+            "--config-path", "/root/reference",
+            "--algo-type", "cagra",
+            "--results-dir", str(tmp_path),
+            "--limit-values", "1",
+        ],
+        spark=spark,
+    )
+    name = "cagra_half_precision_mid_rated_grid_search_results.csv"
+    assert os.path.exists(os.path.join(out, name))

@@ -1,0 +1,120 @@
+"""Product-quantization tier (operators/pq.py): encode/ADC semantics,
+physical-form equivalence, and trained-codebook recall."""
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from filtered_ads_vector_search_spark.operators import pq as PQ
+from filtered_ads_vector_search_spark.operators import topk as TK
+
+from conftest import SF_SMOKE
+
+
+def _split(spark):
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    return TK.split_queries(emb)
+
+
+def test_fixed_codebooks_shape_and_determinism():
+    a = PQ.fixed_codebooks(dim=64, m=4, n_codes=16, seed=42)
+    b = PQ.fixed_codebooks(dim=64, m=4, n_codes=16, seed=42)
+    assert a == b
+    assert len(a) == 4 and len(a[0]) == 16 and len(a[0][0]) == 16
+    assert all(-1.0 <= x <= 1.0 for cb in a for code in cb for x in code)
+    with pytest.raises(ValueError):
+        PQ.fixed_codebooks(dim=60, m=8)
+
+
+def test_adc_equals_exact_over_decoded(spark):
+    """The ADC LUT path must equal sqeuclidean(q, decode(codes)) exactly —
+    the identity that makes the oracle formulation valid. Compare the full
+    top-k output of both physical forms (same tie-break)."""
+    q, c = _split(spark)
+    books = PQ.fixed_codebooks(dim=64, m=4, n_codes=16)
+    coded = c.select(
+        F.col("vec_id").alias("neighbor_id"),
+        PQ.pq_encode_expr("embedding", books).alias("codes"),
+    )
+    adc = PQ.pq_adc_search(q, coded, books, k=5)
+
+    decoded = coded.select(
+        "neighbor_id", PQ.pq_decode_expr("codes", books).alias("embedding")
+    ).withColumnRenamed("neighbor_id", "vec_id")
+    exact = TK.knn_window(q, decoded, k=5, metric="sqeuclidean")
+
+    a = {(r["query_id"], r["rank"]): (r["neighbor_id"], round(r["dist"], 9)) for r in adc.collect()}
+    b = {(r["query_id"], r["rank"]): (r["neighbor_id"], round(r["dist"], 9)) for r in exact.collect()}
+    assert a == b
+
+
+def test_encode_argmin_is_nearest(spark):
+    """Every assigned code must be the true argmin over its subspace
+    (numpy recomputation, first-match tie-break)."""
+    _, c = _split(spark)
+    books = PQ.fixed_codebooks(dim=64, m=4, n_codes=16)
+    rows = (
+        c.select("vec_id", "embedding", PQ.pq_encode_expr("embedding", books).alias("codes"))
+        .limit(50)
+        .collect()
+    )
+    cb = np.asarray(books)  # (m, n_codes, sd)
+    m, _, sd = cb.shape
+    for r in rows:
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        for j in range(m):
+            d = ((v[j * sd : (j + 1) * sd][None, :] - cb[j]) ** 2).sum(axis=1)
+            assert r["codes"][j] == int(d.argmin()), (r["vec_id"], j)
+
+
+def test_trained_pq_beats_fixed_on_clustered_data(spark):
+    """What training actually guarantees (PQ cannot rank WITHIN a tight
+    cluster — all members share codes and ADC ties — so a top-k recall floor
+    would assert a property PQ doesn't have): (1) Lloyd-trained codebooks
+    reconstruct the corpus with far lower MSE than hash-fixed ones;
+    (2) quantization preserves cluster identity — each decoded vector's
+    nearest true center is its own cluster's."""
+    n, dim, n_clusters = 600, 16, 8
+    rng = np.random.RandomState(0)
+    centers = rng.standard_normal((n_clusters, dim)) * 2.0
+    labels = rng.randint(0, n_clusters, n)
+    X = centers[labels] + rng.standard_normal((n, dim)) * 0.05
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(n)], "vec_id long, embedding array<float>"
+    )
+
+    trained = PQ.pq_train(df, m=4, n_codes=8, sample_n=600, iters=8, seed=1)
+    assert len(trained) == 4 and all(len(code) == 4 for cb in trained for code in cb)
+    fixed = PQ.fixed_codebooks(dim=dim, m=4, n_codes=8)
+
+    # encode then decode in one pass
+    def recon(books):
+        rows = (
+            df.withColumn("codes", PQ.pq_encode_expr("embedding", books))
+            .select("vec_id", PQ.pq_decode_expr("codes", books).alias("dec"))
+            .collect()
+        )
+        return np.asarray([r["dec"] for r in sorted(rows, key=lambda r: r["vec_id"])])
+
+    rt = recon(trained)
+    rf = recon(fixed)
+    mse_t = float(((rt - X) ** 2).mean())
+    mse_f = float(((rf - X) ** 2).mean())
+    assert mse_t < mse_f / 10, (mse_t, mse_f)
+
+    # decoded vectors still identify their cluster
+    d2 = ((rt[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+    assert (d2.argmin(axis=1) == labels).mean() >= 0.95
+
+
+def test_codebook_validation():
+    books = PQ.fixed_codebooks(dim=64, m=4, n_codes=16)
+    books[1] = books[1][:-1]  # ragged
+    with pytest.raises(ValueError, match="ragged"):
+        PQ.pq_encode_expr("embedding", books)
+    with pytest.raises(ValueError):
+        PQ._validate([], dim=64)
