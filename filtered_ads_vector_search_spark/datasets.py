@@ -36,14 +36,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The events table is written with TIMESTAMP(NANOS) which Spark 4 rejects
-    by default; read nanos as long and rebuild a (microsecond) timestamp."""
+    """Load events, normalizing ``ts`` to a microsecond timestamp.
+
+    Older driver-generated parquet wrote ``ts`` as TIMESTAMP(NANOS), which
+    Spark 4 reads (with the legacy flag) as epoch-nanos BIGINT; current data
+    writes TIMESTAMP(MICROS), which loads as a timestamp directly. Branch on
+    the loaded dtype so both vintages work.
+    """
     from pyspark.sql import functions as F
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    # integer DIV, not floor(double /): epoch-nanos exceed float64 precision
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    dtype = dict(df.dtypes).get("ts")
+    if dtype in ("bigint", "long"):
+        # integer DIV, not floor(double /): epoch-nanos exceed float64 precision
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif dtype == "timestamp_ntz":
+        # Normalize to TIMESTAMP_LTZ so downstream epoch arithmetic
+        # (cast to bigint, unix_micros) stays legal. The session runs in
+        # UTC, so the cast preserves both wall-clock and instant, and the
+        # DuckDB oracle (naive timestamps) sees identical values.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -44,7 +44,10 @@ def portable_hash_col(col: Column, seed: int = 0) -> Column:
 
 
 def portable_hash_sql(expr: str, seed: int = 0) -> str:
-    h0 = f"(({expr}) + {seed * 7919}) % {P}"
+    # CAST to BIGINT: DuckDB types integer parquet columns as INT32, and
+    # e.g. id + seed*7919 can exceed 2^31 (seed 1337 overflows at id
+    # 2_136_895_945). Spark side is already bigint.
+    h0 = f"((CAST(({expr}) AS BIGINT)) + {seed * 7919}) % {P}"
     h1 = f"(({h0}) * {A1} + {C1}) % {P}"
     h2 = f"(({h1}) * {A2} + {C2}) % {P}"
     return f"({h2})"
