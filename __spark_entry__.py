@@ -46,9 +46,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB oracle SQL for each oracle-checkable query. Keys absent here
-    (knn_fp16, ann_ivf, grid_search_ivf, grid_search_lsh) are
-    non-SQL-expressible physical forms (fp16, k-means training, iterative
-    grid drivers) -> driver records rows-only checks. The IVF search
-    machinery itself IS oracle-checked via ann_ivf_fixed."""
+    """DuckDB oracle SQL for each oracle-checkable query. The only keys
+    absent here (ann_ivf, grid_search_ivf) contain trained k-means state —
+    genuinely non-SQL-expressible -> driver records rows-only checks. Their
+    search/metrics machinery IS oracle-checked via ann_ivf_fixed and
+    grid_metrics_fixed; the LSH grid family is fully oracled
+    (grid_search_lsh, grid_metrics_lsh_fixed)."""
     return dict(registry.ORACLES)

@@ -170,20 +170,36 @@ def sample_frames(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                raw = bytes(r[payload_col])
-                meta = _parse_header(raw)
-                ts_list = (
-                    list(range(0, meta["duration_ms"], every_ms))
-                    if meta["media_type"] == "video" and meta["duration_ms"] > 0
-                    else [0]
+            if len(pdf) == 0:
+                yield pd.DataFrame(
+                    columns=[f.name for f in keep] + ["frame_ts_ms", "frame_bytes"]
                 )
-                base = {f.name: r[f.name] for f in keep}
-                for ts in ts_list:
-                    # ---- real-codec seam: extract the actual frame here ----
-                    frame = hashlib.md5(raw + str(ts).encode()).digest()
-                    rows.append({**base, "frame_ts_ms": ts, "frame_bytes": frame})
-            yield pd.DataFrame(rows, columns=[f.name for f in keep] + ["frame_ts_ms", "frame_bytes"])
+                continue
+            metas = [_parse_header(bytes(b)) for b in pdf[payload_col]]
+            # frames per input row: ceil(duration/every) for video, else 1
+            n_frames = np.array(
+                [
+                    -(-m["duration_ms"] // every_ms)
+                    if m["media_type"] == "video" and m["duration_ms"] > 0
+                    else 1
+                    for m in metas
+                ],
+                dtype=np.int64,
+            )
+            # expand rows with np.repeat; per-frame timestamp = position within
+            # each row's run of output rows, times the stride
+            idx = np.repeat(np.arange(len(pdf)), n_frames)
+            total = int(n_frames.sum())
+            starts = np.cumsum(n_frames) - n_frames
+            frame_ts = (np.arange(total) - np.repeat(starts, n_frames)) * every_ms
+            out = pdf.drop(columns=[payload_col]).iloc[idx].reset_index(drop=True)
+            out["frame_ts_ms"] = frame_ts.astype(np.int32)
+            payloads = pdf[payload_col].to_numpy()[idx]
+            # ---- real-codec seam: extract the actual frame here ----
+            out["frame_bytes"] = [
+                hashlib.md5(bytes(p) + str(int(t)).encode()).digest()
+                for p, t in zip(payloads, frame_ts)
+            ]
+            yield out
 
     return df.mapInPandas(run, schema=schema)

@@ -28,6 +28,18 @@ from .recall import recall_at_k
 from .topk import Metric, knn_scalable
 
 
+def storage_memory_gb(spark: SparkSession) -> float:
+    """In-memory bytes across persisted relations, from Spark's status API —
+    the engine analog of the reference's MemoryMonitor build-memory delta
+    (reference: utils_grid_search.py:1034-1253; memory_increase_build_gb
+    column in benchmarking-results/cagra_fp16_*.csv). On a cluster this sums
+    every executor's block-manager storage; in local mode it is the single
+    JVM's storage pool. Sampled before/after each index build, the delta is
+    the materialized index footprint."""
+    infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    return float(sum(i.memSize() for i in infos)) / float(1 << 30)
+
+
 @dataclass
 class GridConfig:
     """Mirrors params_config.yaml:2-15 shape — lists crossed into combos, with
@@ -72,6 +84,7 @@ def grid_search(
 
     results: list[dict] = []
     for combo in param_grid(cfg):
+        mem0 = storage_memory_gb(spark)
         t0 = time.time()
         index = IVFIndex.build(
             filtered,
@@ -85,6 +98,9 @@ def grid_search(
         found = index.search(queries, k=cfg.k, nprobe=combo["nprobe"])
         n_found = found.count()
         search_s = time.time() - t0
+        # the persisted index relation is fully materialized once the first
+        # search has run over it — sample storage AFTER, delta = index footprint
+        mem_gb = max(0.0, storage_memory_gb(spark) - mem0)
         rec = recall_at_k(found, truth, k=cfg.k).first()["recall_at_k"]
 
         row = {
@@ -98,6 +114,7 @@ def grid_search(
             "qps": round(n_queries / search_s, 2) if search_s > 0 else None,
             "recall": float(rec) if rec is not None else 0.0,
             "n_result_rows": n_found,
+            "memory_increase_build_gb": round(mem_gb, 6),
         }
         if replay_seconds > 0:
             from ..streaming.replay import replay_throughput
@@ -164,6 +181,7 @@ def grid_search_lsh(
 
     results: list[dict] = []
     for combo in lsh_param_grid(cfg):
+        mem0 = storage_memory_gb(spark)
         index = LSHIndex.build(
             filtered,
             n_bits=combo["n_bits"],
@@ -175,6 +193,7 @@ def grid_search_lsh(
         found = index.search(queries, k=cfg.k, multiprobe=combo["multiprobe"])
         n_found = found.count()
         search_s = time.time() - t0
+        mem_gb = max(0.0, storage_memory_gb(spark) - mem0)
         rec = recall_at_k(found, truth, k=cfg.k).first()["recall_at_k"]
         row = {
             "run": run_name,
@@ -188,6 +207,7 @@ def grid_search_lsh(
             "qps": round(n_queries / search_s, 2) if search_s > 0 else None,
             "recall": float(rec) if rec is not None else 0.0,
             "n_result_rows": n_found,
+            "memory_increase_build_gb": round(mem_gb, 6),
         }
         results.append(row)
         if csv_path:

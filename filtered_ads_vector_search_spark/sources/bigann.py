@@ -56,9 +56,8 @@ def read_bigann(spark: SparkSession, path: str) -> DataFrame:
 
     def decode(batches):
         for pdf in batches:
-            for _, row in pdf.iterrows():
-                fname = row["path"]
-                raw = row["content"]
+            # one iteration per FILE (binaryFile source), not per data row
+            for fname, raw in zip(pdf["path"], pdf["content"]):
                 dt = dtype_from_filename(fname)
                 rows, cols = struct.unpack("<II", raw[:8])
                 mat = np.frombuffer(raw, dtype=dt, offset=8, count=rows * cols)

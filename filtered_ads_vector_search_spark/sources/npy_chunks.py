@@ -37,11 +37,12 @@ def read_npy_chunks(spark: SparkSession, path_glob: str) -> DataFrame:
 
     def decode(batches):
         for pdf in batches:
-            for _, row in pdf.iterrows():
-                arr = np.load(io.BytesIO(row["content"]), allow_pickle=False)
+            # one iteration per FILE (binaryFile source), not per data row
+            for path, content in zip(pdf["path"], pdf["content"]):
+                arr = np.load(io.BytesIO(content), allow_pickle=False)
                 if arr.ndim == 1:
                     arr = arr.reshape(-1, 1)
-                fname = os.path.basename(row["path"])
+                fname = os.path.basename(path)
                 if np.issubdtype(arr.dtype, np.number):
                     mat = arr.astype(np.float32)
                     vecs = list(mat)

@@ -44,6 +44,8 @@ def test_grid_search_lsh_end_to_end(spark, tmp_path):
     assert len(rows) == 2
     assert all(0.0 <= r["recall"] <= 1.0 for r in rows)
     assert all(r["build_time_seconds"] > 0 for r in rows)
+    # E9 MemoryMonitor analog: per-combo index memory footprint column
+    assert all(r["memory_increase_build_gb"] >= 0.0 for r in rows)
     rec = {r["multiprobe"]: r["recall"] for r in rows}
     # multiprobe widens candidates -> recall must not decrease
     assert rec[2] >= rec[0] - 1e-9
@@ -61,6 +63,11 @@ def test_grid_search_end_to_end(spark, tmp_path):
     assert len(rows) == 3  # constraint prunes (4, 8)
     assert all(0.0 <= r["recall"] <= 1.0 for r in rows)
     assert all(r["build_time_seconds"] > 0 for r in rows)
+    # E9 MemoryMonitor analog (reference utils_grid_search.py:1034-1253):
+    # the persisted index relation is materialized by the search, so at
+    # least one combo must report a positive storage delta
+    assert all(r["memory_increase_build_gb"] >= 0.0 for r in rows)
+    assert any(r["memory_increase_build_gb"] > 0.0 for r in rows)
     # more probes at same centroids -> recall must not decrease
     rec = {(r["n_centroids"], r["nprobe"]): r["recall"] for r in rows}
     assert rec[(8, 8)] >= rec[(8, 2)] - 1e-9
