@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "percentiles",
+    "percentiles_per_worker_mean",
     "qps_windows",
     "bracket_mean",
     "best_per_group",
@@ -45,6 +46,40 @@ def percentiles(
     ]
     g = df.groupBy(*group_cols) if group_cols else df.groupBy()
     return g.agg(*aggs)
+
+
+def percentiles_per_worker_mean(
+    df: DataFrame,
+    value_col: str,
+    worker_col: str,
+    group_cols: Sequence[str] = (),
+    ps: Sequence[float] = (0.5, 0.95, 0.99),
+) -> DataFrame:
+    """The v2 aggregation variant (reference:
+    cuvs_bench_grid_search_v2.py:300-317): each throughput worker computes
+    its OWN percentile over the latencies it observed, and the run-level
+    number is the MEAN of the per-worker percentiles — not the pooled
+    percentile v3 reports. The two differ whenever worker latency
+    distributions differ, so both are exposed.
+
+    Two map-combinable aggregations (per-worker exact percentile, then a
+    plain avg); no window, no extra shuffle beyond the two groupBys.
+    """
+    per_worker = df.groupBy(*group_cols, worker_col).agg(
+        *[
+            F.percentile(F.col(value_col), F.lit(p)).alias(f"_wp_{i}")
+            for i, p in enumerate(ps)
+        ]
+    )
+    g = per_worker.groupBy(*group_cols) if group_cols else per_worker.groupBy()
+    return g.agg(
+        *[
+            F.round(F.avg(f"_wp_{i}"), 4).alias(
+                f"p{str(p).replace('0.', '')}_worker_mean"
+            )
+            for i, p in enumerate(ps)
+        ]
+    )
 
 
 def qps_windows(

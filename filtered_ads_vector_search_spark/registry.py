@@ -309,6 +309,34 @@ FROM events GROUP BY event_type
 """
 
 
+def _latency_percentiles_v2_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v2-variant percentile aggregation (reference
+    cuvs_bench_grid_search_v2.py:300-317): per-worker p50/p95/p99, averaged.
+    Workers are modeled as a deterministic hash-partition of users — the
+    Spark analog of the reference's fixed worker pool."""
+    ev = _tbl(spark, sf_dir, "events").withColumn(
+        "worker", F.col("user_id") % F.lit(4)
+    )
+    return E.percentiles_per_worker_mean(ev, "value", "worker", ["event_type"])
+
+
+def _latency_percentiles_v2_sql() -> str:
+    return """
+WITH per_worker AS (
+  SELECT event_type, user_id % 4 AS worker,
+         quantile_cont(value, 0.5) AS wp0,
+         quantile_cont(value, 0.95) AS wp1,
+         quantile_cont(value, 0.99) AS wp2
+  FROM events GROUP BY event_type, user_id % 4
+)
+SELECT event_type,
+       round(avg(wp0), 4) AS p5_worker_mean,
+       round(avg(wp1), 4) AS p95_worker_mean,
+       round(avg(wp2), 4) AS p99_worker_mean
+FROM per_worker GROUP BY event_type
+"""
+
+
 def _qps_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = E.qps_windows(_tbl(spark, sf_dir, "events"))
     return out.select(
@@ -2593,6 +2621,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_error_context": _event_error_context_spark,
     "purchase_attribution_pairs": _purchase_attribution_pairs_spark,
     "latency_percentiles": _latency_percentiles_spark,
+    "latency_percentiles_v2": _latency_percentiles_v2_spark,  # NEW this round
     "knn_filtered_mid": lambda s, d: _knn_spark(s, d, "sqeuclidean", filter_name="mid_rated"),
     "knn_filtered_low": lambda s, d: _knn_spark(s, d, "sqeuclidean", filter_name="low_rated"),
     "knn_sq8_filtered_high": lambda s, d: _knn_spark(s, d, "sqeuclidean", filter_name="high_rated", quant="sq8"),
@@ -2690,6 +2719,7 @@ ORACLES: dict[str, str] = {
     "filter_selectivity": _selectivity_sql(),
     "rating_histogram": _histogram_sql(),
     "latency_percentiles": _latency_percentiles_sql(),
+    "latency_percentiles_v2": _latency_percentiles_v2_sql(),
     "qps_windows": _qps_sql(),
     "best_order_per_priority": _best_order_sql(),
     "pareto_frontier_suppliers": _pareto_sql(),

@@ -123,3 +123,39 @@ def test_token_counts_match_python(spark):
         # whitespace tokens: split on \s+ after trim (Spark split semantics)
         ws = len(t.strip().split()) if t.strip() else 1  # split('') -> ['']
         assert r["ws"] == ws, repr(t)
+
+
+def test_percentiles_per_worker_mean_vs_pooled(spark):
+    """v2 (per-worker percentile, then mean) vs v3 (pooled percentile)
+    semantics (reference cuvs_bench_grid_search_v2.py:300-317 vs v3:305):
+    equal when all workers see the same distribution, different when worker
+    distributions are skewed — both checked against numpy."""
+    import numpy as np
+
+    from filtered_ads_vector_search_spark.operators.evaluate import (
+        percentiles,
+        percentiles_per_worker_mean,
+    )
+
+    # worker 0 sees 0..99, worker 1 sees 1000..1099: pooled p99 straddles
+    # both, per-worker-mean averages the two local p99s
+    vals = [(0, float(v)) for v in range(100)] + [(1, float(v)) for v in range(1000, 1100)]
+    df = spark.createDataFrame(vals, "worker int, value double")
+
+    got = percentiles_per_worker_mean(df, "value", "worker", ps=(0.99,)).collect()[0]
+    w0 = np.percentile(np.arange(100, dtype=float), 99)
+    w1 = np.percentile(np.arange(1000, 1100, dtype=float), 99)
+    assert got["p99_worker_mean"] == round((w0 + w1) / 2, 4)
+
+    pooled = percentiles(df, "value", ps=(0.99,)).collect()[0]
+    allv = np.array([v for _, v in vals])
+    assert pooled["p99"] == round(float(np.percentile(allv, 99)), 4)
+    assert pooled["p99"] != got["p99_worker_mean"]  # skew separates the two
+
+    # identical per-worker distributions -> the variants agree
+    same = spark.createDataFrame(
+        [(w, float(v)) for w in (0, 1) for v in range(100)], "worker int, value double"
+    )
+    a = percentiles_per_worker_mean(same, "value", "worker", ps=(0.5,)).collect()[0]
+    b = percentiles(same, "value", ps=(0.5,)).collect()[0]
+    assert a["p5_worker_mean"] == b["p5"]
