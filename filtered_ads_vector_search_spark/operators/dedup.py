@@ -39,6 +39,9 @@ __all__ = [
     "simhash_pairs_banded_sql",
     "embedding_dup_pairs",
     "embedding_dup_pairs_lsh",
+    "duplicate_components",
+    "duplicate_components_sql",
+    "canonical_docs",
     "minhash_constants",
     "exact_dedup_sql",
     "ngram_jaccard_pairs_sql",
@@ -497,4 +500,97 @@ def embedding_dup_pairs(
         .withColumn("cos_dist", F.round(d, 4))
         .filter(F.col("cos_dist") <= max_cos_dist)
         .select("id_a", "id_b", "cos_dist")
+    )
+
+
+# --- duplicate clustering (connected components + canonical selection) ------
+
+
+def duplicate_components(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup pairs: (doc_id, component_id) with
+    component_id = min doc_id reachable through the pair graph.
+
+    Pairwise output is not what a dedup pipeline ships — transitive closure
+    is ("A~B, B~C" must drop two of {A,B,C}, not one). Computed by min-label
+    propagation: every vertex starts labeled with itself; each iteration
+    takes the min over its own and its neighbors' labels; fixpoint = the
+    component minimum. Per iteration: one equi-join (labels onto edge
+    endpoints) + one map-combinable min-groupBy — no crossJoin, no driver
+    materialization; convergence is a count of changed labels. Iterations
+    are bounded by graph DIAMETER, and near-dup clusters are shallow (dup
+    clusters of real corpora are cliques-ish); for adversarial long chains
+    swap in large-star/small-star (alternating pointer doubling, O(log n)
+    rounds) — same per-round plan shape.
+
+    Only vertices that appear in >= 1 pair are returned; unpaired docs are
+    their own (trivial) components and don't need rows at 100 TB scale.
+    """
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = (
+        edges.unionAll(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
+    ).cache()
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .select(F.col("src").alias("id"), "label")
+            .unionAll(labels)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+        ).cache()
+        changed = (
+            neighbor_min.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = neighbor_min
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("component_id"))
+
+
+def duplicate_components_sql(pairs_sql: str, id_a: str = "doc_a", id_b: str = "doc_b") -> str:
+    """DuckDB twin: transitive closure by recursive CTE (UNION dedups the
+    frontier so it terminates), then min reachable id per vertex."""
+    return f"""
+WITH RECURSIVE pairs AS ({pairs_sql}),
+edges AS (
+  SELECT {id_a} AS src, {id_b} AS dst FROM pairs
+  UNION
+  SELECT {id_b} AS src, {id_a} AS dst FROM pairs
+),
+reach(id, lab) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.lab FROM reach r JOIN edges e ON e.dst = r.id
+)
+SELECT id AS doc_id, min(lab) AS component_id FROM reach GROUP BY id
+"""
+
+
+def canonical_docs(
+    components: DataFrame,
+) -> DataFrame:
+    """Per-component summary for the keep-one-per-cluster policy:
+    (component_id, n_members, canonical_doc_id). Canonical = min doc_id =
+    the component label itself (deterministic, join-free to apply: a doc
+    survives iff doc_id == component_id). One map-combinable groupBy."""
+    return components.groupBy("component_id").agg(
+        F.count("*").alias("n_members"),
+        F.min("doc_id").alias("canonical_doc_id"),
     )

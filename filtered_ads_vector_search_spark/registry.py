@@ -1986,6 +1986,71 @@ def _minhash_pairs_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.minhash_pairs(_tbl(spark, sf_dir, "documents"), threshold=0.3)
 
 
+STRATA_FRACTIONS = {"en": 0.25, "de": 1.0, "es": 0.5, "fr": 1.0, "zh": 0.5}
+STRATA_TOPN = 20
+
+
+def _stratified_sample_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language rebalancing: downsample the dominant stratum, keep the rest —
+    the standard curation move before training-data mixing. Hash-gated, so
+    partition-invariant and oracle-reproducible."""
+    from .operators import sampling as SM
+
+    docs = _tbl(spark, sf_dir, "documents")
+    out = SM.stratified_sample(docs, "doc_id", "lang", STRATA_FRACTIONS)
+    return out.select("doc_id", "lang", "source")
+
+
+def _stratified_sample_sql() -> str:
+    from .operators import sampling as SM
+
+    gate = SM.stratified_sample_sql("doc_id", "lang", STRATA_FRACTIONS)
+    return f"SELECT doc_id, lang, source FROM documents WHERE {gate}"
+
+
+def _stratified_topn_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-budget per-language draw (exactly n docs per stratum, hash
+    order): the WindowGroupLimit form, same plan family as per-query top-k."""
+    from .operators import sampling as SM
+
+    docs = _tbl(spark, sf_dir, "documents")
+    return SM.stratified_topn(docs, "doc_id", "lang", STRATA_TOPN).select(
+        "doc_id", "lang"
+    )
+
+
+def _stratified_topn_sql() -> str:
+    from .operators import sampling as SM
+
+    return SM.stratified_topn_sql(
+        "documents", "doc_id", "lang", STRATA_TOPN, "doc_id, lang"
+    )
+
+
+def _dedup_components_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive dup clustering over the MinHash-LSH pairs: the keep-one
+    policy needs components, not pairs (A~B, B~C drops two docs, not one)."""
+    pairs = DD.minhash_pairs(_tbl(spark, sf_dir, "documents"), threshold=0.3)
+    return DD.duplicate_components(pairs)
+
+
+def _dedup_components_sql() -> str:
+    return DD.duplicate_components_sql(DD.minhash_pairs_sql(threshold=0.3))
+
+
+def _dedup_canonical_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = DD.minhash_pairs(_tbl(spark, sf_dir, "documents"), threshold=0.3)
+    return DD.canonical_docs(DD.duplicate_components(pairs))
+
+
+def _dedup_canonical_sql() -> str:
+    comp = DD.duplicate_components_sql(DD.minhash_pairs_sql(threshold=0.3))
+    return f"""
+SELECT component_id, count(*) AS n_members, min(doc_id) AS canonical_doc_id
+FROM ({comp}) GROUP BY component_id
+"""
+
+
 def _ngram_pairs_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.ngram_jaccard_pairs(_tbl(spark, sf_dir, "documents"), threshold=0.3)
 
@@ -2654,14 +2719,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- (c) flagships: re-drawn every round (round-2-green on current data) ---
     "knn_exact": lambda s, d: _knn_spark(s, d, "sqeuclidean"),
     "knn_sq8": lambda s, d: _knn_spark(s, d, "sqeuclidean", quant="sq8"),
-    "knn_fp16": _knn_fp16_spark,
     "recall_sq8_vs_fp": _recall_sq8_spark,
-    "ann_ivf_fixed": _ann_ivf_fixed_spark,
-    "ann_lsh": _ann_lsh_spark,
-    "knn_pq_adc": _knn_pq_adc_spark,
     "grid_metrics_fixed": _grid_metrics_fixed_spark,
     "grid_metrics_lsh_fixed": _grid_metrics_lsh_fixed_spark,  # NEW this round
     "grid_search_lsh": _grid_search_lsh_spark,  # NEWLY ORACLED this round
+    "dedup_components": _dedup_components_spark,  # NEW this round
+    "dedup_canonical": _dedup_canonical_spark,  # NEW this round
+    "stratified_sample": _stratified_sample_spark,  # NEW this round
+    "stratified_topn": _stratified_topn_spark,  # NEW this round
     "dedup_minhash_lsh": _minhash_pairs_spark,
     # --- beyond the driver's 50-entry verification window: all hash-verified
     # --- green in round 2's CORRECTNESS_r02.json on current testdata, code
@@ -2700,6 +2765,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q11": _tpch_q11_spark,
     "tpch_q20": _tpch_q20_spark,
     "pq_codes": _pq_codes_spark,
+    "knn_fp16": _knn_fp16_spark,
+    "knn_pq_adc": _knn_pq_adc_spark,
+    "ann_ivf_fixed": _ann_ivf_fixed_spark,
+    "ann_lsh": _ann_lsh_spark,
     "multimodal_decode": _multimodal_decode_spark,
 }
 
@@ -2752,6 +2821,10 @@ ORACLES: dict[str, str] = {
     "dedup_exact": DD.exact_dedup_sql(),
     "dedup_ngram_jaccard": DD.ngram_jaccard_pairs_sql(threshold=0.3),
     "dedup_minhash_lsh": DD.minhash_pairs_sql(threshold=0.3),
+    "dedup_components": _dedup_components_sql(),
+    "dedup_canonical": _dedup_canonical_sql(),
+    "stratified_sample": _stratified_sample_sql(),
+    "stratified_topn": _stratified_topn_sql(),
     "doc_simhash": _simhash_sql(),
     "dedup_simhash_banded": DD.simhash_pairs_banded_sql(max_hamming=3),
     "text_stats": _text_stats_sql(),

@@ -88,3 +88,38 @@ def test_simhash_banded_equals_brute(spark):
     brute = sorted(map(tuple, DD.simhash_pairs(docs, max_hamming=2).collect()))
     banded = sorted(map(tuple, DD.simhash_pairs_banded(docs, max_hamming=2).collect()))
     assert brute == banded and len(brute) > 0
+
+
+def test_duplicate_components_transitive_closure(spark):
+    """A~B, B~C must land A,B,C in ONE component (pairs alone would drop only
+    one doc; the cluster drops two). Chain of length 4 exercises >1 label-
+    propagation iteration; two disjoint pairs stay separate components."""
+    from filtered_ads_vector_search_spark.operators.dedup import (
+        canonical_docs,
+        duplicate_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 20)],
+        "doc_a long, doc_b long",
+    )
+    comp = {r["doc_id"]: r["component_id"] for r in duplicate_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+    canon = {
+        r["component_id"]: (r["n_members"], r["canonical_doc_id"])
+        for r in canonical_docs(duplicate_components(pairs)).collect()
+    }
+    assert canon == {1: (4, 1), 10: (2, 10), 20: (2, 20)}
+
+
+def test_duplicate_components_partition_invariance(spark):
+    """Same components regardless of input partitioning (the engine's
+    batch-size-invariance property applied to the iterative operator)."""
+    from filtered_ads_vector_search_spark.operators.dedup import duplicate_components
+
+    rows = [(i, i + 1) for i in range(0, 40, 2)] + [(5, 9), (9, 13)]
+    base = spark.createDataFrame(rows, "doc_a long, doc_b long")
+    a = {tuple(r) for r in duplicate_components(base.repartition(1)).collect()}
+    b = {tuple(r) for r in duplicate_components(base.repartition(7)).collect()}
+    assert a == b and len(a) > 0

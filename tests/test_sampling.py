@@ -1,0 +1,79 @@
+"""Deterministic sampling operators (operators/sampling.py): hash-gated
+rates, fixed-budget per-stratum draws, partition invariance."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from filtered_ads_vector_search_spark.operators import sampling as SM
+
+
+def _docs(spark, n=2000):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.element_at(
+            F.array(F.lit("en"), F.lit("de"), F.lit("zh")),
+            (F.col("id") % 3 + 1).cast("int"),
+        ).alias("lang"),
+    )
+
+
+def test_seeded_sample_rate_and_determinism(spark):
+    df = _docs(spark)
+    out1 = SM.seeded_sample(df, "doc_id", 0.3)
+    out2 = SM.seeded_sample(df, "doc_id", 0.3)
+    ids1 = {r["doc_id"] for r in out1.collect()}
+    ids2 = {r["doc_id"] for r in out2.collect()}
+    assert ids1 == ids2  # same seed -> same rows, not "approximately"
+    assert 0.2 < len(ids1) / 2000 < 0.4  # rate is honored
+    # different seed -> a different (deterministic) subset
+    ids3 = {r["doc_id"] for r in SM.seeded_sample(df, "doc_id", 0.3, seed=7).collect()}
+    assert ids3 != ids1
+
+
+def test_seeded_sample_is_partition_invariant(spark):
+    df = _docs(spark)
+    a = {r["doc_id"] for r in SM.seeded_sample(df.repartition(1), "doc_id", 0.5).collect()}
+    b = {r["doc_id"] for r in SM.seeded_sample(df.repartition(13), "doc_id", 0.5).collect()}
+    assert a == b
+
+
+def test_stratified_sample_rates_and_unknown_group(spark):
+    df = _docs(spark)
+    out = SM.stratified_sample(df, "doc_id", "lang", {"en": 1.0, "de": 0.25})
+    counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts["en"] == 667  # fraction 1.0 keeps every row of the stratum
+    assert 100 < counts.get("de", 0) < 250  # ~25% of 667
+    assert "zh" not in counts  # absent from fractions -> dropped
+
+
+def test_stratified_topn_exact_budget(spark):
+    df = _docs(spark)
+    out = SM.stratified_topn(df, "doc_id", "lang", 15)
+    counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"en": 15, "de": 15, "zh": 15}
+    # small stratum: budget larger than the group returns the whole group
+    small = df.filter(F.col("doc_id") < 5)
+    assert SM.stratified_topn(small, "doc_id", "lang", 100).count() == 5
+
+
+def test_stratified_topn_uses_window_group_limit(spark):
+    """The per-stratum draw must compile to WindowGroupLimit (map-side
+    partial), not a full sort — same plan family as per-query top-k."""
+    df = _docs(spark)
+    plan = (
+        SM.stratified_topn(df, "doc_id", "lang", 15)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan
+
+
+def test_sampling_validation(spark):
+    df = _docs(spark)
+    with pytest.raises(ValueError):
+        SM.seeded_sample(df, "doc_id", 1.5)
+    with pytest.raises(ValueError):
+        SM.stratified_sample(df, "doc_id", "lang", {"en": -0.1})
+    with pytest.raises(ValueError):
+        SM.stratified_topn(df, "doc_id", "lang", 0)
