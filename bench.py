@@ -94,6 +94,7 @@ def main() -> None:
 
     # --- registry headline queries (same code path the driver checks) ---
     for name in (
+        "knn_ivfpq_rerank",
         "knn_sq8",
         "knn_hamming_packed",
         "recall_sq8_vs_fp",

@@ -46,6 +46,7 @@ __all__ = [
     "fixed_codebooks",
     "pq_train",
     "pq_encode_expr",
+    "pq_encode_residual_expr",
     "pq_encode_sql",
     "pq_adc_search",
     "pq_adc_dist_sql",
@@ -148,24 +149,51 @@ def _cb_spark_literal(codebooks: Codebooks) -> str:
     )
 
 
-def pq_encode_expr(vec_sql: str, codebooks: Codebooks) -> Column:
-    """ARRAY<INT> of per-subspace nearest-code indices, as ONE parsed
-    expression. Per-subspace distance is the same element-ascending double
-    fold as vec_sqeuclidean; argmin is first-match (array_position on the
-    min), matching the DuckDB twin's list_position semantics."""
+def _encode_body_sql(var: str, codebooks: Codebooks) -> str:
+    """Encode SQL body over an arbitrary vector expression ``var`` (a column
+    reference or a lambda variable). Per-subspace distance is the same
+    element-ascending double fold as vec_sqeuclidean; argmin is first-match
+    (array_position on the min), matching the DuckDB twin's list_position
+    semantics. The distance array is let-bound via 1-element transform so
+    it's computed once."""
     m, n_codes, sd = _validate(codebooks)
     cb = _cb_spark_literal(codebooks)
-    # let-bind the distance array via 1-element transform so it's computed once
     dists = (
         f"transform(sequence(0, {n_codes - 1}), c -> "
         f"aggregate(sequence(0, {sd - 1}), 0.0D, (acc, i) -> "
-        f"acc + (cast(`{vec_sql}`[j * {sd} + i] as double) - {cb}[j][c][i]) * "
-        f"(cast(`{vec_sql}`[j * {sd} + i] as double) - {cb}[j][c][i])))"
+        f"acc + (cast({var}[j * {sd} + i] as double) - {cb}[j][c][i]) * "
+        f"(cast({var}[j * {sd} + i] as double) - {cb}[j][c][i])))"
     )
-    return F.expr(
+    return (
         f"transform(sequence(0, {m - 1}), j -> "
         f"transform(array({dists}), d -> "
         f"cast(array_position(d, array_min(d)) - 1 as int))[0])"
+    )
+
+
+def pq_encode_expr(vec_sql: str, codebooks: Codebooks) -> Column:
+    """ARRAY<INT> of per-subspace nearest-code indices, as ONE parsed
+    expression."""
+    return F.expr(_encode_body_sql(f"`{vec_sql}`", codebooks))
+
+
+def pq_encode_residual_expr(
+    vec_sql: str, cent_sql: str, codebooks: Codebooks
+) -> Column:
+    """Residual encoding (FAISS IVFPQ semantics): codes quantize
+    (vector - coarse_centroid), not the absolute vector. Within a bucket the
+    residual spread is the cluster's noise scale, so the same codebook budget
+    yields far finer distance resolution — the difference between a usable
+    and a useless ADC shortlist at corpus scale. The residual is let-bound
+    (computed once per row) via the 1-element-transform trick; encoding it
+    inline would re-evaluate the 64-element zip_with per (subspace, code,
+    element) reference."""
+    res = (
+        f"zip_with(cast(`{vec_sql}` as array<double>), "
+        f"cast(`{cent_sql}` as array<double>), (x, y) -> x - y)"
+    )
+    return F.expr(
+        f"transform(array({res}), rv -> {_encode_body_sql('rv', codebooks)})[0]"
     )
 
 

@@ -1424,6 +1424,140 @@ def _pq_codes_sql() -> str:
     return f"SELECT vec_id, {cols} FROM embeddings"
 
 
+_IVFPQ_NPROBE, _IVFPQ_RERANK = 4, 30
+
+
+def _knn_ivfpq_fixed_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed IVF+PQ tier (the FAISS IVFPQ analog, operators/ivfpq.py):
+    coarse-prune buckets, ADC-score codes inside probed buckets. Fixed
+    centroids + arithmetic codebooks -> the whole prune->encode->ADC path
+    is value-checked."""
+    from .operators.ivfpq import IVFPQIndex
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    q, c = TK.split_queries(emb)
+    idx = IVFPQIndex.build_fixed(
+        c, n_centroids=IVF_FIXED_CENTROIDS, m=_PQ_M, n_codes=_PQ_CODES
+    )
+    out = idx.search(q, k=K, nprobe=_IVFPQ_NPROBE)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").alias("rnk"),
+        F.round("dist", 3).alias("dist"),
+    )
+
+
+def _knn_ivfpq_rerank_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ with exact rerank: ADC top-R shortlist re-ordered by true
+    sqeuclidean on the kept vectors — the standard accuracy-recovery step."""
+    from .operators.ivfpq import IVFPQIndex
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    q, c = TK.split_queries(emb)
+    idx = IVFPQIndex.build_fixed(
+        c, n_centroids=IVF_FIXED_CENTROIDS, m=_PQ_M, n_codes=_PQ_CODES
+    )
+    out = idx.search(q, k=K, nprobe=_IVFPQ_NPROBE, rerank=_IVFPQ_RERANK)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").alias("rnk"),
+        F.round("dist", 3).alias("dist"),
+    )
+
+
+def _ivfpq_base_sql() -> str:
+    """Shared CTE prefix for the IVFPQ twins: query split, fixed-centroid
+    pick + assignment (same arithmetic as grid_metrics_fixed), RESIDUAL PQ
+    codes (FAISS IVFPQ semantics: codes quantize vector - centroid), probe
+    ranking, and ADC-scored candidates via per-(query, bucket) residuals."""
+    from .operators import pq as PQ
+
+    books = _pq_books()
+    d_assign = V.sqeuclidean_sql("c.embedding", "cent.centroid")
+    d_probe = V.sqeuclidean_sql("q.q_vec", "cent.centroid")
+    res_c = (
+        "list_transform(range(1, len(embedding) + 1), "
+        "i -> CAST(embedding[i] AS DOUBLE) - CAST(centroid[i] AS DOUBLE))"
+    )
+    res_q = (
+        "list_transform(range(1, len(q.q_vec) + 1), "
+        "i -> CAST(q.q_vec[i] AS DOUBLE) - CAST(cent.centroid[i] AS DOUBLE))"
+    )
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings
+  WHERE {FL.is_query_sql('vec_id')}
+), c AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE NOT {FL.is_query_sql('vec_id')}
+), cent AS (
+  SELECT centroid_id, centroid FROM (
+    SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC) - 1
+             AS centroid_id,
+           embedding AS centroid
+    FROM c) WHERE centroid_id < {IVF_FIXED_CENTROIDS}
+), assign AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT c.vec_id, c.embedding, cent.centroid_id,
+           row_number() OVER (PARTITION BY c.vec_id
+                              ORDER BY {d_assign} ASC, cent.centroid_id ASC) AS arn
+    FROM c CROSS JOIN cent) WHERE arn = 1
+), coded AS (
+  SELECT vec_id, embedding, centroid_id,
+         {PQ.pq_encode_sql('res', books)} AS codes
+  FROM (
+    SELECT a.vec_id, a.embedding, a.centroid_id, {res_c} AS res
+    FROM assign a JOIN cent USING (centroid_id))
+), probe AS (
+  SELECT query_id, centroid_id, qres FROM (
+    SELECT q.query_id, cent.centroid_id, {res_q} AS qres,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {d_probe} ASC, cent.centroid_id ASC) AS prn
+    FROM q CROSS JOIN cent) WHERE prn <= {_IVFPQ_NPROBE}
+), cand AS (
+  SELECT pr.query_id, a.vec_id AS neighbor_id, a.embedding,
+         {PQ.pq_adc_dist_sql('pr.qres', 'a.codes', books)} AS adc_dist
+  FROM probe pr
+  JOIN coded a ON a.centroid_id = pr.centroid_id
+)"""
+
+
+def _knn_ivfpq_fixed_sql() -> str:
+    return (
+        _ivfpq_base_sql()
+        + f"""
+SELECT query_id, neighbor_id, rnk, round(adc_dist, 3) AS dist FROM (
+  SELECT query_id, neighbor_id, adc_dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc_dist ASC, neighbor_id ASC) AS rnk
+  FROM cand) WHERE rnk <= {K}
+"""
+    )
+
+
+def _knn_ivfpq_rerank_sql() -> str:
+    d_exact = V.sqeuclidean_sql("q.q_vec", "s.embedding")
+    return (
+        _ivfpq_base_sql()
+        + f""",
+short AS (
+  SELECT query_id, neighbor_id, embedding FROM (
+    SELECT query_id, neighbor_id, embedding,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY adc_dist ASC, neighbor_id ASC) AS arn
+    FROM cand) WHERE arn <= {max(_IVFPQ_RERANK, K)}
+)
+SELECT query_id, neighbor_id, rnk, round(dist, 3) AS dist FROM (
+  SELECT s.query_id, s.neighbor_id, {d_exact} AS dist,
+         row_number() OVER (PARTITION BY s.query_id
+                            ORDER BY {d_exact} ASC, s.neighbor_id ASC) AS rnk
+  FROM short s JOIN q ON q.query_id = s.query_id) WHERE rnk <= {K}
+"""
+    )
+
+
 def _lineitem_rollup_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-level aggregation (ROLLUP): revenue at (flag, status), per-flag
     subtotal, and grand total in one Expand pass — subtotal NULLs are
@@ -2718,8 +2852,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_stats": _text_stats_spark,
     # --- (c) flagships: re-drawn every round (round-2-green on current data) ---
     "knn_exact": lambda s, d: _knn_spark(s, d, "sqeuclidean"),
-    "knn_sq8": lambda s, d: _knn_spark(s, d, "sqeuclidean", quant="sq8"),
-    "recall_sq8_vs_fp": _recall_sq8_spark,
+    "knn_ivfpq_fixed": _knn_ivfpq_fixed_spark,  # NEW this round
+    "knn_ivfpq_rerank": _knn_ivfpq_rerank_spark,  # NEW this round
     "grid_metrics_fixed": _grid_metrics_fixed_spark,
     "grid_metrics_lsh_fixed": _grid_metrics_lsh_fixed_spark,  # NEW this round
     "grid_search_lsh": _grid_search_lsh_spark,  # NEWLY ORACLED this round
@@ -2769,6 +2903,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_pq_adc": _knn_pq_adc_spark,
     "ann_ivf_fixed": _ann_ivf_fixed_spark,
     "ann_lsh": _ann_lsh_spark,
+    "knn_sq8": lambda s, d: _knn_spark(s, d, "sqeuclidean", quant="sq8"),
+    "recall_sq8_vs_fp": _recall_sq8_spark,
     "multimodal_decode": _multimodal_decode_spark,
 }
 
@@ -2861,6 +2997,8 @@ ORACLES: dict[str, str] = {
     "tpch_q20": _tpch_q20_sql(),
     "knn_pq_adc": _knn_pq_adc_sql(),
     "pq_codes": _pq_codes_sql(),
+    "knn_ivfpq_fixed": _knn_ivfpq_fixed_sql(),
+    "knn_ivfpq_rerank": _knn_ivfpq_rerank_sql(),
     "knn_scalable_filtered": "SELECT query_id, neighbor_id, rnk FROM ("
     + _knn_sql("sqeuclidean", filter_name="high_rated")
     + ")",

@@ -149,3 +149,67 @@ def test_ivf_filtered_recall_floor(spark):
     r = recall_at_k(found, truth, k=K).collect()[0]
     assert r.recall_at_k >= 0.80, r.recall_at_k
     idx.unpersist()
+
+
+# --- composed IVF+PQ tier ----------------------------------------------------
+
+
+def test_ivfpq_rerank_full_probe_equals_exact(spark):
+    """nprobe = n_centroids (no pruning) + rerank covering every candidate
+    == exact kNN: the composed operator degrades to brute force when its
+    approximation knobs are opened fully."""
+    from filtered_ads_vector_search_spark.operators.ivfpq import IVFPQIndex
+
+    q, c = _split(spark)
+    n = c.count()
+    idx = IVFPQIndex.build_fixed(c, n_centroids=8, m=4, n_codes=16)
+    got = idx.search(q, k=K, nprobe=8, rerank=n)
+    truth = TK.knn_window(q, c, k=K)
+    r = recall_at_k(got, truth, k=K).collect()[0]
+    assert r.recall_at_k == 1.0
+    idx.unpersist()
+
+
+def test_ivfpq_rerank_beats_or_matches_adc(spark):
+    """Exact rerank of the ADC shortlist can only improve recall (both
+    searches see the same candidates)."""
+    from filtered_ads_vector_search_spark.operators.ivfpq import IVFPQIndex
+
+    q, c = _split(spark)
+    idx = IVFPQIndex.build_fixed(c, n_centroids=8, m=4, n_codes=16)
+    truth = TK.knn_window(q, c, k=K)
+    r_adc = recall_at_k(idx.search(q, k=K, nprobe=4), truth, k=K).collect()[0]
+    r_rr = recall_at_k(idx.search(q, k=K, nprobe=4, rerank=50), truth, k=K).collect()[0]
+    assert r_rr.recall_at_k >= r_adc.recall_at_k - 1e-9
+    idx.unpersist()
+
+
+def test_ivfpq_trained_recall_floor(spark):
+    """Quality tier (trained KMeans coarse + residual Lloyd's codebooks) with
+    rerank clears the reference's filtered-ANN floor of 0.80 (tests.py:135)
+    at moderate knobs (m=8 subspaces, 32 codes, rerank 10x k, nprobe=8 —
+    nprobe=4 caps at IVF's own bucket-pruning recall on this weakly-clustered
+    smoke data; the clustered 1M corpus is benchmarked in SCALE_BENCH)."""
+    from filtered_ads_vector_search_spark.operators.ivfpq import IVFPQIndex
+
+    q, c = _split(spark)
+    idx = IVFPQIndex.build(c, n_centroids=8, m=8, n_codes=32, seed=42)
+    truth = TK.knn_window(q, c, k=K)
+    r = recall_at_k(idx.search(q, k=K, nprobe=8, rerank=100), truth, k=K).collect()[0]
+    assert r.recall_at_k >= 0.85, r.recall_at_k
+    idx.unpersist()
+
+
+def test_ivfpq_rerank_requires_vectors(spark):
+    import pytest
+
+    from filtered_ads_vector_search_spark.operators.ivfpq import IVFPQIndex
+
+    q, c = _split(spark)
+    idx = IVFPQIndex.build_fixed(c, n_centroids=4, m=4, n_codes=16, keep_vectors=False)
+    assert "embedding" not in idx.coded.columns  # codes-only layout
+    with pytest.raises(ValueError):
+        idx.search(q, k=K, nprobe=2, rerank=10)
+    # ADC-only search still works on the codes-only layout
+    assert idx.search(q, k=K, nprobe=4).count() > 0
+    idx.unpersist()
