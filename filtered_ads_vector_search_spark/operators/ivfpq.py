@@ -178,11 +178,42 @@ class IVFPQIndex:
 
     def write_bucketed(self, path: str) -> None:
         """Persist the composed layout partitioned by bucket: probe scans
-        prune to nprobe directories of CODES (not vectors)."""
+        prune to nprobe directories of CODES (not vectors). Codebooks ride
+        along as a tiny one-row table so load() restores a searchable index."""
         self.coded.write.mode("overwrite").partitionBy("partition_id").parquet(
             f"{path}/coded"
         )
         self.centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+        spark = self.coded.sparkSession
+        meta = spark.createDataFrame(
+            [(self.codebooks, self.residual, self.id_col, self.vec_col)],
+            "codebooks array<array<array<double>>>, residual boolean, "
+            "id_col string, vec_col string",
+        )
+        meta.coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+    @staticmethod
+    def load(spark, path: str) -> "IVFPQIndex":
+        """Open a written IVFPQ layout. Searches read only the probed
+        partition directories of the coded table (partition pruning at the
+        scan — the bucketed layout is the point of the tier)."""
+        centroids = spark.read.parquet(f"{path}/centroids")
+        coded = spark.read.parquet(f"{path}/coded")
+        meta = spark.read.parquet(f"{path}/meta").collect()[0]
+        books = [
+            [[float(x) for x in code] for code in cb] for cb in meta["codebooks"]
+        ]
+        return IVFPQIndex(
+            centroids=centroids,
+            coded=coded,
+            codebooks=books,
+            n_centroids=centroids.count(),
+            build_seconds=0.0,
+            id_col=meta["id_col"],
+            vec_col=meta["vec_col"],
+            has_vectors=meta["vec_col"] in coded.columns,
+            residual=meta["residual"],
+        )
 
     def search(
         self,

@@ -39,7 +39,19 @@ NOTES = {
     "As-of join (union-window form)": """\
 - Both sides union into one relation; a single `Exchange hashpartitioning(user_id)` + in-partition sort drive the running `last(..., ignorenulls)` — the exact cost of ONE sort-merge-join shuffle, with no row explosion for wide time gaps.
 - The right row rides along as a struct column, so payload width never multiplies the sort key data.""",
+    "IVFPQ search (residual ADC + exact rerank)": """\
+- The probe list carries one residual LUT per (query, probed bucket) — computed on the broadcast side; the coded corpus enters through ONE `BroadcastHashJoin` on `partition_id` and only ever streams.
+- The ADC score is an m-step `aggregate` of two array lookups inside `WholeStageCodegen` — no Python, no vector bytes in flight; only the ADC top-R shortlist touches full vectors for the exact rerank.
+- Both rank windows are `WindowGroupLimit` partial+final; the second sees <= R rows per query. Against the written layout (`IVFPQIndex.load`), the probe join adds partition pruning on the codes directories.""",
 }
+
+
+def _ivfpq_search(c, q):
+    from filtered_ads_vector_search_spark.operators.ivfpq import IVFPQIndex
+
+    return IVFPQIndex.build_fixed(c, n_centroids=16, m=4, n_codes=16).search(
+        q, k=10, nprobe=4, rerank=30
+    )
 
 
 def _lsh_search(c, q):
@@ -63,6 +75,7 @@ def main() -> None:
         "TPC-H Q6 pushdown": registry.QUERIES["tpch_q6"](spark, SF),
         "LSH bucket search (fused top-k)": _lsh_search(c, q),
         "As-of join (union-window form)": registry.QUERIES["event_attribution"](spark, SF),
+        "IVFPQ search (residual ADC + exact rerank)": _ivfpq_search(c, q),
     }
     out = [
         "# EXPLAIN — annotated physical plans (generated by scripts/gen_explain_doc.py at sf0.01)",

@@ -213,3 +213,35 @@ def test_ivfpq_rerank_requires_vectors(spark):
     # ADC-only search still works on the codes-only layout
     assert idx.search(q, k=K, nprobe=4).count() > 0
     idx.unpersist()
+
+
+def test_ivfpq_write_load_roundtrip_with_partition_pruning(spark, tmp_path):
+    """Written IVFPQ layout: the loaded index (codebooks + residual flag
+    restored from the meta table) returns identical results, and the probe
+    scan applies (dynamic) partition pruning on partition_id — the coded
+    table is read nprobe directories at a time."""
+    from filtered_ads_vector_search_spark.operators.ivfpq import IVFPQIndex
+
+    q, c = _split(spark)
+    q = q.limit(10).cache()
+    built = IVFPQIndex.build_fixed(c, n_centroids=8, m=4, n_codes=16)
+    path = str(tmp_path / "ivfpq")
+    built.write_bucketed(path)
+    loaded = IVFPQIndex.load(spark, path)
+    assert loaded.n_centroids == 8
+    assert loaded.residual and loaded.has_vectors
+    assert loaded.codebooks == built.codebooks
+
+    for kwargs in ({"nprobe": 2}, {"nprobe": 2, "rerank": 20}):
+        r_mem = sorted(map(tuple, built.search(q, k=5, **kwargs).collect()))
+        r_load = sorted(map(tuple, loaded.search(q, k=5, **kwargs).collect()))
+        assert r_mem == r_load and len(r_mem) > 0
+
+    plan = loaded.search(q, k=5, nprobe=2)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert (
+        "dynamicpruning" in plan.lower()
+        or "PartitionFilters: [isnotnull(partition_id" in plan
+    ), plan[:2000]
+    built.unpersist()
