@@ -243,3 +243,95 @@ def summarize(metrics: DataFrame) -> DataFrame:
         )
 
     return best(by_recall, "best_recall").unionAll(best(by_qps, "best_qps"))
+
+
+@dataclass
+class IVFPQGridConfig:
+    """Third grid family — the composed-tier sweep. The index artifact does
+    not depend on the search knobs, so the build runs ONCE and the sweep
+    walks (nprobe, rerank): exactly how the reference sweeps search_width /
+    itopk against one built index per build-param combo
+    (cuvs_bench_grid_search_v3.py:585-632)."""
+
+    nprobe: list[int] = field(default_factory=lambda: [2, 4])
+    rerank: list[int] = field(default_factory=lambda: [0, 20])
+    n_centroids: int = 16
+    m: int = 4
+    n_codes: int = 16
+    k: int = 10
+    seed: int = 42
+
+
+def ivfpq_param_grid(cfg: IVFPQGridConfig) -> list[dict]:
+    return [
+        {"nprobe": np_, "rerank": rr}
+        for np_, rr in itertools.product(cfg.nprobe, cfg.rerank)
+    ]
+
+
+def grid_search_ivfpq(
+    spark: SparkSession,
+    queries: DataFrame,
+    corpus: DataFrame,
+    cfg: IVFPQGridConfig | None = None,
+    predicate: Column | None = None,
+    fixed: bool = False,
+    run_name: str = "ivfpq",
+    csv_path: str | None = None,
+) -> DataFrame:
+    """IVFPQ-family grid: one build (fixed or trained), per-(nprobe, rerank)
+    search/recall rows — same lifecycle and CSV schema family as the other
+    two grids. ``fixed=True`` uses the deterministic build, making every
+    non-wall-clock column DuckDB-reproducible."""
+    from .ivfpq import IVFPQIndex
+
+    cfg = cfg if cfg is not None else IVFPQGridConfig()
+    filtered = corpus.filter(predicate) if predicate is not None else corpus
+    truth = knn_scalable(queries, filtered, k=cfg.k, metric="sqeuclidean").cache()
+    truth.count()
+    n_queries = queries.count()
+
+    mem0 = storage_memory_gb(spark)
+    if fixed:
+        index = IVFPQIndex.build_fixed(
+            filtered, n_centroids=cfg.n_centroids, m=cfg.m, n_codes=cfg.n_codes
+        )
+    else:
+        index = IVFPQIndex.build(
+            filtered,
+            n_centroids=cfg.n_centroids,
+            m=cfg.m,
+            n_codes=cfg.n_codes,
+            seed=cfg.seed,
+        )
+    mem_gb = max(0.0, storage_memory_gb(spark) - mem0)
+
+    results: list[dict] = []
+    for combo in ivfpq_param_grid(cfg):
+        t0 = time.time()
+        found = index.search(
+            queries, k=cfg.k, nprobe=combo["nprobe"], rerank=combo["rerank"]
+        )
+        n_found = found.count()
+        search_s = time.time() - t0
+        rec = recall_at_k(found, truth, k=cfg.k).first()["recall_at_k"]
+        row = {
+            "run": run_name,
+            "nprobe": combo["nprobe"],
+            "rerank": combo["rerank"],
+            "n_centroids": cfg.n_centroids,
+            "m": cfg.m,
+            "k": cfg.k,
+            "build_time_seconds": round(index.build_seconds, 3),
+            "search_time_seconds": round(search_s, 3),
+            "qps": round(n_queries / search_s, 2) if search_s > 0 else None,
+            "recall": float(rec) if rec is not None else 0.0,
+            "n_result_rows": n_found,
+            "memory_increase_build_gb": round(mem_gb, 6),
+        }
+        results.append(row)
+        if csv_path:
+            append_metrics_csv(row, csv_path)
+    index.unpersist()
+    truth.unpersist()
+    return spark.createDataFrame(results)

@@ -1558,6 +1558,149 @@ SELECT query_id, neighbor_id, rnk, round(dist, 3) AS dist FROM (
     )
 
 
+_IVFPQ_GRID_NPROBES = (2, 4)
+_IVFPQ_GRID_RERANKS = (0, 20)
+_IVFPQ_GRID_K = 5
+
+
+def _grid_search_ivfpq_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third grid family: the composed IVF+PQ tier swept over its search
+    knobs (nprobe x rerank) against one fixed build. Deterministic build ->
+    every projected column reproduces in the DuckDB twin (the grid_search_lsh
+    pattern applied to the composed tier)."""
+    from .operators.gridsearch import IVFPQGridConfig, grid_search_ivfpq
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    q, c = TK.split_queries(emb)
+    cfg = IVFPQGridConfig(
+        nprobe=list(_IVFPQ_GRID_NPROBES),
+        rerank=list(_IVFPQ_GRID_RERANKS),
+        n_centroids=IVF_FIXED_CENTROIDS,
+        m=_PQ_M,
+        n_codes=_PQ_CODES,
+        k=_IVFPQ_GRID_K,
+    )
+    return grid_search_ivfpq(spark, q, c, cfg, fixed=True).select(
+        "run", "nprobe", "rerank", "recall", "n_result_rows"
+    )
+
+
+def _grid_search_ivfpq_sql() -> str:
+    """DuckDB twin of the fixed-build IVFPQ grid: shared coded/probe CTEs
+    (residual encoding, prn kept up to max nprobe), then one found-set per
+    (nprobe, rerank) combo — ADC ranking for rerank=0, exact re-ranking of
+    the ADC shortlist otherwise — unioned into per-combo recall rows."""
+    from .operators import pq as PQ
+
+    books = _pq_books()
+    k = _IVFPQ_GRID_K
+    max_np = max(_IVFPQ_GRID_NPROBES)
+    d_assign = V.sqeuclidean_sql("c.embedding", "cent.centroid")
+    d_probe = V.sqeuclidean_sql("q.q_vec", "cent.centroid")
+    d_truth = V.sqeuclidean_sql("q.q_vec", "c.embedding")
+    d_exact = V.sqeuclidean_sql("q.q_vec", "s.embedding")
+    res_c = (
+        "list_transform(range(1, len(embedding) + 1), "
+        "i -> CAST(embedding[i] AS DOUBLE) - CAST(centroid[i] AS DOUBLE))"
+    )
+    res_q = (
+        "list_transform(range(1, len(q.q_vec) + 1), "
+        "i -> CAST(q.q_vec[i] AS DOUBLE) - CAST(cent.centroid[i] AS DOUBLE))"
+    )
+
+    found_parts = []
+    for np_ in _IVFPQ_GRID_NPROBES:
+        for rr in _IVFPQ_GRID_RERANKS:
+            if rr == 0:
+                found_parts.append(f"""
+SELECT {np_} AS nprobe, {rr} AS rerank, query_id, neighbor_id FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc_dist ASC, neighbor_id ASC) AS rnk
+  FROM cand WHERE prn <= {np_}) WHERE rnk <= {k}""")
+            else:
+                found_parts.append(f"""
+SELECT {np_} AS nprobe, {rr} AS rerank, query_id, neighbor_id FROM (
+  SELECT s.query_id, s.neighbor_id,
+         row_number() OVER (PARTITION BY s.query_id
+                            ORDER BY {d_exact} ASC, s.neighbor_id ASC) AS rnk
+  FROM (
+    SELECT query_id, neighbor_id, embedding FROM (
+      SELECT query_id, neighbor_id, embedding,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adc_dist ASC, neighbor_id ASC) AS arn
+      FROM cand WHERE prn <= {np_}) WHERE arn <= {max(rr, k)}) s
+  JOIN q ON q.query_id = s.query_id) WHERE rnk <= {k}""")
+    all_found = "\nUNION ALL\n".join(found_parts)
+    combos = ", ".join(
+        f"({np_}, {rr})" for np_ in _IVFPQ_GRID_NPROBES for rr in _IVFPQ_GRID_RERANKS
+    )
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings
+  WHERE {FL.is_query_sql('vec_id')}
+), c AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE NOT {FL.is_query_sql('vec_id')}
+), cent AS (
+  SELECT centroid_id, centroid FROM (
+    SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC) - 1
+             AS centroid_id,
+           embedding AS centroid
+    FROM c) WHERE centroid_id < {IVF_FIXED_CENTROIDS}
+), assign AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT c.vec_id, c.embedding, cent.centroid_id,
+           row_number() OVER (PARTITION BY c.vec_id
+                              ORDER BY {d_assign} ASC, cent.centroid_id ASC) AS arn
+    FROM c CROSS JOIN cent) WHERE arn = 1
+), coded AS MATERIALIZED (
+  SELECT vec_id, embedding, centroid_id,
+         {PQ.pq_encode_sql('res', books)} AS codes
+  FROM (
+    SELECT a.vec_id, a.embedding, a.centroid_id, {res_c} AS res
+    FROM assign a JOIN cent USING (centroid_id))
+), probe AS MATERIALIZED (
+  SELECT query_id, centroid_id, qres, prn FROM (
+    SELECT q.query_id, cent.centroid_id, {res_q} AS qres,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {d_probe} ASC, cent.centroid_id ASC) AS prn
+    FROM q CROSS JOIN cent) WHERE prn <= {max_np}
+), cand AS MATERIALIZED (
+  SELECT pr.query_id, pr.prn, a.vec_id AS neighbor_id, a.embedding,
+         {PQ.pq_adc_dist_sql('pr.qres', 'a.codes', books)} AS adc_dist
+  FROM probe pr
+  JOIN coded a ON a.centroid_id = pr.centroid_id
+), truth AS MATERIALIZED (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {d_truth} ASC, c.vec_id ASC) AS rnk
+    FROM q CROSS JOIN c) WHERE rnk <= {k}
+), found AS MATERIALIZED (
+{all_found}
+), matches AS (
+  SELECT f.nprobe, f.rerank, f.query_id, count(*) AS n_matched
+  FROM found f JOIN truth t ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
+  GROUP BY 1, 2, 3
+), combos AS (SELECT * FROM (VALUES {combos}) AS v(nprobe, rerank)),
+allq AS (SELECT DISTINCT query_id FROM truth),
+recalls AS (
+  SELECT cb.nprobe, cb.rerank,
+         round(avg(coalesce(m.n_matched, 0) / {float(k)}), 4) AS recall
+  FROM combos cb CROSS JOIN allq aq
+  LEFT JOIN matches m ON m.nprobe = cb.nprobe AND m.rerank = cb.rerank
+                     AND m.query_id = aq.query_id
+  GROUP BY cb.nprobe, cb.rerank),
+counts AS (
+  SELECT nprobe, rerank, count(*) AS n_result_rows FROM found GROUP BY 1, 2)
+SELECT 'ivfpq' AS run, r.nprobe, r.rerank, r.recall,
+       coalesce(cnt.n_result_rows, 0) AS n_result_rows
+FROM recalls r LEFT JOIN counts cnt
+  ON r.nprobe = cnt.nprobe AND r.rerank = cnt.rerank
+"""
+
+
 def _lineitem_rollup_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-level aggregation (ROLLUP): revenue at (flag, status), per-flag
     subtotal, and grand total in one Expand pass — subtotal NULLs are
@@ -2814,13 +2957,23 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "user_sessions": _sessions_spark,
     "user_sessions_native": _sessions_native_spark,
     "event_lag_stats": _event_lag_stats_spark,
+    # --- (a') NEW queries this round — need first-ever green rows ---
+    "knn_ivfpq_fixed": _knn_ivfpq_fixed_spark,
+    "knn_ivfpq_rerank": _knn_ivfpq_rerank_spark,
+    "grid_search_ivfpq": _grid_search_ivfpq_spark,
+    "grid_metrics_lsh_fixed": _grid_metrics_lsh_fixed_spark,
+    "grid_search_lsh": _grid_search_lsh_spark,
+    "dedup_components": _dedup_components_spark,
+    "dedup_canonical": _dedup_canonical_spark,
+    "stratified_sample": _stratified_sample_spark,
+    "stratified_topn": _stratified_topn_spark,
+    "latency_percentiles_v2": _latency_percentiles_v2_spark,
     # --- (b) round-1-green, not drawn in round 2 — re-verify on new testdata ---
     "qps_windows": _qps_spark,
     "event_attribution": _event_attribution_spark,
     "event_error_context": _event_error_context_spark,
     "purchase_attribution_pairs": _purchase_attribution_pairs_spark,
     "latency_percentiles": _latency_percentiles_spark,
-    "latency_percentiles_v2": _latency_percentiles_v2_spark,  # NEW this round
     "knn_filtered_mid": lambda s, d: _knn_spark(s, d, "sqeuclidean", filter_name="mid_rated"),
     "knn_filtered_low": lambda s, d: _knn_spark(s, d, "sqeuclidean", filter_name="low_rated"),
     "knn_sq8_filtered_high": lambda s, d: _knn_spark(s, d, "sqeuclidean", filter_name="high_rated", quant="sq8"),
@@ -2852,15 +3005,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_stats": _text_stats_spark,
     # --- (c) flagships: re-drawn every round (round-2-green on current data) ---
     "knn_exact": lambda s, d: _knn_spark(s, d, "sqeuclidean"),
-    "knn_ivfpq_fixed": _knn_ivfpq_fixed_spark,  # NEW this round
-    "knn_ivfpq_rerank": _knn_ivfpq_rerank_spark,  # NEW this round
     "grid_metrics_fixed": _grid_metrics_fixed_spark,
-    "grid_metrics_lsh_fixed": _grid_metrics_lsh_fixed_spark,  # NEW this round
-    "grid_search_lsh": _grid_search_lsh_spark,  # NEWLY ORACLED this round
-    "dedup_components": _dedup_components_spark,  # NEW this round
-    "dedup_canonical": _dedup_canonical_spark,  # NEW this round
-    "stratified_sample": _stratified_sample_spark,  # NEW this round
-    "stratified_topn": _stratified_topn_spark,  # NEW this round
     "dedup_minhash_lsh": _minhash_pairs_spark,
     # --- beyond the driver's 50-entry verification window: all hash-verified
     # --- green in round 2's CORRECTNESS_r02.json on current testdata, code
@@ -2999,6 +3144,7 @@ ORACLES: dict[str, str] = {
     "pq_codes": _pq_codes_sql(),
     "knn_ivfpq_fixed": _knn_ivfpq_fixed_sql(),
     "knn_ivfpq_rerank": _knn_ivfpq_rerank_sql(),
+    "grid_search_ivfpq": _grid_search_ivfpq_sql(),
     "knn_scalable_filtered": "SELECT query_id, neighbor_id, rnk FROM ("
     + _knn_sql("sqeuclidean", filter_name="high_rated")
     + ")",

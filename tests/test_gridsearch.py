@@ -218,3 +218,34 @@ def test_cli_half_precision_tier(spark, tmp_path):
     )
     name = "cagra_half_precision_mid_rated_grid_search_results.csv"
     assert os.path.exists(os.path.join(out, name))
+
+
+def test_grid_search_ivfpq_end_to_end(spark, tmp_path):
+    """Third grid family: one fixed build, (nprobe x rerank) sweep; rerank
+    and wider probes must not lower recall; CSV sink row per combo."""
+    from filtered_ads_vector_search_spark.operators.gridsearch import (
+        IVFPQGridConfig,
+        grid_search_ivfpq,
+        ivfpq_param_grid,
+    )
+
+    assert len(ivfpq_param_grid(IVFPQGridConfig())) == 4
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    q, c = TK.split_queries(emb)
+    csv_path = str(tmp_path / "ivfpq_grid.csv")
+    cfg = IVFPQGridConfig(nprobe=[2, 4], rerank=[0, 20], n_centroids=8, k=5)
+    rows = grid_search_ivfpq(spark, q, c, cfg, fixed=True, csv_path=csv_path).collect()
+    assert len(rows) == 4
+    assert all(0.0 <= r["recall"] <= 1.0 for r in rows)
+    assert all(r["build_time_seconds"] > 0 for r in rows)
+    assert all(r["memory_increase_build_gb"] >= 0.0 for r in rows)
+    rec = {(r["nprobe"], r["rerank"]): r["recall"] for r in rows}
+    # exact rerank of a top-20 ADC shortlist strictly contains the rerank=0
+    # top-5, so it can only help (or tie). NOTE: recall is NOT asserted
+    # monotone in nprobe at fixed rerank — more probes add candidates that
+    # can evict true neighbors from a fixed-size ADC shortlist (classic
+    # IVFPQ behavior when the rerank list is small).
+    assert rec[(4, 20)] >= rec[(4, 0)] - 1e-9
+    assert rec[(2, 20)] >= rec[(2, 0)] - 1e-9
+    with open(csv_path) as f:
+        assert len(f.readlines()) == 5  # header + 4 combos
