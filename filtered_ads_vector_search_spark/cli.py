@@ -5,7 +5,8 @@ cuvs_bench_grid_search_v3.py:845-874 argparse -> main:746-838).
 Lifecycle parity with the reference's main():
 argparse -> ``load_all_input_configs`` (filter_config.yaml + params_config.yaml
 merged with defaults) -> per (data source x active filter) run -> grid family
-(cagra->IVF / hnsw->LSH per the SURVEY §2 I1/I2 knob mapping) -> one-time
+(cagra->IVF / hnsw->LSH / ivfpq->composed IVF+PQ per the SURVEY §2 I1/I2
+knob mapping) -> one-time
 cached exact ground truth -> per-combo build/search/recall rows appended to an
 incremental CSV (reference :690-693) -> per-family summary CSV of
 best-recall/best-QPS rows (all_runs_summary-2.csv shape).
@@ -37,10 +38,16 @@ from pyspark.sql import functions as F
 
 from .operators import topk as TK
 from .operators.filters import with_rating_bucket
-from .operators.gridsearch import grid_search, grid_search_lsh, summarize
+from .operators.gridsearch import (
+    grid_search,
+    grid_search_ivfpq,
+    grid_search_lsh,
+    summarize,
+)
 from .sources.config import (
     filter_predicates,
     ivf_grid_from_config,
+    ivfpq_grid_from_config,
     load_all_input_configs,
     lsh_grid_from_config,
 )
@@ -90,7 +97,12 @@ def build_parser() -> argparse.ArgumentParser:
         default=".",
         help="directory with filter_config.yaml + params_config.yaml",
     )
-    p.add_argument("--algo-type", default="cagra", choices=["cagra", "hnsw"])
+    p.add_argument(
+        "--algo-type",
+        default="cagra",
+        choices=["cagra", "hnsw", "ivfpq"],
+        help="index family: cagra->IVF, hnsw->LSH, ivfpq->composed IVF+PQ",
+    )
     p.add_argument(
         "--results-dir",
         default=None,
@@ -144,7 +156,18 @@ def run(argv: list[str] | None = None, spark: SparkSession | None = None) -> str
         # {algo}_{qtype}_..._grid_search_results_new.csv (reference :608-610)
         csv_path = os.path.join(results_dir, f"{run_name}_grid_search_results.csv")
         t0 = time.time()
-        if args.algo_type == "cagra":
+        if args.algo_type == "ivfpq":
+            cfg = ivfpq_grid_from_config(config, limit_values=args.limit_values)
+            metrics = grid_search_ivfpq(
+                spark,
+                queries,
+                corpus,
+                cfg,
+                predicate=pred,
+                run_name=run_name,
+                csv_path=csv_path,
+            )
+        elif args.algo_type == "cagra":
             cfg = ivf_grid_from_config(config, limit_values=args.limit_values)
             metrics = grid_search(
                 spark,

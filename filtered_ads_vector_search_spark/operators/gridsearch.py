@@ -221,7 +221,7 @@ def grid_search_lsh(
 #: knob columns across both grid families; summarize() keeps whichever the
 #: metrics DataFrame actually carries (IVF: n_centroids/nprobe, LSH:
 #: n_bits/n_tables/multiprobe).
-_KNOB_COLUMNS = ("n_centroids", "nprobe", "n_bits", "n_tables", "multiprobe")
+_KNOB_COLUMNS = ("n_centroids", "nprobe", "n_bits", "n_tables", "multiprobe", "rerank", "m")
 
 
 def summarize(metrics: DataFrame) -> DataFrame:

@@ -11,6 +11,7 @@ from .config import (
     load_all_input_configs,
     filter_predicates,
     ivf_grid_from_config,
+    ivfpq_grid_from_config,
     lsh_grid_from_config,
 )
 from .jsonl import read_reviews_jsonl, read_embeddings_jsonl
@@ -23,6 +24,7 @@ __all__ = [
     "load_all_input_configs",
     "filter_predicates",
     "ivf_grid_from_config",
+    "ivfpq_grid_from_config",
     "lsh_grid_from_config",
     "read_reviews_jsonl",
     "read_embeddings_jsonl",

@@ -154,3 +154,24 @@ def lsh_grid_from_config(config: dict, limit_values: int | None = None):
         multiprobe=multiprobe,
         k=int(hp.get("topk", [10])[0]),
     )
+
+
+def ivfpq_grid_from_config(config: dict, limit_values: int | None = None):
+    """cagra_params -> composed IVF+PQ grid: the coarse knobs reuse the IVF
+    mapping (n_centroids ~ max graph_degree, nprobe ~ search_width); the
+    rerank axis comes from itopk_size (the reference's internal-candidate-
+    list knob — exactly the role the ADC shortlist plays), clamped to
+    >= topk."""
+    from ..operators.gridsearch import IVFPQGridConfig
+
+    cp = config["cagra_params"]
+    k = int(cp.get("topk", [10])[0])
+    rerank = _take(
+        sorted({max(k, int(x)) for x in cp.get("itopk_size", [2 * k])}), limit_values
+    )
+    return IVFPQGridConfig(
+        nprobe=_take(sorted({int(x) for x in cp["search_width"]}), limit_values),
+        rerank=rerank,
+        n_centroids=max(int(x) for x in cp["graph_degree"]),
+        k=k,
+    )

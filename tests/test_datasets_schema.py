@@ -35,3 +35,16 @@ def test_events_ts_range_sane(spark):
     # actual range; assert the years are plausible.
     assert 2000 <= row["lo"].year <= 2100
     assert 2000 <= row["hi"].year <= 2100
+
+
+def test_core_table_dtypes(spark):
+    """Dtype guards for the columns every operator family depends on — the
+    same drift class as the events.ts vintage change, caught in pytest."""
+    emb = dict(datasets.load_table(spark, SF_DIR, "embeddings").dtypes)
+    assert emb["vec_id"] == "bigint"
+    assert emb["embedding"] == "array<float>"
+    docs = dict(datasets.load_table(spark, SF_DIR, "documents").dtypes)
+    assert docs["doc_id"] == "bigint" and docs["text"] == "string"
+    assert docs["lang"] == "string"
+    li = dict(datasets.load_table(spark, SF_DIR, "lineitem").dtypes)
+    assert li["l_shipdate"] in ("date", "timestamp", "timestamp_ntz"), li["l_shipdate"]

@@ -249,3 +249,29 @@ def test_grid_search_ivfpq_end_to_end(spark, tmp_path):
     assert rec[(2, 20)] >= rec[(2, 0)] - 1e-9
     with open(csv_path) as f:
         assert len(f.readlines()) == 5  # header + 4 combos
+
+
+def test_cli_ivfpq_algo_type(spark, tmp_path):
+    """--algo-type ivfpq drives the composed-tier sweep from the reference's
+    own YAML (itopk_size -> rerank axis) and writes the same artifacts."""
+    import csv
+
+    from filtered_ads_vector_search_spark.cli import run
+
+    out = run(
+        [
+            "--data", SF_SMOKE,
+            "--quantization-folder", "full_precision",
+            "--config-path", "/root/reference",
+            "--algo-type", "ivfpq",
+            "--results-dir", str(tmp_path),
+            "--limit-values", "1",
+        ],
+        spark=spark,
+    )
+    run_name = "ivfpq_full_precision_mid_rated"
+    with open(f"{out}/{run_name}_grid_search_results.csv") as f:
+        combos = list(csv.DictReader(f))
+    assert len(combos) == 1 and combos[0]["run"] == run_name
+    assert 0.0 <= float(combos[0]["recall"]) <= 1.0
+    assert int(combos[0]["rerank"]) >= int(combos[0]["k"])

@@ -83,3 +83,28 @@ def test_minhash_partition_count_invariance(spark):
     a = DD.minhash_pairs(docs.repartition(1), threshold=0.3)
     b = DD.minhash_pairs(docs.repartition(16), threshold=0.3)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_ivfpq_adc_search_single_shuffle(spark):
+    """IVFPQ ADC search: the coded corpus enters ONE broadcast-hash join on
+    the bucket key and NEVER shuffles — every shuffle exchange in the plan
+    partitions on query_id (per-query rank rows: nprobe-sized for the probe
+    ranking, k-sized for the final window), so shuffle volume is bounded by
+    queries x k, independent of corpus size (the EXPLAIN.md claim)."""
+    from filtered_ads_vector_search_spark.operators.ivfpq import IVFPQIndex
+    from filtered_ads_vector_search_spark.plans import physical_plan
+
+    emb = spark.read.parquet(f"{SF_TEST}/embeddings.parquet")
+    q, c = TK.split_queries(emb)
+    idx = IVFPQIndex.build_fixed(c, n_centroids=8, m=4, n_codes=16)
+    try:
+        plan = physical_plan(idx.search(q, k=10, nprobe=4))
+        shuffles = [
+            l for l in plan.splitlines()
+            if "Exchange" in l and "BroadcastExchange" not in l
+        ]
+        assert shuffles, plan[:2000]
+        assert all("hashpartitioning(query_id" in l for l in shuffles), shuffles
+        assert "BroadcastHashJoin" in plan
+    finally:
+        idx.unpersist()
