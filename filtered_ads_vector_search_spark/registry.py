@@ -2355,6 +2355,63 @@ def _pack_assignments_sql() -> str:
     )
 
 
+_CURATE_MIN_TOKENS = 5
+_CURATE_MIN_QUALITY = 0.3
+_CURATE_PACK_BUDGET = 256
+
+
+def _curation_pipeline_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END curation: the engine's operators composed into the actual
+    product a training-data pipeline ships — quality gate (min tokens +
+    quality score) -> transitive near-dup removal keeping one canonical doc
+    per cluster -> token-budget sequence packing of the survivors. One
+    DataFrame chain, every stage scale-shaped (scan-level filters, banded
+    dedup join, anti-join drop, distributed prefix-sum packing)."""
+    from .operators.chunking import pack_sequences
+
+    docs = _tbl(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        T.token_count(F.col("text")).alias("n_tok"),
+        T.quality_score(F.col("text")).alias("q"),
+    )
+    kept = docs.filter(
+        (F.col("n_tok") >= _CURATE_MIN_TOKENS) & (F.col("q") >= _CURATE_MIN_QUALITY)
+    )
+    pairs = DD.minhash_pairs(kept, threshold=0.3)
+    comp = DD.duplicate_components(pairs)
+    dropped = comp.filter(F.col("doc_id") != F.col("component_id")).select("doc_id")
+    survivors = kept.join(dropped, "doc_id", "left_anti")
+    return pack_sequences(
+        survivors.select("doc_id", "n_tok"), "n_tok", budget=_CURATE_PACK_BUDGET
+    )
+
+
+def _curation_pipeline_sql() -> str:
+    from .operators.chunking import pack_sequences_sql
+
+    # comp's body carries its own WITH RECURSIVE (legal as a nested CTE
+    # scope); the outer `kept` CTE is visible inside it
+    comp = DD.duplicate_components_sql(DD.minhash_pairs_sql(table="kept", threshold=0.3))
+    curated = f"""
+WITH kept AS (
+  SELECT doc_id, text, {T.token_count_sql('text')} AS n_tok
+  FROM documents
+  WHERE {T.token_count_sql('text')} >= {_CURATE_MIN_TOKENS}
+    AND {T.quality_score_sql('text')} >= {_CURATE_MIN_QUALITY}
+), comp AS ({comp}),
+survivors AS (
+  SELECT k.doc_id, k.n_tok FROM kept k
+  WHERE k.doc_id NOT IN (
+    SELECT doc_id FROM comp WHERE doc_id != component_id)
+)
+SELECT * FROM survivors
+"""
+    return pack_sequences_sql(
+        f"({curated})", "n_tok", budget=_CURATE_PACK_BUDGET
+    )
+
+
 def _dedup_components_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive dup clustering over the MinHash-LSH pairs: the keep-one
     policy needs components, not pairs (A~B, B~C drops two docs, not one)."""
@@ -3020,6 +3077,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_topn": _stratified_topn_spark,
     "doc_chunks": _doc_chunks_spark,
     "pack_assignments": _pack_assignments_spark,
+    "curation_pipeline": _curation_pipeline_spark,
     "latency_percentiles_v2": _latency_percentiles_v2_spark,
     # --- (b) round-1-green, not drawn in round 2 — re-verify on new testdata ---
     "qps_windows": _qps_spark,
@@ -3161,6 +3219,7 @@ ORACLES: dict[str, str] = {
     "stratified_topn": _stratified_topn_sql(),
     "doc_chunks": _doc_chunks_sql(),
     "pack_assignments": _pack_assignments_sql(),
+    "curation_pipeline": _curation_pipeline_sql(),
     "doc_simhash": _simhash_sql(),
     "dedup_simhash_banded": DD.simhash_pairs_banded_sql(max_hamming=3),
     "text_stats": _text_stats_sql(),
