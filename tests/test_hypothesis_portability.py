@@ -56,3 +56,74 @@ def test_rating_bucket_sql_matches_python(vec_id):
     h = py_portable_hash(vec_id, 1337) % 10000
     label = next(lbl for lbl, cum in BUCKETS if h < cum)
     assert got == label
+
+
+def py_pack(docs: list[tuple[int, int]], budget: int, n_shards: int, seed: int):
+    """Pure-Python reference for pack_sequences: order by (shard, hash, id),
+    cumulative start offsets, floor/mod against the budget."""
+    from filtered_ads_vector_search_spark.operators.chunking import PACK_SEED  # noqa: F401
+
+    ordered = sorted(
+        docs,
+        key=lambda d: (py_portable_hash(d[0], seed) % n_shards,
+                       py_portable_hash(d[0], seed), d[0]),
+    )
+    out, start = {}, 0
+    for doc_id, tok in ordered:
+        out[doc_id] = (start // budget, start % budget, start % budget + tok > budget)
+        start += tok
+    return out
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=2**40),
+                  st.integers(min_value=1, max_value=500)),
+        min_size=1, max_size=40, unique_by=lambda d: d[0],
+    ),
+    st.integers(min_value=1, max_value=1000),
+)
+def test_pack_sequences_sql_matches_python(docs, budget):
+    """pack_sequences_sql (the DuckDB twin of the distributed prefix sum)
+    equals the pure-Python concat-and-split over generated corpora."""
+    from filtered_ads_vector_search_spark.operators.chunking import (
+        DEFAULT_SHARDS,
+        PACK_SEED,
+        pack_sequences_sql,
+    )
+
+    values = ", ".join(f"({i}, {t})" for i, t in docs)
+    sql = pack_sequences_sql(
+        f"(SELECT * FROM (VALUES {values}) AS v(doc_id, n_tok))", "n_tok", budget=budget
+    )
+    got = {r[0]: (r[1], r[2], r[3]) for r in CON.sql(sql).fetchall()}
+    assert got == py_pack(docs, budget, DEFAULT_SHARDS, PACK_SEED)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.text(min_size=0, max_size=200).filter(lambda s: "\x00" not in s),
+    st.integers(min_value=2, max_value=50),
+    st.integers(min_value=0, max_value=48),
+)
+def test_chunk_sql_matches_python(text, chunk_chars, overlap):
+    """chunk_text_sql_parts equals pure-Python slicing for every (size,
+    overlap) — including multi-byte text (both engines are CHARACTER-based)."""
+    from hypothesis import assume
+
+    from filtered_ads_vector_search_spark.operators.chunking import (
+        chunk_text_sql_parts,
+    )
+
+    assume(overlap < chunk_chars)
+    step = chunk_chars - overlap
+    lit = "'" + text.replace("'", "''") + "'"
+    parts = chunk_text_sql_parts(chunk_chars, overlap, lit)
+    rows = CON.sql(f"SELECT unnest({parts}) AS e").fetchall()
+    got = [(r[0]["chunk_id"], r[0]["chunk"]) for r in rows]
+    import math
+
+    n = max(1, math.ceil(max(0, len(text) - overlap) / step))
+    want = [(i, text[i * step : i * step + chunk_chars]) for i in range(n)]
+    assert got == want
