@@ -142,16 +142,20 @@ class IVFIndex:
         corpus is only touched once, by the final assignment scan.
         """
         t0 = time.time()
-        n_rows = corpus.count()
-        if n_rows == 0:
+        # Hash-ordered bounded sample (same discipline as pq.pq_train):
+        # df.sample() AND plain collect() order are both partition-dependent,
+        # and k-means++ seeding consumes rows by position — so without a
+        # deterministic order the trained index would vary with input
+        # partitioning, breaking the engine's partition-invariance principle.
+        train = (
+            corpus.select(F.col(vec_col).alias("_v"))
+            .withColumn("_h", F.crc32(F.col("_v").cast("string")))
+            .orderBy("_h", F.col("_v").cast("string"))
+            .limit(train_sample_rows)
+        )
+        X = np.array([r["_v"] for r in train.collect()], dtype=np.float64)
+        if len(X) == 0:
             raise ValueError("cannot build an IVF index over an empty corpus")
-        if n_rows > train_sample_rows:
-            train = corpus.select(vec_col).sample(
-                fraction=train_sample_rows / n_rows, seed=seed
-            )
-        else:
-            train = corpus.select(vec_col)
-        X = np.array([r[0] for r in train.collect()], dtype=np.float64)
         # a high-selectivity filter can leave fewer rows than centroids
         n_centroids = min(n_centroids, len(X))
         centers = _kmeans_numpy(X, n_centroids, seed=seed, max_iter=max_iter)
