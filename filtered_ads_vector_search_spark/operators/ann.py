@@ -282,6 +282,33 @@ class IVFIndex:
             vec_col=vec_col,
         )
 
+    @staticmethod
+    def append_to_layout(spark, path: str, new_rows: DataFrame, vec_col: str = "embedding") -> int:
+        """Incremental index maintenance: assign NEW vectors to the layout's
+        EXISTING centroids and append them to the bucketed Parquet — the
+        standard IVF add-without-retrain operation (FAISS `index.add`;
+        retraining cadence is an offline policy decision).
+
+        Append-mode partitioned write touches only the directories the new
+        rows land in; existing files are never rewritten, and subsequent
+        loads/searches see old + new rows with the same pruning. The
+        assignment pass is the same single Arrow-batched scan as the build's.
+        Returns the number of rows appended."""
+        centroids = spark.read.parquet(f"{path}/centroids").orderBy("centroid_id")
+        centers = np.array(
+            [r["centroid"] for r in centroids.collect()], dtype=np.float64
+        )
+        if len(centers) == 0:
+            raise ValueError(f"no centroids found under {path}")
+        assigned = new_rows.withColumn(
+            "partition_id", _assign_udf(centers)(F.col(vec_col))
+        )
+        n = assigned.count()
+        assigned.write.mode("append").partitionBy("partition_id").parquet(
+            f"{path}/assigned"
+        )
+        return n
+
     def search(
         self,
         queries: DataFrame,

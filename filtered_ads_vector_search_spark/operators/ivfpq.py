@@ -193,6 +193,52 @@ class IVFPQIndex:
         meta.coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
     @staticmethod
+    def append_to_layout(
+        spark, path: str, new_rows: DataFrame, vec_col: str | None = None
+    ) -> int:
+        """Incremental add (FAISS `index.add` semantics): assign new vectors
+        to the layout's existing centroids, residual-encode them with the
+        layout's codebooks, and append to the bucketed coded Parquet — only
+        the touched bucket directories grow; nothing is retrained or
+        rewritten. Returns rows appended."""
+        import numpy as np
+
+        from .ann import _assign_udf
+
+        idx = IVFPQIndex.load(spark, path)
+        vec = vec_col or idx.vec_col
+        centers = np.array(
+            [
+                r["centroid"]
+                for r in idx.centroids.orderBy("centroid_id").collect()
+            ],
+            dtype=np.float64,
+        )
+        assigned = new_rows.withColumn(
+            "partition_id", _assign_udf(centers)(F.col(vec))
+        )
+        if idx.residual:
+            base = assigned.join(
+                F.broadcast(
+                    idx.centroids.select(
+                        F.col("centroid_id").alias("partition_id"), "centroid"
+                    )
+                ),
+                "partition_id",
+            )
+            codes = pq_encode_residual_expr(vec, "centroid", idx.codebooks)
+        else:
+            base = assigned
+            codes = pq_encode_expr(vec, idx.codebooks)
+        cols = [F.col(idx.id_col), F.col("partition_id")]
+        if idx.has_vectors:
+            cols.append(F.col(vec).alias(idx.vec_col))
+        out = base.select(*cols, codes.alias("codes"))
+        n = out.count()
+        out.write.mode("append").partitionBy("partition_id").parquet(f"{path}/coded")
+        return n
+
+    @staticmethod
     def load(spark, path: str) -> "IVFPQIndex":
         """Open a written IVFPQ layout. Searches read only the probed
         partition directories of the coded table (partition pruning at the

