@@ -46,3 +46,46 @@ def serve_stream(
     else:
         writer = writer.trigger(processingTime=processing_time)
     return writer.start()
+
+
+def maintain_index_stream(
+    vector_stream: DataFrame,
+    layout_path: str,
+    checkpoint: str,
+    kind: str = "ivf",
+    trigger_available_now: bool = False,
+    processing_time: str = "10 seconds",
+) -> StreamingQuery:
+    """Online index maintenance: new vectors arrive as a stream; every
+    micro-batch is assigned to the written layout's EXISTING centroids and
+    appended to its bucketed Parquet (IVFIndex/IVFPQIndex.append_to_layout).
+    foreachBatch + the checkpoint give exactly-once appends per batch id on
+    restart; searches against reloads see the grown index with the same
+    partition pruning. Retraining stays an offline policy decision.
+
+    vector_stream: streaming DataFrame with the layout's (id, vec) columns.
+    kind: "ivf" or "ivfpq" — which layout lives at ``layout_path``.
+    """
+    from ..operators.ann import IVFIndex
+    from ..operators.ivfpq import IVFPQIndex
+
+    if kind not in ("ivf", "ivfpq"):
+        raise ValueError(f"kind must be 'ivf' or 'ivfpq', got {kind!r}")
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        if kind == "ivf":
+            IVFIndex.append_to_layout(spark, layout_path, batch_df)
+        else:
+            IVFPQIndex.append_to_layout(spark, layout_path, batch_df)
+
+    writer = vector_stream.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()

@@ -361,3 +361,41 @@ def test_real_media_resize_in_spark(spark):
         ys = (np.arange(6) * h0 // 6).clip(0, h0 - 1)
         xs = (np.arange(8) * w0 // 8).clip(0, w0 - 1)
         np.testing.assert_array_equal(C.decode_bmp_pixels(raw), src[ys][:, xs])
+
+
+def test_maintain_index_stream_appends_batches(spark, tmp_path):
+    """Online index maintenance: stream new vectors into a written IVF
+    layout via foreachBatch append; a reload sees every appended row and a
+    planted near-query vector becomes the exact top hit."""
+    from filtered_ads_vector_search_spark.operators import topk as TK
+    from filtered_ads_vector_search_spark.operators.ann import IVFIndex
+    from filtered_ads_vector_search_spark.streaming.serve import maintain_index_stream
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    q, c = TK.split_queries(emb)
+    q1 = q.limit(1).cache()
+    built = IVFIndex.build(c, n_centroids=4, seed=42)
+    layout = str(tmp_path / "ivf")
+    built.write_bucketed(layout)
+    built.unpersist()
+    n0 = spark.read.parquet(f"{layout}/assigned").count()
+
+    qrow = q1.collect()[0]
+    new = spark.createDataFrame(
+        [(10_000_000, [float(x) for x in qrow["q_vec"]])]
+        + [(10_000_001 + i, [0.01 * i] * 64) for i in range(5)],
+        "vec_id long, embedding array<float>",
+    )
+    vdir = str(tmp_path / "vstream")
+    new.write.mode("overwrite").parquet(vdir)
+    stream = spark.readStream.schema("vec_id long, embedding array<float>").parquet(vdir)
+    sq = maintain_index_stream(
+        stream, layout, checkpoint=str(tmp_path / "ckpt"), kind="ivf",
+        trigger_available_now=True,
+    )
+    sq.awaitTermination(120)
+
+    loaded = IVFIndex.load(spark, layout)
+    assert loaded.assigned.count() == n0 + 6
+    top = loaded.search(q1, k=1, nprobe=4).collect()[0]
+    assert top["neighbor_id"] == 10_000_000 and top["dist"] == 0.0
