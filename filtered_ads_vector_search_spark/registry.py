@@ -3054,10 +3054,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # PREFIX of this dict (50 entries per round). Round 3 leads with (a) the 5
     # events queries that erred in round 2's draw (timestamp-vintage loader bug,
     # fixed in datasets.load_events — these have never had a green row), then
-    # (b) the 34 queries round 2's rotation left un-drawn (green in round 1,
-    # but on the OLD testdata — re-verify on the regenerated parquet), then
-    # (c) flagships re-drawn each round. Everything below position 50 was
-    # hash-verified in round 2 on current data with unchanged code.
+    # (a') the 13 queries NEW or newly-oracled this round, then (b) the 34
+    # queries round 2's rotation left un-drawn (green in round 1, but on the
+    # OLD testdata — re-verify on the regenerated parquet; text_stats and
+    # dedup_simhash_banded land just past position 50 — their text/simhash
+    # machinery is round-2-green via token_counts/lang_id/doc_simhash — and
+    # lead round 4's rotation), then (c) knn_exact. Everything below position
+    # 50 was hash-verified on current testdata with unchanged code.
     #
     # --- (a) erred in round 2, fixed this round — need first-ever green rows ---
     "event_window_stats": _event_window_stats_spark,
