@@ -18,6 +18,8 @@ from pyspark.sql import functions as F
 from .hashing import P, str_hash_col, str_hash_sql
 
 __all__ = [
+    "clean_text",
+    "clean_text_sql",
     "tokens",
     "token_count",
     "bpe_tokens",
@@ -227,3 +229,37 @@ def fingerprint(text: Column) -> Column:
 def fingerprint_sql(text: str) -> str:
     normalized = f"array_to_string({tokens_sql(f'lower({text})')}, ' ')"
     return str_hash_sql(normalized)
+
+
+def clean_text(text: Column, min_line_chars: int = 10) -> Column:
+    """C4-style document cleaning, fully JVM-side:
+
+    1. split into lines, trim each, collapse runs of internal whitespace;
+    2. drop lines shorter than ``min_line_chars``;
+    3. drop REPEATED lines keeping the first occurrence (boilerplate:
+       headers/footers/nav repeated inside one document) — position-of-first-
+       occurrence filter, identical semantics in the DuckDB twin (neither
+       engine's distinct-on-lists guarantees order, so neither is used);
+    4. re-join with single newlines.
+    """
+    lines = F.split(text, "\n")
+    normed = F.transform(lines, lambda l: F.regexp_replace(F.trim(l), r"\s+", " "))
+    kept = F.filter(normed, lambda l: F.char_length(l) >= min_line_chars)
+    first_only = F.filter(
+        kept, lambda l, i: F.array_position(kept, l) == i + F.lit(1)
+    )
+    return F.array_join(first_only, "\n")
+
+
+def clean_text_sql(text: str, min_line_chars: int = 10) -> str:
+    kept = (
+        f"list_filter(list_transform(string_split({text}, chr(10)), "
+        f"l -> regexp_replace(trim(l), '\\s+', ' ', 'g')), "
+        f"l -> length(l) >= {min_line_chars})"
+    )
+    # let-bind `kept` (evaluated once) via single-element list_transform,
+    # then keep each line only at its first occurrence
+    return (
+        f"array_to_string(list_transform([{kept}], ks -> "
+        f"list_filter(ks, (l, i) -> list_position(ks, l) = i))[1], chr(10))"
+    )

@@ -2355,6 +2355,27 @@ def _pack_assignments_sql() -> str:
     )
 
 
+_CLEAN_MIN_LINE = 10
+
+
+def _doc_clean_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cleaning (trim/collapse whitespace, drop short lines, drop
+    repeated boilerplate lines keeping first occurrence), value-checked via
+    cleaned length + md5."""
+    docs = _tbl(spark, sf_dir, "documents")
+    cleaned = T.clean_text(F.col("text"), min_line_chars=_CLEAN_MIN_LINE)
+    return docs.select(
+        "doc_id",
+        F.char_length(cleaned).alias("clean_len"),
+        F.md5(cleaned).alias("clean_md5"),
+    )
+
+
+def _doc_clean_sql() -> str:
+    c = T.clean_text_sql("text", min_line_chars=_CLEAN_MIN_LINE)
+    return f"SELECT doc_id, length({c}) AS clean_len, md5({c}) AS clean_md5 FROM documents"
+
+
 _CURATE_MIN_TOKENS = 5
 _CURATE_MIN_QUALITY = 0.3
 _CURATE_PACK_BUDGET = 256
@@ -3081,6 +3102,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_chunks": _doc_chunks_spark,
     "pack_assignments": _pack_assignments_spark,
     "curation_pipeline": _curation_pipeline_spark,
+    "doc_clean": _doc_clean_spark,
     "latency_percentiles_v2": _latency_percentiles_v2_spark,
     # --- (b) round-1-green, not drawn in round 2 — re-verify on new testdata ---
     "qps_windows": _qps_spark,
@@ -3223,6 +3245,7 @@ ORACLES: dict[str, str] = {
     "doc_chunks": _doc_chunks_sql(),
     "pack_assignments": _pack_assignments_sql(),
     "curation_pipeline": _curation_pipeline_sql(),
+    "doc_clean": _doc_clean_sql(),
     "doc_simhash": _simhash_sql(),
     "dedup_simhash_banded": DD.simhash_pairs_banded_sql(max_hamming=3),
     "text_stats": _text_stats_sql(),

@@ -159,3 +159,37 @@ def test_percentiles_per_worker_mean_vs_pooled(spark):
     a = percentiles_per_worker_mean(same, "value", "worker", ps=(0.5,)).collect()[0]
     b = percentiles(same, "value", ps=(0.5,)).collect()[0]
     assert a["p5_worker_mean"] == b["p5"]
+
+
+def test_clean_text_matches_python(spark):
+    """Spark clean_text == an independent pure-Python reimplementation of the
+    C4-style cleaning (trim/collapse, short-line drop, first-occurrence line
+    dedup) over assorted boilerplate shapes."""
+    import re as _re
+
+    from filtered_ads_vector_search_spark.functions.text import clean_text
+
+    def py_clean(text, min_chars=10):
+        lines = [_re.sub(r"\s+", " ", l.strip()) for l in text.split("\n")]
+        kept = [l for l in lines if len(l) >= min_chars]
+        out, seen = [], set()
+        for l in kept:
+            if l not in seen:
+                seen.add(l)
+                out.append(l)
+        return "\n".join(out)
+
+    docs = [
+        "Header line here\nshort\nThe quick   brown fox\nHeader line here\nAnother real line",
+        "x\ny\nz",
+        "",
+        "   padded   line   with   runs   \n\n\nrepeat me exactly ok\nrepeat me exactly ok",
+        "tab\tseparated words in a line\nmixed  \t whitespace   line here",
+    ]
+    df = spark.createDataFrame([(i, d) for i, d in enumerate(docs)], "i long, text string")
+    got = {
+        r["i"]: r["c"]
+        for r in df.select("i", clean_text(F.col("text")).alias("c")).collect()
+    }
+    for i, d in enumerate(docs):
+        assert got[i] == py_clean(d), (i, got[i], py_clean(d))
