@@ -132,6 +132,7 @@ class IVFIndex:
         train_sample_rows: int = 100_000,
         id_col: str = "vec_id",
         vec_col: str = "embedding",
+        materialize: bool = True,
     ) -> "IVFIndex":
         """Offline index-build job (the analog of cagra.build / HNSW add;
         build wall-time is the reference's build_time_seconds metric).
@@ -164,13 +165,15 @@ class IVFIndex:
             [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
             "centroid_id int, centroid array<float>",
         )
-        assigned = (
-            corpus.select(
-                id_col, vec_col, _assign_udf(centers)(F.col(vec_col)).alias("partition_id")
-            )
-            .persist()
+        assigned = corpus.select(
+            id_col, vec_col, _assign_udf(centers)(F.col(vec_col)).alias("partition_id")
         )
-        assigned.count()  # materialize: the index artifact
+        if materialize:
+            # materialize: the index artifact. materialize=False leaves the
+            # assignment lazy so a composing consumer (IVFPQ) can fuse it
+            # into ITS materialization pass — one corpus scan instead of two.
+            assigned = assigned.persist()
+            assigned.count()
         return IVFIndex(
             centroids=centroids,
             assigned=assigned,
@@ -188,6 +191,7 @@ class IVFIndex:
         metric: Metric = "sqeuclidean",
         id_col: str = "vec_id",
         vec_col: str = "embedding",
+        materialize: bool = True,
     ) -> "IVFIndex":
         """Deterministic coarse quantizer: centroids are the ``n_centroids``
         corpus vectors with the smallest ``(md5(id), id)`` — no training
@@ -238,8 +242,10 @@ class IVFIndex:
             f"(acc, i) -> transform(array({dist_i}), dd -> "
             "IF(dd < acc.d, named_struct('d', dd, 'i', i), acc))[0]).i"
         )
-        assigned = corpus.withColumn("partition_id", F.expr(argmin)).persist()
-        assigned.count()
+        assigned = corpus.withColumn("partition_id", F.expr(argmin))
+        if materialize:
+            assigned = assigned.persist()
+            assigned.count()
         return IVFIndex(
             centroids=centroids,
             assigned=assigned,

@@ -95,8 +95,11 @@ class IVFPQIndex:
             base = ivf.assigned
             codes = pq_encode_expr(vec_col, codebooks)
         coded = base.select(*cols, codes.alias("codes")).persist()
-        coded.count()  # materialize the composed artifact
-        ivf.assigned.unpersist()  # the full-precision assignment is scaffolding
+        # ONE materialization pass: the IVF assignment is built lazy
+        # (materialize=False), so partition assignment and code assignment
+        # fuse into this single corpus scan
+        coded.count()
+        ivf.assigned.unpersist()  # no-op for the lazy path; safe either way
         return IVFPQIndex(
             centroids=ivf.centroids,
             coded=coded,
@@ -128,7 +131,8 @@ class IVFPQIndex:
         SQL."""
         t0 = time.time()
         ivf = IVFIndex.build_fixed(
-            corpus, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col
+            corpus, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col,
+            materialize=False,
         )
         books = fixed_codebooks(dim=dim, m=m, n_codes=n_codes)
         return IVFPQIndex._from_ivf(
@@ -151,6 +155,9 @@ class IVFPQIndex:
         Lloyd's codebooks. With ``residual=True`` the codebooks are fitted on
         a (bounded, deterministic) sample of RESIDUALS — the distribution the
         codes will actually quantize."""
+        # materialize=True here (unlike build_fixed): the persisted assignment
+        # feeds BOTH the residual-sample training scan and the coded
+        # materialization — caching one assign pass beats recomputing it twice
         t0 = time.time()
         ivf = IVFIndex.build(
             corpus, n_centroids=n_centroids, seed=seed, id_col=id_col, vec_col=vec_col
