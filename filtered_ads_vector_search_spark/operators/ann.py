@@ -165,8 +165,11 @@ class IVFIndex:
             [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
             "centroid_id int, centroid array<float>",
         )
-        assigned = corpus.select(
-            id_col, vec_col, _assign_udf(centers)(F.col(vec_col)).alias("partition_id")
+        # withColumn, not a narrow select: metadata columns (rating buckets,
+        # categories) must survive into the index artifact so filtered search
+        # predicates bind against it — same contract as build_fixed
+        assigned = corpus.withColumn(
+            "partition_id", _assign_udf(centers)(F.col(vec_col))
         )
         if materialize:
             # materialize: the index artifact. materialize=False leaves the

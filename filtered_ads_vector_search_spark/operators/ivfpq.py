@@ -78,9 +78,14 @@ class IVFPQIndex:
         id_col: str,
         vec_col: str,
     ) -> "IVFPQIndex":
-        cols = [F.col(id_col), F.col("partition_id")]
-        if keep_vectors:
-            cols.append(F.col(vec_col))
+        # carry EVERY corpus column (metadata like rating buckets included)
+        # so filtered search predicates bind against the coded layout; drop
+        # only the vector when the caller asked for a codes-only artifact
+        cols = [
+            F.col(c)
+            for c in ivf.assigned.columns
+            if keep_vectors or c != vec_col
+        ]
         if residual:
             base = ivf.assigned.join(
                 F.broadcast(
@@ -275,6 +280,7 @@ class IVFPQIndex:
         nprobe: int = 8,
         rerank: int = 0,
         predicate: Column | None = None,
+        adaptive_nprobe: bool = False,
     ) -> DataFrame:
         """Filtered approximate top-k over the composed index.
 
@@ -298,6 +304,17 @@ class IVFPQIndex:
                 "layout dropped the full-precision column)"
             )
         m, n_codes, sd = _validate(self.codebooks)
+        if adaptive_nprobe and predicate is not None:
+            # same policy as IVFIndex.search: a filter keeping s of the corpus
+            # thins every probed bucket to s of its rows, so holding the
+            # candidate count constant takes nprobe/s probes (clamped below)
+            total = self.coded.count()
+            kept = self.coded.filter(predicate).count()
+            sel = kept / total if total else 1.0
+            if sel > 0:
+                import math
+
+                nprobe = int(math.ceil(nprobe / sel))
         nprobe = min(nprobe, self.n_centroids)
         probes = knn_window(
             queries,

@@ -330,3 +330,29 @@ def test_ivfpq_append_to_layout(spark, tmp_path):
     # dist 0), not fixed-codebook ADC shortlist quality on smoke data
     top = loaded.search(q1, k=1, nprobe=4, rerank=n_before + 1).collect()[0]
     assert top["neighbor_id"] == 10_000_000 and top["dist"] == 0.0
+
+
+def test_ivfpq_filtered_search_with_adaptive_nprobe(spark):
+    """Filtered composed-tier search: predicate applies before candidate
+    selection (every hit passes), and adaptive_nprobe widens probes by
+    1/selectivity — recall under the filter clears the 0.80 floor with
+    rerank, matching the IVF tier's filtered behavior."""
+    from filtered_ads_vector_search_spark.operators.ivfpq import IVFPQIndex
+
+    q, c = _split(spark)
+    tagged = FL.with_rating_bucket(c)
+    pred = FL.named_filter_predicate("high_rated")
+    truth = TK.knn_window(q, tagged.filter(pred), k=K)
+    idx = IVFPQIndex.build(tagged, n_centroids=8, m=8, n_codes=32, seed=42)
+    found = idx.search(
+        q, k=K, nprobe=4, rerank=100, predicate=pred, adaptive_nprobe=True
+    )
+    passing = {
+        r.vec_id
+        for r in tagged.filter(pred).select("vec_id").collect()
+    }
+    rows = found.collect()
+    assert rows and all(r.neighbor_id in passing for r in rows)
+    r = recall_at_k(found, truth, k=K).collect()[0]
+    assert r.recall_at_k >= 0.80, r.recall_at_k
+    idx.unpersist()
