@@ -46,10 +46,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB oracle SQL for each oracle-checkable query. The only keys
-    absent here (ann_ivf, grid_search_ivf) contain trained k-means state —
-    genuinely non-SQL-expressible -> driver records rows-only checks. Their
-    search/metrics machinery IS oracle-checked via ann_ivf_fixed and
-    grid_metrics_fixed; the LSH grid family is fully oracled
-    (grid_search_lsh, grid_metrics_lsh_fixed)."""
+    """DuckDB oracle SQL for each oracle-checkable query. The only key
+    absent here (ann_ivf) contains trained k-means state — genuinely
+    non-SQL-expressible -> driver records a rows-only check. Its search
+    machinery IS oracle-checked via ann_ivf_fixed, and all three grid
+    driver loops are value-checked end to end over deterministic builds
+    (grid_search_ivf, grid_search_lsh, grid_search_ivfpq)."""
     return dict(registry.ORACLES)

@@ -40,6 +40,168 @@ from .topk import Metric, distance_col, knn_window, topk_agg
 
 __all__ = ["IVFIndex"]
 
+# --- layout sidecars: per-bucket stats + bounded selectivity sample ---------
+#
+# A written layout carries two tiny relations next to the bucketed data:
+#   {root}/stats   (partition_id, n_rows)   per-bucket row counts
+#   {root}/sample  non-vector columns of a hash-gated ~SEL_SAMPLE_ROWS row
+#                  sample (gate fraction persisted in {root}/sample_meta)
+# so that search-time policies (adaptive_nprobe's predicate-selectivity
+# estimate) and maintenance (compaction bookkeeping) never have to scan the
+# full coded/assigned relation — at 100 TB the index data may only ever be
+# touched by the probe scan itself.
+
+SEL_SAMPLE_ROWS = 65_536
+_GATE_MOD = 1_000_000
+
+
+def _sample_gate(id_col: str, fraction: float):
+    """Deterministic hash gate: keep ~fraction of rows, stable under reruns
+    and repartitioning (same discipline as sampling.seeded_sample)."""
+    h = F.crc32(F.concat(F.col(id_col).cast("string"), F.lit("/sel")))
+    return (h % _GATE_MOD) < F.lit(int(round(fraction * _GATE_MOD)))
+
+
+def _write_sidecars(
+    root: str,
+    relation: DataFrame,
+    id_col: str,
+    drop_cols: tuple[str, ...],
+    fraction: float | None = None,
+) -> None:
+    """Write {root}/stats, {root}/sample, {root}/sample_meta for `relation`
+    (which must carry partition_id). When `fraction` is None it is derived
+    from the relation's total row count to land ~SEL_SAMPLE_ROWS rows."""
+    spark = relation.sparkSession
+    stats = relation.groupBy("partition_id").agg(F.count(F.lit(1)).alias("n_rows"))
+    stats.coalesce(1).write.mode("overwrite").parquet(f"{root}/stats")
+    if fraction is None:
+        total = sum(r["n_rows"] for r in spark.read.parquet(f"{root}/stats").collect())
+        fraction = min(1.0, SEL_SAMPLE_ROWS / total) if total else 1.0
+    keep = [c for c in relation.columns if c not in drop_cols]
+    (
+        relation.filter(_sample_gate(id_col, fraction))
+        .select(*keep)
+        .coalesce(4)
+        .write.mode("overwrite")
+        .parquet(f"{root}/sample")
+    )
+    spark.createDataFrame([(float(fraction),)], "sample_fraction double").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{root}/sample_meta")
+
+
+def _sample_fraction(spark, path: str) -> float:
+    return float(
+        spark.read.parquet(f"{path}/sample_meta").collect()[0]["sample_fraction"]
+    )
+
+
+def _batch_root(path: str, batch_id: int) -> str:
+    return f"{path}/batches/batch-{batch_id:012d}"
+
+
+def _batch_roots(spark, path: str) -> list[str]:
+    """Existing per-batch append directories under a layout, sorted."""
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(f"{path}/batches")
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return []
+    return sorted(
+        str(st.getPath().toUri().getPath())
+        for st in fs.listStatus(hpath)
+        if st.isDirectory()
+    )
+
+
+def _data_roots(spark, path: str, data_subdir: str) -> list[str]:
+    """All parquet roots of a layout's data relation: the base directory plus
+    any idempotent per-batch appends (see append_to_layout's batch_id)."""
+    return [f"{path}/{data_subdir}"] + [
+        f"{b}/{data_subdir}" for b in _batch_roots(spark, path)
+    ]
+
+
+def _union_roots(spark, roots: list[str]) -> DataFrame:
+    # one read per root (multi-path partition discovery rejects nested roots);
+    # pruning predicates still push into every union branch's scan
+    out = spark.read.parquet(roots[0])
+    for r in roots[1:]:
+        out = out.unionByName(spark.read.parquet(r))
+    return out
+
+
+def _read_layout(spark, path: str, data_subdir: str) -> DataFrame:
+    return _union_roots(spark, _data_roots(spark, path, data_subdir))
+
+
+def _read_sidecar(spark, path: str, name: str) -> DataFrame:
+    roots = [f"{path}/{name}"] + [f"{b}/{name}" for b in _batch_roots(spark, path)]
+    return _union_roots(spark, roots)
+
+
+def _estimate_selectivity(relation: DataFrame, predicate: Column) -> float:
+    """Fraction of `relation` rows passing `predicate`, in ONE pass (a single
+    count/count-if aggregate). Callers hand this the tiny persisted sample
+    when one exists — never the full index relation of a loaded layout."""
+    row = relation.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(predicate, F.lit(1))).alias("kept"),
+    ).collect()[0]
+    return (row["kept"] / row["n"]) if row["n"] else 1.0
+
+
+def _compact_layout(
+    spark,
+    path: str,
+    data_subdir: str,
+    id_col: str,
+    drop_cols: tuple[str, ...],
+    files_per_bucket: int = 1,
+) -> int:
+    """Maintenance: merge the base directory and all per-batch appends into a
+    fresh bucketed base with ~files_per_bucket files per bucket, rewrite the
+    stats/sample sidecars from the merged relation, and drop the batch dirs.
+
+    Append-heavy streaming maintenance (maintain_index_stream at a 10 s
+    trigger ≈ 8.6k appends/day) otherwise degrades the layout into a
+    small-file swamp. Run this from a maintenance window — the rewrite
+    swaps directories (write-new, rename-away-old), so concurrent readers
+    holding the OLD file listing will fail mid-scan on a local/HDFS
+    filesystem; on an object store front this with a versioned manifest.
+    Returns the merged row count."""
+    import shutil
+
+    n_buckets = (
+        spark.read.parquet(f"{path}/{data_subdir}")
+        .select("partition_id")
+        .distinct()
+        .count()
+    )
+    merged = _read_layout(spark, path, data_subdir)
+    tmp = f"{path}/{data_subdir}__compact_tmp"
+    # one shuffle task per bucket -> files/bucket == files_per_bucket
+    (
+        merged.repartition(
+            max(1, n_buckets * files_per_bucket), F.col("partition_id")
+        )
+        .write.mode("overwrite")
+        .partitionBy("partition_id")
+        .parquet(tmp)
+    )
+    old = f"{path}/{data_subdir}__compact_old"
+    shutil.move(f"{path}/{data_subdir}", old)
+    shutil.move(tmp, f"{path}/{data_subdir}")
+    shutil.rmtree(old)
+    batches = f"{path}/batches"
+    shutil.rmtree(batches, ignore_errors=True)
+    # drop any session-shared cached file listings for the swapped dirs
+    spark.catalog.refreshByPath(path)
+    compacted = spark.read.parquet(f"{path}/{data_subdir}")
+    _write_sidecars(path, compacted, id_col=id_col, drop_cols=drop_cols)
+    return compacted.count()
+
 
 def _kmeans_numpy(
     X: np.ndarray, k: int, seed: int, max_iter: int, n_init: int = 4
@@ -119,6 +281,10 @@ class IVFIndex:
     build_seconds: float
     id_col: str = "vec_id"
     vec_col: str = "embedding"
+    # tiny hash-gated sample of the non-vector columns, loaded from a written
+    # layout's sidecar; lets adaptive_nprobe estimate predicate selectivity
+    # without ever scanning the full assigned relation
+    sel_sample: DataFrame | None = None
 
     @staticmethod
     def build(
@@ -261,12 +427,18 @@ class IVFIndex:
 
     def write_bucketed(self, path: str, n_buckets: int | None = None) -> None:
         """Persist the IVF layout: corpus Parquet partitioned by partition_id
-        (so a probe scan prunes to nprobe directories) + the centroid table.
-        `IVFIndex.load` restores a searchable index from this layout."""
+        (so a probe scan prunes to nprobe directories) + the centroid table +
+        the stats/sample sidecars (per-bucket row counts and a bounded
+        selectivity sample — search-time policies read THESE, never the full
+        relation). `IVFIndex.load` restores a searchable index from this
+        layout."""
         self.assigned.write.mode("overwrite").partitionBy("partition_id").parquet(
             f"{path}/assigned"
         )
         self.centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+        _write_sidecars(
+            path, self.assigned, id_col=self.id_col, drop_cols=(self.vec_col,)
+        )
 
     @staticmethod
     def load(
@@ -276,11 +448,16 @@ class IVFIndex:
         id_col: str = "vec_id",
         vec_col: str = "embedding",
     ) -> "IVFIndex":
-        """Open a written IVF layout. Searches against a loaded index read
-        only the probed partition directories (partition pruning / dynamic
-        partition pruning at the scan — verified in tests)."""
+        """Open a written IVF layout (base directory plus any per-batch
+        appends). Searches against a loaded index read only the probed
+        partition directories (partition pruning / dynamic partition pruning
+        at the scan — verified in tests)."""
         centroids = spark.read.parquet(f"{path}/centroids")
-        assigned = spark.read.parquet(f"{path}/assigned")
+        assigned = _read_layout(spark, path, "assigned")
+        try:
+            sel_sample = _read_sidecar(spark, path, "sample").persist()
+        except Exception:  # pre-sidecar layout vintage
+            sel_sample = None
         return IVFIndex(
             centroids=centroids,
             assigned=assigned,
@@ -289,34 +466,99 @@ class IVFIndex:
             build_seconds=0.0,
             id_col=id_col,
             vec_col=vec_col,
+            sel_sample=sel_sample,
         )
 
     @staticmethod
-    def append_to_layout(spark, path: str, new_rows: DataFrame, vec_col: str = "embedding") -> int:
+    def append_to_layout(
+        spark,
+        path: str,
+        new_rows: DataFrame,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+        batch_id: int | None = None,
+    ) -> int:
         """Incremental index maintenance: assign NEW vectors to the layout's
         EXISTING centroids and append them to the bucketed Parquet — the
         standard IVF add-without-retrain operation (FAISS `index.add`;
         retraining cadence is an offline policy decision).
 
-        Append-mode partitioned write touches only the directories the new
-        rows land in; existing files are never rewritten, and subsequent
-        loads/searches see old + new rows with the same pruning. The
-        assignment pass is the same single Arrow-batched scan as the build's.
-        Returns the number of rows appended."""
+        With ``batch_id=None`` (caller-driven, non-replayed adds) the rows
+        append into the base directories. With a ``batch_id`` (streaming
+        foreachBatch, where a crash between write and checkpoint commit
+        REPLAYS the batch) the whole batch — data, stats, sample — is written
+        mode("overwrite") under a batchId-derived subdirectory, so a replay
+        rewrites the same deterministic content instead of duplicating it:
+        idempotent per batch id, i.e. effectively exactly-once. Loads union
+        the base with all batch directories; `compact_layout` folds them
+        back in. Returns the number of rows appended."""
         centroids = spark.read.parquet(f"{path}/centroids").orderBy("centroid_id")
         centers = np.array(
             [r["centroid"] for r in centroids.collect()], dtype=np.float64
         )
         if len(centers) == 0:
             raise ValueError(f"no centroids found under {path}")
+        # appended rows must carry every column the layout has — filtered
+        # searches bind predicates against them, and a NULL-backfilled append
+        # would silently hide the new vectors from filtered results
+        layout_cols = [
+            c
+            for c in spark.read.parquet(f"{path}/assigned").columns
+            if c != "partition_id"
+        ]
+        missing = [c for c in layout_cols if c not in new_rows.columns]
+        if missing:
+            raise ValueError(
+                f"new_rows lacks columns the written layout carries: {missing} "
+                f"(layout schema: {layout_cols})"
+            )
         assigned = new_rows.withColumn(
             "partition_id", _assign_udf(centers)(F.col(vec_col))
-        )
+        ).persist()
         n = assigned.count()
-        assigned.write.mode("append").partitionBy("partition_id").parquet(
-            f"{path}/assigned"
-        )
+        try:
+            frac = _sample_fraction(spark, path)
+        except Exception:  # pre-sidecar layout vintage
+            frac = None
+        if batch_id is None:
+            assigned.write.mode("append").partitionBy("partition_id").parquet(
+                f"{path}/assigned"
+            )
+            if frac is not None:
+                assigned.groupBy("partition_id").agg(
+                    F.count(F.lit(1)).alias("n_rows")
+                ).coalesce(1).write.mode("append").parquet(f"{path}/stats")
+                assigned.filter(_sample_gate(id_col, frac)).drop(vec_col).coalesce(
+                    1
+                ).write.mode("append").parquet(f"{path}/sample")
+        else:
+            root = _batch_root(path, batch_id)
+            assigned.write.mode("overwrite").partitionBy("partition_id").parquet(
+                f"{root}/assigned"
+            )
+            if frac is not None:
+                _write_sidecars(
+                    root, assigned, id_col=id_col, drop_cols=(vec_col,), fraction=frac
+                )
+        assigned.unpersist()
         return n
+
+    @staticmethod
+    def compact_layout(spark, path: str, files_per_bucket: int = 1) -> int:
+        """Fold per-batch appends into the base layout and bound files per
+        bucket (see _compact_layout for semantics/caveats)."""
+        idx = IVFIndex.load(spark, path)
+        id_col, vec_col = idx.id_col, idx.vec_col
+        if idx.sel_sample is not None:
+            idx.sel_sample.unpersist()
+        return _compact_layout(
+            spark,
+            path,
+            "assigned",
+            id_col=id_col,
+            drop_cols=(vec_col,),
+            files_per_bucket=files_per_bucket,
+        )
 
     def search(
         self,
@@ -336,14 +578,17 @@ class IVFIndex:
         the CANDIDATE count constant requires nprobe/s probes. This is
         standard filtered-ANN practice — the reference's own best
         high-selectivity configs widen search_width (BASELINE.md: mid_rated
-        best uses sw=4 vs low_rated's sw=2). Costs one count() on the
-        persisted index relation to estimate selectivity.
+        best uses sw=4 vs low_rated's sw=2). Selectivity is estimated from
+        the layout's tiny persisted sample sidecar when one exists (loaded
+        indexes), else one single-pass aggregate over the in-memory persisted
+        assignment — the full index relation of a written layout is never
+        scanned by the search path.
         """
-        corpus_all = self.assigned
         if adaptive_nprobe and predicate is not None:
-            total = corpus_all.count()
-            kept = corpus_all.filter(predicate).count()
-            sel = kept / total if total else 1.0
+            sel = _estimate_selectivity(
+                self.sel_sample if self.sel_sample is not None else self.assigned,
+                predicate,
+            )
             if sel > 0:
                 import math
 

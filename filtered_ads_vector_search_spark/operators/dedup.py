@@ -538,9 +538,17 @@ def duplicate_components(
         .distinct()
         .cache()
     )
+    # Each round's plan references the previous round's TWICE (join + union),
+    # so without truncation the logical tree doubles per round and analyzer
+    # time alone goes exponential (measured: unusable past ~6 rounds on a
+    # chain graph). localCheckpoint(eager) materializes the round and replaces
+    # its plan with a leaf — the same discipline GraphFrames' connected
+    # components uses. Executor-local persistence is fine here (local/driver
+    # recompute semantics); on a fault-sensitive cluster run set a reliable
+    # spark.sparkContext.setCheckpointDir and swap in .checkpoint().
     labels = (
         edges.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
-    ).cache()
+    ).localCheckpoint(eager=True)
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["id"])
@@ -548,18 +556,28 @@ def duplicate_components(
             .unionAll(labels)
             .groupBy("id")
             .agg(F.min("label").alias("label"))
-        ).cache()
+        ).localCheckpoint(eager=True)
         changed = (
             neighbor_min.alias("n")
             .join(labels.alias("o"), "id")
             .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
             .count()
         )
-        labels.unpersist()
         labels = neighbor_min
         if changed == 0:
             break
+    else:
+        # Labels are only correct at fixpoint; a chain longer than max_iter
+        # hops would silently split one component into several. Real dup
+        # clusters are shallow (cliques-ish), so hitting this means either
+        # an adversarial input (raise and re-run with the large-star/
+        # small-star O(log n) variant) or max_iter set too low.
+        edges.unpersist()
+        raise RuntimeError(
+            f"duplicate_components did not converge within max_iter={max_iter} "
+            "label-propagation rounds (graph diameter exceeds max_iter); "
+            "raise max_iter — labels at this point are NOT transitive closure"
+        )
     edges.unpersist()
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("component_id"))
 

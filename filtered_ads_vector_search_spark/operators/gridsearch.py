@@ -71,10 +71,16 @@ def grid_search(
     run_name: str = "ivf",
     csv_path: str | None = None,
     replay_seconds: float = 0.0,
+    fixed: bool = False,
 ) -> DataFrame:
     """Run the full grid; returns the metrics DataFrame (one row per combo:
     the reference's per-combo CSV schema — params, build_time_seconds, recall,
-    qps, p50/p99 — benchmarking-results/cagra_fp16_*.csv)."""
+    qps, p50/p99 — benchmarking-results/cagra_fp16_*.csv).
+
+    ``fixed=True`` swaps in the deterministic hash-picked-centroid build
+    (IVFIndex.build_fixed) so every non-wall-clock column of the driver loop
+    — recall, n_result_rows per combo — is DuckDB-reproducible; the trained
+    KMeans tier stays the quality path."""
     cfg = cfg if cfg is not None else GridConfig()  # no shared mutable default
     filtered = corpus.filter(predicate) if predicate is not None else corpus
     # one-time exact oracle, cached across all combos (reference :613-623)
@@ -86,12 +92,17 @@ def grid_search(
     for combo in param_grid(cfg):
         mem0 = storage_memory_gb(spark)
         t0 = time.time()
-        index = IVFIndex.build(
-            filtered,
-            n_centroids=combo["n_centroids"],
-            metric=cfg.metric,
-            seed=cfg.seed,
-        )
+        if fixed:
+            index = IVFIndex.build_fixed(
+                filtered, n_centroids=combo["n_centroids"], metric=cfg.metric
+            )
+        else:
+            index = IVFIndex.build(
+                filtered,
+                n_centroids=combo["n_centroids"],
+                metric=cfg.metric,
+                seed=cfg.seed,
+            )
         build_s = index.build_seconds
 
         t0 = time.time()

@@ -41,7 +41,17 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .ann import IVFIndex
+from .ann import (
+    IVFIndex,
+    _batch_root,
+    _compact_layout,
+    _estimate_selectivity,
+    _read_layout,
+    _read_sidecar,
+    _sample_fraction,
+    _sample_gate,
+    _write_sidecars,
+)
 from .pq import (
     Codebooks,
     _validate,
@@ -67,6 +77,10 @@ class IVFPQIndex:
     vec_col: str = "embedding"
     has_vectors: bool = True
     residual: bool = True
+    # tiny hash-gated sample sidecar of the non-vector/non-code columns
+    # (loaded layouts): adaptive_nprobe's selectivity estimate reads this,
+    # never the full coded relation
+    sel_sample: DataFrame | None = None
 
     @staticmethod
     def _from_ivf(
@@ -191,11 +205,16 @@ class IVFPQIndex:
     def write_bucketed(self, path: str) -> None:
         """Persist the composed layout partitioned by bucket: probe scans
         prune to nprobe directories of CODES (not vectors). Codebooks ride
-        along as a tiny one-row table so load() restores a searchable index."""
+        along as a tiny one-row table so load() restores a searchable index;
+        stats/sample sidecars let search-time policies avoid ever scanning
+        the coded relation."""
         self.coded.write.mode("overwrite").partitionBy("partition_id").parquet(
             f"{path}/coded"
         )
         self.centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+        _write_sidecars(
+            path, self.coded, id_col=self.id_col, drop_cols=(self.vec_col, "codes")
+        )
         spark = self.coded.sparkSession
         meta = spark.createDataFrame(
             [(self.codebooks, self.residual, self.id_col, self.vec_col)],
@@ -206,19 +225,43 @@ class IVFPQIndex:
 
     @staticmethod
     def append_to_layout(
-        spark, path: str, new_rows: DataFrame, vec_col: str | None = None
+        spark,
+        path: str,
+        new_rows: DataFrame,
+        vec_col: str | None = None,
+        batch_id: int | None = None,
     ) -> int:
         """Incremental add (FAISS `index.add` semantics): assign new vectors
         to the layout's existing centroids, residual-encode them with the
         layout's codebooks, and append to the bucketed coded Parquet — only
         the touched bucket directories grow; nothing is retrained or
-        rewritten. Returns rows appended."""
+        rewritten.
+
+        Appended rows carry EVERY column of the written layout's schema
+        (metadata like rating buckets included — the _from_ivf contract), so
+        filtered searches see appended vectors exactly like built ones;
+        new_rows missing a layout column is an error, not a silent NULL.
+        ``batch_id`` switches to an idempotent per-batch overwrite directory
+        (see IVFIndex.append_to_layout — same replay semantics). Returns rows
+        appended."""
         import numpy as np
 
         from .ann import _assign_udf
 
         idx = IVFPQIndex.load(spark, path)
         vec = vec_col or idx.vec_col
+        layout_cols = [c for c in idx.coded.columns if c not in ("partition_id", "codes")]
+        needed = [vec if c == idx.vec_col else c for c in layout_cols]
+        if vec not in needed:  # codes-only layout still needs the vector to encode
+            needed.append(vec)
+        missing = [c for c in needed if c not in new_rows.columns]
+        if missing:
+            raise ValueError(
+                f"new_rows lacks columns the written layout carries: {missing} "
+                f"(layout schema: {layout_cols}); filtered searches bind "
+                "predicates against these, so appending NULLs would silently "
+                "hide appended vectors from filtered results"
+            )
         centers = np.array(
             [
                 r["centroid"]
@@ -242,13 +285,58 @@ class IVFPQIndex:
         else:
             base = assigned
             codes = pq_encode_expr(vec, idx.codebooks)
-        cols = [F.col(idx.id_col), F.col("partition_id")]
-        if idx.has_vectors:
-            cols.append(F.col(vec).alias(idx.vec_col))
-        out = base.select(*cols, codes.alias("codes"))
+        cols = [
+            F.col(vec).alias(idx.vec_col) if c == idx.vec_col else F.col(c)
+            for c in layout_cols
+        ]
+        out = base.select(*cols, F.col("partition_id"), codes.alias("codes")).persist()
         n = out.count()
-        out.write.mode("append").partitionBy("partition_id").parquet(f"{path}/coded")
+        try:
+            frac = _sample_fraction(spark, path)
+        except Exception:  # pre-sidecar layout vintage
+            frac = None
+        if batch_id is None:
+            out.write.mode("append").partitionBy("partition_id").parquet(
+                f"{path}/coded"
+            )
+            if frac is not None:
+                out.groupBy("partition_id").agg(
+                    F.count(F.lit(1)).alias("n_rows")
+                ).coalesce(1).write.mode("append").parquet(f"{path}/stats")
+                out.filter(_sample_gate(idx.id_col, frac)).drop(
+                    idx.vec_col, "codes"
+                ).coalesce(1).write.mode("append").parquet(f"{path}/sample")
+        else:
+            root = _batch_root(path, batch_id)
+            out.write.mode("overwrite").partitionBy("partition_id").parquet(
+                f"{root}/coded"
+            )
+            if frac is not None:
+                _write_sidecars(
+                    root,
+                    out,
+                    id_col=idx.id_col,
+                    drop_cols=(idx.vec_col, "codes"),
+                    fraction=frac,
+                )
+        out.unpersist()
         return n
+
+    @staticmethod
+    def compact_layout(spark, path: str, files_per_bucket: int = 1) -> int:
+        """Fold per-batch appends into the base coded layout and bound files
+        per bucket (see ann._compact_layout for semantics/caveats)."""
+        idx = IVFPQIndex.load(spark, path)
+        if idx.sel_sample is not None:
+            idx.sel_sample.unpersist()
+        return _compact_layout(
+            spark,
+            path,
+            "coded",
+            id_col=idx.id_col,
+            drop_cols=(idx.vec_col, "codes"),
+            files_per_bucket=files_per_bucket,
+        )
 
     @staticmethod
     def load(spark, path: str) -> "IVFPQIndex":
@@ -256,11 +344,15 @@ class IVFPQIndex:
         partition directories of the coded table (partition pruning at the
         scan — the bucketed layout is the point of the tier)."""
         centroids = spark.read.parquet(f"{path}/centroids")
-        coded = spark.read.parquet(f"{path}/coded")
+        coded = _read_layout(spark, path, "coded")
         meta = spark.read.parquet(f"{path}/meta").collect()[0]
         books = [
             [[float(x) for x in code] for code in cb] for cb in meta["codebooks"]
         ]
+        try:
+            sel_sample = _read_sidecar(spark, path, "sample").persist()
+        except Exception:  # pre-sidecar layout vintage
+            sel_sample = None
         return IVFPQIndex(
             centroids=centroids,
             coded=coded,
@@ -271,6 +363,7 @@ class IVFPQIndex:
             vec_col=meta["vec_col"],
             has_vectors=meta["vec_col"] in coded.columns,
             residual=meta["residual"],
+            sel_sample=sel_sample,
         )
 
     def search(
@@ -307,10 +400,14 @@ class IVFPQIndex:
         if adaptive_nprobe and predicate is not None:
             # same policy as IVFIndex.search: a filter keeping s of the corpus
             # thins every probed bucket to s of its rows, so holding the
-            # candidate count constant takes nprobe/s probes (clamped below)
-            total = self.coded.count()
-            kept = self.coded.filter(predicate).count()
-            sel = kept / total if total else 1.0
+            # candidate count constant takes nprobe/s probes (clamped below).
+            # Estimated from the tiny sample sidecar when loaded from a
+            # layout — the coded relation is never scanned outside the probe
+            # join itself.
+            sel = _estimate_selectivity(
+                self.sel_sample if self.sel_sample is not None else self.coded,
+                predicate,
+            )
             if sel > 0:
                 import math
 

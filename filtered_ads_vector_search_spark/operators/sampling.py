@@ -66,10 +66,11 @@ def stratified_sample(
     keeps its own fraction; groups absent from ``fractions`` are dropped.
     One scan-level filter — the hash gate threshold is a CASE on the group
     column; no shuffle, no per-group pass."""
+    if not fractions:
+        raise ValueError("fractions must name at least one group")
     for g, f_ in fractions.items():
         if not 0.0 <= f_ <= 1.0:
             raise ValueError(f"fraction for {g!r} must be in [0, 1], got {f_}")
-    thresh = F.lit(None).cast("long")
     expr = None
     for g, f_ in sorted(fractions.items()):
         cond = F.col(group_col) == F.lit(g)

@@ -3036,18 +3036,117 @@ def _embed_pipeline_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+GRID_IVF_NCENTROIDS = (4, 8)
+GRID_IVF_NPROBES = (2, 4)
+
+
 def _grid_search_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Small end-to-end grid (H4-H6): 2 combos, IVF build+search+recall.
-    Iterative driver loop -> rows-only check."""
+    """End-to-end IVF grid DRIVER loop (H4-H6), value-checked: the real
+    grid_search() lifecycle (per-combo build -> search -> recall vs the one
+    cached truth) over deterministic fixed-centroid builds — the same recipe
+    that made grid_search_lsh oracle-checkable in round 3. Wall-clock and
+    memory columns stay on the full metrics DataFrame (rows-only by nature);
+    the trained-KMeans grid is exercised by pytest (test_gridsearch) and the
+    CLI, and remains non-SQL-expressible alongside ann_ivf."""
     from .operators.gridsearch import GridConfig, grid_search
 
     emb = _tbl(spark, sf_dir, "embeddings")
     q, c = TK.split_queries(emb)
-    cfg = GridConfig(n_centroids=[8], nprobe=[2, 8], k=5)
-    return grid_search(spark, q, c, cfg).select(
-        "run", "n_centroids", "nprobe", "recall", "n_result_rows",
-        "memory_increase_build_gb",
+    cfg = GridConfig(
+        n_centroids=list(GRID_IVF_NCENTROIDS), nprobe=list(GRID_IVF_NPROBES), k=5
     )
+    return grid_search(spark, q, c, cfg, fixed=True, run_name="ivf_fixed").select(
+        "run", "n_centroids", "nprobe", "recall", "n_result_rows"
+    )
+
+
+def _grid_search_ivf_sql() -> str:
+    """DuckDB twin of the FULL fixed-centroid IVF grid driver loop: for every
+    (n_centroids, nprobe) combo with nprobe <= n_centroids, the per-combo
+    recall and result-row count. The hash-picked centroid sets nest (the
+    nc=4 pick is a prefix of nc=8's md5 order), so one ranked centroid CTE
+    serves every combo."""
+    k = 5
+    d_assign = V.sqeuclidean_sql("c.embedding", "cent.centroid")
+    d_probe = V.sqeuclidean_sql("q.q_vec", "cent.centroid")
+    d_rerank = V.sqeuclidean_sql("q.q_vec", "a.embedding")
+    d_truth = V.sqeuclidean_sql("q.q_vec", "c.embedding")
+    ncs = ", ".join(str(n) for n in GRID_IVF_NCENTROIDS)
+    nps = ", ".join(str(n) for n in GRID_IVF_NPROBES)
+    max_nc = max(GRID_IVF_NCENTROIDS)
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings
+  WHERE {FL.is_query_sql('vec_id')}
+), c AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE NOT {FL.is_query_sql('vec_id')}
+), cent AS (
+  SELECT centroid_id, centroid FROM (
+    SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC) - 1
+             AS centroid_id,
+           embedding AS centroid
+    FROM c) WHERE centroid_id < {max_nc}
+), nccombos AS (SELECT unnest([{ncs}]) AS n_centroids),
+combos AS (
+  SELECT n.n_centroids, p.nprobe
+  FROM nccombos n CROSS JOIN (SELECT unnest([{nps}]) AS nprobe) p
+  WHERE p.nprobe <= n.n_centroids
+), assign AS (
+  SELECT n_centroids, vec_id, embedding, centroid_id FROM (
+    SELECT nc.n_centroids, c.vec_id, c.embedding, cent.centroid_id,
+           row_number() OVER (PARTITION BY nc.n_centroids, c.vec_id
+                              ORDER BY {d_assign} ASC, cent.centroid_id ASC) AS arn
+    FROM nccombos nc
+    JOIN cent ON cent.centroid_id < nc.n_centroids
+    CROSS JOIN c) WHERE arn = 1
+), truth AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {d_truth} ASC, c.vec_id ASC) AS rnk
+    FROM q CROSS JOIN c) WHERE rnk <= {k}
+), probe_rank AS (
+  SELECT n_centroids, query_id, centroid_id, prn FROM (
+    SELECT nc.n_centroids, q.query_id, cent.centroid_id,
+           row_number() OVER (PARTITION BY nc.n_centroids, q.query_id
+                              ORDER BY {d_probe} ASC, cent.centroid_id ASC) AS prn
+    FROM nccombos nc
+    JOIN cent ON cent.centroid_id < nc.n_centroids
+    CROSS JOIN q)
+), cand AS (
+  SELECT cb.n_centroids, cb.nprobe, pr.query_id, a.vec_id AS neighbor_id,
+         {d_rerank} AS dist
+  FROM combos cb
+  JOIN probe_rank pr ON pr.n_centroids = cb.n_centroids AND pr.prn <= cb.nprobe
+  JOIN assign a ON a.n_centroids = cb.n_centroids AND a.centroid_id = pr.centroid_id
+  JOIN q ON q.query_id = pr.query_id
+), found AS (
+  SELECT n_centroids, nprobe, query_id, neighbor_id FROM (
+    SELECT n_centroids, nprobe, query_id, neighbor_id,
+           row_number() OVER (PARTITION BY n_centroids, nprobe, query_id
+                              ORDER BY dist ASC, neighbor_id ASC) AS rnk
+    FROM cand) WHERE rnk <= {k}
+), matches AS (
+  SELECT f.n_centroids, f.nprobe, f.query_id, count(*) AS n_matched
+  FROM found f JOIN truth t ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
+  GROUP BY 1, 2, 3
+), allq AS (SELECT DISTINCT query_id FROM truth),
+recalls AS (
+  SELECT cb.n_centroids, cb.nprobe,
+         round(avg(coalesce(m.n_matched, 0) / {float(k)}), 4) AS recall
+  FROM combos cb CROSS JOIN allq aq
+  LEFT JOIN matches m ON m.n_centroids = cb.n_centroids AND m.nprobe = cb.nprobe
+                     AND m.query_id = aq.query_id
+  GROUP BY cb.n_centroids, cb.nprobe),
+counts AS (
+  SELECT n_centroids, nprobe, count(*) AS n_result_rows
+  FROM found GROUP BY 1, 2)
+SELECT 'ivf_fixed' AS run, r.n_centroids, r.nprobe, r.recall,
+       coalesce(cnt.n_result_rows, 0) AS n_result_rows
+FROM recalls r
+LEFT JOIN counts cnt ON r.n_centroids = cnt.n_centroids AND r.nprobe = cnt.nprobe
+"""
 
 
 def _grid_search_lsh_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3072,39 +3171,91 @@ def _grid_search_lsh_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # NOTE ON ORDERING: the driver's correctness gate verifies a budget-capped
-    # PREFIX of this dict (50 entries per round). Round 3 leads with (a) the 5
-    # events queries that erred in round 2's draw (timestamp-vintage loader bug,
-    # fixed in datasets.load_events — these have never had a green row), then
-    # (a') the 13 queries NEW or newly-oracled this round, then (b) the 34
-    # queries round 2's rotation left un-drawn (green in round 1, but on the
-    # OLD testdata — re-verify on the regenerated parquet; text_stats and
-    # dedup_simhash_banded land just past position 50 — their text/simhash
-    # machinery is round-2-green via token_counts/lang_id/doc_simhash — and
-    # lead round 4's rotation), then (c) knn_exact. Everything below position
-    # 50 was hash-verified on current testdata with unchanged code.
+    # PREFIX of this dict (50 entries per round). Round 4 leads with (a) the
+    # only 3 oracled queries with no green row on CURRENT testdata (green in
+    # round 1 only, pre-regeneration), then (b) every query whose code path
+    # changed this round (dedup components checkpointing, layout sidecars +
+    # batch appends in ann/ivfpq, the newly-oracled fixed-centroid IVF grid
+    # driver, IVFPQ LUT precompute), then (c) the longest-stale r2-greens
+    # (everything below round 3's 50-entry cut), then flagships. Five
+    # r2-greens (knn_scalable_filtered, knn_blockwise, embed_pipeline,
+    # orders_pivot, tpch_q20) don't fit the budget and are queued to LEAD
+    # round 5's rotation. Everything below position 50 is hash-green on
+    # current testdata (round 2 or 3) with unchanged code.
     #
-    # --- (a) erred in round 2, fixed this round — need first-ever green rows ---
+    # --- (a) r1-only greens: re-verify on current testdata ---
+    "text_stats": _text_stats_spark,
+    "doc_simhash": _simhash_spark,
+    "dedup_simhash_banded": lambda s, d: DD.simhash_pairs_banded(_tbl(s, d, "documents"), max_hamming=3),
+    # --- (b) code changed this round — need fresh green rows ---
+    "grid_search_ivf": _grid_search_spark,
+    "dedup_components": _dedup_components_spark,
+    "dedup_canonical": _dedup_canonical_spark,
+    "curation_pipeline": _curation_pipeline_spark,
+    "stratified_sample": _stratified_sample_spark,
+    "stratified_topn": _stratified_topn_spark,
+    "ann_ivf_fixed": _ann_ivf_fixed_spark,
+    "grid_metrics_fixed": _grid_metrics_fixed_spark,
+    "knn_ivfpq_fixed": _knn_ivfpq_fixed_spark,
+    "knn_ivfpq_rerank": _knn_ivfpq_rerank_spark,
+    "grid_search_ivfpq": _grid_search_ivfpq_spark,
+    "ann_ivf": _ann_ivf_spark,
+    # --- flagships: re-drawn every round ---
+    "knn_exact": lambda s, d: _knn_spark(s, d, "sqeuclidean"),
+    "dedup_minhash_lsh": _minhash_pairs_spark,
+    # --- (c) longest-stale r2-greens (below round 3's verification cut) ---
+    "knn_filtered_high": lambda s, d: _knn_spark(s, d, "sqeuclidean", filter_name="high_rated"),
+    "knn_inner_product": lambda s, d: _knn_spark(s, d, "inner_product"),
+    "knn_cosine": lambda s, d: _knn_spark(s, d, "cosine", round_digits=4),
+    "knn_hamming": lambda s, d: _knn_spark(s, d, "hamming", round_digits=0),
+    "knn_hamming_packed": _knn_hamming_packed_spark,
+    "recall_curve_sq8": _recall_curve_spark,
+    "filter_selectivity": _selectivity_spark,
+    "rating_histogram": _histogram_spark,
+    "dedup_exact": _exact_dedup_spark,
+    "best_order_per_priority": _best_order_spark,
+    "lang_id": _lang_id_spark,
+    "doc_fingerprint": _fingerprint_spark,
+    "min_token_filter": _min_token_filter_spark,
+    "embedding_dup_pairs": _embedding_dups_spark,
+    "embedding_dup_pairs_lsh": _embedding_dups_lsh_spark,
+    "vector_norms": _vector_norms_spark,
+    "sq8_train_bounds": _sq8_bounds_spark,
+    "grid_params": _grid_params_spark,
+    "token_counts": _token_counts_spark,
+    "multimodal_meta": _multimodal_meta_spark,
+    "multimodal_resize": _multimodal_resize_spark,
+    "frame_sample_counts": _frame_counts_spark,
+    "multimodal_decode": _multimodal_decode_spark,
+    "knn_sq8": lambda s, d: _knn_spark(s, d, "sqeuclidean", quant="sq8"),
+    "recall_sq8_vs_fp": _recall_sq8_spark,
+    "knn_fp16": _knn_fp16_spark,
+    "knn_pq_adc": _knn_pq_adc_spark,
+    "pq_codes": _pq_codes_spark,
+    "ann_lsh": _ann_lsh_spark,
+    "tpch_q12": _tpch_q12_spark,
+    "tpch_q21": _tpch_q21_spark,
+    "tpch_q9": _tpch_q9_spark,
+    "tpch_q11": _tpch_q11_spark,
+    # ------------------- 50-entry verification cut -------------------
+    # --- r2-greens deferred to lead round 5's rotation ---
+    "knn_scalable_filtered": _knn_scalable_spark,
+    "knn_blockwise": _knn_blockwise_spark,
+    "embed_pipeline": _embed_pipeline_spark,
+    "orders_pivot": _orders_pivot_spark,
+    "tpch_q20": _tpch_q20_spark,
+    # --- hash-green in round 3 on current testdata, code unchanged ---
     "event_window_stats": _event_window_stats_spark,
     "event_sliding_windows": _event_sliding_windows_spark,
     "user_sessions": _sessions_spark,
     "user_sessions_native": _sessions_native_spark,
     "event_lag_stats": _event_lag_stats_spark,
-    # --- (a') NEW queries this round — need first-ever green rows ---
-    "knn_ivfpq_fixed": _knn_ivfpq_fixed_spark,
-    "knn_ivfpq_rerank": _knn_ivfpq_rerank_spark,
-    "grid_search_ivfpq": _grid_search_ivfpq_spark,
     "grid_metrics_lsh_fixed": _grid_metrics_lsh_fixed_spark,
     "grid_search_lsh": _grid_search_lsh_spark,
-    "dedup_components": _dedup_components_spark,
-    "dedup_canonical": _dedup_canonical_spark,
-    "stratified_sample": _stratified_sample_spark,
-    "stratified_topn": _stratified_topn_spark,
     "doc_chunks": _doc_chunks_spark,
     "pack_assignments": _pack_assignments_spark,
-    "curation_pipeline": _curation_pipeline_spark,
     "doc_clean": _doc_clean_spark,
     "latency_percentiles_v2": _latency_percentiles_v2_spark,
-    # --- (b) round-1-green, not drawn in round 2 — re-verify on new testdata ---
     "qps_windows": _qps_spark,
     "event_attribution": _event_attribution_spark,
     "event_error_context": _event_error_context_spark,
@@ -3136,57 +3287,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q8": _tpch_q8_spark,
     "tpch_q19": _tpch_q19_spark,
     "dedup_ngram_jaccard": _ngram_pairs_spark,
-    "doc_simhash": _simhash_spark,
-    "dedup_simhash_banded": lambda s, d: DD.simhash_pairs_banded(_tbl(s, d, "documents"), max_hamming=3),
-    "text_stats": _text_stats_spark,
-    # --- (c) flagships: re-drawn every round (round-2-green on current data) ---
-    "knn_exact": lambda s, d: _knn_spark(s, d, "sqeuclidean"),
-    "grid_metrics_fixed": _grid_metrics_fixed_spark,
-    "dedup_minhash_lsh": _minhash_pairs_spark,
-    # --- beyond the driver's 50-entry verification window: all hash-verified
-    # --- green in round 2's CORRECTNESS_r02.json on current testdata, code
-    # --- unchanged since ---
-    "knn_filtered_high": lambda s, d: _knn_spark(s, d, "sqeuclidean", filter_name="high_rated"),
-    "knn_inner_product": lambda s, d: _knn_spark(s, d, "inner_product"),
-    "knn_cosine": lambda s, d: _knn_spark(s, d, "cosine", round_digits=4),
-    "knn_hamming": lambda s, d: _knn_spark(s, d, "hamming", round_digits=0),
-    "knn_hamming_packed": _knn_hamming_packed_spark,
-    "recall_curve_sq8": _recall_curve_spark,
-    "filter_selectivity": _selectivity_spark,
-    "rating_histogram": _histogram_spark,
-    "dedup_exact": _exact_dedup_spark,
-    "best_order_per_priority": _best_order_spark,
-    "lang_id": _lang_id_spark,
-    "doc_fingerprint": _fingerprint_spark,
-    "min_token_filter": _min_token_filter_spark,
-    "embedding_dup_pairs": _embedding_dups_spark,
-    "embedding_dup_pairs_lsh": _embedding_dups_lsh_spark,
-    "vector_norms": _vector_norms_spark,
-    "sq8_train_bounds": _sq8_bounds_spark,
-    "grid_params": _grid_params_spark,
-    "token_counts": _token_counts_spark,
-    "multimodal_meta": _multimodal_meta_spark,
-    "multimodal_resize": _multimodal_resize_spark,
-    "frame_sample_counts": _frame_counts_spark,
-    "knn_scalable_filtered": _knn_scalable_spark,
-    "knn_blockwise": _knn_blockwise_spark,
-    "embed_pipeline": _embed_pipeline_spark,
-    "ann_ivf": _ann_ivf_spark,
-    "grid_search_ivf": _grid_search_spark,
-    "tpch_q12": _tpch_q12_spark,
-    "orders_pivot": _orders_pivot_spark,
-    "tpch_q21": _tpch_q21_spark,
-    "tpch_q9": _tpch_q9_spark,
-    "tpch_q11": _tpch_q11_spark,
-    "tpch_q20": _tpch_q20_spark,
-    "pq_codes": _pq_codes_spark,
-    "knn_fp16": _knn_fp16_spark,
-    "knn_pq_adc": _knn_pq_adc_spark,
-    "ann_ivf_fixed": _ann_ivf_fixed_spark,
-    "ann_lsh": _ann_lsh_spark,
-    "knn_sq8": lambda s, d: _knn_spark(s, d, "sqeuclidean", quant="sq8"),
-    "recall_sq8_vs_fp": _recall_sq8_spark,
-    "multimodal_decode": _multimodal_decode_spark,
 }
 
 ORACLES: dict[str, str] = {
@@ -3282,6 +3382,7 @@ ORACLES: dict[str, str] = {
     "tpch_q20": _tpch_q20_sql(),
     "knn_pq_adc": _knn_pq_adc_sql(),
     "pq_codes": _pq_codes_sql(),
+    "grid_search_ivf": _grid_search_ivf_sql(),
     "knn_ivfpq_fixed": _knn_ivfpq_fixed_sql(),
     "knn_ivfpq_rerank": _knn_ivfpq_rerank_sql(),
     "grid_search_ivfpq": _grid_search_ivfpq_sql(),
@@ -3298,8 +3399,10 @@ ORACLES: dict[str, str] = {
 SELECT doc_id, CAST(64 AS INTEGER) AS dim, CAST(1.0 AS DOUBLE) AS norm
 FROM documents WHERE {T.token_count_sql("text")} >= 5
 """,
-    # knn_fp16 / ann_ivf / grid_search_ivf / grid_search_lsh: intentionally
-    # no oracle — fp16, k-means training, and iterative-grid-driver paths are
-    # non-SQL-expressible (rows-only). The IVF search machinery itself is
-    # oracle-checked via ann_ivf_fixed.
+    # ann_ivf is the ONLY intentionally-oracle-less query: trained k-means
+    # state is genuinely non-SQL-expressible (rows-only). Its search
+    # machinery is oracle-checked via ann_ivf_fixed, and all three grid
+    # DRIVER loops (IVF, LSH, IVFPQ) are now value-checked end to end over
+    # deterministic builds (grid_search_ivf, grid_search_lsh,
+    # grid_search_ivfpq).
 }

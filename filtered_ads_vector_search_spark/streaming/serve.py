@@ -58,10 +58,16 @@ def maintain_index_stream(
 ) -> StreamingQuery:
     """Online index maintenance: new vectors arrive as a stream; every
     micro-batch is assigned to the written layout's EXISTING centroids and
-    appended to its bucketed Parquet (IVFIndex/IVFPQIndex.append_to_layout).
-    foreachBatch + the checkpoint give exactly-once appends per batch id on
-    restart; searches against reloads see the grown index with the same
-    partition pruning. Retraining stays an offline policy decision.
+    written under a batchId-derived subdirectory of the bucketed layout
+    (IVFIndex/IVFPQIndex.append_to_layout with batch_id). foreachBatch alone
+    is only at-least-once — a crash between the write and the checkpoint
+    commit REPLAYS the batch — so each batch directory is mode("overwrite"):
+    a replay rewrites the same deterministic content instead of duplicating
+    vectors, making the append idempotent per batch id (effectively
+    exactly-once). Searches against reloads see the grown index with the
+    same partition pruning; run `compact_layout` periodically to fold batch
+    directories back into the base and bound small-file growth. Retraining
+    stays an offline policy decision.
 
     vector_stream: streaming DataFrame with the layout's (id, vec) columns.
     kind: "ivf" or "ivfpq" — which layout lives at ``layout_path``.
@@ -77,9 +83,9 @@ def maintain_index_stream(
             return
         spark = batch_df.sparkSession
         if kind == "ivf":
-            IVFIndex.append_to_layout(spark, layout_path, batch_df)
+            IVFIndex.append_to_layout(spark, layout_path, batch_df, batch_id=batch_id)
         else:
-            IVFPQIndex.append_to_layout(spark, layout_path, batch_df)
+            IVFPQIndex.append_to_layout(spark, layout_path, batch_df, batch_id=batch_id)
 
     writer = vector_stream.writeStream.foreachBatch(handle).option(
         "checkpointLocation", checkpoint

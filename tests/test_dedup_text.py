@@ -123,3 +123,20 @@ def test_duplicate_components_partition_invariance(spark):
     a = {tuple(r) for r in duplicate_components(base.repartition(1)).collect()}
     b = {tuple(r) for r in duplicate_components(base.repartition(7)).collect()}
     assert a == b and len(a) > 0
+
+
+def test_duplicate_components_raises_on_non_convergence(spark):
+    """Labels are only the transitive closure at fixpoint: a chain longer
+    than max_iter hops must raise, not silently return split components."""
+    import pytest
+
+    from filtered_ads_vector_search_spark.operators.dedup import duplicate_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        duplicate_components(chain, max_iter=3)
+    # with enough rounds the same chain converges to one component
+    comp = duplicate_components(chain, max_iter=20).collect()
+    assert {r["component_id"] for r in comp} == {0}

@@ -77,3 +77,5 @@ def test_sampling_validation(spark):
         SM.stratified_sample(df, "doc_id", "lang", {"en": -0.1})
     with pytest.raises(ValueError):
         SM.stratified_topn(df, "doc_id", "lang", 0)
+    with pytest.raises(ValueError, match="at least one group"):
+        SM.stratified_sample(df, "doc_id", "lang", {})

@@ -382,13 +382,15 @@ def test_maintain_index_stream_appends_batches(spark, tmp_path):
 
     qrow = q1.collect()[0]
     new = spark.createDataFrame(
-        [(10_000_000, [float(x) for x in qrow["q_vec"]])]
-        + [(10_000_001 + i, [0.01 * i] * 64) for i in range(5)],
-        "vec_id long, embedding array<float>",
+        [(10_000_000, [float(x) for x in qrow["q_vec"]], 0)]
+        + [(10_000_001 + i, [0.01 * i] * 64, 0) for i in range(5)],
+        "vec_id long, embedding array<float>, label int",
     )
     vdir = str(tmp_path / "vstream")
     new.write.mode("overwrite").parquet(vdir)
-    stream = spark.readStream.schema("vec_id long, embedding array<float>").parquet(vdir)
+    stream = spark.readStream.schema(
+        "vec_id long, embedding array<float>, label int"
+    ).parquet(vdir)
     sq = maintain_index_stream(
         stream, layout, checkpoint=str(tmp_path / "ckpt"), kind="ivf",
         trigger_available_now=True,
