@@ -272,6 +272,27 @@ def _assign_udf(centroids: np.ndarray):
     return assign
 
 
+def _assign_udf_exact(centroids: np.ndarray):
+    """Arrow-batched assignment that is BIT-IDENTICAL to the SQL-fold argmin
+    the DuckDB oracles compute (build_fixed's contract): per-element
+    (x - y)*(x - y) is exact in any order, np.cumsum adds strictly
+    left-to-right — the same doubles as the 0.0-seeded element-ascending
+    aggregate fold — and np.argmin's first-minimum matches the strict-<
+    keep-lowest-centroid tie-break. No matmul rearrangement (the fast
+    `cn - 2 v.C` form of _assign_udf changes ulps and could flip near-ties,
+    which training-free fixed builds cannot tolerate)."""
+    C = np.ascontiguousarray(centroids, dtype=np.float64)
+
+    @F.pandas_udf("int")
+    def assign(vecs: pd.Series) -> pd.Series:
+        V = np.array(vecs.tolist(), dtype=np.float64)
+        D = V[:, None, :] - C[None, :, :]
+        dist = np.cumsum(D * D, axis=-1)[..., -1]
+        return pd.Series(np.argmin(dist, axis=1).astype("int32"))
+
+    return assign
+
+
 @dataclass
 class IVFIndex:
     centroids: DataFrame  # (centroid_id int, centroid array<float>)
@@ -370,10 +391,11 @@ class IVFIndex:
         identical — this is the correctness harness for the IVF machinery;
         ``build`` is the quality path.
 
-        Assignment is a single JVM expression: literal centroid matrix +
-        argmin fold whose per-centroid distance uses the same
-        element-ascending zip_with/aggregate fold as vec_sqeuclidean, so
-        the oracle's distances are bit-identical doubles.
+        Assignment runs as an Arrow-batched exact kernel (_assign_udf_exact)
+        whose fold order and tie-break are bit-identical to the oracle's SQL
+        form (element-ascending squared-difference sum, lowest centroid_id
+        on ties) — interpreted HOF expressions cost ~1ms/row for the
+        n_centroids x dim sweep, which would dominate a corpus-scale build.
         """
         t0 = time.time()
         pick = (
@@ -392,26 +414,9 @@ class IVFIndex:
             "centroid_id int, centroid array<float>",
         )
         n = len(centers)
-        cent_lit = (
-            "array("
-            + ", ".join(
-                "array(" + ", ".join(repr(float(x)) + "D" for x in c) + ")" for c in centers
-            )
-            + ")"
+        assigned = corpus.withColumn(
+            "partition_id", _assign_udf_exact(centers)(F.col(vec_col))
         )
-        dist_i = (
-            f"aggregate(zip_with(cast({vec_col} as array<double>), {cent_lit}[i], "
-            "(x, y) -> (x - y) * (x - y)), 0.0D, (acc2, x) -> acc2 + x)"
-        )
-        # let-bind the distance so the fold runs once per (row, centroid);
-        # strict < keeps the LOWEST centroid_id on ties — the argmin the
-        # oracle's (dist ASC, centroid_id ASC) row_number reproduces
-        argmin = (
-            f"aggregate(sequence(0, {n - 1}), named_struct('d', CAST('Infinity' AS DOUBLE), 'i', -1), "
-            f"(acc, i) -> transform(array({dist_i}), dd -> "
-            "IF(dd < acc.d, named_struct('d', dd, 'i', i), acc))[0]).i"
-        )
-        assigned = corpus.withColumn("partition_id", F.expr(argmin))
         if materialize:
             assigned = assigned.persist()
             assigned.count()

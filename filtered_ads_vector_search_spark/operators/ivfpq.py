@@ -55,10 +55,8 @@ from .ann import (
 from .pq import (
     Codebooks,
     _validate,
-    _cb_spark_literal,
     fixed_codebooks,
-    pq_encode_expr,
-    pq_encode_residual_expr,
+    pq_encode_udf,
     pq_train,
 )
 from .topk import knn_window
@@ -100,6 +98,9 @@ class IVFPQIndex:
             for c in ivf.assigned.columns
             if keep_vectors or c != vec_col
         ]
+        # Arrow-batched exact encode (pq_encode_udf): bit-identical to the
+        # expression/oracle fold, ~100x the interpreted-HOF throughput on
+        # the one corpus-wide materialization scan
         if residual:
             base = ivf.assigned.join(
                 F.broadcast(
@@ -109,10 +110,12 @@ class IVFPQIndex:
                 ),
                 "partition_id",
             )
-            codes = pq_encode_residual_expr(vec_col, "centroid", codebooks)
+            codes = pq_encode_udf(codebooks, residual=True)(
+                F.col(vec_col), F.col("centroid")
+            )
         else:
             base = ivf.assigned
-            codes = pq_encode_expr(vec_col, codebooks)
+            codes = pq_encode_udf(codebooks)(F.col(vec_col))
         coded = base.select(*cols, codes.alias("codes")).persist()
         # ONE materialization pass: the IVF assignment is built lazy
         # (materialize=False), so partition assignment and code assignment
@@ -281,10 +284,12 @@ class IVFPQIndex:
                 ),
                 "partition_id",
             )
-            codes = pq_encode_residual_expr(vec, "centroid", idx.codebooks)
+            codes = pq_encode_udf(idx.codebooks, residual=True)(
+                F.col(vec), F.col("centroid")
+            )
         else:
             base = assigned
-            codes = pq_encode_expr(vec, idx.codebooks)
+            codes = pq_encode_udf(idx.codebooks)(F.col(vec))
         cols = [
             F.col(vec).alias(idx.vec_col) if c == idx.vec_col else F.col(c)
             for c in layout_cols
@@ -426,7 +431,15 @@ class IVFPQIndex:
         if predicate is not None:
             corpus = corpus.filter(predicate)
 
-        cb = _cb_spark_literal(self.codebooks)
+        # Codebooks ride as a broadcast 1-row relation, NOT an inline literal:
+        # the m x n_codes x sd nested-array literal costs ~0.9s of parse +
+        # analysis per search (measured), while a column reference is a
+        # 2-token tree — same doubles either way.
+        spark = self.coded.sparkSession
+        cb_df = spark.createDataFrame(
+            [(self.codebooks,)], "cb array<array<array<double>>>"
+        )
+        cb = "cb"
         if self.residual:
             # LUT per (query, bucket) over the query's residual vs that bucket
             qv = (
@@ -449,15 +462,19 @@ class IVFPQIndex:
             lut_src = probes.join(
                 F.broadcast(queries.select("query_id", "q_vec")), "query_id"
             )
+        # let-bound zip_with form (see pq._encode_body_sql): the residual/query
+        # vector binds once, each subspace slice once — bit-identical fold
         lut = F.expr(
             f"transform(array({qv}), qr -> "
             f"transform(sequence(0, {m - 1}), j -> "
+            f"transform(array(slice(qr, j * {sd} + 1, {sd})), qs -> "
             f"transform(sequence(0, {n_codes - 1}), c -> "
-            f"aggregate(sequence(0, {sd - 1}), 0.0D, (acc, i) -> "
-            f"acc + (qr[j * {sd} + i] - {cb}[j][c][i]) * "
-            f"(qr[j * {sd} + i] - {cb}[j][c][i])))))[0]"
+            f"aggregate(zip_with(qs, {cb}[j][c], (x, y) -> (x - y) * (x - y)), "
+            "0.0D, (acc, z) -> acc + z)))[0]))[0]"
         )
-        probe_lut = lut_src.select("query_id", "partition_id", lut.alias("lut"))
+        probe_lut = lut_src.crossJoin(F.broadcast(cb_df)).select(
+            "query_id", "partition_id", lut.alias("lut")
+        )
 
         adc = F.expr(
             f"aggregate(sequence(0, {m - 1}), 0.0D, (acc, j) -> acc + lut[j][codes[j]])"

@@ -37,6 +37,7 @@ Codebooks come in two flavors:
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -154,20 +155,31 @@ def _encode_body_sql(var: str, codebooks: Codebooks) -> str:
     reference or a lambda variable). Per-subspace distance is the same
     element-ascending double fold as vec_sqeuclidean; argmin is first-match
     (array_position on the min), matching the DuckDB twin's list_position
-    semantics. The distance array is let-bound via 1-element transform so
-    it's computed once."""
+    semantics.
+
+    Every reused value is let-bound via the 1-element-transform trick: the
+    double-cast vector once per row, the subspace slice once per j, the
+    distance list once per j. Higher-order functions run INTERPRETED in
+    Spark, so the inner lambda must touch bound variables, not recompute
+    array indexing — the zip_with form here is ~2x faster than indexing
+    ``var[j*sd+i]`` (and the codebook element twice) per step, while the
+    fold order (0.0-seeded, element-ascending acc + (x-y)*(x-y)) is
+    bit-identical."""
     m, n_codes, sd = _validate(codebooks)
     cb = _cb_spark_literal(codebooks)
     dists = (
         f"transform(sequence(0, {n_codes - 1}), c -> "
-        f"aggregate(sequence(0, {sd - 1}), 0.0D, (acc, i) -> "
-        f"acc + (cast({var}[j * {sd} + i] as double) - {cb}[j][c][i]) * "
-        f"(cast({var}[j * {sd} + i] as double) - {cb}[j][c][i])))"
+        f"aggregate(zip_with(sv, {cb}[j][c], (x, y) -> (x - y) * (x - y)), "
+        "0.0D, (acc, z) -> acc + z))"
+    )
+    per_j = (
+        f"transform(array(slice(vd, j * {sd} + 1, {sd})), sv -> "
+        f"transform(array({dists}), d -> "
+        f"cast(array_position(d, array_min(d)) - 1 as int))[0])[0]"
     )
     return (
-        f"transform(sequence(0, {m - 1}), j -> "
-        f"transform(array({dists}), d -> "
-        f"cast(array_position(d, array_min(d)) - 1 as int))[0])"
+        f"transform(array(cast({var} as array<double>)), vd -> "
+        f"transform(sequence(0, {m - 1}), j -> {per_j}))[0]"
     )
 
 
@@ -175,6 +187,48 @@ def pq_encode_expr(vec_sql: str, codebooks: Codebooks) -> Column:
     """ARRAY<INT> of per-subspace nearest-code indices, as ONE parsed
     expression."""
     return F.expr(_encode_body_sql(f"`{vec_sql}`", codebooks))
+
+
+def pq_encode_udf(codebooks: Codebooks, residual: bool = False):
+    """Arrow-batched PQ encode — the corpus-materialization scale path.
+
+    Higher-order-function expressions run INTERPRETED in Spark (no
+    whole-stage codegen), costing ~1ms/row for an m x n_codes x sd sweep;
+    at 100 TB that is the build bottleneck. This kernel is numerically
+    BIT-IDENTICAL to pq_encode_expr / pq_encode_residual_expr (and the
+    DuckDB twins), so the oracle contract survives the swap:
+    * (x - y) and (x - y)*(x - y) are single IEEE ops — exact in any order;
+    * the per-subspace distance accumulates with np.cumsum, which adds
+      STRICTLY left-to-right — the same doubles as the 0.0-seeded
+      element-ascending aggregate fold;
+    * np.argmin returns the FIRST minimum — the same tie-break as
+      array_position(d, array_min(d)).
+    Verified end to end by the knn_ivfpq_* / grid_search_ivfpq hash oracles.
+    """
+    CB = np.ascontiguousarray(codebooks, dtype=np.float64)  # (m, n_codes, sd)
+    m, n_codes, sd = CB.shape
+
+    def _codes(V: np.ndarray) -> pd.Series:
+        n = V.shape[0]
+        D = V.reshape(n, m, 1, sd) - CB[None, :, :, :]
+        dist = np.cumsum(D * D, axis=-1)[..., -1]  # (n, m, n_codes)
+        return pd.Series(list(np.argmin(dist, axis=-1).astype("int32")))
+
+    if residual:
+
+        @F.pandas_udf("array<int>")
+        def encode(vecs: pd.Series, cents: pd.Series) -> pd.Series:
+            V = np.array(vecs.tolist(), dtype=np.float64)
+            C = np.array(cents.tolist(), dtype=np.float64)
+            return _codes(V - C)
+
+    else:
+
+        @F.pandas_udf("array<int>")
+        def encode(vecs: pd.Series) -> pd.Series:
+            return _codes(np.array(vecs.tolist(), dtype=np.float64))
+
+    return encode
 
 
 def pq_encode_residual_expr(
@@ -273,12 +327,14 @@ def pq_adc_search(
     before the exchange (same shape as topk.knn_window, EXPLAIN.md)."""
     m, n_codes, sd = _validate(codebooks)
     cb = _cb_spark_literal(codebooks)
+    # same let-bound zip_with shape as _encode_body_sql (bit-identical fold)
     lut = F.expr(
+        f"transform(array(cast(q_vec as array<double>)), qd -> "
         f"transform(sequence(0, {m - 1}), j -> "
+        f"transform(array(slice(qd, j * {sd} + 1, {sd})), qs -> "
         f"transform(sequence(0, {n_codes - 1}), c -> "
-        f"aggregate(sequence(0, {sd - 1}), 0.0D, (acc, i) -> "
-        f"acc + (cast(q_vec[j * {sd} + i] as double) - {cb}[j][c][i]) * "
-        f"(cast(q_vec[j * {sd} + i] as double) - {cb}[j][c][i]))))"
+        f"aggregate(zip_with(qs, {cb}[j][c], (x, y) -> (x - y) * (x - y)), "
+        "0.0D, (acc, z) -> acc + z)))[0]))[0]"
     )
     q = queries.select("query_id", "q_vec").withColumn("lut", lut)
     dist = F.expr(
