@@ -245,10 +245,17 @@ def clean_text(text: Column, min_line_chars: int = 10) -> Column:
     lines = F.split(text, "\n")
     normed = F.transform(lines, lambda l: F.regexp_replace(F.trim(l), r"\s+", " "))
     kept = F.filter(normed, lambda l: F.char_length(l) >= min_line_chars)
-    first_only = F.filter(
-        kept, lambda l, i: F.array_position(kept, l) == i + F.lit(1)
-    )
-    return F.array_join(first_only, "\n")
+    # let-bind `kept` via the 1-element-transform trick: referencing the
+    # un-bound expression inside the position lambda would re-run the whole
+    # split/trim/filter pipeline per (line, probe) pair; with the binding the
+    # first-occurrence filter is the inherent O(lines^2) comparisons only
+    return F.transform(
+        F.array(kept),
+        lambda ks: F.array_join(
+            F.filter(ks, lambda l, i: F.array_position(ks, l) == i + F.lit(1)),
+            "\n",
+        ),
+    ).getItem(0)
 
 
 def clean_text_sql(text: str, min_line_chars: int = 10) -> str:

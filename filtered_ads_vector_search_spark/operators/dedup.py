@@ -582,6 +582,106 @@ def duplicate_components(
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("component_id"))
 
 
+def duplicate_components_star(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star rounds —
+    the O(log n)-round variant for adversarially deep graphs (long chains),
+    where min-label propagation (`duplicate_components`) needs one round per
+    hop of graph diameter. Semantics and output schema are identical:
+    (doc_id, component_id = min reachable id), one row per vertex that
+    appears in >= 1 pair.
+
+    Per round (the MapReduce connected-components pattern from the public
+    literature: alternate two star operations until the edge set is stable):
+      large-star: group the symmetrized edges by u; m = min(N(u) + {u});
+                  every neighbor v > u re-attaches as (v, m).
+      small-star: group edges oriented large->small by the larger endpoint
+                  u; m = min of its (all smaller) neighbors; u and every
+                  neighbor attach to m.
+    Both are one map-combinable min-groupBy + one equi-join; each round's
+    edge set is localCheckpoint'ed (same plan-truncation discipline as
+    duplicate_components — the round's plan would otherwise nest the
+    previous round's twice). At fixpoint the edges form stars rooted at
+    component minima; labels fall out of one final min-groupBy.
+    """
+    spark = pairs.sparkSession
+    edges = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    vertices = (
+        edges.select(F.col("u").alias("id"))
+        .unionAll(edges.select(F.col("v").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _checksum(e: DataFrame) -> tuple[int, int]:
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            # order-independent, overflow-free content fingerprint
+            F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
+        ).collect()[0]
+        return int(row["n"]), int(row["h"])
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        return (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        # orient large -> small so every group's neighbors are < u
+        d = e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        mins = d.groupBy("u").agg(F.min("v").alias("m"))
+        attach_u = mins.select(F.col("u"), F.col("m").alias("v"))
+        attach_n = (
+            d.join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        return (
+            attach_u.unionAll(attach_n)
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    prev = _checksum(edges)
+    for _ in range(max_rounds):
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        cur = _checksum(edges)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"duplicate_components_star did not stabilize in {max_rounds} "
+            "rounds (expected O(log n)); the edge set is still changing"
+        )
+    # at fixpoint every non-root points at its component minimum
+    labels = (
+        vertices.join(edges, vertices["id"] == edges["u"], "left")
+        .groupBy("id")
+        .agg(F.coalesce(F.min("v"), F.first("id")).alias("component_id"))
+        .select(F.col("id").alias("doc_id"), "component_id")
+    )
+    return labels
+
+
 def duplicate_components_sql(pairs_sql: str, id_a: str = "doc_a", id_b: str = "doc_b") -> str:
     """DuckDB twin: transitive closure by recursive CTE (UNION dedups the
     frontier so it terminates), then min reachable id per vertex."""

@@ -2444,6 +2444,14 @@ def _dedup_components_sql() -> str:
     return DD.duplicate_components_sql(DD.minhash_pairs_sql(threshold=0.3))
 
 
+def _dedup_components_star_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same transitive closure via the O(log n)-round large-star/small-star
+    algorithm (duplicate_components_star) — the scale path for adversarially
+    deep dup graphs, checked against the identical recursive-CTE oracle."""
+    pairs = DD.minhash_pairs(_tbl(spark, sf_dir, "documents"), threshold=0.3)
+    return DD.duplicate_components_star(pairs)
+
+
 def _dedup_canonical_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = DD.minhash_pairs(_tbl(spark, sf_dir, "documents"), threshold=0.3)
     return DD.canonical_docs(DD.duplicate_components(pairs))
@@ -3190,6 +3198,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- (b) code changed this round — need fresh green rows ---
     "grid_search_ivf": _grid_search_spark,
     "dedup_components": _dedup_components_spark,
+    "dedup_components_star": _dedup_components_star_spark,
     "dedup_canonical": _dedup_canonical_spark,
     "curation_pipeline": _curation_pipeline_spark,
     "stratified_sample": _stratified_sample_spark,
@@ -3236,9 +3245,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q12": _tpch_q12_spark,
     "tpch_q21": _tpch_q21_spark,
     "tpch_q9": _tpch_q9_spark,
-    "tpch_q11": _tpch_q11_spark,
     # ------------------- 50-entry verification cut -------------------
     # --- r2-greens deferred to lead round 5's rotation ---
+    "tpch_q11": _tpch_q11_spark,
     "knn_scalable_filtered": _knn_scalable_spark,
     "knn_blockwise": _knn_blockwise_spark,
     "embed_pipeline": _embed_pipeline_spark,
@@ -3339,6 +3348,7 @@ ORACLES: dict[str, str] = {
     "dedup_ngram_jaccard": DD.ngram_jaccard_pairs_sql(threshold=0.3),
     "dedup_minhash_lsh": DD.minhash_pairs_sql(threshold=0.3),
     "dedup_components": _dedup_components_sql(),
+    "dedup_components_star": _dedup_components_sql(),
     "dedup_canonical": _dedup_canonical_sql(),
     "stratified_sample": _stratified_sample_sql(),
     "stratified_topn": _stratified_topn_sql(),

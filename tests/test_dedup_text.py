@@ -140,3 +140,47 @@ def test_duplicate_components_raises_on_non_convergence(spark):
     # with enough rounds the same chain converges to one component
     comp = duplicate_components(chain, max_iter=20).collect()
     assert {r["component_id"] for r in comp} == {0}
+
+
+def test_duplicate_components_star_matches_label_propagation(spark):
+    """The O(log n) large-star/small-star variant must produce exactly the
+    labels of min-label propagation on real near-dup pairs, and must handle
+    a 64-hop chain (where propagation needs 64 rounds) in O(log n) rounds."""
+    from filtered_ads_vector_search_spark.operators.dedup import (
+        duplicate_components,
+        duplicate_components_star,
+        minhash_pairs,
+    )
+
+    docs = spark.read.parquet(f"{SF_TEST}/documents.parquet")
+    pairs = minhash_pairs(docs, threshold=0.3).select("doc_a", "doc_b").cache()
+    a = {tuple(r) for r in duplicate_components(pairs).collect()}
+    b = {tuple(r) for r in duplicate_components_star(pairs).collect()}
+    assert a == b and len(a) > 0
+    pairs.unpersist()
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], "doc_a long, doc_b long"
+    )
+    comp = duplicate_components_star(chain, max_rounds=12).collect()
+    assert len(comp) == 65
+    assert {r["component_id"] for r in comp} == {0}
+
+
+def test_duplicate_components_star_partition_invariance(spark):
+    from filtered_ads_vector_search_spark.operators.dedup import (
+        duplicate_components_star,
+    )
+
+    base = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (5, 3), (20, 21), (21, 22), (22, 20)],
+        "doc_a long, doc_b long",
+    )
+    a = {tuple(r) for r in duplicate_components_star(base.repartition(1)).collect()}
+    b = {tuple(r) for r in duplicate_components_star(base.repartition(7)).collect()}
+    assert a == b
+    assert a == {
+        (1, 1), (2, 1), (3, 1), (5, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20),
+    }

@@ -118,3 +118,42 @@ def test_codebook_validation():
         PQ.pq_encode_expr("embedding", books)
     with pytest.raises(ValueError):
         PQ._validate([], dim=64)
+
+
+def test_pq_encode_udf_matches_expr_bit_exact(spark):
+    """The Arrow-batched encode kernel (the corpus-materialization scale
+    path) must produce EXACTLY the codes of the SQL-expression form on real
+    vectors — absolute and residual variants. This is the bit-identity
+    contract (cumsum == ascending fold, first-min argmin == array_position
+    tie-break) the IVFPQ oracles rely on."""
+    q, c = _split(spark)
+    books = PQ.fixed_codebooks(dim=64, m=4, n_codes=16)
+
+    via_expr = c.select(
+        "vec_id", PQ.pq_encode_expr("embedding", books).alias("codes")
+    ).collect()
+    via_udf = c.select(
+        "vec_id", PQ.pq_encode_udf(books)(F.col("embedding")).alias("codes")
+    ).collect()
+    assert {r["vec_id"]: r["codes"] for r in via_expr} == {
+        r["vec_id"]: r["codes"] for r in via_udf
+    }
+
+    # residual variant against a planted centroid column
+    cent = c.limit(1).collect()[0]["embedding"]
+    with_cent = c.withColumn(
+        "centroid", F.expr("cast(array(" + ", ".join(repr(float(x)) for x in cent) + ") as array<float>)")
+    )
+    via_expr_r = with_cent.select(
+        "vec_id",
+        PQ.pq_encode_residual_expr("embedding", "centroid", books).alias("codes"),
+    ).collect()
+    via_udf_r = with_cent.select(
+        "vec_id",
+        PQ.pq_encode_udf(books, residual=True)(
+            F.col("embedding"), F.col("centroid")
+        ).alias("codes"),
+    ).collect()
+    assert {r["vec_id"]: r["codes"] for r in via_expr_r} == {
+        r["vec_id"]: r["codes"] for r in via_udf_r
+    }
