@@ -68,12 +68,14 @@ def _write_sidecars(
     id_col: str,
     drop_cols: tuple[str, ...],
     fraction: float | None = None,
+    bucket_col: str = "partition_id",
 ) -> None:
     """Write {root}/stats, {root}/sample, {root}/sample_meta for `relation`
-    (which must carry partition_id). When `fraction` is None it is derived
-    from the relation's total row count to land ~SEL_SAMPLE_ROWS rows."""
+    (which must carry the bucket column). When `fraction` is None it is
+    derived from the relation's total row count to land ~SEL_SAMPLE_ROWS
+    rows."""
     spark = relation.sparkSession
-    stats = relation.groupBy("partition_id").agg(F.count(F.lit(1)).alias("n_rows"))
+    stats = relation.groupBy(bucket_col).agg(F.count(F.lit(1)).alias("n_rows"))
     stats.coalesce(1).write.mode("overwrite").parquet(f"{root}/stats")
     if fraction is None:
         total = sum(r["n_rows"] for r in spark.read.parquet(f"{root}/stats").collect())
@@ -159,6 +161,8 @@ def _compact_layout(
     id_col: str,
     drop_cols: tuple[str, ...],
     files_per_bucket: int = 1,
+    bucket_col: str = "partition_id",
+    write_sidecars: bool = True,
 ) -> int:
     """Maintenance: merge the base directory and all per-batch appends into a
     fresh bucketed base with ~files_per_bucket files per bucket, rewrite the
@@ -175,7 +179,7 @@ def _compact_layout(
 
     n_buckets = (
         spark.read.parquet(f"{path}/{data_subdir}")
-        .select("partition_id")
+        .select(bucket_col)
         .distinct()
         .count()
     )
@@ -184,10 +188,10 @@ def _compact_layout(
     # one shuffle task per bucket -> files/bucket == files_per_bucket
     (
         merged.repartition(
-            max(1, n_buckets * files_per_bucket), F.col("partition_id")
+            max(1, n_buckets * files_per_bucket), F.col(bucket_col)
         )
         .write.mode("overwrite")
-        .partitionBy("partition_id")
+        .partitionBy(bucket_col)
         .parquet(tmp)
     )
     old = f"{path}/{data_subdir}__compact_old"
@@ -199,7 +203,11 @@ def _compact_layout(
     # drop any session-shared cached file listings for the swapped dirs
     spark.catalog.refreshByPath(path)
     compacted = spark.read.parquet(f"{path}/{data_subdir}")
-    _write_sidecars(path, compacted, id_col=id_col, drop_cols=drop_cols)
+    if write_sidecars:
+        _write_sidecars(
+            path, compacted, id_col=id_col, drop_cols=drop_cols,
+            bucket_col=bucket_col,
+        )
     return compacted.count()
 
 

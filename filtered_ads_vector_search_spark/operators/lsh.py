@@ -163,9 +163,106 @@ class LSHIndex:
         )
 
     def write_partitioned(self, path: str) -> None:
-        """Persist partitioned by the first table's bucket so searches prune
-        files on the primary key; the other tables' keys stay as columns."""
-        self.tagged.write.mode("overwrite").partitionBy("bucket_0").parquet(path)
+        """Persist the LSH layout: the tagged corpus partitioned by the first
+        table's bucket (searches prune files on the primary key; the other
+        tables' keys stay as columns) plus a one-row meta table carrying the
+        hyperplanes, so `load` restores a searchable index and
+        `append_to_layout` can tag new vectors identically."""
+        self.tagged.write.mode("overwrite").partitionBy("bucket_0").parquet(
+            f"{path}/tagged"
+        )
+        spark = self.tagged.sparkSession
+        meta = spark.createDataFrame(
+            [
+                (
+                    [float(x) for x in self.planes.reshape(-1)],
+                    int(self.n_bits),
+                    int(self.n_tables),
+                    int(self.planes.shape[2]),
+                    str(self.metric),
+                    self.id_col,
+                    self.vec_col,
+                )
+            ],
+            "planes array<double>, n_bits int, n_tables int, dim int, "
+            "metric string, id_col string, vec_col string",
+        )
+        meta.coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+    @staticmethod
+    def load(spark, path: str) -> "LSHIndex":
+        """Open a written LSH layout (base directory plus any per-batch
+        appends). Search predicates on bucket_0 prune partition directories."""
+        from .ann import _read_layout
+
+        meta = spark.read.parquet(f"{path}/meta").collect()[0]
+        planes = np.array(meta["planes"], dtype=np.float64).reshape(
+            meta["n_tables"], meta["n_bits"], meta["dim"]
+        )
+        return LSHIndex(
+            tagged=_read_layout(spark, path, "tagged"),
+            planes=planes,
+            metric=meta["metric"],
+            n_bits=meta["n_bits"],
+            n_tables=meta["n_tables"],
+            build_seconds=0.0,
+            id_col=meta["id_col"],
+            vec_col=meta["vec_col"],
+        )
+
+    @staticmethod
+    def append_to_layout(
+        spark, path: str, new_rows: DataFrame, batch_id: int | None = None
+    ) -> int:
+        """Incremental add: tag NEW vectors with the layout's stored
+        hyperplanes (LSH needs no retraining — the planes ARE the index) and
+        append them. Same append semantics as IVFIndex.append_to_layout:
+        ``batch_id=None`` appends into the base directories; a ``batch_id``
+        writes an idempotent overwrite-mode batch directory so foreachBatch
+        replays cannot duplicate vectors. Returns rows appended."""
+        from .ann import _batch_root
+
+        idx = LSHIndex.load(spark, path)
+        layout_cols = [
+            c for c in idx.tagged.columns if not c.startswith("bucket_")
+        ]
+        missing = [c for c in layout_cols if c not in new_rows.columns]
+        if missing:
+            raise ValueError(
+                f"new_rows lacks columns the written layout carries: {missing} "
+                f"(layout schema: {layout_cols})"
+            )
+        tagged = _tag_buckets(
+            new_rows.select(*layout_cols), idx.vec_col, idx.planes, "bucket_"
+        )
+        n = tagged.count()
+        if batch_id is None:
+            tagged.write.mode("append").partitionBy("bucket_0").parquet(
+                f"{path}/tagged"
+            )
+        else:
+            tagged.write.mode("overwrite").partitionBy("bucket_0").parquet(
+                f"{_batch_root(path, batch_id)}/tagged"
+            )
+        return n
+
+    @staticmethod
+    def compact_layout(spark, path: str, files_per_bucket: int = 1) -> int:
+        """Fold per-batch appends into the base tagged layout and bound files
+        per bucket_0 directory (see ann._compact_layout for caveats)."""
+        from .ann import _compact_layout
+
+        idx = LSHIndex.load(spark, path)
+        return _compact_layout(
+            spark,
+            path,
+            "tagged",
+            id_col=idx.id_col,
+            drop_cols=(idx.vec_col,),
+            files_per_bucket=files_per_bucket,
+            bucket_col="bucket_0",
+            write_sidecars=False,  # LSH search has no selectivity policy
+        )
 
     def search(
         self,

@@ -70,22 +70,26 @@ def maintain_index_stream(
     stays an offline policy decision.
 
     vector_stream: streaming DataFrame with the layout's (id, vec) columns.
-    kind: "ivf" or "ivfpq" — which layout lives at ``layout_path``.
+    kind: "ivf", "ivfpq" or "lsh" — which layout lives at ``layout_path``.
     """
     from ..operators.ann import IVFIndex
     from ..operators.ivfpq import IVFPQIndex
+    from ..operators.lsh import LSHIndex
 
-    if kind not in ("ivf", "ivfpq"):
-        raise ValueError(f"kind must be 'ivf' or 'ivfpq', got {kind!r}")
+    appenders = {
+        "ivf": IVFIndex.append_to_layout,
+        "ivfpq": IVFPQIndex.append_to_layout,
+        "lsh": LSHIndex.append_to_layout,
+    }
+    if kind not in appenders:
+        raise ValueError(f"kind must be one of {sorted(appenders)}, got {kind!r}")
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        spark = batch_df.sparkSession
-        if kind == "ivf":
-            IVFIndex.append_to_layout(spark, layout_path, batch_df, batch_id=batch_id)
-        else:
-            IVFPQIndex.append_to_layout(spark, layout_path, batch_df, batch_id=batch_id)
+        appenders[kind](
+            batch_df.sparkSession, layout_path, batch_df, batch_id=batch_id
+        )
 
     writer = vector_stream.writeStream.foreachBatch(handle).option(
         "checkpointLocation", checkpoint

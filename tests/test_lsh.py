@@ -102,8 +102,55 @@ def test_lsh_write_partitioned_layout(spark, tmp_path):
     idx = LSHIndex.build(c, n_bits=3, n_tables=2, seed=42)
     path = str(tmp_path / "lsh_layout")
     idx.write_partitioned(path)
-    dirs = [d for d in os.listdir(path) if d.startswith("bucket_0=")]
+    dirs = [d for d in os.listdir(f"{path}/tagged") if d.startswith("bucket_0=")]
     assert 1 <= len(dirs) <= 8  # 3 bits -> at most 8 primary buckets
-    back = spark.read.parquet(path)
+    back = spark.read.parquet(f"{path}/tagged")
     assert back.count() == idx.tagged.count()
+
+    # load restores a searchable index with identical results
+    loaded = LSHIndex.load(spark, path)
+    assert (loaded.n_bits, loaded.n_tables) == (3, 2)
+    q5 = q.limit(5).cache()
+    r_mem = sorted(map(tuple, idx.search(q5, k=5).collect()))
+    r_load = sorted(map(tuple, loaded.search(q5, k=5).collect()))
+    assert r_mem == r_load and len(r_mem) > 0
     idx.unpersist()
+
+
+def test_lsh_append_and_compact_layout(spark, tmp_path):
+    """Incremental LSH add: a planted near-query vector tagged with the
+    layout's stored hyperplanes becomes the top hit; replaying the same
+    batch_id does not duplicate it; compaction bounds files per bucket and
+    preserves results."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    q, c = _setup(spark)
+    q1 = q.limit(1).cache()
+    idx = LSHIndex.build(c, n_bits=3, n_tables=2, seed=42)
+    path = str(tmp_path / "lsh_layout")
+    idx.write_partitioned(path)
+    idx.unpersist()
+    n0 = spark.read.parquet(f"{path}/tagged").count()
+
+    qrow = q1.collect()[0]
+    planted = spark.createDataFrame(
+        [(10_000_000, [float(x) for x in qrow["q_vec"]], 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    assert LSHIndex.append_to_layout(spark, path, planted, batch_id=5) == 1
+    assert LSHIndex.append_to_layout(spark, path, planted, batch_id=5) == 1
+    loaded = LSHIndex.load(spark, path)
+    assert loaded.tagged.count() == n0 + 1  # idempotent replay
+
+    top = loaded.search(q1, k=1).collect()[0]
+    assert top["neighbor_id"] == 10_000_000
+
+    before = sorted(map(tuple, loaded.search(q1, k=5).collect()))
+    assert LSHIndex.compact_layout(spark, path) == n0 + 1
+    assert glob.glob(f"{path}/batches") == []
+    for bucket_dir in glob.glob(f"{path}/tagged/bucket_0=*"):
+        assert len(glob.glob(f"{bucket_dir}/*.parquet")) <= 1, bucket_dir
+    after = sorted(map(tuple, LSHIndex.load(spark, path).search(q1, k=5).collect()))
+    assert after == before
