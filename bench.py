@@ -100,6 +100,8 @@ def main() -> None:
         "recall_sq8_vs_fp",
         "dedup_exact",
         "dedup_minhash_lsh",
+        "dedup_components_star",
+        "grid_search_ivf",
         "text_stats",
         "tpch_q1",
         "tpch_q5",

@@ -29,14 +29,14 @@ nprobe/n_centroids of the data; AQE handles residual skew.
 from __future__ import annotations
 
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .topk import Metric, distance_col, knn_window, topk_agg
+from .topk import Metric, distance_col, knn_window
 
 __all__ = ["IVFIndex"]
 

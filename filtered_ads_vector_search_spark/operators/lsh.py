@@ -32,7 +32,7 @@ import time
 from dataclasses import dataclass
 
 import numpy as np
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .topk import Metric, distance_col, topk_agg

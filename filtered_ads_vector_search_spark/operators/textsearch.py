@@ -1,0 +1,241 @@
+"""Lexical relevance search: BM25 scoring + reciprocal-rank-fusion hybrid
+(beyond-reference — the lexical half of a hybrid retrieval stack next to the
+engine's vector tiers; the reference searches embeddings only).
+
+BM25 is the classic probabilistic relevance function (public literature:
+Robertson & Zaragoza, "The Probabilistic Relevance Framework: BM25 and
+Beyond"; the idf form below is the Lucene-style non-negative variant):
+
+  score(q, d) = Σ_{t ∈ q} idf(t) * tf(t,d) * (k1 + 1)
+                           / (tf(t,d) + k1 * (1 - b + b * |d|/avgdl))
+  idf(t) = ln(1 + (N - df(t) + 0.5) / (df(t) + 0.5))
+
+Spark shape — everything is equi-joins and map-combinable aggregates:
+  * doc_terms (doc_id, term, tf) + doc lengths: one scan, explode, groupBy;
+  * term_stats (term, df): groupBy over doc_terms — vocabulary-sized;
+  * query terms join term_stats (broadcast: queries are small), then join
+    doc_terms on term — the corpus-sized relation only ever streams through
+    one hash join on the term key;
+  * per-(query, doc) scores: groupBy + an ORDER-FIXED fold (see below);
+  * per-query top-k via the rank window (WindowGroupLimit pushdown).
+
+At 100 TB: doc_terms is the inverted-index relation (write it bucketed by
+term to co-locate the query join); term_stats is vocabulary-sized (broadcast
+or pre-joined); no crossJoin anywhere.
+
+Cross-engine determinism (the DuckDB oracle hashes VALUES): floating-point
+addition is not associative, so the per-(query, doc) sum folds a
+term-ASCENDING sorted list in both engines (Spark: array_sort(collect_list)
++ aggregate; DuckDB: list(... ORDER BY term) + list fold), and each
+per-term score is rounded to 9 decimals first so a last-ulp difference in
+the two engines' ln() cannot survive into the sum. Output scores round to 4.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens, tokens_sql
+
+__all__ = ["doc_terms", "bm25_search", "bm25_search_sql", "rrf_fuse", "rrf_fuse_sql"]
+
+K1 = 1.2
+B = 0.75
+
+
+def doc_terms(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, term, tf) over lowercase whitespace tokens — the inverted-
+    index relation. One scan + explode + map-combinable groupBy."""
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def bm25_search(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = K1,
+    b: float = B,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-query BM25 top-k: ``queries`` is (query_id, query_text); returns
+    (query_id, doc_id, rank, score) with score rounded to 4 decimals.
+    Ranking uses the order-fixed summed score (see module docstring);
+    ties break on doc_id ascending."""
+    dt = doc_terms(docs, id_col, text_col)
+    dlen = dt.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    # exact integer totals -> one deterministic division for avgdl
+    tot = dlen.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    ).collect()[0]
+    n_docs, avgdl = int(tot["n_docs"]), float(tot["sum_dl"]) / int(tot["n_docs"])
+
+    stats = dt.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    qterms = (
+        queries.select(
+            "query_id",
+            F.explode(F.array_distinct(tokens(F.lower(F.col("query_text"))))).alias(
+                "term"
+            ),
+        )
+        .filter(F.col("term") != "")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tf_comp = (F.col("tf") * (F.lit(k1) + F.lit(1.0))) / (
+        F.col("tf")
+        + F.lit(k1)
+        * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+    )
+    term_score = F.round(idf * tf_comp, 9)
+    scored = (
+        F.broadcast(qterms)
+        .join(dt, "term")
+        .join(dlen, "doc_id")
+        .join(F.broadcast(stats), "term")
+        .select("query_id", "doc_id", "term", term_score.alias("ts"))
+    )
+    # order-fixed fold: sort per-(query, doc) term scores by term, then sum
+    # ascending — the same doubles in the same order as the DuckDB twin
+    summed = scored.groupBy("query_id", "doc_id").agg(
+        F.expr(
+            "aggregate(array_sort(collect_list(named_struct('t', term, 's', ts))), "
+            "0.0D, (acc, x) -> acc + x.s)"
+        ).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        summed.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "rank", F.round("score", 4).alias("score"))
+    )
+
+
+def bm25_search_sql(
+    docs_sql: str,
+    queries_sql: str,
+    k: int = 10,
+    k1: float = K1,
+    b: float = B,
+    id_expr: str = "doc_id",
+    text_expr: str = "text",
+) -> str:
+    """DuckDB twin: same relational derivation, same order-fixed fold (list
+    aggregated ORDER BY term, summed by list_aggregate is not order-fixed —
+    so the fold is an explicit list reduce over the ordered list)."""
+    return f"""
+WITH docs AS ({docs_sql}),
+qs AS ({queries_sql}),
+dt AS (
+  SELECT {id_expr} AS doc_id, term, count(*) AS tf FROM (
+    SELECT {id_expr}, unnest({tokens_sql(f'lower({text_expr})')}) AS term FROM docs
+  ) WHERE term != '' GROUP BY 1, 2
+),
+dlen AS (SELECT doc_id, sum(tf) AS dl FROM dt GROUP BY 1),
+tot AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dlen),
+stats AS (SELECT term, count(*) AS df FROM dt GROUP BY 1),
+qterms AS (
+  SELECT DISTINCT query_id, term FROM (
+    SELECT query_id, unnest({tokens_sql('lower(query_text)')}) AS term FROM qs
+  ) WHERE term != ''
+),
+scored AS (
+  SELECT q.query_id, dt.doc_id, dt.term,
+         round(
+           ln(1.0 + (CAST(tot.n_docs AS DOUBLE) - s.df + 0.5) / (s.df + 0.5))
+           * (dt.tf * ({k1} + 1.0))
+           / (dt.tf + {k1} * (1.0 - {b} + {b} * dl.dl
+                              / (CAST(tot.sum_dl AS DOUBLE) / tot.n_docs))),
+           9) AS ts
+  FROM qterms q
+  JOIN dt ON dt.term = q.term
+  JOIN dlen dl ON dl.doc_id = dt.doc_id
+  JOIN stats s ON s.term = q.term
+  CROSS JOIN tot
+),
+summed AS (
+  SELECT query_id, doc_id,
+         list_reduce(list_prepend(0.0, list(ts ORDER BY term ASC)),
+                     (acc, x) -> acc + x) AS score
+  FROM scored GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM summed
+)
+SELECT query_id, doc_id, rank, round(score, 4) AS score
+FROM ranked WHERE rank <= {k}
+"""
+
+
+def rrf_fuse(
+    a: DataFrame, b: DataFrame, k: int = 10, c: int = 60
+) -> DataFrame:
+    """Reciprocal-rank fusion (public literature: Cormack, Clarke & Büttcher)
+    of two ranked lists with columns (query_id, doc_id, rank):
+    rrf(d) = Σ_lists 1/(c + rank_d). Docs missing from one list contribute
+    only the other's term — the standard hybrid lexical+vector combiner.
+    Rational arithmetic on small integers: 1/(c+rank) is bit-identical
+    across engines, and the two-term sum has a fixed order (a then b)."""
+    ra = a.select("query_id", "doc_id", F.col("rank").alias("rank_a"))
+    rb = b.select("query_id", "doc_id", F.col("rank").alias("rank_b"))
+    fused = (
+        ra.join(rb, ["query_id", "doc_id"], "full_outer")
+        .select(
+            "query_id",
+            "doc_id",
+            (
+                F.coalesce(
+                    F.lit(1.0) / (F.lit(float(c)) + F.col("rank_a")), F.lit(0.0)
+                )
+                + F.coalesce(
+                    F.lit(1.0) / (F.lit(float(c)) + F.col("rank_b")), F.lit(0.0)
+                )
+            ).alias("rrf"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf").desc(), F.col("doc_id").asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "rank", F.round("rrf", 6).alias("rrf"))
+    )
+
+
+def rrf_fuse_sql(a_sql: str, b_sql: str, k: int = 10, c: int = 60) -> str:
+    return f"""
+WITH a AS ({a_sql}), b AS ({b_sql}),
+fused AS (
+  SELECT coalesce(a.query_id, b.query_id) AS query_id,
+         coalesce(a.doc_id, b.doc_id) AS doc_id,
+         coalesce(1.0 / ({c} + a.rank), 0.0)
+         + coalesce(1.0 / ({c} + b.rank), 0.0) AS rrf
+  FROM a FULL OUTER JOIN b ON a.query_id = b.query_id AND a.doc_id = b.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, rrf,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY rrf DESC, doc_id ASC) AS rank
+  FROM fused
+)
+SELECT query_id, doc_id, rank, round(rrf, 6) AS rrf FROM ranked WHERE rank <= {k}
+"""

@@ -3173,6 +3173,107 @@ def _grid_search_lsh_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- lexical relevance + hybrid fusion (operators/textsearch.py) -----------
+
+#: deterministic literal query set over the documents vocabulary
+_BM25_QUERIES = [
+    (1, "spark window agg"),
+    (2, "vector scan filter"),
+    (3, "customer query join batch"),
+]
+_BM25_QUERIES_SQL = (
+    "SELECT * FROM (VALUES "
+    + ", ".join(f"({i}, '{s}')" for i, s in _BM25_QUERIES)
+    + ") AS t(query_id, query_text)"
+)
+_HYBRID_LIST_K = 20
+
+
+def _bm25_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical BM25 top-k over the documents table (the lexical half of a
+    hybrid retrieval stack; scoring per Robertson-Zaragoza, Lucene idf)."""
+    from .operators import textsearch as TS
+
+    qs = spark.createDataFrame(_BM25_QUERIES, "query_id int, query_text string")
+    return TS.bm25_search(_tbl(spark, sf_dir, "documents"), qs, k=K)
+
+
+def _bm25_sql() -> str:
+    from .operators import textsearch as TS
+
+    return TS.bm25_search_sql(
+        "SELECT doc_id, text FROM documents", _BM25_QUERIES_SQL, k=K
+    )
+
+
+def _hybrid_lists(spark: SparkSession, sf_dir: str):
+    """The two ranked lists RRF fuses: lexical BM25 over documents, and
+    cosine kNN over the embeddings whose vec_id is a documents doc_id (the
+    two synthetic tables share the id space), with the 3 lowest held-out
+    query vectors renumbered 1..3 to align with the text queries."""
+    from .operators import textsearch as TS
+
+    docs = _tbl(spark, sf_dir, "documents")
+    qs = spark.createDataFrame(_BM25_QUERIES, "query_id int, query_text string")
+    lex = TS.bm25_search(docs, qs, k=_HYBRID_LIST_K)
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    qv, cv = TK.split_queries(emb)
+    q3 = (
+        qv.orderBy("query_id")
+        .limit(3)
+        .select(
+            F.row_number().over(Window.orderBy("query_id")).alias("query_id"),
+            "q_vec",
+        )
+    )
+    cv_docs = cv.join(
+        docs.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
+    )
+    vec = TK.knn_window(q3, cv_docs, k=_HYBRID_LIST_K, metric="cosine").select(
+        "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    return lex, vec
+
+
+def _hybrid_rrf_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion of the lexical BM25 list and
+    the vector cosine list (rrf = Σ 1/(60 + rank); rational arithmetic, so
+    the fusion itself is bit-exact across engines)."""
+    from .operators import textsearch as TS
+
+    lex, vec = _hybrid_lists(spark, sf_dir)
+    return TS.rrf_fuse(lex, vec, k=K)
+
+
+def _hybrid_rrf_sql() -> str:
+    from .operators import textsearch as TS
+
+    lex = TS.bm25_search_sql(
+        "SELECT doc_id, text FROM documents", _BM25_QUERIES_SQL, k=_HYBRID_LIST_K
+    )
+    dist = V.cosine_distance_sql("q.q_vec", "c.embedding")
+    vec = f"""
+WITH q3 AS (
+  SELECT row_number() OVER (ORDER BY vec_id ASC) AS query_id,
+         embedding AS q_vec
+  FROM embeddings WHERE {FL.is_query_sql('vec_id')}
+  ORDER BY vec_id ASC LIMIT 3
+), c AS (
+  SELECT e.vec_id, e.embedding FROM embeddings e
+  JOIN documents d ON d.doc_id = e.vec_id
+  WHERE NOT {FL.is_query_sql('e.vec_id')}
+)
+SELECT query_id, doc_id, rank FROM (
+  SELECT q.query_id, c.vec_id AS doc_id,
+         row_number() OVER (PARTITION BY q.query_id
+                            ORDER BY {dist} ASC, c.vec_id ASC) AS rank
+  FROM q3 q CROSS JOIN c
+) WHERE rank <= {_HYBRID_LIST_K}
+"""
+    return TS.rrf_fuse_sql(lex, vec, k=K)
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3209,6 +3310,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_ivfpq_rerank": _knn_ivfpq_rerank_spark,
     "grid_search_ivfpq": _grid_search_ivfpq_spark,
     "ann_ivf": _ann_ivf_spark,
+    # --- NEW round-4 queries — need first-ever green rows ---
+    "bm25_search": _bm25_spark,
+    "hybrid_rrf": _hybrid_rrf_spark,
     # --- flagships: re-drawn every round ---
     "knn_exact": lambda s, d: _knn_spark(s, d, "sqeuclidean"),
     "dedup_minhash_lsh": _minhash_pairs_spark,
@@ -3243,10 +3347,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pq_codes": _pq_codes_spark,
     "ann_lsh": _ann_lsh_spark,
     "tpch_q12": _tpch_q12_spark,
-    "tpch_q21": _tpch_q21_spark,
-    "tpch_q9": _tpch_q9_spark,
     # ------------------- 50-entry verification cut -------------------
     # --- r2-greens deferred to lead round 5's rotation ---
+    "tpch_q21": _tpch_q21_spark,
+    "tpch_q9": _tpch_q9_spark,
     "tpch_q11": _tpch_q11_spark,
     "knn_scalable_filtered": _knn_scalable_spark,
     "knn_blockwise": _knn_blockwise_spark,
@@ -3349,6 +3453,8 @@ ORACLES: dict[str, str] = {
     "dedup_minhash_lsh": DD.minhash_pairs_sql(threshold=0.3),
     "dedup_components": _dedup_components_sql(),
     "dedup_components_star": _dedup_components_sql(),
+    "bm25_search": _bm25_sql(),
+    "hybrid_rrf": _hybrid_rrf_sql(),
     "dedup_canonical": _dedup_canonical_sql(),
     "stratified_sample": _stratified_sample_sql(),
     "stratified_topn": _stratified_topn_sql(),

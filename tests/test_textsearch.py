@@ -1,0 +1,79 @@
+"""Lexical BM25 + RRF hybrid fusion (operators/textsearch.py)."""
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from filtered_ads_vector_search_spark.operators import textsearch as TS
+
+from conftest import SF_TEST
+
+
+def test_bm25_ranks_matching_docs_first(spark):
+    """A document containing every query term must outrank one sharing no
+    terms; a doc repeating the rare term beats one mentioning it once."""
+    docs = spark.createDataFrame(
+        [
+            (1, "zebra quantum flux"),
+            (2, "zebra zebra quantum"),
+            (3, "table chair lamp"),
+            (4, "quantum flux zebra flux"),
+        ],
+        "doc_id long, text string",
+    )
+    qs = spark.createDataFrame([(1, "zebra quantum flux")], "query_id int, query_text string")
+    out = TS.bm25_search(docs, qs, k=4).collect()
+    ranked = [r["doc_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert 3 not in ranked  # no shared term -> no row at all
+    assert set(ranked) == {1, 2, 4}
+    assert ranked[0] in (1, 4)  # all three terms beat two-term doc 2
+    assert all(r["score"] > 0 for r in out)
+
+
+def test_bm25_idf_downweights_common_terms(spark):
+    """A term present in every document contributes ~nothing; a rare term
+    dominates — the idf property."""
+    docs = spark.createDataFrame(
+        [(i, "common filler words " + ("needle" if i == 7 else "hay")) for i in range(1, 11)],
+        "doc_id long, text string",
+    )
+    qs = spark.createDataFrame([(1, "common needle")], "query_id int, query_text string")
+    out = TS.bm25_search(docs, qs, k=1).collect()
+    assert out[0]["doc_id"] == 7
+
+
+def test_bm25_on_documents_table(spark):
+    docs = spark.read.parquet(f"{SF_TEST}/documents.parquet")
+    qs = spark.createDataFrame(
+        [(1, "spark window agg"), (2, "vector scan filter")],
+        "query_id int, query_text string",
+    )
+    out = TS.bm25_search(docs, qs, k=10)
+    rows = out.collect()
+    assert len(rows) == 20  # k rows per query on this vocabulary-rich corpus
+    assert {r["query_id"] for r in rows} == {1, 2}
+    # ranks are 1..k per query with strictly non-increasing scores
+    for qid in (1, 2):
+        qr = sorted([r for r in rows if r["query_id"] == qid], key=lambda r: r["rank"])
+        assert [r["rank"] for r in qr] == list(range(1, 11))
+        scores = [r["score"] for r in qr]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_rrf_fusion_rewards_presence_in_both_lists(spark):
+    """A doc ranked mid-list in BOTH rankers outranks a doc that tops one
+    list but misses the other (1/(60+2)+1/(60+2) > 1/(60+1))."""
+    a = spark.createDataFrame(
+        [(1, 100, 1), (1, 200, 2), (1, 300, 3)], "query_id int, doc_id long, rank int"
+    )
+    b = spark.createDataFrame(
+        [(1, 200, 2), (1, 400, 1), (1, 300, 5)], "query_id int, doc_id long, rank int"
+    )
+    out = {r["doc_id"]: r for r in TS.rrf_fuse(a, b, k=10).collect()}
+    assert out[200]["rank"] == 1  # in both lists
+    assert set(out) == {100, 200, 300, 400}
+    # doc 300 in both lists at (3, 5) still beats single-list docs 100/400?
+    # 1/63 + 1/65 = 0.0312 > 1/61 = 0.0164 — yes
+    assert out[300]["rank"] == 2
