@@ -101,7 +101,6 @@ def main() -> None:
         "dedup_exact",
         "dedup_minhash_lsh",
         "dedup_components_star",
-        "grid_search_ivf",
         "text_stats",
         "tpch_q1",
         "tpch_q5",

@@ -2465,6 +2465,36 @@ FROM ({comp}) GROUP BY component_id
 """
 
 
+def _dedup_chunk_pairs_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level cross-document dedup (the C4/RefinedWeb granularity):
+    chunk every document, then MinHash-LSH near-dup pairs BETWEEN documents
+    (same-document chunk pairs — trivially overlapping windows — are
+    excluded). Chunk key = doc_id * 1000 + chunk_id, exact in both engines."""
+    from .operators.chunking import chunk_text
+
+    docs = _tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    ch = chunk_text(docs, chunk_chars=_CHUNK_CHARS, overlap=_CHUNK_OVERLAP)
+    chunks = ch.select(
+        (F.col("doc_id") * F.lit(1000) + F.col("chunk_id")).alias("doc_id"),
+        F.col("chunk").alias("text"),
+    )
+    return DD.minhash_pairs(chunks, threshold=0.5).filter(
+        F.expr("doc_a DIV 1000 != doc_b DIV 1000")
+    )
+
+
+def _dedup_chunk_pairs_sql() -> str:
+    from .operators.chunking import chunk_text_sql_parts
+
+    parts = chunk_text_sql_parts(_CHUNK_CHARS, _CHUNK_OVERLAP, "text")
+    chunks = (
+        f"(SELECT doc_id * 1000 + e.chunk_id AS doc_id, e.chunk AS text "
+        f"FROM (SELECT doc_id, unnest({parts}) AS e FROM documents))"
+    )
+    mh = DD.minhash_pairs_sql(table=chunks, threshold=0.5)
+    return f"SELECT * FROM ({mh}) WHERE doc_a // 1000 != doc_b // 1000"
+
+
 def _ngram_pairs_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.ngram_jaccard_pairs(_tbl(spark, sf_dir, "documents"), threshold=0.3)
 
@@ -3313,6 +3343,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- NEW round-4 queries — need first-ever green rows ---
     "bm25_search": _bm25_spark,
     "hybrid_rrf": _hybrid_rrf_spark,
+    "dedup_chunk_pairs": _dedup_chunk_pairs_spark,
     # --- flagships: re-drawn every round ---
     "knn_exact": lambda s, d: _knn_spark(s, d, "sqeuclidean"),
     "dedup_minhash_lsh": _minhash_pairs_spark,
@@ -3346,9 +3377,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_pq_adc": _knn_pq_adc_spark,
     "pq_codes": _pq_codes_spark,
     "ann_lsh": _ann_lsh_spark,
-    "tpch_q12": _tpch_q12_spark,
     # ------------------- 50-entry verification cut -------------------
     # --- r2-greens deferred to lead round 5's rotation ---
+    "tpch_q12": _tpch_q12_spark,
     "tpch_q21": _tpch_q21_spark,
     "tpch_q9": _tpch_q9_spark,
     "tpch_q11": _tpch_q11_spark,
@@ -3455,6 +3486,7 @@ ORACLES: dict[str, str] = {
     "dedup_components_star": _dedup_components_sql(),
     "bm25_search": _bm25_sql(),
     "hybrid_rrf": _hybrid_rrf_sql(),
+    "dedup_chunk_pairs": _dedup_chunk_pairs_sql(),
     "dedup_canonical": _dedup_canonical_sql(),
     "stratified_sample": _stratified_sample_sql(),
     "stratified_topn": _stratified_topn_sql(),
