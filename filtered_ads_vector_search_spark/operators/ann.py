@@ -170,20 +170,15 @@ def _compact_layout(
 
     Append-heavy streaming maintenance (maintain_index_stream at a 10 s
     trigger ≈ 8.6k appends/day) otherwise degrades the layout into a
-    small-file swamp. Run this from a maintenance window — the rewrite
-    swaps directories (write-new, rename-away-old), so concurrent readers
-    holding the OLD file listing will fail mid-scan on a local/HDFS
-    filesystem; on an object store front this with a versioned manifest.
-    Returns the merged row count."""
-    import shutil
-
-    n_buckets = (
-        spark.read.parquet(f"{path}/{data_subdir}")
-        .select(bucket_col)
-        .distinct()
-        .count()
-    )
+    small-file swamp. Run this from a maintenance window with the stream
+    QUIESCED AND ITS LAST BATCH CHECKPOINT-COMMITTED: compaction folds the
+    batch directories into the base and deletes them, so a batch that was
+    written but not yet committed would be re-delivered on restart and
+    duplicate its vectors. Concurrent readers holding the OLD file listing
+    will fail mid-scan on a local/HDFS filesystem; on an object store front
+    this with a versioned manifest. Returns the merged row count."""
     merged = _read_layout(spark, path, data_subdir)
+    n_buckets = merged.select(bucket_col).distinct().count()
     tmp = f"{path}/{data_subdir}__compact_tmp"
     # one shuffle task per bucket -> files/bucket == files_per_bucket
     (
@@ -194,12 +189,20 @@ def _compact_layout(
         .partitionBy(bucket_col)
         .parquet(tmp)
     )
+    # directory swap through the Hadoop FileSystem API (NOT local shutil),
+    # so compaction works wherever Spark can write - HDFS, file://, s3a
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+
+    def _hpath(p: str):
+        return jvm.org.apache.hadoop.fs.Path(p)
+
+    fs = _hpath(path).getFileSystem(conf)
     old = f"{path}/{data_subdir}__compact_old"
-    shutil.move(f"{path}/{data_subdir}", old)
-    shutil.move(tmp, f"{path}/{data_subdir}")
-    shutil.rmtree(old)
-    batches = f"{path}/batches"
-    shutil.rmtree(batches, ignore_errors=True)
+    fs.rename(_hpath(f"{path}/{data_subdir}"), _hpath(old))
+    fs.rename(_hpath(tmp), _hpath(f"{path}/{data_subdir}"))
+    fs.delete(_hpath(old), True)
+    fs.delete(_hpath(f"{path}/batches"), True)
     # drop any session-shared cached file listings for the swapped dirs
     spark.catalog.refreshByPath(path)
     compacted = spark.read.parquet(f"{path}/{data_subdir}")
@@ -283,19 +286,26 @@ def _assign_udf(centroids: np.ndarray):
 def _assign_udf_exact(centroids: np.ndarray):
     """Arrow-batched assignment that is BIT-IDENTICAL to the SQL-fold argmin
     the DuckDB oracles compute (build_fixed's contract): per-element
-    (x - y)*(x - y) is exact in any order, np.cumsum adds strictly
-    left-to-right — the same doubles as the 0.0-seeded element-ascending
-    aggregate fold — and np.argmin's first-minimum matches the strict-<
-    keep-lowest-centroid tie-break. No matmul rearrangement (the fast
-    `cn - 2 v.C` form of _assign_udf changes ulps and could flip near-ties,
-    which training-free fixed builds cannot tolerate)."""
+    (x - y)*(x - y) is exact in any order, the distance accumulates one
+    element index per step in ascending order — the same doubles as the
+    0.0-seeded element-ascending aggregate fold — and np.argmin's
+    first-minimum matches the strict-< keep-lowest-centroid tie-break. No
+    matmul rearrangement (the fast `cn - 2 v.C` form of _assign_udf changes
+    ulps and could flip near-ties, which training-free fixed builds cannot
+    tolerate)."""
     C = np.ascontiguousarray(centroids, dtype=np.float64)
 
     @F.pandas_udf("int")
     def assign(vecs: pd.Series) -> pd.Series:
         V = np.array(vecs.tolist(), dtype=np.float64)
-        D = V[:, None, :] - C[None, :, :]
-        dist = np.cumsum(D * D, axis=-1)[..., -1]
+        # sequential accumulation over the element axis: identical
+        # left-to-right fold order with only (batch x k) working memory —
+        # a materialized (batch x k x dim) difference cube (or cumsum of
+        # it) peaks at multiple GB per task at real centroid counts
+        dist = np.zeros((V.shape[0], C.shape[0]), dtype=np.float64)
+        for i in range(C.shape[1]):
+            d = V[:, i, None] - C[None, :, i]
+            dist += d * d
         return pd.Series(np.argmin(dist, axis=1).astype("int32"))
 
     return assign
@@ -525,7 +535,9 @@ class IVFIndex:
                 f"new_rows lacks columns the written layout carries: {missing} "
                 f"(layout schema: {layout_cols})"
             )
-        assigned = new_rows.withColumn(
+        # restrict to the layout schema: extra new_rows columns would write
+        # wider parquet files whose union with the base fails on load
+        assigned = new_rows.select(*layout_cols).withColumn(
             "partition_id", _assign_udf(centers)(F.col(vec_col))
         ).persist()
         n = assigned.count()
@@ -606,6 +618,12 @@ class IVFIndex:
                 import math
 
                 nprobe = int(math.ceil(nprobe / sel))
+            else:
+                # zero sample hits means the predicate is at or below the
+                # sample's resolution (~1/SEL_SAMPLE_ROWS) — the ultra-
+                # selective case widening exists FOR; open every bucket
+                # rather than silently keeping the base nprobe
+                nprobe = self.n_centroids
         nprobe = min(nprobe, self.n_centroids)
         # 1. rank centroids per query: tiny broadcast cross join + window
         probes = knn_window(

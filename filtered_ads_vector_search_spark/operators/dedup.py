@@ -545,7 +545,10 @@ def duplicate_components(
     # its plan with a leaf — the same discipline GraphFrames' connected
     # components uses. Executor-local persistence is fine here (local/driver
     # recompute semantics); on a fault-sensitive cluster run set a reliable
-    # spark.sparkContext.setCheckpointDir and swap in .checkpoint().
+    # spark.sparkContext.setCheckpointDir and swap in .checkpoint(). There is
+    # no public API to free a localCheckpoint's blocks; superseded rounds are
+    # reclaimed by the ContextCleaner once their Python refs drop, and the
+    # live set is bounded by max_iter vertex-sized relations.
     labels = (
         edges.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
     ).localCheckpoint(eager=True)
@@ -557,10 +560,14 @@ def duplicate_components(
             .groupBy("id")
             .agg(F.min("label").alias("label"))
         ).localCheckpoint(eager=True)
+        # existence probe only: limit(1) is safe here BECAUSE both sides are
+        # eagerly checkpointed leaves (with lazy caches a limited job would
+        # materialize only some partitions and poison later rounds)
         changed = (
             neighbor_min.alias("n")
             .join(labels.alias("o"), "id")
             .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
             .count()
         )
         labels = neighbor_min

@@ -417,6 +417,10 @@ class IVFPQIndex:
                 import math
 
                 nprobe = int(math.ceil(nprobe / sel))
+            else:
+                # zero sample hits = predicate below the sample's resolution:
+                # open every bucket (see IVFIndex.search)
+                nprobe = self.n_centroids
         nprobe = min(nprobe, self.n_centroids)
         probes = knn_window(
             queries,

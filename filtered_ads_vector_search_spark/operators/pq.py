@@ -198,9 +198,9 @@ def pq_encode_udf(codebooks: Codebooks, residual: bool = False):
     BIT-IDENTICAL to pq_encode_expr / pq_encode_residual_expr (and the
     DuckDB twins), so the oracle contract survives the swap:
     * (x - y) and (x - y)*(x - y) are single IEEE ops — exact in any order;
-    * the per-subspace distance accumulates with np.cumsum, which adds
-      STRICTLY left-to-right — the same doubles as the 0.0-seeded
-      element-ascending aggregate fold;
+    * the per-subspace distance accumulates one element index per step in
+      ascending order (a zero-initialized running sum) — the same doubles
+      as the 0.0-seeded element-ascending aggregate fold;
     * np.argmin returns the FIRST minimum — the same tie-break as
       array_position(d, array_min(d)).
     Verified end to end by the knn_ivfpq_* / grid_search_ivfpq hash oracles.
@@ -210,8 +210,14 @@ def pq_encode_udf(codebooks: Codebooks, residual: bool = False):
 
     def _codes(V: np.ndarray) -> pd.Series:
         n = V.shape[0]
-        D = V.reshape(n, m, 1, sd) - CB[None, :, :, :]
-        dist = np.cumsum(D * D, axis=-1)[..., -1]  # (n, m, n_codes)
+        S = V.reshape(n, m, sd)
+        # sequential accumulation over the subspace-element axis: same
+        # left-to-right fold, (n x m x n_codes) working memory instead of a
+        # (n x m x n_codes x sd) difference cube
+        dist = np.zeros((n, m, n_codes), dtype=np.float64)
+        for i in range(sd):
+            d = S[:, :, None, i] - CB[None, :, :, i]
+            dist += d * d
         return pd.Series(list(np.argmin(dist, axis=-1).astype("int32")))
 
     if residual:

@@ -79,6 +79,10 @@ def bm25_search(
     tot = dlen.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
     ).collect()[0]
+    if not tot["n_docs"]:  # empty corpus / no document produced a token
+        return docs.sparkSession.createDataFrame(
+            [], "query_id int, doc_id long, rank int, score double"
+        )
     n_docs, avgdl = int(tot["n_docs"]), float(tot["sum_dl"]) / int(tot["n_docs"])
 
     stats = dt.groupBy("term").agg(F.count(F.lit(1)).alias("df"))

@@ -2469,17 +2469,19 @@ def _dedup_chunk_pairs_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Paragraph-level cross-document dedup (the C4/RefinedWeb granularity):
     chunk every document, then MinHash-LSH near-dup pairs BETWEEN documents
     (same-document chunk pairs — trivially overlapping windows — are
-    excluded). Chunk key = doc_id * 1000 + chunk_id, exact in both engines."""
+    excluded). Chunk key = doc_id * 1_000_000 + chunk_id, exact bigint
+    arithmetic in both engines (a document would need ~10^8 chars before
+    chunk_id could alias into the next doc's key space)."""
     from .operators.chunking import chunk_text
 
     docs = _tbl(spark, sf_dir, "documents").select("doc_id", "text")
     ch = chunk_text(docs, chunk_chars=_CHUNK_CHARS, overlap=_CHUNK_OVERLAP)
     chunks = ch.select(
-        (F.col("doc_id") * F.lit(1000) + F.col("chunk_id")).alias("doc_id"),
+        (F.col("doc_id") * F.lit(1_000_000) + F.col("chunk_id")).alias("doc_id"),
         F.col("chunk").alias("text"),
     )
     return DD.minhash_pairs(chunks, threshold=0.5).filter(
-        F.expr("doc_a DIV 1000 != doc_b DIV 1000")
+        F.expr("doc_a DIV 1000000 != doc_b DIV 1000000")
     )
 
 
@@ -2488,11 +2490,11 @@ def _dedup_chunk_pairs_sql() -> str:
 
     parts = chunk_text_sql_parts(_CHUNK_CHARS, _CHUNK_OVERLAP, "text")
     chunks = (
-        f"(SELECT doc_id * 1000 + e.chunk_id AS doc_id, e.chunk AS text "
+        f"(SELECT doc_id * 1000000 + e.chunk_id AS doc_id, e.chunk AS text "
         f"FROM (SELECT doc_id, unnest({parts}) AS e FROM documents))"
     )
     mh = DD.minhash_pairs_sql(table=chunks, threshold=0.5)
-    return f"SELECT * FROM ({mh}) WHERE doc_a // 1000 != doc_b // 1000"
+    return f"SELECT * FROM ({mh}) WHERE doc_a // 1000000 != doc_b // 1000000"
 
 
 def _ngram_pairs_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
