@@ -189,6 +189,122 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+TERM_BUCKETS = 64
+
+
+def _term_bucket(term, n_buckets: int):
+    return F.crc32(term.cast("string")) % F.lit(n_buckets)
+
+
+def write_term_index(
+    docs: DataFrame,
+    path: str,
+    n_buckets: int = TERM_BUCKETS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Persist the lexical index as a layout (the BM25 analog of the ANN
+    tiers' bucketed layouts): the inverted-index relation partitioned by a
+    hash bucket of the term — a query's terms map to a handful of buckets,
+    so the search scan PRUNES to those partition directories instead of
+    reading the whole posting list relation — plus the doc-length table,
+    the vocabulary-sized df stats, and one meta row (n_docs, sum_dl) so
+    searches touch no corpus-sized relation outside the pruned scan."""
+    dt = doc_terms(docs, id_col, text_col)
+    dt.withColumn("term_bucket", _term_bucket(F.col("term"), n_buckets)).write.mode(
+        "overwrite"
+    ).partitionBy("term_bucket").parquet(f"{path}/terms")
+    dlen = dt.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    dlen.write.mode("overwrite").parquet(f"{path}/doclen")
+    dt.groupBy("term").agg(F.count(F.lit(1)).alias("df")).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/stats")
+    spark = docs.sparkSession
+    tot = dlen.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    ).collect()[0]
+    spark.createDataFrame(
+        [(int(tot["n_docs"]), int(tot["sum_dl"] or 0), int(n_buckets))],
+        "n_docs long, sum_dl long, n_buckets int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def bm25_search_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """BM25 top-k against a written term-index layout. Identical scores and
+    ranking to bm25_search (same order-fixed fold); the posting-list scan is
+    partition-pruned to the query terms' buckets (asserted in tests), the
+    df stats join is vocabulary-sized and broadcast, and only the pruned
+    postings + the doc-length table stream."""
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    if not meta["n_docs"]:
+        return spark.createDataFrame(
+            [], "query_id int, doc_id long, rank int, score double"
+        )
+    n_docs = int(meta["n_docs"])
+    avgdl = float(meta["sum_dl"]) / n_docs
+    n_buckets = int(meta["n_buckets"])
+
+    qterms = (
+        queries.select(
+            "query_id",
+            F.explode(F.array_distinct(tokens(F.lower(F.col("query_text"))))).alias(
+                "term"
+            ),
+        )
+        .filter(F.col("term") != "")
+    )
+    buckets = [
+        r["b"]
+        for r in qterms.select(
+            _term_bucket(F.col("term"), n_buckets).alias("b")
+        ).distinct().collect()
+    ]
+    dt = spark.read.parquet(f"{path}/terms").filter(
+        F.col("term_bucket").isin(buckets)  # partition pruning at the scan
+    )
+    dlen = spark.read.parquet(f"{path}/doclen")
+    stats = spark.read.parquet(f"{path}/stats")
+
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tf_comp = (F.col("tf") * (F.lit(k1) + F.lit(1.0))) / (
+        F.col("tf")
+        + F.lit(k1)
+        * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+    )
+    term_score = F.round(idf * tf_comp, 9)
+    scored = (
+        F.broadcast(qterms)
+        .join(dt, "term")
+        .join(dlen, "doc_id")
+        .join(F.broadcast(stats.join(qterms.select("term").distinct(), "term")), "term")
+        .select("query_id", "doc_id", "term", term_score.alias("ts"))
+    )
+    summed = scored.groupBy("query_id", "doc_id").agg(
+        F.expr(
+            "aggregate(array_sort(collect_list(named_struct('t', term, 's', ts))), "
+            "0.0D, (acc, x) -> acc + x.s)"
+        ).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        summed.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "rank", F.round("score", 4).alias("score"))
+    )
+
+
 def rrf_fuse(
     a: DataFrame, b: DataFrame, k: int = 10, c: int = 60
 ) -> DataFrame:

@@ -513,3 +513,34 @@ def test_adaptive_nprobe_never_scans_loaded_relation(spark, tmp_path):
         idx.sel_sample if idx.sel_sample is not None else idx.assigned, pred
     )
     assert est2 == est
+
+
+def test_adaptive_nprobe_zero_sample_hits_opens_all_buckets(spark, tmp_path):
+    """A predicate so selective that the sample contains NO matching row must
+    widen to a full probe (every bucket), not silently keep the base nprobe —
+    the regression the exact-count-to-sample swap could have introduced."""
+    q, c = _split(spark)
+    idx = IVFIndex.build_fixed(c, n_centroids=8)
+    # target lives in one bucket; the query vector comes from a DIFFERENT
+    # bucket, so its nearest probe misses the target unless nprobe widens
+    two = (
+        idx.assigned.select("vec_id", "embedding", "partition_id")
+        .orderBy("vec_id")
+        .limit(200)
+        .collect()
+    )
+    target = two[0]
+    other = next(r for r in two if r["partition_id"] != target["partition_id"])
+    q1 = spark.createDataFrame(
+        [(999, other["embedding"])], "query_id long, q_vec array<float>"
+    )
+    pred = F.col("vec_id") == target["vec_id"]
+    # a sample that provably misses the target row: sel estimate == 0
+    idx.sel_sample = c.filter(F.col("vec_id") != target["vec_id"]).limit(50)
+    # without widening, nprobe=1 probes only the query's own bucket -> empty
+    base = idx.search(q1, k=1, nprobe=1, predicate=pred, adaptive_nprobe=False)
+    assert base.count() == 0
+    found = idx.search(q1, k=1, nprobe=1, predicate=pred, adaptive_nprobe=True)
+    rows = found.collect()
+    assert len(rows) == 1 and rows[0]["neighbor_id"] == target["vec_id"]
+    idx.unpersist()

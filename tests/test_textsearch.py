@@ -77,3 +77,24 @@ def test_rrf_fusion_rewards_presence_in_both_lists(spark):
     # doc 300 in both lists at (3, 5) still beats single-list docs 100/400?
     # 1/63 + 1/65 = 0.0312 > 1/61 = 0.0164 — yes
     assert out[300]["rank"] == 2
+
+
+def test_bm25_index_layout_matches_in_memory_and_prunes(spark, tmp_path):
+    """The written term-index layout must return EXACTLY the in-memory BM25
+    results (same order-fixed fold), and its posting scan must carry a
+    partition filter on term_bucket — the lexical tier's analog of the ANN
+    layouts' bucket pruning."""
+    docs = spark.read.parquet(f"{SF_TEST}/documents.parquet")
+    qs = spark.createDataFrame(
+        [(1, "spark window agg"), (2, "vector scan filter")],
+        "query_id int, query_text string",
+    )
+    path = str(tmp_path / "term_index")
+    TS.write_term_index(docs, path, n_buckets=16)
+
+    mem = sorted(map(tuple, TS.bm25_search(docs, qs, k=10).collect()))
+    idx = TS.bm25_search_index(spark, path, qs, k=10)
+    assert sorted(map(tuple, idx.collect())) == mem and len(mem) > 0
+
+    plan = idx._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "term_bucket" in plan, plan[:2000]
