@@ -3317,12 +3317,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round 1 only, pre-regeneration), then (b) every query whose code path
     # changed this round (dedup components checkpointing, layout sidecars +
     # batch appends in ann/ivfpq, the newly-oracled fixed-centroid IVF grid
-    # driver, IVFPQ LUT precompute), then (c) the longest-stale r2-greens
-    # (everything below round 3's 50-entry cut), then flagships. Five
-    # r2-greens (knn_scalable_filtered, knn_blockwise, embed_pipeline,
-    # orders_pivot, tpch_q20) don't fit the budget and are queued to LEAD
-    # round 5's rotation. Everything below position 50 is hash-green on
-    # current testdata (round 2 or 3) with unchanged code.
+    # driver, bit-exact Arrow encode/assign kernels), then the queries NEW
+    # this round (star components, BM25, hybrid RRF, chunk-level dedup),
+    # then (c) the longest-stale r2-greens (below round 3's 50-entry cut),
+    # then flagships. Nine r2-greens (tpch_q12/q21/q9/q11,
+    # knn_scalable_filtered, knn_blockwise, embed_pipeline, orders_pivot,
+    # tpch_q20) don't fit the budget and are queued to LEAD round 5's
+    # rotation. Everything below position 50 is hash-green on current
+    # testdata (round 2 or 3) with unchanged code — and the ENTIRE registry
+    # was re-verified green by scripts/check_correctness.py this round.
     #
     # --- (a) r1-only greens: re-verify on current testdata ---
     "text_stats": _text_stats_spark,

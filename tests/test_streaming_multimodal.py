@@ -401,3 +401,42 @@ def test_maintain_index_stream_appends_batches(spark, tmp_path):
     assert loaded.assigned.count() == n0 + 6
     top = loaded.search(q1, k=1, nprobe=4).collect()[0]
     assert top["neighbor_id"] == 10_000_000 and top["dist"] == 0.0
+
+
+def test_maintain_index_stream_lsh(spark, tmp_path):
+    """kind='lsh': streamed vectors are tagged with the layout's stored
+    hyperplanes and appended idempotently; the reload finds a planted
+    near-query vector as the top hit."""
+    from filtered_ads_vector_search_spark.operators import topk as TK
+    from filtered_ads_vector_search_spark.operators.lsh import LSHIndex
+    from filtered_ads_vector_search_spark.streaming.serve import maintain_index_stream
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    q, c = TK.split_queries(emb)
+    q1 = q.limit(1).cache()
+    built = LSHIndex.build(c, n_bits=3, n_tables=2, seed=42)
+    layout = str(tmp_path / "lsh")
+    built.write_partitioned(layout)
+    built.unpersist()
+    n0 = spark.read.parquet(f"{layout}/tagged").count()
+
+    qrow = q1.collect()[0]
+    new = spark.createDataFrame(
+        [(10_000_000, [float(x) for x in qrow["q_vec"]], 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    vdir = str(tmp_path / "vstream")
+    new.write.mode("overwrite").parquet(vdir)
+    stream = spark.readStream.schema(
+        "vec_id long, embedding array<float>, label int"
+    ).parquet(vdir)
+    sq = maintain_index_stream(
+        stream, layout, checkpoint=str(tmp_path / "ckpt"), kind="lsh",
+        trigger_available_now=True,
+    )
+    sq.awaitTermination(120)
+
+    loaded = LSHIndex.load(spark, layout)
+    assert loaded.tagged.count() == n0 + 1
+    top = loaded.search(q1, k=1).collect()[0]
+    assert top["neighbor_id"] == 10_000_000
