@@ -719,3 +719,67 @@ def canonical_docs(
         F.count("*").alias("n_members"),
         F.min("doc_id").alias("canonical_doc_id"),
     )
+
+
+# --- benchmark decontamination ----------------------------------------------
+
+
+def contamination_flags(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination, the n-gram-collision recipe from the
+    public LLM literature (GPT-3 / PaLM appendices): a training document is
+    CONTAMINATED if it shares at least one distinct word n-gram with the
+    evaluation corpus. Returns (doc_id, n_shared) for every contaminated
+    training doc.
+
+    Scale shape: both sides shingle in one scan (the same word_shingles
+    fold the dedup family uses); the eval side collapses to its DISTINCT
+    shingle set — benchmark corpora are tiny next to training corpora, so
+    it broadcasts — and the training side streams through one hash
+    equi-join + map-combinable distinct-count. No crossJoin, no driver
+    materialization of either corpus.
+    """
+    d = docs.select(
+        "doc_id", F.explode(word_shingles(F.col(text_col), n)).alias("sh")
+    ).distinct()
+    e = (
+        eval_docs.select(F.explode(word_shingles(F.col(text_col), n)).alias("sh"))
+        .distinct()
+    )
+    return (
+        d.join(F.broadcast(e), "sh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+def contamination_flags_sql(
+    docs_sql: str, eval_sql: str, n: int = 5, text_expr: str = "text"
+) -> str:
+    sh = word_shingles_sql(text_expr, n)
+    return f"""
+WITH d AS (
+  SELECT DISTINCT doc_id, unnest({sh}) AS sh FROM ({docs_sql})
+), e AS (
+  SELECT DISTINCT unnest({sh}) AS sh FROM ({eval_sql})
+)
+SELECT d.doc_id, count(*) AS n_shared
+FROM d JOIN e ON d.sh = e.sh
+GROUP BY d.doc_id
+"""
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Training docs with every contaminated document removed (anti-join
+    against the contamination flags)."""
+    flagged = contamination_flags(docs, eval_docs, n=n, text_col=text_col)
+    return docs.join(flagged.select("doc_id"), "doc_id", "left_anti")

@@ -2497,6 +2497,36 @@ def _dedup_chunk_pairs_sql() -> str:
     return f"SELECT * FROM ({mh}) WHERE doc_a // 1000000 != doc_b // 1000000"
 
 
+_DECONTAM_SEED, _DECONTAM_PCT, _DECONTAM_N = 777, 10, 5
+
+
+def _decontaminate_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (the GPT-3/PaLM n-gram-collision recipe):
+    a deterministic ~10% hash-gated slice of documents stands in for the
+    eval corpus; every training doc sharing >= 1 distinct word 5-gram with
+    it is flagged with its collision count. 5-grams are discriminative on
+    this corpus (3-grams over-flag via random collisions — the reason the
+    literature uses long n-grams)."""
+    docs = _tbl(spark, sf_dir, "documents")
+    gate = (
+        H.portable_hash_col(F.col("doc_id"), _DECONTAM_SEED) % F.lit(100)
+    ) < F.lit(_DECONTAM_PCT)
+    return DD.contamination_flags(
+        docs.filter(~gate), docs.filter(gate), n=_DECONTAM_N
+    )
+
+
+def _decontaminate_sql() -> str:
+    gate = (
+        f"(({H.portable_hash_sql('doc_id', _DECONTAM_SEED)} % 100) < {_DECONTAM_PCT})"
+    )
+    return DD.contamination_flags_sql(
+        f"SELECT doc_id, text FROM documents WHERE NOT {gate}",
+        f"SELECT doc_id, text FROM documents WHERE {gate}",
+        n=_DECONTAM_N,
+    )
+
+
 def _ngram_pairs_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.ngram_jaccard_pairs(_tbl(spark, sf_dir, "documents"), threshold=0.3)
 
@@ -3349,6 +3379,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_search": _bm25_spark,
     "hybrid_rrf": _hybrid_rrf_spark,
     "dedup_chunk_pairs": _dedup_chunk_pairs_spark,
+    "decontaminate": _decontaminate_spark,
     # --- flagships: re-drawn every round ---
     "knn_exact": lambda s, d: _knn_spark(s, d, "sqeuclidean"),
     "dedup_minhash_lsh": _minhash_pairs_spark,
@@ -3381,9 +3412,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_fp16": _knn_fp16_spark,
     "knn_pq_adc": _knn_pq_adc_spark,
     "pq_codes": _pq_codes_spark,
-    "ann_lsh": _ann_lsh_spark,
     # ------------------- 50-entry verification cut -------------------
     # --- r2-greens deferred to lead round 5's rotation ---
+    "ann_lsh": _ann_lsh_spark,
     "tpch_q12": _tpch_q12_spark,
     "tpch_q21": _tpch_q21_spark,
     "tpch_q9": _tpch_q9_spark,
@@ -3492,6 +3523,7 @@ ORACLES: dict[str, str] = {
     "bm25_search": _bm25_sql(),
     "hybrid_rrf": _hybrid_rrf_sql(),
     "dedup_chunk_pairs": _dedup_chunk_pairs_sql(),
+    "decontaminate": _decontaminate_sql(),
     "dedup_canonical": _dedup_canonical_sql(),
     "stratified_sample": _stratified_sample_sql(),
     "stratified_topn": _stratified_topn_sql(),

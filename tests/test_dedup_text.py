@@ -184,3 +184,30 @@ def test_duplicate_components_star_partition_invariance(spark):
         (10, 10), (11, 10),
         (20, 20), (21, 20), (22, 20),
     }
+
+
+def test_decontamination_flags_planted_overlap(spark):
+    """A training doc sharing a 5-gram with the eval set is flagged (and
+    removed by decontaminate); unrelated docs survive."""
+    from filtered_ads_vector_search_spark.operators.dedup import (
+        contamination_flags,
+        decontaminate,
+    )
+
+    leak = "the quick brown fox jumps over the lazy dog tonight"
+    train = spark.createDataFrame(
+        [
+            (1, "completely unrelated words about tables and chairs here"),
+            (2, "prefix text " + leak + " suffix text"),
+            (3, "another clean document with different content entirely today"),
+        ],
+        "doc_id long, text string",
+    )
+    evald = spark.createDataFrame(
+        [(100, "eval question: " + leak + " answer choice")],
+        "doc_id long, text string",
+    )
+    flagged = {r["doc_id"]: r["n_shared"] for r in contamination_flags(train, evald, n=5).collect()}
+    assert set(flagged) == {2} and flagged[2] >= 1
+    kept = {r["doc_id"] for r in decontaminate(train, evald, n=5).collect()}
+    assert kept == {1, 3}
