@@ -79,8 +79,9 @@ def token_count_sql(text: str) -> str:
     return f"len({tokens_sql(text)})"
 
 
-def word_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct n-word shingles, each joined by a single space.
+def word_ngrams(text: Column, n: int = 3) -> Column:
+    """ALL n-word grams in order (occurrences preserved — the repetition-
+    analysis form; dedup wants the distinct set, see word_shingles).
 
     Guarded: fewer than n tokens -> empty array (Spark `sequence` would
     otherwise generate a DESCENDING range and corrupt results).
@@ -99,17 +100,27 @@ def word_shingles(text: Column, n: int = 3) -> Column:
             ),
         ).otherwise(F.array().cast("array<string>")),
     )
-    return F.array_distinct(F.element_at(per_row, 1))
+    return F.element_at(per_row, 1)
 
 
-def word_shingles_sql(text: str, n: int = 3) -> str:
+def word_ngrams_sql(text: str, n: int = 3) -> str:
     t = tokens_sql(text)
     return (
-        f"list_distinct(CASE WHEN len({t}) >= {n} THEN "
+        f"(CASE WHEN len({t}) >= {n} THEN "
         f"list_transform(range(1, len({t}) - {n - 2}), "
         f"i -> array_to_string(list_slice({t}, i, i + {n - 1}), ' ')) "
         f"ELSE [] END)"
     )
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles, each joined by a single space (the dedup/
+    MinHash form)."""
+    return F.array_distinct(word_ngrams(text, n))
+
+
+def word_shingles_sql(text: str, n: int = 3) -> str:
+    return f"list_distinct({word_ngrams_sql(text, n)})"
 
 
 # GPT-2-style pretokenizer pattern, restricted to constructs RE2 (DuckDB) and

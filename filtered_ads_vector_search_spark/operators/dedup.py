@@ -25,7 +25,14 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import P, portable_hash_sql, str_hash_col, str_hash_sql
-from ..functions.text import word_shingles, word_shingles_sql, tokens, tokens_sql
+from ..functions.text import (
+    tokens,
+    tokens_sql,
+    word_ngrams,
+    word_ngrams_sql,
+    word_shingles,
+    word_shingles_sql,
+)
 from ..functions import vector as V
 
 __all__ = [
@@ -783,3 +790,106 @@ def decontaminate(
     against the contamination flags)."""
     flagged = contamination_flags(docs, eval_docs, n=n, text_col=text_col)
     return docs.join(flagged.select("doc_id"), "doc_id", "left_anti")
+
+
+# --- intra-document repetition (Gopher/MassiveText-style quality rules) -----
+
+
+def repetition_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    top_n: int = 2,
+    dup_n: int = 5,
+) -> DataFrame:
+    """Per-document repetition signals from the public LLM quality-filter
+    literature (Gopher / MassiveText rules): the fraction of characters
+    covered by the single most frequent word ``top_n``-gram, and the
+    fraction covered by ALL word ``dup_n``-grams occurring more than once.
+    High values mark boilerplate/spam (repeated navigation, keyword
+    stuffing) that survives corpus-level dedup because it repeats WITHIN
+    one document.
+
+    Relational shape (not a per-row mega-expression): explode n-grams ->
+    one map-combinable (doc, ngram) count -> per-doc aggregate back.
+    Character coverage = occurrences x n-gram length / document length;
+    overlapping occurrences can push a ratio past 1.0 — values are
+    thresholds' inputs, not probabilities. Integer products and one double
+    division + round(4): bit-identical in the DuckDB twin.
+    """
+    base = docs.select(
+        F.col("doc_id"),
+        F.char_length(F.col(text_col)).alias("n_chars"),
+        word_ngrams(F.col(text_col), top_n).alias("_g_top"),
+        word_ngrams(F.col(text_col), dup_n).alias("_g_dup"),
+    )
+
+    def per_doc(col: str, dup_only: bool) -> DataFrame:
+        counts = (
+            base.select("doc_id", "n_chars", F.explode(col).alias("g"))
+            .groupBy("doc_id", "n_chars", "g")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        covered = F.col("c") * F.char_length(F.col("g"))
+        if dup_only:
+            agg = F.sum(F.when(F.col("c") > 1, covered).otherwise(F.lit(0)))
+        else:
+            agg = F.max(covered)
+        return counts.groupBy("doc_id", "n_chars").agg(agg.alias("cov"))
+
+    top = per_doc("_g_top", dup_only=False).select(
+        "doc_id",
+        F.round(F.col("cov") / F.col("n_chars"), 4).alias("top_ngram_char_frac"),
+    )
+    dup = per_doc("_g_dup", dup_only=True).select(
+        "doc_id",
+        F.round(F.col("cov") / F.col("n_chars"), 4).alias("dup_ngram_char_frac"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(top, "doc_id", "left")
+        .join(dup, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("top_ngram_char_frac", F.lit(0.0)).alias("top_ngram_char_frac"),
+            F.coalesce("dup_ngram_char_frac", F.lit(0.0)).alias("dup_ngram_char_frac"),
+        )
+    )
+
+
+def repetition_stats_sql(
+    table: str = "documents", top_n: int = 2, dup_n: int = 5
+) -> str:
+    g_top = word_ngrams_sql("text", top_n)
+    g_dup = word_ngrams_sql("text", dup_n)
+    return f"""
+WITH base AS (
+  SELECT doc_id, length(text) AS n_chars, {g_top} AS g_top, {g_dup} AS g_dup
+  FROM {table}
+),
+top_counts AS (
+  SELECT doc_id, n_chars, g, count(*) AS c FROM (
+    SELECT doc_id, n_chars, unnest(g_top) AS g FROM base
+  ) GROUP BY 1, 2, 3
+),
+top_frac AS (
+  SELECT doc_id, round(CAST(max(c * length(g)) AS DOUBLE) / n_chars, 4) AS top_ngram_char_frac
+  FROM top_counts GROUP BY doc_id, n_chars
+),
+dup_counts AS (
+  SELECT doc_id, n_chars, g, count(*) AS c FROM (
+    SELECT doc_id, n_chars, unnest(g_dup) AS g FROM base
+  ) GROUP BY 1, 2, 3
+),
+dup_frac AS (
+  SELECT doc_id,
+         round(CAST(sum(CASE WHEN c > 1 THEN c * length(g) ELSE 0 END) AS DOUBLE)
+               / n_chars, 4) AS dup_ngram_char_frac
+  FROM dup_counts GROUP BY doc_id, n_chars
+)
+SELECT d.doc_id,
+       coalesce(t.top_ngram_char_frac, 0.0) AS top_ngram_char_frac,
+       coalesce(f.dup_ngram_char_frac, 0.0) AS dup_ngram_char_frac
+FROM {table} d
+LEFT JOIN top_frac t ON t.doc_id = d.doc_id
+LEFT JOIN dup_frac f ON f.doc_id = d.doc_id
+"""

@@ -2497,6 +2497,18 @@ def _dedup_chunk_pairs_sql() -> str:
     return f"SELECT * FROM ({mh}) WHERE doc_a // 1000000 != doc_b // 1000000"
 
 
+def _repetition_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText intra-document repetition signals: fraction of
+    chars under the most frequent word 2-gram + under all duplicated word
+    5-grams — the quality rules that catch boilerplate surviving
+    corpus-level dedup."""
+    return DD.repetition_stats(_tbl(spark, sf_dir, "documents"))
+
+
+def _repetition_stats_sql() -> str:
+    return DD.repetition_stats_sql("documents")
+
+
 _DECONTAM_SEED, _DECONTAM_PCT, _DECONTAM_N = 777, 10, 5
 
 
@@ -3380,6 +3392,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hybrid_rrf": _hybrid_rrf_spark,
     "dedup_chunk_pairs": _dedup_chunk_pairs_spark,
     "decontaminate": _decontaminate_spark,
+    "repetition_stats": _repetition_stats_spark,
     # --- flagships: re-drawn every round ---
     "knn_exact": lambda s, d: _knn_spark(s, d, "sqeuclidean"),
     "dedup_minhash_lsh": _minhash_pairs_spark,
@@ -3411,9 +3424,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "recall_sq8_vs_fp": _recall_sq8_spark,
     "knn_fp16": _knn_fp16_spark,
     "knn_pq_adc": _knn_pq_adc_spark,
-    "pq_codes": _pq_codes_spark,
     # ------------------- 50-entry verification cut -------------------
     # --- r2-greens deferred to lead round 5's rotation ---
+    "pq_codes": _pq_codes_spark,
     "ann_lsh": _ann_lsh_spark,
     "tpch_q12": _tpch_q12_spark,
     "tpch_q21": _tpch_q21_spark,
@@ -3524,6 +3537,7 @@ ORACLES: dict[str, str] = {
     "hybrid_rrf": _hybrid_rrf_sql(),
     "dedup_chunk_pairs": _dedup_chunk_pairs_sql(),
     "decontaminate": _decontaminate_sql(),
+    "repetition_stats": _repetition_stats_sql(),
     "dedup_canonical": _dedup_canonical_sql(),
     "stratified_sample": _stratified_sample_sql(),
     "stratified_topn": _stratified_topn_sql(),

@@ -211,3 +211,23 @@ def test_decontamination_flags_planted_overlap(spark):
     assert set(flagged) == {2} and flagged[2] >= 1
     kept = {r["doc_id"] for r in decontaminate(train, evald, n=5).collect()}
     assert kept == {1, 3}
+
+
+def test_repetition_stats_flags_repeated_content(spark):
+    """A doc that is one phrase repeated scores ~1+ on both fractions; a
+    no-repeat doc scores 0 on dup_ngram_char_frac."""
+    from filtered_ads_vector_search_spark.operators.dedup import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "buy cheap pills " * 10),              # heavy repetition
+            (2, "one two three four five six seven"),  # no repeated 2-grams
+            (3, "ab"),                                 # shorter than any n-gram
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert out[1]["dup_ngram_char_frac"] > 0.5
+    assert out[1]["top_ngram_char_frac"] > 0.3
+    assert out[2]["dup_ngram_char_frac"] == 0.0
+    assert out[3]["top_ngram_char_frac"] == 0.0 and out[3]["dup_ngram_char_frac"] == 0.0
