@@ -281,3 +281,50 @@ def clean_text_sql(text: str, min_line_chars: int = 10) -> str:
         f"array_to_string(list_transform([{kept}], ks -> "
         f"list_filter(ks, (l, i) -> list_position(ks, l) = i))[1], chr(10))"
     )
+
+
+# --- PII detection / redaction ----------------------------------------------
+#
+# Standard curation step before training-data release (not in the reference —
+# its corpus is public review text).  Patterns use the Java-regex ∩ RE2
+# common subset (no lookaround, no backreferences) so the Spark expressions
+# and the DuckDB twins compile the SAME automaton; redaction applies the
+# patterns in the fixed PII_ORDER so overlapping matches resolve identically
+# on both sides.  All JVM-side (regexp_extract_all / regexp_replace) — no
+# UDF, stays in whole-stage codegen, scales as a pure map over the scan.
+
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ssn": r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
+    "phone": r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+}
+PII_ORDER = ["email", "ssn", "phone", "ipv4"]
+
+
+def pii_count(text: Column, kind: str) -> Column:
+    """Number of non-overlapping matches of one PII pattern."""
+    return F.size(F.regexp_extract_all(text, F.lit(PII_PATTERNS[kind]), F.lit(0)))
+
+
+def pii_count_sql(text: str, kind: str) -> str:
+    pat = PII_PATTERNS[kind].replace("'", "''")
+    return f"len(regexp_extract_all({text}, '{pat}'))"
+
+
+def pii_redact(text: Column, token: str = "[PII]") -> Column:
+    """Replace every PII match with ``token``, patterns applied in
+    PII_ORDER (email first: an email can contain digit runs that the later
+    numeric patterns would otherwise split)."""
+    out = text
+    for kind in PII_ORDER:
+        out = F.regexp_replace(out, PII_PATTERNS[kind], token)
+    return out
+
+
+def pii_redact_sql(text: str, token: str = "[PII]") -> str:
+    out = text
+    for kind in PII_ORDER:
+        pat = PII_PATTERNS[kind].replace("'", "''")
+        out = f"regexp_replace({out}, '{pat}', '{token}', 'g')"
+    return out

@@ -46,6 +46,10 @@ __all__ = [
     "simhash_pairs_banded_sql",
     "embedding_dup_pairs",
     "embedding_dup_pairs_lsh",
+    "semdedup_pairs",
+    "semdedup_keep",
+    "semdedup_pairs_sql",
+    "semdedup_keep_sql",
     "duplicate_components",
     "duplicate_components_sql",
     "canonical_docs",
@@ -892,4 +896,147 @@ SELECT d.doc_id,
 FROM {table} d
 LEFT JOIN top_frac t ON t.doc_id = d.doc_id
 LEFT JOIN dup_frac f ON f.doc_id = d.doc_id
+"""
+
+
+# --- SemDeDup: cluster-bounded semantic dedup -------------------------------
+#
+# SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at web-scale
+# through semantic deduplication", 2023): cluster the embedding space, then
+# look for near-duplicate pairs ONLY within a cluster — the pairwise cosine
+# work is bounded by the largest cluster instead of |corpus|², which is what
+# makes embedding dedup feasible at 100 TB.  The keep rule is the standard
+# greedy one: inside a cluster, drop a vector iff a LOWER-id vector within
+# the threshold exists (deterministic, anti-join / NOT EXISTS expressible).
+#
+# The quantizer here is the deterministic hash-picked one (IVFIndex.
+# build_fixed — smallest (md5(id), id) corpus vectors), so clustering,
+# assignment, pair generation and the keep rule are ALL reproducible in
+# DuckDB SQL; swap build_fixed for IVFIndex.build to run the same operator
+# over trained KMeans cells (quality path, same plan shape).
+
+
+def semdedup_pairs(
+    embeddings: DataFrame,
+    n_clusters: int = 8,
+    max_cos_dist: float = 0.2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Within-cluster cosine near-dup pairs (cluster_id, id_a, id_b,
+    cos_dist), id_a < id_b.  One shuffle on cluster_id for the self-join;
+    per-cluster pair cost is |cluster|² — bounded by the coarse quantizer,
+    never an all-corpus crossJoin."""
+    from .ann import IVFIndex
+
+    idx = IVFIndex.build_fixed(
+        embeddings, n_centroids=n_clusters, id_col=id_col, vec_col=vec_col
+    )
+    assigned = idx.assigned.select(
+        F.col("partition_id").alias("cluster_id"),
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+    )
+    a = assigned.select(
+        "cluster_id", F.col("id").alias("id_a"), F.col("v").alias("v_a")
+    )
+    b = assigned.select(
+        "cluster_id", F.col("id").alias("id_b"), F.col("v").alias("v_b")
+    )
+    d = F.round(V.vec_cosine_distance(F.col("v_a"), F.col("v_b")), 4)
+    return (
+        a.join(b, "cluster_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_dist", d)
+        .filter(F.col("cos_dist") <= max_cos_dist)
+        .select("cluster_id", "id_a", "id_b", "cos_dist")
+    )
+
+
+def semdedup_keep(
+    embeddings: DataFrame,
+    n_clusters: int = 8,
+    max_cos_dist: float = 0.2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Survivors of the greedy keep rule: a vector is dropped iff some
+    lower-id vector in ITS cluster is within max_cos_dist.  Exactly the
+    pairs' id_b side, removed with one left_anti join — no iteration."""
+    from .ann import IVFIndex
+
+    pairs = semdedup_pairs(
+        embeddings,
+        n_clusters=n_clusters,
+        max_cos_dist=max_cos_dist,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    idx = IVFIndex.build_fixed(
+        embeddings, n_centroids=n_clusters, id_col=id_col, vec_col=vec_col
+    )
+    assigned = idx.assigned.select(
+        F.col(id_col).alias("id"), F.col("partition_id").alias("cluster_id")
+    )
+    dropped = pairs.select(F.col("id_b").alias("id")).distinct()
+    return assigned.join(dropped, "id", "left_anti").select("id", "cluster_id")
+
+
+def _semdedup_ctes(
+    n_clusters: int,
+    max_cos_dist: float,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Shared CTE prefix: hash-picked centroids -> nearest-centroid
+    assignment (element-ascending double fold, lowest-centroid tie-break —
+    IVFIndex.build_fixed's exact contract) -> within-cluster pairs."""
+    d_assign = V.sqeuclidean_sql(f"e.{vec_col}", "cent.centroid")
+    d_pair = V.cosine_distance_sql(f"x.{vec_col}", f"y.{vec_col}")
+    return f"""
+WITH cent AS (
+  SELECT centroid_id, centroid FROM (
+    SELECT row_number() OVER (ORDER BY md5(CAST({id_col} AS VARCHAR)) ASC, {id_col} ASC) - 1
+             AS centroid_id,
+           {vec_col} AS centroid
+    FROM {table}) WHERE centroid_id < {n_clusters}
+), assign AS (
+  SELECT {id_col}, {vec_col}, centroid_id AS cluster_id FROM (
+    SELECT e.{id_col}, e.{vec_col}, cent.centroid_id,
+           row_number() OVER (PARTITION BY e.{id_col}
+                              ORDER BY {d_assign} ASC, cent.centroid_id ASC) AS arn
+    FROM {table} e CROSS JOIN cent) WHERE arn = 1
+), pairs AS (
+  SELECT x.cluster_id, x.{id_col} AS id_a, y.{id_col} AS id_b,
+         round({d_pair}, 4) AS cos_dist
+  FROM assign x JOIN assign y
+    ON x.cluster_id = y.cluster_id AND x.{id_col} < y.{id_col}
+  WHERE round({d_pair}, 4) <= {max_cos_dist}
+)"""
+
+
+def semdedup_pairs_sql(
+    n_clusters: int = 8,
+    max_cos_dist: float = 0.2,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    ctes = _semdedup_ctes(n_clusters, max_cos_dist, table, id_col, vec_col)
+    return f"{ctes}\nSELECT cluster_id, id_a, id_b, cos_dist FROM pairs"
+
+
+def semdedup_keep_sql(
+    n_clusters: int = 8,
+    max_cos_dist: float = 0.2,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    ctes = _semdedup_ctes(n_clusters, max_cos_dist, table, id_col, vec_col)
+    return f"""{ctes}
+SELECT a.{id_col} AS id, a.cluster_id
+FROM assign a
+WHERE NOT EXISTS (SELECT 1 FROM pairs p WHERE p.id_b = a.{id_col})
 """
