@@ -440,9 +440,14 @@ class IVFPQIndex:
         # analysis per search (measured), while a column reference is a
         # 2-token tree — same doubles either way.
         spark = self.coded.sparkSession
-        cb_df = spark.createDataFrame(
-            [(self.codebooks,)], "cb array<array<array<double>>>"
-        )
+        # memoized per index: createDataFrame runs a driver-side job (~0.1s);
+        # grid sweeps call search() many times over one index
+        cb_df = getattr(self, "_cb_df", None)
+        if cb_df is None:
+            cb_df = spark.createDataFrame(
+                [(self.codebooks,)], "cb array<array<array<double>>>"
+            )
+            self._cb_df = cb_df
         cb = "cb"
         if self.residual:
             # LUT per (query, bucket) over the query's residual vs that bucket

@@ -174,3 +174,49 @@ def test_pii_patterns_portable_to_duckdb(spark, duck):
         ).fetchall()
     )
     assert srows == drows
+
+
+# --- plan properties of the round-4 operators -------------------------------
+
+
+def test_semdedup_no_cartesian_product(spark):
+    """The cluster bound must surface as an equi-join on cluster_id — a
+    CartesianProduct/BroadcastNestedLoop in the pair plan means the bound
+    was lost and the operator degenerated to all-pairs."""
+    from filtered_ads_vector_search_spark.plans import physical_plan
+
+    emb = _emb(spark)
+    plan = physical_plan(
+        DD.semdedup_pairs(emb, n_clusters=8, max_cos_dist=0.7), "simple"
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_gopher_and_pii_stay_jvm_side(spark):
+    """Quality rules and PII are scalar projections: no Python UDF (Arrow
+    or row-wise) anywhere in their plans — the whole gate rides whole-stage
+    codegen over the scan."""
+    from filtered_ads_vector_search_spark.plans import physical_plan
+
+    docs = spark.read.parquet(f"{SF_TEST}/documents.parquet")
+    plans = [
+        physical_plan(QL.gopher_rules(docs), "simple"),
+        physical_plan(QL.vocab_top_terms(docs), "simple"),
+        physical_plan(
+            docs.select(T.pii_redact(F.col("text")).alias("r")), "simple"
+        ),
+    ]
+    for plan in plans:
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+
+
+def test_vocab_groupby_has_partial_aggregate(spark):
+    """The vocabulary build must partial-aggregate map-side (the canonical
+    word-count combine) — |vocab| rows shuffle, not |corpus| tokens."""
+    from filtered_ads_vector_search_spark.plans import physical_plan
+
+    docs = spark.read.parquet(f"{SF_TEST}/documents.parquet")
+    plan = physical_plan(QL.vocab_top_terms(docs), "formatted")
+    assert "partial_count" in plan or "Partial" in plan, plan[:2000]
