@@ -23,6 +23,7 @@ from .functions import hashing as H
 from .functions import text as T
 from .functions import vector as V
 from .operators import dedup as DD
+from .operators import lmscore as LM
 from .operators import evaluate as E
 from .operators import filters as FL
 from .operators import topk as TK
@@ -3479,6 +3480,24 @@ def _pii_redact_sql() -> str:
     )
 
 
+def _lm_perplexity_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import lmscore as LM
+
+    return LM.ngram_lm_perplexity(_tbl(spark, sf_dir, "documents"))
+
+
+def _dsir_weights_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import lmscore as LM
+
+    return LM.dsir_weights(_tbl(spark, sf_dir, "documents"))
+
+
+def _dsir_resample_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import lmscore as LM
+
+    return LM.dsir_resample(_tbl(spark, sf_dir, "documents"), n_keep=100)
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3535,6 +3554,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocab_summary": _vocab_summary_spark,
     "pii_scan": _pii_scan_spark,
     "pii_redact": _pii_redact_spark,
+    "lm_perplexity": _lm_perplexity_spark,
+    "dsir_weights": _dsir_weights_spark,
+    "dsir_resample": _dsir_resample_spark,
     # --- flagships: re-drawn every round ---
     "knn_exact": lambda s, d: _knn_spark(s, d, "sqeuclidean"),
     "dedup_minhash_lsh": _minhash_pairs_spark,
@@ -3556,9 +3578,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_dup_pairs_lsh": _embedding_dups_lsh_spark,
     "vector_norms": _vector_norms_spark,
     "sq8_train_bounds": _sq8_bounds_spark,
+    # ------------------- 50-entry verification cut -------------------
+    # --- r2-greens pushed below the cut by this session's 3 new queries
+    # --- (lm_perplexity / dsir_weights / dsir_resample); queued for r5 ---
     "grid_params": _grid_params_spark,
     "token_counts": _token_counts_spark,
-    # ------------------- 50-entry verification cut -------------------
     # --- r2-greens deferred to lead round 5's rotation (the 7 below were
     # --- pushed past the cut by round 4's 7 new queries) ---
     "multimodal_meta": _multimodal_meta_spark,
@@ -3686,6 +3710,9 @@ ORACLES: dict[str, str] = {
     "vocab_summary": _vocab_summary_sql_(),
     "pii_scan": _pii_scan_sql(),
     "pii_redact": _pii_redact_sql(),
+    "lm_perplexity": LM.ngram_lm_perplexity_sql(),
+    "dsir_weights": LM.dsir_weights_sql(),
+    "dsir_resample": LM.dsir_resample_sql(n_keep=100),
     "decontaminate": _decontaminate_sql(),
     "repetition_stats": _repetition_stats_sql(),
     "dedup_canonical": _dedup_canonical_sql(),
