@@ -26,6 +26,8 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import P, portable_hash_sql, str_hash_col, str_hash_sql
 from ..functions.text import (
+    token_count,
+    token_count_sql,
     tokens,
     tokens_sql,
     word_ngrams,
@@ -896,6 +898,121 @@ SELECT d.doc_id,
 FROM {table} d
 LEFT JOIN top_frac t ON t.doc_id = d.doc_id
 LEFT JOIN dup_frac f ON f.doc_id = d.doc_id
+"""
+
+
+def substr_dup_stats(
+    docs: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document duplicated-substring statistics — the ExactSubstr
+    granularity (Lee et al., "Deduplicating Training Data Makes Language
+    Models Better", ACL 2022): a ``k``-token window is DUPLICATED iff the
+    identical window occurs in at least one OTHER document. Per document:
+    window count, duplicated-window count, duplicated-token count (distinct
+    token positions covered by >=1 duplicated window — the interval-union
+    form, so overlapping windows don't double-count), and the duplicated
+    token fraction.
+
+    This sits between exact whole-doc dedup and paragraph/chunk dedup
+    (dedup_chunk_pairs): it catches shared spans (licenses, templates,
+    quoted passages) inside otherwise-unique documents.
+
+    Relational shape: posexplode k-gram occurrences -> map-combinable
+    gram -> n-distinct-docs aggregate (vocab-sized relation) -> one
+    equi-join back on the gram key -> sequence-explode the surviving
+    window positions (a bounded x k fan-out of the DUPLICATED windows
+    only) -> per-doc distinct-position count. No all-pairs anywhere; the
+    heavy relations are (corpus windows) and (duplicated windows x k),
+    both linear in corpus size.
+    """
+    if k < 1:
+        raise ValueError(f"window size k must be >= 1, got {k}")
+    lowered = docs.select(
+        "doc_id",
+        token_count(F.col(text_col)).alias("n_tokens"),
+        word_ngrams(F.lower(F.col(text_col)), k).alias("_grams"),
+    )
+    ex = lowered.select(
+        "doc_id", F.posexplode(F.col("_grams")).alias("pos", "g")
+    )
+    shared = (
+        ex.groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("g")
+    )
+    dup_windows = ex.join(shared, "g").select("doc_id", "pos")
+    dup_counts = dup_windows.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dup_windows")
+    )
+    covered = (
+        dup_windows.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))
+            ).alias("ti"),
+        )
+        .groupBy("doc_id")
+        .agg(F.count_distinct("ti").alias("dup_tokens"))
+    )
+    return (
+        lowered.select("doc_id", "n_tokens", F.size("_grams").alias("n_windows"))
+        .join(dup_counts, "doc_id", "left")
+        .join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_windows",
+            F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+            F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
+            F.round(
+                F.coalesce("dup_tokens", F.lit(0))
+                / F.greatest(F.col("n_tokens"), F.lit(1)).cast("double"),
+                6,
+            ).alias("dup_token_frac"),
+        )
+    )
+
+
+def substr_dup_stats_sql(table: str = "documents", k: int = 8) -> str:
+    grams = word_ngrams_sql("lower(text)", k)
+    toks = token_count_sql("text")
+    return f"""
+WITH lowered AS (
+  SELECT doc_id, {toks} AS n_tokens, {grams} AS grams FROM {table}
+),
+ex AS (
+  SELECT doc_id,
+         unnest(range(0, len(grams))) AS pos,
+         unnest(grams) AS g
+  FROM lowered
+),
+shared AS (
+  SELECT g FROM ex GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+),
+dup_windows AS (
+  SELECT doc_id, pos FROM ex JOIN shared USING (g)
+),
+dup_counts AS (
+  SELECT doc_id, count(*) AS n_dup_windows FROM dup_windows GROUP BY doc_id
+),
+covered AS (
+  SELECT doc_id, count(DISTINCT ti) AS dup_tokens FROM (
+    SELECT doc_id, unnest(range(pos, pos + {k})) AS ti FROM dup_windows
+  ) GROUP BY doc_id
+)
+SELECT l.doc_id,
+       l.n_tokens,
+       len(l.grams) AS n_windows,
+       coalesce(d.n_dup_windows, 0) AS n_dup_windows,
+       coalesce(c.dup_tokens, 0) AS dup_tokens,
+       round(CAST(coalesce(c.dup_tokens, 0) AS DOUBLE)
+             / greatest(l.n_tokens, 1), 6) AS dup_token_frac
+FROM lowered l
+LEFT JOIN dup_counts d ON d.doc_id = l.doc_id
+LEFT JOIN covered c ON c.doc_id = l.doc_id
 """
 
 

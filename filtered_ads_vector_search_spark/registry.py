@@ -3480,6 +3480,10 @@ def _pii_redact_sql() -> str:
     )
 
 
+def _substr_dup_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.substr_dup_stats(_tbl(spark, sf_dir, "documents"), k=8)
+
+
 def _lm_perplexity_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import lmscore as LM
 
@@ -3557,6 +3561,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lm_perplexity": _lm_perplexity_spark,
     "dsir_weights": _dsir_weights_spark,
     "dsir_resample": _dsir_resample_spark,
+    "substr_dup_stats": _substr_dup_stats_spark,
     # --- flagships: re-drawn every round ---
     "knn_exact": lambda s, d: _knn_spark(s, d, "sqeuclidean"),
     "dedup_minhash_lsh": _minhash_pairs_spark,
@@ -3577,10 +3582,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_dup_pairs": _embedding_dups_spark,
     "embedding_dup_pairs_lsh": _embedding_dups_lsh_spark,
     "vector_norms": _vector_norms_spark,
-    "sq8_train_bounds": _sq8_bounds_spark,
     # ------------------- 50-entry verification cut -------------------
-    # --- r2-greens pushed below the cut by this session's 3 new queries
-    # --- (lm_perplexity / dsir_weights / dsir_resample); queued for r5 ---
+    # --- r2-greens pushed below the cut by this session's 4 new queries
+    # --- (lm_perplexity / dsir_weights / dsir_resample / substr_dup_stats);
+    # --- queued for r5 ---
+    "sq8_train_bounds": _sq8_bounds_spark,
     "grid_params": _grid_params_spark,
     "token_counts": _token_counts_spark,
     # --- r2-greens deferred to lead round 5's rotation (the 7 below were
@@ -3713,6 +3719,7 @@ ORACLES: dict[str, str] = {
     "lm_perplexity": LM.ngram_lm_perplexity_sql(),
     "dsir_weights": LM.dsir_weights_sql(),
     "dsir_resample": LM.dsir_resample_sql(n_keep=100),
+    "substr_dup_stats": DD.substr_dup_stats_sql(k=8),
     "decontaminate": _decontaminate_sql(),
     "repetition_stats": _repetition_stats_sql(),
     "dedup_canonical": _dedup_canonical_sql(),

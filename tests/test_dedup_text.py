@@ -231,3 +231,41 @@ def test_repetition_stats_flags_repeated_content(spark):
     assert out[1]["top_ngram_char_frac"] > 0.3
     assert out[2]["dup_ngram_char_frac"] == 0.0
     assert out[3]["top_ngram_char_frac"] == 0.0 and out[3]["dup_ngram_char_frac"] == 0.0
+
+
+# --- ExactSubstr-style cross-doc duplicated substrings ----------------------
+
+
+def test_substr_dup_stats_planted_shared_span(spark):
+    """Two docs share an 8-token span inside otherwise-unique text; a third
+    is fully unique. The shared span's windows (and only those) must count
+    as duplicated, and covered tokens must union without double-counting."""
+    from filtered_ads_vector_search_spark.operators.dedup import substr_dup_stats
+
+    span = "alpha bravo charlie delta echo foxtrot golf hotel"  # 8 tokens
+    rows = [
+        (0, f"unique0 one two three {span} tail0 tailx"),
+        (1, f"{span} other stuff here totally different ending"),
+        (2, "completely unrelated text with no shared windows at all here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in substr_dup_stats(df, k=8).collect()}
+    # only the single exact 8-token window of the span is shared
+    assert out[0].n_dup_windows == 1 and out[1].n_dup_windows == 1
+    assert out[2].n_dup_windows == 0 and out[2].dup_tokens == 0
+    assert out[0].dup_tokens == 8 and out[1].dup_tokens == 8
+    assert out[0].n_windows == out[0].n_tokens - 7
+    assert out[1].dup_token_frac == round(8 / out[1].n_tokens, 6)
+
+
+def test_substr_dup_stats_overlap_union(spark):
+    """Two docs identical for 9 tokens -> two overlapping duplicated windows
+    covering 9 distinct tokens (union, not 16)."""
+    from filtered_ads_vector_search_spark.operators.dedup import substr_dup_stats
+
+    shared = "a b c d e f g h i"  # 9 tokens -> windows at pos 0 and 1
+    rows = [(0, f"{shared} xx yy"), (1, f"{shared} zz qq")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in substr_dup_stats(df, k=8).collect()}
+    assert out[0].n_dup_windows == 2
+    assert out[0].dup_tokens == 9

@@ -108,3 +108,16 @@ def test_ivfpq_adc_search_single_shuffle(spark):
         assert "BroadcastHashJoin" in plan
     finally:
         idx.unpersist()
+
+
+def test_dsir_score_join_broadcasts(spark):
+    """DSIR scoring: the per-bucket lambda relation (<= n_buckets rows) joins
+    the exploded corpus via BroadcastHashJoin — no SortMergeJoin anywhere, so
+    the corpus is never shuffled on a corpus-sized key; the only corpus-keyed
+    exchange is the final map-combinable groupBy(doc_id)."""
+    from filtered_ads_vector_search_spark.operators import lmscore as LM
+
+    docs = spark.read.parquet(f"{SF_TEST}/documents.parquet")
+    plan = physical_plan(LM.dsir_weights(docs))
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan, plan[:2000]
