@@ -101,6 +101,8 @@ def main() -> None:
         "dedup_exact",
         "dedup_minhash_lsh",
         "dedup_components_star",
+        "substr_dup_stats",
+        "lm_perplexity",
         "text_stats",
         "tpch_q1",
         "tpch_q5",

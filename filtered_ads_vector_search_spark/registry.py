@@ -3484,6 +3484,18 @@ def _substr_dup_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.substr_dup_stats(_tbl(spark, sf_dir, "documents"), k=8)
 
 
+def _cms_heavy_hitters_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import sketch as SK
+
+    return SK.cms_heavy_hitters(_tbl(spark, sf_dir, "documents"), top_n=50)
+
+
+def _cms_heavy_hitters_sql_() -> str:
+    from .operators import sketch as SK
+
+    return SK.cms_heavy_hitters_sql(top_n=50)
+
+
 def _lm_perplexity_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import lmscore as LM
 
@@ -3562,6 +3574,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsir_weights": _dsir_weights_spark,
     "dsir_resample": _dsir_resample_spark,
     "substr_dup_stats": _substr_dup_stats_spark,
+    "cms_heavy_hitters": _cms_heavy_hitters_spark,
     # --- flagships: re-drawn every round ---
     "knn_exact": lambda s, d: _knn_spark(s, d, "sqeuclidean"),
     "dedup_minhash_lsh": _minhash_pairs_spark,
@@ -3581,11 +3594,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "min_token_filter": _min_token_filter_spark,
     "embedding_dup_pairs": _embedding_dups_spark,
     "embedding_dup_pairs_lsh": _embedding_dups_lsh_spark,
-    "vector_norms": _vector_norms_spark,
     # ------------------- 50-entry verification cut -------------------
-    # --- r2-greens pushed below the cut by this session's 4 new queries
-    # --- (lm_perplexity / dsir_weights / dsir_resample / substr_dup_stats);
-    # --- queued for r5 ---
+    # --- r2-greens pushed below the cut by this session's 5 new queries
+    # --- (lm_perplexity / dsir_weights / dsir_resample / substr_dup_stats /
+    # --- cms_heavy_hitters); queued for r5 ---
+    "vector_norms": _vector_norms_spark,
     "sq8_train_bounds": _sq8_bounds_spark,
     "grid_params": _grid_params_spark,
     "token_counts": _token_counts_spark,
@@ -3720,6 +3733,7 @@ ORACLES: dict[str, str] = {
     "dsir_weights": LM.dsir_weights_sql(),
     "dsir_resample": LM.dsir_resample_sql(n_keep=100),
     "substr_dup_stats": DD.substr_dup_stats_sql(k=8),
+    "cms_heavy_hitters": _cms_heavy_hitters_sql_(),
     "decontaminate": _decontaminate_sql(),
     "repetition_stats": _repetition_stats_sql(),
     "dedup_canonical": _dedup_canonical_sql(),
