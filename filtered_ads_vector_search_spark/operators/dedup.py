@@ -24,7 +24,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.hashing import P, portable_hash_sql, str_hash_col, str_hash_sql
+from ..functions.hashing import (
+    P,
+    portable_hash_col,
+    portable_hash_sql,
+    str_hash_col,
+    str_hash_sql,
+)
 from ..functions.text import (
     token_count,
     token_count_sql,
@@ -796,6 +802,97 @@ def decontaminate(
     against the contamination flags)."""
     flagged = contamination_flags(docs, eval_docs, n=n, text_col=text_col)
     return docs.join(flagged.select("doc_id"), "doc_id", "left_anti")
+
+
+# --- Bloom-filter runtime prefilter for decontamination ---------------------
+
+BLOOM_BITS = 8192
+BLOOM_HASHES = 3
+_BLOOM_SEED = 7700
+
+
+def _bloom_positions(sh: Column, m: int, kb: int) -> list[Column]:
+    base = str_hash_col(sh)
+    return [
+        F.pmod(portable_hash_col(base, seed=_BLOOM_SEED + i), F.lit(m))
+        for i in range(kb)
+    ]
+
+
+def bloom_bitmap(
+    shingles: DataFrame, col: str = "sh", m: int = BLOOM_BITS, kb: int = BLOOM_HASHES
+) -> list[int]:
+    """Build an m-bit Bloom bitmap of a shingle relation as m/64 signed
+    longs. The build is a map-combinable bit_or aggregate over word indices,
+    so the driver collects AT MOST m/64 rows no matter how many shingles go
+    in — the bounded-collect discipline (same as centroid/codebook tables).
+    """
+    if m % 64 != 0:
+        raise ValueError(f"bloom bits m must be a multiple of 64, got {m}")
+    pos = shingles.select(
+        F.explode(F.array(*_bloom_positions(F.col(col), m, kb))).alias("p")
+    )
+    words = (
+        pos.select(
+            (F.col("p") / 64).cast("int").alias("wi"),
+            F.expr("shiftleft(1L, cast(p % 64 AS INT))").alias("bit"),
+        )
+        .groupBy("wi")
+        .agg(F.expr("bit_or(bit)").alias("w"))
+        .collect()
+    )
+    out = [0] * (m // 64)
+    for r in words:
+        out[r["wi"]] = r["w"]
+    return out
+
+
+def contamination_flags_bloom(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    m: int = BLOOM_BITS,
+    kb: int = BLOOM_HASHES,
+) -> DataFrame:
+    """`contamination_flags` with a Bloom-bitmap runtime prefilter: the eval
+    shingle set is folded into an m-bit bitmap (m/64 long literals) and every
+    training shingle is bit-tested BEFORE the equi-join. Bloom false
+    positives pass the prefilter but die in the exact join that follows, so
+    the RESULT is identical to `contamination_flags` (the registry reuses
+    the exact form's oracle) — only the plan changes.
+
+    When it matters: `contamination_flags` broadcasts the eval shingle set
+    as a join hash table — fine for benchmark-sized eval corpora. When the
+    eval side outgrows the broadcast threshold (decontaminating against a
+    large held-out corpus), the join becomes a two-sided shuffle; the bitmap
+    stays tiny (2^30 bits = 128 MiB at real scale) and prunes the training
+    side AT THE SCAN, cutting the shuffle to near-only-true-collisions. The
+    bit test itself is whole-stage-codegen arithmetic (no UDF)."""
+    d = docs.select(
+        "doc_id", F.explode(word_shingles(F.col(text_col), n)).alias("sh")
+    ).distinct()
+    e = (
+        eval_docs.select(F.explode(word_shingles(F.col(text_col), n)).alias("sh"))
+        .distinct()
+    )
+    bm = bloom_bitmap(e, m=m, kb=kb)
+    bitmap = F.array(*[F.lit(w).cast("long") for w in bm])
+    probe = d.withColumn("_bm", bitmap)
+    hit = None
+    for i, p in enumerate(_bloom_positions(F.col("sh"), m, kb)):
+        probe = probe.withColumn(f"_p{i}", p)
+        t = F.expr(
+            f"((element_at(_bm, cast(_p{i} / 64 AS INT) + 1) "
+            f">> cast(_p{i} % 64 AS INT)) & 1) = 1"
+        )
+        hit = t if hit is None else (hit & t)
+    pre = probe.filter(hit).select("doc_id", "sh")
+    return (
+        pre.join(F.broadcast(e), "sh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
 
 
 # --- intra-document repetition (Gopher/MassiveText-style quality rules) -----

@@ -2540,6 +2540,19 @@ def _decontaminate_sql() -> str:
     )
 
 
+def _decontaminate_bloom_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`decontaminate` with the Bloom-bitmap runtime prefilter — result is
+    EXACTLY the exact form's (false positives die in the exact join), so it
+    shares `_decontaminate_sql()` as its oracle; only the plan differs."""
+    docs = _tbl(spark, sf_dir, "documents")
+    gate = (
+        H.portable_hash_col(F.col("doc_id"), _DECONTAM_SEED) % F.lit(100)
+    ) < F.lit(_DECONTAM_PCT)
+    return DD.contamination_flags_bloom(
+        docs.filter(~gate), docs.filter(gate), n=_DECONTAM_N
+    )
+
+
 def _ngram_pairs_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.ngram_jaccard_pairs(_tbl(spark, sf_dir, "documents"), threshold=0.3)
 
@@ -3575,6 +3588,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsir_resample": _dsir_resample_spark,
     "substr_dup_stats": _substr_dup_stats_spark,
     "cms_heavy_hitters": _cms_heavy_hitters_spark,
+    "decontaminate_bloom": _decontaminate_bloom_spark,
     # --- flagships: re-drawn every round ---
     "knn_exact": lambda s, d: _knn_spark(s, d, "sqeuclidean"),
     "dedup_minhash_lsh": _minhash_pairs_spark,
@@ -3593,11 +3607,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint": _fingerprint_spark,
     "min_token_filter": _min_token_filter_spark,
     "embedding_dup_pairs": _embedding_dups_spark,
-    "embedding_dup_pairs_lsh": _embedding_dups_lsh_spark,
     # ------------------- 50-entry verification cut -------------------
-    # --- r2-greens pushed below the cut by this session's 5 new queries
+    # --- r2-greens pushed below the cut by this session's 6 new queries
     # --- (lm_perplexity / dsir_weights / dsir_resample / substr_dup_stats /
-    # --- cms_heavy_hitters); queued for r5 ---
+    # --- cms_heavy_hitters / decontaminate_bloom); queued for r5 ---
+    "embedding_dup_pairs_lsh": _embedding_dups_lsh_spark,
     "vector_norms": _vector_norms_spark,
     "sq8_train_bounds": _sq8_bounds_spark,
     "grid_params": _grid_params_spark,
@@ -3734,6 +3748,7 @@ ORACLES: dict[str, str] = {
     "dsir_resample": LM.dsir_resample_sql(n_keep=100),
     "substr_dup_stats": DD.substr_dup_stats_sql(k=8),
     "cms_heavy_hitters": _cms_heavy_hitters_sql_(),
+    "decontaminate_bloom": _decontaminate_sql(),
     "decontaminate": _decontaminate_sql(),
     "repetition_stats": _repetition_stats_sql(),
     "dedup_canonical": _dedup_canonical_sql(),

@@ -269,3 +269,39 @@ def test_substr_dup_stats_overlap_union(spark):
     out = {r.doc_id: r for r in substr_dup_stats(df, k=8).collect()}
     assert out[0].n_dup_windows == 2
     assert out[0].dup_tokens == 9
+
+
+# --- Bloom-prefiltered decontamination --------------------------------------
+
+
+def test_bloom_decontaminate_equals_exact_even_with_forced_fps(spark):
+    """m=64 forces massive Bloom false-positive rates; the exact join after
+    the prefilter must still make the result identical to the exact form."""
+    from filtered_ads_vector_search_spark.operators.dedup import (
+        contamination_flags,
+        contamination_flags_bloom,
+    )
+
+    rows = [(i, f"common preamble words shared {i} plus unique tail {i*7}") for i in range(20)]
+    rows += [(100, "alpha beta gamma delta epsilon zeta eta theta")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    ev = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta"), (1, "nothing matches here at all friends")],
+        "doc_id long, text string",
+    )
+    exact = sorted(map(tuple, contamination_flags(docs, ev, n=5).collect()))
+    for m in (64, 8192):
+        bloom = sorted(
+            map(tuple, contamination_flags_bloom(docs, ev, n=5, m=m).collect())
+        )
+        assert bloom == exact, m
+    assert exact and exact[0][0] == 100
+
+
+def test_bloom_bitmap_bounded_and_deterministic(spark):
+    from filtered_ads_vector_search_spark.operators.dedup import bloom_bitmap
+
+    sh = spark.createDataFrame([(f"shingle {i}",) for i in range(500)], "sh string")
+    a = bloom_bitmap(sh, m=256, kb=3)
+    b = bloom_bitmap(sh.repartition(8), m=256, kb=3)
+    assert a == b and len(a) == 4
