@@ -170,6 +170,90 @@ FROM r WHERE rnk <= {K}
 """
 
 
+_JL_OUT = 16
+
+
+def _knn_jl_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k in the 16-dim JL-projected space: the dimensionality-
+    reduction tier's search path. The projection is seeded portable-hash
+    sign arithmetic, so the DuckDB oracle reproduces it bit-for-bit."""
+    from .operators import projection as PJ
+
+    emb = _tbl(spark, sf_dir, "embeddings").select(
+        "vec_id", PJ.jl_project(F.col("embedding"), 64, _JL_OUT).alias("embedding")
+    )
+    q, c = TK.split_queries(emb)
+    out = TK.knn_window(q, c, k=K, metric="sqeuclidean")
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").alias("rnk"),
+        F.round("dist", 3).alias("dist"),
+    )
+
+
+def _knn_jl_sql() -> str:
+    from .operators import projection as PJ
+
+    proj = PJ.jl_project_sql("embedding", 64, _JL_OUT)
+    dist = V.sqeuclidean_sql("q.q_vec", "c.embedding")
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, {proj} AS q_vec FROM embeddings
+  WHERE {FL.is_query_sql('vec_id')}
+), c AS (
+  SELECT vec_id AS neighbor_id, {proj} AS embedding FROM embeddings
+  WHERE NOT {FL.is_query_sql('vec_id')}
+), d AS (
+  SELECT q.query_id, c.neighbor_id, {dist} AS dist FROM q CROSS JOIN c
+), r AS (
+  SELECT query_id, neighbor_id, dist,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, neighbor_id ASC) AS rnk
+  FROM d
+)
+SELECT query_id, neighbor_id, rnk, round(dist, 3) AS dist
+FROM r WHERE rnk <= {K}
+"""
+
+
+def _jl_distortion_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL norm concentration, MEASURED: per-vector exact vs projected squared
+    norm and their ratio (expected to concentrate near 1 as out_dim grows)."""
+    from .operators import projection as PJ
+
+    emb = _tbl(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").alias("v"),
+        PJ.jl_project(F.col("embedding"), 64, _JL_OUT).alias("p"),
+    )
+    n2 = V.vec_inner_product(F.col("v"), F.col("v"))
+    p2 = V.vec_inner_product(F.col("p"), F.col("p"))
+    return emb.select(
+        "vec_id",
+        F.round(n2, 4).alias("exact_sq_norm"),
+        F.round(p2, 4).alias("proj_sq_norm"),
+        F.round(p2 / F.nullif(n2, F.lit(0.0)), 4).alias("norm_ratio"),
+    )
+
+
+def _jl_distortion_sql() -> str:
+    from .operators import projection as PJ
+
+    proj = PJ.jl_project_sql("embedding", 64, _JL_OUT)
+    n2 = V.inner_product_sql("v", "v")
+    p2 = V.inner_product_sql("p", "p")
+    return f"""
+WITH base AS (
+  SELECT vec_id, embedding AS v, {proj} AS p FROM embeddings
+)
+SELECT vec_id,
+       round({n2}, 4) AS exact_sq_norm,
+       round({p2}, 4) AS proj_sq_norm,
+       round(({p2}) / nullif({n2}, 0.0), 4) AS norm_ratio
+FROM base
+"""
+
+
 def _recall_sq8_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     found = _knn_spark(spark, sf_dir, "sqeuclidean", quant="sq8")
     truth = _knn_spark(spark, sf_dir, "sqeuclidean")
@@ -3589,6 +3673,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "substr_dup_stats": _substr_dup_stats_spark,
     "cms_heavy_hitters": _cms_heavy_hitters_spark,
     "decontaminate_bloom": _decontaminate_bloom_spark,
+    "knn_jl": _knn_jl_spark,
+    "jl_norm_distortion": _jl_distortion_spark,
     # --- flagships: re-drawn every round ---
     "knn_exact": lambda s, d: _knn_spark(s, d, "sqeuclidean"),
     "dedup_minhash_lsh": _minhash_pairs_spark,
@@ -3605,12 +3691,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "best_order_per_priority": _best_order_spark,
     "lang_id": _lang_id_spark,
     "doc_fingerprint": _fingerprint_spark,
-    "min_token_filter": _min_token_filter_spark,
-    "embedding_dup_pairs": _embedding_dups_spark,
     # ------------------- 50-entry verification cut -------------------
-    # --- r2-greens pushed below the cut by this session's 6 new queries
+    "min_token_filter": _min_token_filter_spark,
+    # --- r2-greens pushed below the cut by this session's 8 new queries
     # --- (lm_perplexity / dsir_weights / dsir_resample / substr_dup_stats /
-    # --- cms_heavy_hitters / decontaminate_bloom); queued for r5 ---
+    # --- cms_heavy_hitters / decontaminate_bloom / knn_jl /
+    # --- jl_norm_distortion); queued for r5 ---
+    "embedding_dup_pairs": _embedding_dups_spark,
     "embedding_dup_pairs_lsh": _embedding_dups_lsh_spark,
     "vector_norms": _vector_norms_spark,
     "sq8_train_bounds": _sq8_bounds_spark,
@@ -3749,6 +3836,8 @@ ORACLES: dict[str, str] = {
     "substr_dup_stats": DD.substr_dup_stats_sql(k=8),
     "cms_heavy_hitters": _cms_heavy_hitters_sql_(),
     "decontaminate_bloom": _decontaminate_sql(),
+    "knn_jl": _knn_jl_sql(),
+    "jl_norm_distortion": _jl_distortion_sql(),
     "decontaminate": _decontaminate_sql(),
     "repetition_stats": _repetition_stats_sql(),
     "dedup_canonical": _dedup_canonical_sql(),
