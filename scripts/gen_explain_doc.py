@@ -43,6 +43,13 @@ NOTES = {
 - The probe list carries one residual LUT per (query, probed bucket) — computed on the broadcast side; the coded corpus enters through ONE `BroadcastHashJoin` on `partition_id` and only ever streams.
 - The ADC score is an m-step `aggregate` of two array lookups inside `WholeStageCodegen` — no Python, no vector bytes in flight; only the ADC top-R shortlist touches full vectors for the exact rerank.
 - Both rank windows are `WindowGroupLimit` partial+final; the second sees <= R rows per query. Against the written layout (`IVFPQIndex.load`), the probe join adds partition pruning on the codes directories.""",
+    "DSIR importance scoring": """\
+- The feature space is a FIXED 4096 hash buckets, so both count relations collapse to <= 4096 rows and the per-bucket lambda table enters the score join as a `BroadcastHashJoin` — no `SortMergeJoin` anywhere (asserted in tests).
+- The exploded corpus is touched twice (featurize, score) and the only corpus-keyed `Exchange` is the final map-combinable `groupBy(doc_id)` partial/final aggregate pair.""",
+    "Bloom-prefiltered decontamination": """\
+- The eval shingle set folds into a 128-long bitmap LITERAL; the bit test (`element_at` + shift + mask) sits in the scan-side `Filter` inside `WholeStageCodegen` — training shingles that miss the bitmap never reach the join.
+- The exact equi-join after the prefilter kills Bloom false positives, so the plan change is invisible in the result (it shares the exact form's oracle).
+- At real scale the bitmap (2^30 bits = 128 MiB) still broadcasts when the eval shingle set itself cannot, converting a two-sided shuffle join into scan-side pruning + a near-empty join.""",
 }
 
 
@@ -76,6 +83,8 @@ def main() -> None:
         "LSH bucket search (fused top-k)": _lsh_search(c, q),
         "As-of join (union-window form)": registry.QUERIES["event_attribution"](spark, SF),
         "IVFPQ search (residual ADC + exact rerank)": _ivfpq_search(c, q),
+        "DSIR importance scoring": registry.QUERIES["dsir_weights"](spark, SF),
+        "Bloom-prefiltered decontamination": registry.QUERIES["decontaminate_bloom"](spark, SF),
     }
     out = [
         "# EXPLAIN — annotated physical plans (generated by scripts/gen_explain_doc.py at sf0.01)",
