@@ -48,6 +48,119 @@ def percentiles(
     return g.agg(*aggs)
 
 
+def hist_quantiles(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = ("event_type",),
+    bins: int = 256,
+    qs: Sequence[float] = (0.5, 0.95, 0.99),
+    round_digits: int = 4,
+) -> DataFrame:
+    """Bounded-state quantile ESTIMATION from a fixed-bin histogram — the
+    100 TB path where exact `percentile` (which materializes every value per
+    group) is too heavy: state is <= bins rows per group no matter the input
+    size, built by one map-combinable groupBy after a broadcast bounds join.
+    Estimates interpolate linearly inside the hit bin; everything is
+    deterministic double arithmetic (no sampling sketch), so the DuckDB twin
+    reproduces results bit-for-bit. Two passes total: bounds, then bins.
+
+    Output: group cols, q, est (per requested quantile).
+    """
+    gcols = list(group_cols)
+    bounds = df.groupBy(*gcols).agg(
+        F.min(value_col).alias("lo"),
+        F.max(value_col).alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    j = df.join(F.broadcast(bounds), gcols)
+    width = (F.col("hi") - F.col("lo")) / F.lit(float(bins))
+    b = (
+        F.when(F.col("hi") == F.col("lo"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor((F.col(value_col) - F.col("lo")) / width),
+                F.lit(bins - 1),
+            )
+        )
+        .cast("int")
+    )
+    counts = (
+        j.select(*gcols, "lo", "hi", "n", b.alias("b"))
+        .groupBy(*gcols, "lo", "hi", "n", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy(*gcols).orderBy("b")
+    cum = counts.withColumn("cum", F.sum("c").over(w)).withColumn(
+        "cum_prev", F.col("cum") - F.col("c")
+    )
+    qd = cum.withColumn("q", F.explode(F.array(*[F.lit(float(q)) for q in qs])))
+    t = F.col("q") * F.col("n")
+    w2 = Window.partitionBy(*gcols, "q").orderBy("b")
+    first = (
+        qd.filter(F.col("cum") >= t)
+        .withColumn("_rn", F.row_number().over(w2))
+        .filter(F.col("_rn") == 1)
+    )
+    frac = F.when(F.col("c") > 0, (t - F.col("cum_prev")) / F.col("c")).otherwise(
+        F.lit(0.0)
+    )
+    est = F.when(F.col("hi") == F.col("lo"), F.col("lo")).otherwise(
+        F.col("lo") + width * (F.col("b") + frac)
+    )
+    return first.select(
+        *gcols, F.col("q"), F.round(est, round_digits).alias("est")
+    )
+
+
+def hist_quantiles_sql(
+    table: str = "events",
+    value_col: str = "value",
+    group_col: str = "event_type",
+    bins: int = 256,
+    qs: Sequence[float] = (0.5, 0.95, 0.99),
+    round_digits: int = 4,
+) -> str:
+    """DuckDB twin of hist_quantiles — identical arithmetic shape."""
+    qlist = ", ".join(str(float(q)) for q in qs)
+    width = f"((hi - lo) / {float(bins)})"
+    return f"""
+WITH bounds AS (
+  SELECT {group_col}, min({value_col}) AS lo, max({value_col}) AS hi,
+         count(*) AS n
+  FROM {table} GROUP BY {group_col}
+),
+binned AS (
+  SELECT t.{group_col}, b.lo, b.hi, b.n,
+         CASE WHEN b.hi = b.lo THEN 0
+              ELSE CAST(least(floor((t.{value_col} - b.lo) / {width}),
+                              {bins - 1}) AS INT) END AS b
+  FROM {table} t JOIN bounds b USING ({group_col})
+),
+counts AS (
+  SELECT {group_col}, lo, hi, n, b, count(*) AS c
+  FROM binned GROUP BY {group_col}, lo, hi, n, b
+),
+cum AS (
+  SELECT *, sum(c) OVER (PARTITION BY {group_col} ORDER BY b) AS cum,
+         sum(c) OVER (PARTITION BY {group_col} ORDER BY b) - c AS cum_prev
+  FROM counts
+),
+qd AS (
+  SELECT cum.*, q FROM cum CROSS JOIN (SELECT unnest([{qlist}]) AS q)
+),
+hit AS (
+  SELECT *, row_number() OVER (PARTITION BY {group_col}, q ORDER BY b) AS _rn
+  FROM qd WHERE cum >= q * n
+)
+SELECT {group_col}, q,
+       round(CASE WHEN hi = lo THEN lo
+                  ELSE lo + {width} * (b + (CASE WHEN c > 0
+                       THEN (q * n - cum_prev) / c ELSE 0.0 END)) END,
+             {round_digits}) AS est
+FROM hit WHERE _rn = 1
+"""
+
+
 def percentiles_per_worker_mean(
     df: DataFrame,
     value_col: str,

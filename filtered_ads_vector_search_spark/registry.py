@@ -394,6 +394,13 @@ FROM events GROUP BY event_type
 """
 
 
+def _hist_quantiles_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state histogram quantiles (the percentile form that survives
+    100 TB: <= bins rows of state per group vs exact percentile's full
+    per-group sort)."""
+    return E.hist_quantiles(_tbl(spark, sf_dir, "events"), "value")
+
+
 def _latency_percentiles_v2_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """v2-variant percentile aggregation (reference
     cuvs_bench_grid_search_v2.py:300-317): per-worker p50/p95/p99, averaged.
@@ -3677,6 +3684,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate_bloom": _decontaminate_bloom_spark,
     "knn_jl": _knn_jl_spark,
     "jl_norm_distortion": _jl_distortion_spark,
+    "hist_quantiles": _hist_quantiles_spark,
     # --- flagships: re-drawn every round ---
     "knn_exact": lambda s, d: _knn_spark(s, d, "sqeuclidean"),
     "dedup_minhash_lsh": _minhash_pairs_spark,
@@ -3692,13 +3700,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": _exact_dedup_spark,
     "best_order_per_priority": _best_order_spark,
     "lang_id": _lang_id_spark,
-    "doc_fingerprint": _fingerprint_spark,
     # ------------------- 50-entry verification cut -------------------
+    "doc_fingerprint": _fingerprint_spark,
     "min_token_filter": _min_token_filter_spark,
-    # --- r2-greens pushed below the cut by this session's 8 new queries
+    # --- r2-greens pushed below the cut by this session's 9 new queries
     # --- (lm_perplexity / dsir_weights / dsir_resample / substr_dup_stats /
     # --- cms_heavy_hitters / decontaminate_bloom / knn_jl /
-    # --- jl_norm_distortion); queued for r5 ---
+    # --- jl_norm_distortion / hist_quantiles); queued for r5 ---
     "embedding_dup_pairs": _embedding_dups_spark,
     "embedding_dup_pairs_lsh": _embedding_dups_lsh_spark,
     "vector_norms": _vector_norms_spark,
@@ -3840,6 +3848,7 @@ ORACLES: dict[str, str] = {
     "decontaminate_bloom": _decontaminate_sql(),
     "knn_jl": _knn_jl_sql(),
     "jl_norm_distortion": _jl_distortion_sql(),
+    "hist_quantiles": E.hist_quantiles_sql(),
     "decontaminate": _decontaminate_sql(),
     "repetition_stats": _repetition_stats_sql(),
     "dedup_canonical": _dedup_canonical_sql(),

@@ -193,3 +193,51 @@ def test_clean_text_matches_python(spark):
     }
     for i, d in enumerate(docs):
         assert got[i] == py_clean(d), (i, got[i], py_clean(d))
+
+
+# --- bounded-state histogram quantiles --------------------------------------
+
+
+def test_hist_quantiles_within_bin_width_of_exact(spark):
+    """The histogram estimate must land within one bin width of the exact
+    interpolated percentile, per group and quantile."""
+    import pyspark.sql.functions as F
+    from filtered_ads_vector_search_spark.operators import evaluate as E
+    from tests.conftest import SF_TEST
+
+    ev = spark.read.parquet(f"{SF_TEST}/events.parquet")
+    bins = 256
+    est = {
+        (r.event_type, r.q): r.est
+        for r in E.hist_quantiles(ev, "value", bins=bins).collect()
+    }
+    bounds = {
+        r.event_type: (r.lo, r.hi)
+        for r in ev.groupBy("event_type")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+        .collect()
+    }
+    exact = {
+        (r.event_type, q): r[f"p{str(q).replace('0.', '')}"]
+        for r in E.percentiles(ev, "value", ["event_type"]).collect()
+        for q in (0.5, 0.95, 0.99)
+    }
+    assert est and set(est) == set(exact)
+    for (g, q), v in est.items():
+        lo, hi = bounds[g]
+        width = (hi - lo) / bins
+        assert abs(v - exact[(g, q)]) <= width + 1e-9, (g, q, v, exact[(g, q)])
+
+
+def test_hist_quantiles_monotone_in_q(spark):
+    from filtered_ads_vector_search_spark.operators import evaluate as E
+    from tests.conftest import SF_TEST
+
+    ev = spark.read.parquet(f"{SF_TEST}/events.parquet")
+    rows = E.hist_quantiles(ev, "value", qs=(0.1, 0.5, 0.9, 0.99)).collect()
+    by_g = {}
+    for r in rows:
+        by_g.setdefault(r.event_type, []).append((r.q, r.est))
+    for g, pairs in by_g.items():
+        ests = [e for _, e in sorted(pairs)]
+        assert ests == sorted(ests), (g, pairs)
