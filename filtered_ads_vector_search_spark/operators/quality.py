@@ -189,6 +189,101 @@ SELECT * FROM (
 """
 
 
+def domain_mix_weights(
+    documents: DataFrame,
+    domain_col: str = "lang",
+    text_col: str = "text",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Static domain-reweighting table (the Pile-style mixing step, the
+    degenerate single-pass form of DoReMi): per domain, its token share of
+    the corpus and the sampling weight that would equalize token mass across
+    domains (uniform target). weight = target_share / current_share; a
+    sampler drawing domains ∝ weight * share sees the uniform mix. One
+    map-combinable groupBy over token counts; the result is |domains| rows.
+    """
+    agg = (
+        documents.groupBy(domain_col)
+        .agg(F.sum(T.token_count(F.col(text_col))).alias("n_tokens"))
+    )
+    tot = agg.agg(
+        F.sum("n_tokens").alias("tot"), F.count(F.lit(1)).alias("nd")
+    )
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .select(
+            domain_col,
+            "n_tokens",
+            F.round(F.col("n_tokens") / F.col("tot").cast("double"), round_digits).alias(
+                "token_share"
+            ),
+            F.round(
+                (F.lit(1.0) / F.col("nd"))
+                / (F.col("n_tokens") / F.col("tot").cast("double")),
+                round_digits,
+            ).alias("mix_weight"),
+        )
+    )
+
+
+def domain_mix_weights_sql(
+    table: str = "documents", domain_col: str = "lang", round_digits: int = 6
+) -> str:
+    toks = T.token_count_sql("text")
+    return f"""
+WITH agg AS (
+  SELECT {domain_col}, sum({toks}) AS n_tokens FROM {table} GROUP BY {domain_col}
+),
+tot AS (SELECT sum(n_tokens) AS tot, count(*) AS nd FROM agg)
+SELECT {domain_col}, n_tokens,
+       round(n_tokens / CAST(tot AS DOUBLE), {round_digits}) AS token_share,
+       round((1.0 / nd) / (n_tokens / CAST(tot AS DOUBLE)), {round_digits}) AS mix_weight
+FROM agg CROSS JOIN tot
+"""
+
+
+def token_fertility(
+    documents: DataFrame, text_col: str = "text", round_digits: int = 4
+) -> DataFrame:
+    """Per-language tokenizer fertility: mean characters per whitespace
+    token and the BPE-ish/whitespace token ratio — the quick check that a
+    tokenizer doesn't explode some language's sequence lengths. Sums are
+    exact integers before the one double division."""
+    t = F.col(text_col)
+    agg = documents.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.char_length(t)).alias("chars"),
+        F.sum(T.token_count(t)).alias("ws"),
+        F.sum(T.bpe_token_count(t)).alias("bpe"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        F.round(F.col("chars") / F.col("ws").cast("double"), round_digits).alias(
+            "chars_per_ws_token"
+        ),
+        F.round(F.col("bpe") / F.col("ws").cast("double"), round_digits).alias(
+            "bpe_per_ws_token"
+        ),
+    )
+
+
+def token_fertility_sql(table: str = "documents", round_digits: int = 4) -> str:
+    ws = T.token_count_sql("text")
+    bpe = T.bpe_token_count_sql("text")
+    return f"""
+WITH agg AS (
+  SELECT lang, count(*) AS n_docs, sum(length(text)) AS chars,
+         sum({ws}) AS ws, sum({bpe}) AS bpe
+  FROM {table} GROUP BY lang
+)
+SELECT lang, n_docs,
+       round(chars / CAST(ws AS DOUBLE), {round_digits}) AS chars_per_ws_token,
+       round(bpe / CAST(ws AS DOUBLE), {round_digits}) AS bpe_per_ws_token
+FROM agg
+"""
+
+
 def vocab_summary(documents: DataFrame, text_col: str = "text") -> DataFrame:
     """One-row corpus vocabulary summary: token count, type count, hapax
     types (term_freq = 1), type/token ratio, hapax fraction."""

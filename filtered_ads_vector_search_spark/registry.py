@@ -3513,6 +3513,30 @@ def _vocab_summary_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 # match/replace machinery (Java-regex ∩ RE2 common-subset patterns).
 
 
+def _domain_mix_weights_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import quality as QL
+
+    return QL.domain_mix_weights(_tbl(spark, sf_dir, "documents"))
+
+
+def _domain_mix_weights_sql_() -> str:
+    from .operators import quality as QL
+
+    return QL.domain_mix_weights_sql()
+
+
+def _token_fertility_sql_() -> str:
+    from .operators import quality as QL
+
+    return QL.token_fertility_sql()
+
+
+def _token_fertility_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import quality as QL
+
+    return QL.token_fertility(_tbl(spark, sf_dir, "documents"))
+
+
 def _pii_injected_spark() -> Column:
     did = F.col("doc_id")
     s = lambda x: x.cast("string")  # noqa: E731
@@ -3685,6 +3709,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_jl": _knn_jl_spark,
     "jl_norm_distortion": _jl_distortion_spark,
     "hist_quantiles": _hist_quantiles_spark,
+    "domain_mix_weights": _domain_mix_weights_spark,
+    "token_fertility": _token_fertility_spark,
     # --- flagships: re-drawn every round ---
     "knn_exact": lambda s, d: _knn_spark(s, d, "sqeuclidean"),
     "dedup_minhash_lsh": _minhash_pairs_spark,
@@ -3698,15 +3724,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "filter_selectivity": _selectivity_spark,
     "rating_histogram": _histogram_spark,
     "dedup_exact": _exact_dedup_spark,
+    # ------------------- 50-entry verification cut -------------------
     "best_order_per_priority": _best_order_spark,
     "lang_id": _lang_id_spark,
-    # ------------------- 50-entry verification cut -------------------
     "doc_fingerprint": _fingerprint_spark,
     "min_token_filter": _min_token_filter_spark,
-    # --- r2-greens pushed below the cut by this session's 9 new queries
+    # --- r2-greens pushed below the cut by this session's 11 new queries
     # --- (lm_perplexity / dsir_weights / dsir_resample / substr_dup_stats /
     # --- cms_heavy_hitters / decontaminate_bloom / knn_jl /
-    # --- jl_norm_distortion / hist_quantiles); queued for r5 ---
+    # --- jl_norm_distortion / hist_quantiles / domain_mix_weights /
+    # --- token_fertility); queued for r5 ---
     "embedding_dup_pairs": _embedding_dups_spark,
     "embedding_dup_pairs_lsh": _embedding_dups_lsh_spark,
     "vector_norms": _vector_norms_spark,
@@ -3849,6 +3876,8 @@ ORACLES: dict[str, str] = {
     "knn_jl": _knn_jl_sql(),
     "jl_norm_distortion": _jl_distortion_sql(),
     "hist_quantiles": E.hist_quantiles_sql(),
+    "domain_mix_weights": _domain_mix_weights_sql_(),
+    "token_fertility": _token_fertility_sql_(),
     "decontaminate": _decontaminate_sql(),
     "repetition_stats": _repetition_stats_sql(),
     "dedup_canonical": _dedup_canonical_sql(),

@@ -220,3 +220,28 @@ def test_vocab_groupby_has_partial_aggregate(spark):
     docs = spark.read.parquet(f"{SF_TEST}/documents.parquet")
     plan = physical_plan(QL.vocab_top_terms(docs), "formatted")
     assert "partial_count" in plan or "Partial" in plan, plan[:2000]
+
+
+# --- domain mixing + tokenizer fertility ------------------------------------
+
+
+def test_domain_mix_weights_planted(spark):
+    """Domain with 3x the token mass gets 1/3 the mix weight."""
+    rows = [(0, "a b c d e f", "big"), (1, "g h i j k l", "big"),
+            (2, "m n o p q r", "big"), (3, "s t u v w x", "small")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r.lang: r for r in QL.domain_mix_weights(df).collect()}
+    assert out["big"].n_tokens == 18 and out["small"].n_tokens == 6
+    assert out["big"].token_share == 0.75 and out["small"].token_share == 0.25
+    assert abs(out["big"].mix_weight * 3 - out["small"].mix_weight) < 1e-5
+
+
+def test_token_fertility_planted(spark):
+    """'abcd efgh' = 9 chars / 2 ws tokens -> 4.5 chars per token; the BPE
+    pretokenizer splits punctuation off, raising bpe_per_ws_token above 1."""
+    rows = [(0, "abcd efgh", "en"), (1, "hi! bye!", "de")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r.lang: r for r in QL.token_fertility(df).collect()}
+    assert out["en"].chars_per_ws_token == 4.5
+    assert out["en"].bpe_per_ws_token == 1.0
+    assert out["de"].bpe_per_ws_token > 1.0
