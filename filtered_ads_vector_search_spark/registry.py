@@ -401,6 +401,56 @@ def _hist_quantiles_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return E.hist_quantiles(_tbl(spark, sf_dir, "events"), "value")
 
 
+_EWQ_LO, _EWQ_HI, _EWQ_BINS = 0.0, 500.0, 64
+
+
+def _event_window_quantiles_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-shaped windowed quantile monitoring, batch twin: fixed-bound
+    histogram per (minute window, event_type) — the single watermarked
+    groupBy the stream runs — then read-time quantile extraction over the
+    histogram rows."""
+    from .streaming.windows import (
+        quantiles_from_histogram,
+        windowed_value_histogram_batch,
+    )
+
+    ev = _tbl(spark, sf_dir, "events")
+    hist = windowed_value_histogram_batch(
+        ev, "1 minute", lo=_EWQ_LO, hi=_EWQ_HI, bins=_EWQ_BINS
+    )
+    return quantiles_from_histogram(hist, _EWQ_LO, _EWQ_HI, _EWQ_BINS)
+
+
+def _event_window_quantiles_sql() -> str:
+    width = (_EWQ_HI - _EWQ_LO) / float(_EWQ_BINS)
+    return f"""
+WITH hist AS (
+  SELECT date_trunc('minute', ts) AS window_start, event_type,
+         CAST(least(greatest(floor((value - {_EWQ_LO}) / {width}), 0),
+                    {_EWQ_BINS - 1}) AS INT) AS b,
+         count(*) AS c
+  FROM events GROUP BY 1, 2, 3
+),
+tot AS (SELECT window_start, event_type, sum(c) AS n FROM hist GROUP BY 1, 2),
+cum AS (
+  SELECT h.*, t.n,
+         sum(c) OVER (PARTITION BY h.window_start, h.event_type ORDER BY b) AS cum,
+         sum(c) OVER (PARTITION BY h.window_start, h.event_type ORDER BY b) - c AS cum_prev
+  FROM hist h JOIN tot t USING (window_start, event_type)
+),
+qd AS (
+  SELECT cum.*, q FROM cum CROSS JOIN (SELECT unnest([0.5, 0.95, 0.99]) AS q)
+),
+hit AS (
+  SELECT *, row_number() OVER (PARTITION BY window_start, event_type, q ORDER BY b) AS _rn
+  FROM qd WHERE cum >= q * n
+)
+SELECT window_start, event_type, q,
+       round({_EWQ_LO} + {width} * (b + (q * n - cum_prev) / c), 4) AS est
+FROM hit WHERE _rn = 1
+"""
+
+
 def _latency_percentiles_v2_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """v2-variant percentile aggregation (reference
     cuvs_bench_grid_search_v2.py:300-317): per-worker p50/p95/p99, averaged.
@@ -3711,6 +3761,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hist_quantiles": _hist_quantiles_spark,
     "domain_mix_weights": _domain_mix_weights_spark,
     "token_fertility": _token_fertility_spark,
+    "event_window_quantiles": _event_window_quantiles_spark,
     # --- flagships: re-drawn every round ---
     "knn_exact": lambda s, d: _knn_spark(s, d, "sqeuclidean"),
     "dedup_minhash_lsh": _minhash_pairs_spark,
@@ -3723,8 +3774,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "recall_curve_sq8": _recall_curve_spark,
     "filter_selectivity": _selectivity_spark,
     "rating_histogram": _histogram_spark,
+    # ------------------- 50-entry verification cut (see note above) ------
     "dedup_exact": _exact_dedup_spark,
-    # ------------------- 50-entry verification cut -------------------
     "best_order_per_priority": _best_order_spark,
     "lang_id": _lang_id_spark,
     "doc_fingerprint": _fingerprint_spark,
@@ -3878,6 +3929,7 @@ ORACLES: dict[str, str] = {
     "hist_quantiles": E.hist_quantiles_sql(),
     "domain_mix_weights": _domain_mix_weights_sql_(),
     "token_fertility": _token_fertility_sql_(),
+    "event_window_quantiles": _event_window_quantiles_sql(),
     "decontaminate": _decontaminate_sql(),
     "repetition_stats": _repetition_stats_sql(),
     "dedup_canonical": _dedup_canonical_sql(),

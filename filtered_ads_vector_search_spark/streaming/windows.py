@@ -90,3 +90,104 @@ def windowed_event_stats(
 def windowed_event_stats_batch(events: DataFrame, window: str = "1 minute") -> DataFrame:
     """Batch twin — identical logical aggregation, no watermark needed."""
     return _window_agg(events, window, None)
+
+
+# --- streaming bounded-state value histograms → latency-style quantiles -----
+#
+# The streaming form of evaluate.hist_quantiles: a latency monitor can't do
+# the two-pass (bounds, then bins) trick — so the bounds are FIXED by the
+# caller (the realistic monitoring contract: you know your SLO range) and
+# out-of-range values clamp into the edge bins. That makes the whole
+# histogram ONE watermarked groupBy — streaming-legal in append mode with
+# state bounded by windows x event_types x bins — and quantile extraction
+# happens at read time over the tiny histogram rows (quantiles_from_histogram),
+# exactly how a dashboard consumes a histogram metric.
+
+
+def _value_bin(value, lo: float, hi: float, bins: int):
+    width = (hi - lo) / float(bins)
+    raw = F.floor((value - F.lit(lo)) / F.lit(width))
+    return F.least(F.greatest(raw, F.lit(0)), F.lit(bins - 1)).cast("int")
+
+
+def _windowed_histogram(
+    events: DataFrame,
+    window: str,
+    watermark: str | None,
+    lo: float,
+    hi: float,
+    bins: int,
+) -> DataFrame:
+    if not hi > lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi}]")
+    df = events
+    if watermark is not None:
+        df = df.withWatermark("ts", watermark)
+    return (
+        df.groupBy(
+            F.window("ts", window).alias("w"),
+            F.col("event_type"),
+            _value_bin(F.col("value"), lo, hi, bins).alias("b"),
+        )
+        .agg(F.count("*").alias("c"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "b", "c")
+    )
+
+
+def windowed_value_histogram(
+    events_stream: DataFrame,
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+    lo: float = 0.0,
+    hi: float = 1000.0,
+    bins: int = 64,
+) -> DataFrame:
+    """Streaming fixed-bound histogram per (window, event_type)."""
+    return _windowed_histogram(events_stream, window, watermark, lo, hi, bins)
+
+
+def windowed_value_histogram_batch(
+    events: DataFrame,
+    window: str = "1 minute",
+    lo: float = 0.0,
+    hi: float = 1000.0,
+    bins: int = 64,
+) -> DataFrame:
+    """Batch twin — identical histogram aggregation."""
+    return _windowed_histogram(events, window, None, lo, hi, bins)
+
+
+def quantiles_from_histogram(
+    hist: DataFrame,
+    lo: float,
+    hi: float,
+    bins: int,
+    qs: tuple = (0.5, 0.95, 0.99),
+    round_digits: int = 4,
+) -> DataFrame:
+    """Read-time quantile extraction over histogram rows (per window_start,
+    event_type): cumulative counts + in-bin linear interpolation, the same
+    arithmetic as evaluate.hist_quantiles but over fixed caller bounds."""
+    from pyspark.sql import Window as W
+
+    width = (hi - lo) / float(bins)
+    keys = ["window_start", "event_type"]
+    tot = hist.groupBy(*keys).agg(F.sum("c").alias("n"))
+    w = W.partitionBy(*keys).orderBy("b")
+    cum = (
+        hist.join(tot, keys)
+        .withColumn("cum", F.sum("c").over(w))
+        .withColumn("cum_prev", F.col("cum") - F.col("c"))
+    )
+    qd = cum.withColumn("q", F.explode(F.array(*[F.lit(float(q)) for q in qs])))
+    t = F.col("q") * F.col("n")
+    w2 = W.partitionBy(*keys, "q").orderBy("b")
+    first = (
+        qd.filter(F.col("cum") >= t)
+        .withColumn("_rn", F.row_number().over(w2))
+        .filter(F.col("_rn") == 1)
+    )
+    est = F.lit(lo) + F.lit(width) * (
+        F.col("b") + (t - F.col("cum_prev")) / F.col("c")
+    )
+    return first.select(*keys, "q", F.round(est, round_digits).alias("est"))

@@ -440,3 +440,42 @@ def test_maintain_index_stream_lsh(spark, tmp_path):
     assert loaded.tagged.count() == n0 + 1
     top = loaded.search(q1, k=1).collect()[0]
     assert top["neighbor_id"] == 10_000_000
+
+
+def test_streaming_value_histogram_matches_batch(spark, tmp_path):
+    """Watermarked fixed-bound histogram (availableNow) == batch twin, and
+    read-time quantile extraction over the streamed rows == the batch
+    quantile path — the streaming form of hist_quantiles."""
+    from filtered_ads_vector_search_spark.streaming.windows import (
+        quantiles_from_histogram,
+        windowed_value_histogram,
+        windowed_value_histogram_batch,
+    )
+
+    lo, hi, bins = 0.0, 500.0, 32
+    stream = windowed_value_histogram(
+        stream_events(spark, SF_SMOKE), "1 minute", "2 minutes", lo, hi, bins
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("vhist")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_vhist"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed_rows = spark.sql("select * from vhist").collect()
+    batch = windowed_value_histogram_batch(
+        load_events(spark, SF_SMOKE), "1 minute", lo, hi, bins
+    )
+    key = lambda r: (r["window_start"], r["event_type"], r["b"], r["c"])  # noqa: E731
+    assert sorted(map(key, streamed_rows)) == sorted(map(key, batch.collect()))
+    streamed = spark.createDataFrame(
+        streamed_rows, "window_start timestamp, event_type string, b int, c long"
+    )
+    sq = sorted(
+        map(tuple, quantiles_from_histogram(streamed, lo, hi, bins).collect())
+    )
+    bq = sorted(map(tuple, quantiles_from_histogram(batch, lo, hi, bins).collect()))
+    assert sq == bq and len(sq) > 0
