@@ -401,6 +401,123 @@ def _hist_quantiles_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return E.hist_quantiles(_tbl(spark, sf_dir, "events"), "value")
 
 
+_FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def _event_funnel_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view -> click -> purchase): a user reaches
+    step k iff their FIRST occurrence of every step <= k happened in strictly
+    increasing time order. One map-combinable pivot-style aggregate per user
+    (conditional min per step), then a |steps|-row summary — the event-
+    analytics staple, expressed as two groupBys with no self-joins."""
+    ev = _tbl(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        *[
+            F.min(F.when(F.col("event_type") == s, F.col("ts"))).alias(f"t{i}")
+            for i, s in enumerate(_FUNNEL_STEPS)
+        ]
+    )
+    reached = [F.col("t0").isNotNull()]
+    for i in range(1, len(_FUNNEL_STEPS)):
+        reached.append(
+            reached[i - 1]
+            & F.col(f"t{i}").isNotNull()
+            & (F.col(f"t{i}") > F.col(f"t{i-1}"))
+        )
+    per_user = firsts.select(
+        *[r.cast("long").alias(f"r{i}") for i, r in enumerate(reached)]
+    )
+    totals = per_user.agg(
+        *[F.sum(f"r{i}").alias(f"n{i}") for i in range(len(_FUNNEL_STEPS))]
+    )
+    rows = []
+    for i, s in enumerate(_FUNNEL_STEPS):
+        prev = F.col(f"n{i-1}") if i else None
+        conv = (
+            F.round(F.col(f"n{i}") / F.nullif(prev, F.lit(0)).cast("double"), 4)
+            if i
+            else F.lit(1.0)
+        )
+        rows.append(
+            totals.select(
+                F.lit(i + 1).alias("step_no"),
+                F.lit(s).alias("step"),
+                F.col(f"n{i}").alias("n_users"),
+                conv.alias("conv_from_prev"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out
+
+
+def _event_funnel_sql() -> str:
+    mins = ", ".join(
+        f"min(CASE WHEN event_type = '{s}' THEN ts END) AS t{i}"
+        for i, s in enumerate(_FUNNEL_STEPS)
+    )
+    reach = ["(t0 IS NOT NULL)"]
+    for i in range(1, len(_FUNNEL_STEPS)):
+        reach.append(f"({reach[i-1]} AND t{i} IS NOT NULL AND t{i} > t{i-1})")
+    sums = ", ".join(
+        f"sum(CASE WHEN {r} THEN 1 ELSE 0 END) AS n{i}" for i, r in enumerate(reach)
+    )
+    selects = []
+    for i, s in enumerate(_FUNNEL_STEPS):
+        conv = (
+            f"round(n{i} / CAST(nullif(n{i-1}, 0) AS DOUBLE), 4)" if i else "1.0"
+        )
+        selects.append(
+            f"SELECT {i + 1} AS step_no, '{s}' AS step, n{i} AS n_users, "
+            f"{conv} AS conv_from_prev FROM totals"
+        )
+    union = "\nUNION ALL\n".join(selects)
+    return f"""
+WITH firsts AS (
+  SELECT user_id, {mins} FROM events GROUP BY user_id
+),
+totals AS (
+  SELECT {sums} FROM firsts
+)
+{union}
+"""
+
+
+def _retention_cohorts_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-cohort retention: users grouped by first-activity day; for day
+    offsets 0..7, how many of the cohort were active. Two map-combinable
+    aggregates + one broadcastable (user -> cohort) join."""
+    ev = _tbl(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    cohort = ev.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    act = ev.distinct().join(cohort, "user_id")
+    off = F.datediff(F.col("d"), F.col("cohort_day"))
+    return (
+        act.select("user_id", "cohort_day", off.alias("offset_days"))
+        .filter(F.col("offset_days") <= 7)
+        .groupBy("cohort_day", "offset_days")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+def _retention_cohorts_sql() -> str:
+    return """
+WITH ev AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+cohort AS (
+  SELECT user_id, min(d) AS cohort_day FROM ev GROUP BY user_id
+)
+SELECT c.cohort_day, date_diff('day', c.cohort_day, e.d) AS offset_days,
+       count(DISTINCT e.user_id) AS n_users
+FROM ev e JOIN cohort c USING (user_id)
+WHERE date_diff('day', c.cohort_day, e.d) <= 7
+GROUP BY 1, 2
+"""
+
+
 _EWQ_LO, _EWQ_HI, _EWQ_BINS = 0.0, 500.0, 64
 
 
@@ -3762,6 +3879,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "domain_mix_weights": _domain_mix_weights_spark,
     "token_fertility": _token_fertility_spark,
     "event_window_quantiles": _event_window_quantiles_spark,
+    "event_funnel": _event_funnel_spark,
+    "user_retention_cohorts": _retention_cohorts_spark,
     # --- flagships: re-drawn every round ---
     "knn_exact": lambda s, d: _knn_spark(s, d, "sqeuclidean"),
     "dedup_minhash_lsh": _minhash_pairs_spark,
@@ -3772,9 +3891,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_hamming": lambda s, d: _knn_spark(s, d, "hamming", round_digits=0),
     "knn_hamming_packed": _knn_hamming_packed_spark,
     "recall_curve_sq8": _recall_curve_spark,
+    # ------------------- 50-entry verification cut (see note above) ------
     "filter_selectivity": _selectivity_spark,
     "rating_histogram": _histogram_spark,
-    # ------------------- 50-entry verification cut (see note above) ------
     "dedup_exact": _exact_dedup_spark,
     "best_order_per_priority": _best_order_spark,
     "lang_id": _lang_id_spark,
@@ -3930,6 +4049,8 @@ ORACLES: dict[str, str] = {
     "domain_mix_weights": _domain_mix_weights_sql_(),
     "token_fertility": _token_fertility_sql_(),
     "event_window_quantiles": _event_window_quantiles_sql(),
+    "event_funnel": _event_funnel_sql(),
+    "user_retention_cohorts": _retention_cohorts_sql(),
     "decontaminate": _decontaminate_sql(),
     "repetition_stats": _repetition_stats_sql(),
     "dedup_canonical": _dedup_canonical_sql(),
