@@ -1,0 +1,92 @@
+"""WebDataset tar-shard source (sources/webdataset.py): roundtrip, grouping
+rule, deterministic shard writing, and composition with the multimodal
+decode path."""
+
+import io
+import tarfile
+
+import pyspark.sql.functions as F
+
+from filtered_ads_vector_search_spark.multimodal.codecs import sniff
+from filtered_ads_vector_search_spark.multimodal.columns import real_payload
+from filtered_ads_vector_search_spark.sources import webdataset as WD
+
+
+def _make_shards(tmp_path, n_samples=6, n_shards=2):
+    paths = []
+    for s in range(n_shards):
+        p = tmp_path / f"shard-{s:05d}.tar"
+        with tarfile.open(p, "w") as tf:
+            for i in range(s, n_samples, n_shards):
+                payload = real_payload(i)
+                ext = "bmp" if sniff(payload) == "bmp" else "wav"
+                for name, data in [
+                    (f"{i:06d}.{ext}", payload),
+                    (f"{i:06d}.txt", f"caption {i}".encode()),
+                ]:
+                    info = tarfile.TarInfo(name=name)
+                    info.size = len(data)
+                    tf.addfile(info, io.BytesIO(data))
+        paths.append(p)
+    return tmp_path
+
+
+def test_tar_members_roundtrip(spark, tmp_path):
+    d = _make_shards(tmp_path)
+    got = WD.read_tar_members(spark, f"{d}/shard-*.tar").collect()
+    assert len(got) == 12  # 6 samples x 2 members
+    by_name = {r.member_name: r for r in got}
+    assert bytes(by_name["000003.txt"].payload) == b"caption 3"
+    assert by_name["000003.txt"].size == len(b"caption 3")
+    # payload bytes identical to the source payloads
+    for i in range(6):
+        ext = "bmp" if sniff(real_payload(i)) == "bmp" else "wav"
+        assert bytes(by_name[f"{i:06d}.{ext}"].payload) == real_payload(i)
+
+
+def test_webdataset_grouping(spark, tmp_path):
+    d = _make_shards(tmp_path)
+    rows = WD.read_webdataset(spark, f"{d}/shard-*.tar").collect()
+    assert len(rows) == 6
+    for r in rows:
+        exts = set(r.parts.keys())
+        assert "txt" in exts and (exts & {"bmp", "wav"})
+        # samples never span shards
+        i = int(r.key)
+        assert r.shard == f"shard-{i % 2:05d}.tar"
+
+
+def test_write_tar_shards_deterministic(spark, tmp_path):
+    rows = [(f"m{i:03d}.bin", bytes([i] * 10)) for i in range(20)]
+    df = spark.createDataFrame(rows, "member_name string, payload binary")
+    out1, out2 = tmp_path / "o1", tmp_path / "o2"
+    WD.write_tar_shards(df, str(out1), n_shards=3)
+    WD.write_tar_shards(df.repartition(7), str(out2), n_shards=3)
+    files1 = sorted(p.name for p in out1.glob("*.tar"))
+    assert files1  # at least one shard materialized
+    for name in files1:
+        assert (out1 / name).read_bytes() == (out2 / name).read_bytes()
+    # read back: full roundtrip through the member source
+    got = WD.read_tar_members(spark, f"{out1}/*.tar").collect()
+    assert sorted((r.member_name, bytes(r.payload)) for r in got) == sorted(rows)
+
+
+def test_webdataset_feeds_multimodal_decode(spark, tmp_path):
+    """Payloads read from tar shards decode through the real BMP/WAV codec
+    path — the end-to-end multimodal ingestion chain."""
+    from filtered_ads_vector_search_spark.multimodal.codecs import (
+        decode_bmp_meta,
+        decode_bmp_pixels,
+    )
+
+    d = _make_shards(tmp_path)
+    members = WD.read_tar_members(spark, f"{d}/shard-*.tar").filter(
+        F.col("member_name").endswith(".bmp")
+    )
+    rows = members.collect()
+    assert rows
+    for r in rows:
+        meta = decode_bmp_meta(bytes(r.payload))
+        px = decode_bmp_pixels(bytes(r.payload))
+        assert meta["width"] > 0 and meta["height"] > 0
+        assert px.shape == (meta["height"], meta["width"], 3)
