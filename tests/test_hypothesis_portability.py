@@ -127,3 +127,51 @@ def test_chunk_sql_matches_python(text, chunk_chars, overlap):
     n = max(1, math.ceil(max(0, len(text) - overlap) / step))
     want = [(i, text[i * step : i * step + chunk_chars]) for i in range(n)]
     assert got == want
+
+
+# --- JL projection SQL twin vs pure Python ----------------------------------
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.floats(min_value=-10, max_value=10, allow_nan=False, width=32),
+        min_size=4,
+        max_size=4,
+    )
+)
+def test_jl_project_sql_matches_python(vec):
+    from filtered_ads_vector_search_spark.operators.projection import (
+        JL_SEED,
+        jl_project_sql,
+    )
+
+    in_dim, out_dim = 4, 3
+    lit = "([" + ", ".join(repr(float(x)) for x in vec) + "]::DOUBLE[])"
+    got = CON.sql(f"SELECT {jl_project_sql(lit, in_dim, out_dim)}").fetchone()[0]
+    scale = 1.0 / out_dim**0.5
+    want = []
+    for k in range(out_dim):
+        acc = 0.0
+        for i in range(in_dim):
+            sign = 1.0 if py_portable_hash(i * out_dim + k, JL_SEED) % 2 == 0 else -1.0
+            acc = acc + float(vec[i]) * sign
+        want.append(acc * scale)
+    assert len(got) == out_dim
+    for g, w in zip(got, want):
+        assert abs(g - w) < 1e-9
+
+
+# --- count-min cell SQL twin vs pure Python ---------------------------------
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.text(max_size=30).filter(lambda s: "\x00" not in s), st.integers(0, 3))
+def test_cms_cell_sql_matches_python(term, j):
+    from filtered_ads_vector_search_spark.operators.sketch import _cell_sql
+
+    width = 64
+    lit = "'" + term.replace("'", "''") + "'"
+    got = CON.sql(f"SELECT {_cell_sql(lit, j, width)}").fetchone()[0]
+    base = int(hashlib.md5(term.encode("utf-8")).hexdigest()[:15], 16)
+    assert got == py_portable_hash(base, j) % width
