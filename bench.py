@@ -35,10 +35,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     timings: dict[str, float] = {}
 
-    def timed(name: str, fn, repeats: int = 2) -> None:
+    def timed(name: str, fn, repeats: int = 3) -> None:
         # Best-of-N: each workload runs N times and we record the fastest,
         # so one GC pause / compilation hiccup doesn't masquerade as a plan
-        # regression. Steady-state is what a long-lived cluster job sees.
+        # regression (observed: isolated 4-5s outliers on queries that
+        # otherwise run ~1s). Steady-state is what a long-lived cluster job
+        # sees.
         best = None
         for _ in range(repeats):
             t0 = time.time()
