@@ -38,7 +38,17 @@ from pyspark.sql import functions as F
 
 from ..functions.text import tokens, tokens_sql
 
-__all__ = ["doc_terms", "bm25_search", "bm25_search_sql", "rrf_fuse", "rrf_fuse_sql"]
+__all__ = [
+    "doc_terms",
+    "bm25_search",
+    "bm25_search_sql",
+    "write_term_index",
+    "append_to_term_index",
+    "compact_term_index",
+    "bm25_search_index",
+    "rrf_fuse",
+    "rrf_fuse_sql",
+]
 
 K1 = 1.2
 B = 0.75
@@ -229,6 +239,102 @@ def write_term_index(
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
 
+def append_to_term_index(
+    spark,
+    path: str,
+    new_docs: DataFrame,
+    batch_id: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> int:
+    """Incremental lexical-index maintenance (the BM25 analog of the ANN
+    tiers' append_to_layout): shingle-free postings, doc lengths, per-batch
+    df stats and a per-batch meta row for the NEW docs only. df and the
+    corpus totals are ADDITIVE over disjoint doc sets, so the search path
+    aggregates base + batches at read time and needs no global rewrite.
+
+    batch_id=None appends into the base directories (caller-driven adds);
+    with a batch_id (streaming foreachBatch) the whole delta is written
+    mode("overwrite") under a batchId-derived subdirectory — replays rewrite
+    identical content: idempotent per batch id. `compact_term_index` folds
+    batches back into the base. Returns postings rows appended."""
+    from .ann import _batch_root
+
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    n_buckets = int(meta["n_buckets"])
+    dt = doc_terms(new_docs, id_col, text_col).withColumn(
+        "term_bucket", _term_bucket(F.col("term"), n_buckets)
+    )
+    dlen = dt.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dt.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    tot = dlen.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    ).collect()[0]
+    meta_df = spark.createDataFrame(
+        [(int(tot["n_docs"] or 0), int(tot["sum_dl"] or 0), n_buckets)],
+        "n_docs long, sum_dl long, n_buckets int",
+    )
+    if batch_id is None:
+        root, mode = path, "append"
+    else:
+        root, mode = _batch_root(path, batch_id), "overwrite"
+    n = dt.count()
+    dt.write.mode(mode).partitionBy("term_bucket").parquet(f"{root}/terms")
+    dlen.write.mode(mode).parquet(f"{root}/doclen")
+    stats.write.mode(mode).parquet(f"{root}/stats")
+    meta_df.coalesce(1).write.mode(mode).parquet(f"{root}/meta")
+    return n
+
+
+def compact_term_index(spark, path: str, files_per_bucket: int = 1) -> int:
+    """Fold per-batch appends back into the base layout: merge doclen/stats/
+    meta (additive aggregates) into fresh base tables, then rewrite the
+    postings relation to ~files_per_bucket files per bucket and drop the
+    batch directories (same quiesced-stream caveats as ann.compact_layout).
+    Returns the merged postings row count."""
+    from .ann import _compact_layout, _read_sidecar
+
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+
+    def _hpath(p: str):
+        return jvm.org.apache.hadoop.fs.Path(p)
+
+    fs = _hpath(path).getFileSystem(conf)
+
+    def _swap_in(df: DataFrame, name: str) -> None:
+        tmp, old = f"{path}/{name}__compact_tmp", f"{path}/{name}__compact_old"
+        df.write.mode("overwrite").parquet(tmp)
+        fs.rename(_hpath(f"{path}/{name}"), _hpath(old))
+        fs.rename(_hpath(tmp), _hpath(f"{path}/{name}"))
+        fs.delete(_hpath(old), True)
+
+    _swap_in(_read_sidecar(spark, path, "doclen"), "doclen")
+    _swap_in(
+        _read_sidecar(spark, path, "stats")
+        .groupBy("term")
+        .agg(F.sum("df").alias("df")),
+        "stats",
+    )
+    meta = _read_sidecar(spark, path, "meta").agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("sum_dl").alias("sum_dl"),
+        F.max("n_buckets").alias("n_buckets"),
+    )
+    _swap_in(meta.coalesce(1), "meta")
+    # rewrites terms/, deletes {path}/batches, refreshes cached listings
+    return _compact_layout(
+        spark,
+        path,
+        "terms",
+        id_col="doc_id",
+        drop_cols=(),
+        files_per_bucket=files_per_bucket,
+        bucket_col="term_bucket",
+        write_sidecars=False,
+    )
+
+
 def bm25_search_index(
     spark,
     path: str,
@@ -241,8 +347,20 @@ def bm25_search_index(
     ranking to bm25_search (same order-fixed fold); the posting-list scan is
     partition-pruned to the query terms' buckets (asserted in tests), the
     df stats join is vocabulary-sized and broadcast, and only the pruned
-    postings + the doc-length table stream."""
-    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    postings + the doc-length table stream. Reads union the base with any
+    per-batch appends; df/meta are additive over the disjoint doc sets, so
+    read-side sums reconstruct the global stats exactly."""
+    from .ann import _read_sidecar
+
+    meta = (
+        _read_sidecar(spark, path, "meta")
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("sum_dl").alias("sum_dl"),
+            F.max("n_buckets").alias("n_buckets"),
+        )
+        .collect()[0]
+    )
     if not meta["n_docs"]:
         return spark.createDataFrame(
             [], "query_id int, doc_id long, rank int, score double"
@@ -266,11 +384,17 @@ def bm25_search_index(
             _term_bucket(F.col("term"), n_buckets).alias("b")
         ).distinct().collect()
     ]
-    dt = spark.read.parquet(f"{path}/terms").filter(
+    from .ann import _read_layout
+
+    dt = _read_layout(spark, path, "terms").filter(
         F.col("term_bucket").isin(buckets)  # partition pruning at the scan
     )
-    dlen = spark.read.parquet(f"{path}/doclen")
-    stats = spark.read.parquet(f"{path}/stats")
+    dlen = _read_sidecar(spark, path, "doclen")
+    stats = (
+        _read_sidecar(spark, path, "stats")
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"))
+    )
 
     idf = F.log(
         F.lit(1.0)

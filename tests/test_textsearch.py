@@ -98,3 +98,39 @@ def test_bm25_index_layout_matches_in_memory_and_prunes(spark, tmp_path):
 
     plan = idx._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "term_bucket" in plan, plan[:2000]
+
+
+def test_bm25_index_append_and_compact(spark, tmp_path):
+    """Incremental term-index maintenance: batch appends are idempotent per
+    batch id, search over base+batches equals a from-scratch index on the
+    union corpus (df/meta reconstruct additively), and compaction folds the
+    batches in without changing any result."""
+    docs = spark.read.parquet(f"{SF_TEST}/documents.parquet")
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    qs = spark.createDataFrame(
+        [(1, "spark window agg"), (2, "vector scan filter")],
+        "query_id int, query_text string",
+    )
+    path = str(tmp_path / "tidx")
+    TS.write_term_index(old, path, n_buckets=16)
+
+    TS.append_to_term_index(spark, path, new, batch_id=7)
+    TS.append_to_term_index(spark, path, new, batch_id=7)  # replay: idempotent
+
+    full = str(tmp_path / "tidx_full")
+    TS.write_term_index(docs, full, n_buckets=16)
+    want = sorted(map(tuple, TS.bm25_search_index(spark, full, qs, k=10).collect()))
+    got = sorted(map(tuple, TS.bm25_search_index(spark, path, qs, k=10).collect()))
+    assert got == want and len(want) > 0
+
+    n = TS.compact_term_index(spark, path)
+    assert n > 0
+    import pathlib
+
+    assert not (pathlib.Path(path) / "batches").exists()
+    after = sorted(map(tuple, TS.bm25_search_index(spark, path, qs, k=10).collect()))
+    assert after == want
+    # bounded files per bucket after compaction
+    for bdir in (pathlib.Path(path) / "terms").glob("term_bucket=*"):
+        assert len(list(bdir.glob("*.parquet"))) <= 1, bdir
