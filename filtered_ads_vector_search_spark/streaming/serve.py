@@ -70,16 +70,22 @@ def maintain_index_stream(
     stays an offline policy decision.
 
     vector_stream: streaming DataFrame with the layout's (id, vec) columns.
-    kind: "ivf", "ivfpq" or "lsh" — which layout lives at ``layout_path``.
+    kind: "ivf", "ivfpq", "lsh" or "bm25" — which layout lives at
+    ``layout_path`` (for "bm25" the stream carries (doc_id, text) documents
+    and the append maintains the term-bucketed lexical index).
     """
     from ..operators.ann import IVFIndex
     from ..operators.ivfpq import IVFPQIndex
     from ..operators.lsh import LSHIndex
+    from ..operators.textsearch import append_to_term_index
 
     appenders = {
         "ivf": IVFIndex.append_to_layout,
         "ivfpq": IVFPQIndex.append_to_layout,
         "lsh": LSHIndex.append_to_layout,
+        # the lexical layout rides the same idempotent-batch contract:
+        # stream rows are (doc_id, text) documents instead of vectors
+        "bm25": append_to_term_index,
     }
     if kind not in appenders:
         raise ValueError(f"kind must be one of {sorted(appenders)}, got {kind!r}")

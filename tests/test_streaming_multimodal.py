@@ -479,3 +479,34 @@ def test_streaming_value_histogram_matches_batch(spark, tmp_path):
     )
     bq = sorted(map(tuple, quantiles_from_histogram(batch, lo, hi, bins).collect()))
     assert sq == bq and len(sq) > 0
+
+
+def test_maintain_index_stream_bm25(spark, tmp_path):
+    """kind='bm25': streamed documents append to the lexical layout
+    idempotently; search over the reloaded index finds a planted doc whose
+    text matches the query exactly."""
+    from filtered_ads_vector_search_spark.operators import textsearch as TS
+    from filtered_ads_vector_search_spark.streaming.serve import maintain_index_stream
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    layout = str(tmp_path / "bm25idx")
+    TS.write_term_index(docs, layout, n_buckets=8)
+
+    planted = "zzzuniqueterm appears here zzzuniqueterm again"
+    new = spark.createDataFrame(
+        [(9_000_000, planted)], "doc_id long, text string"
+    )
+    vdir = str(tmp_path / "dstream")
+    new.write.mode("overwrite").parquet(vdir)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(vdir)
+    sq = maintain_index_stream(
+        stream, layout, checkpoint=str(tmp_path / "ckpt_bm25"), kind="bm25",
+        trigger_available_now=True,
+    )
+    sq.awaitTermination(120)
+
+    qs = spark.createDataFrame(
+        [(1, "zzzuniqueterm")], "query_id int, query_text string"
+    )
+    top = TS.bm25_search_index(spark, layout, qs, k=1).collect()
+    assert top and top[0]["doc_id"] == 9_000_000
