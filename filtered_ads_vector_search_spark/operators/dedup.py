@@ -1022,7 +1022,11 @@ def substr_dup_stats(
     window positions (a bounded x k fan-out of the DUPLICATED windows
     only) -> per-doc distinct-position count. No all-pairs anywhere; the
     heavy relations are (corpus windows) and (duplicated windows x k),
-    both linear in corpus size.
+    both linear in corpus size. The gram-keyed shuffle — the corpus-sized
+    one — carries the 60-bit portable md5 of the gram, not the k-token
+    string (~6x fewer shuffle bytes; the oracle computes the same hash, and
+    a cross-gram collision would need ~2^30 distinct grams per partition
+    pair to matter — the standard hashed-ExactSubstr trade).
     """
     if k < 1:
         raise ValueError(f"window size k must be >= 1, got {k}")
@@ -1033,14 +1037,14 @@ def substr_dup_stats(
     )
     ex = lowered.select(
         "doc_id", F.posexplode(F.col("_grams")).alias("pos", "g")
-    )
+    ).select("doc_id", "pos", str_hash_col(F.col("g")).alias("gh"))
     shared = (
-        ex.groupBy("g")
+        ex.groupBy("gh")
         .agg(F.count_distinct("doc_id").alias("nd"))
         .filter(F.col("nd") >= 2)
-        .select("g")
+        .select("gh")
     )
-    dup_windows = ex.join(shared, "g").select("doc_id", "pos")
+    dup_windows = ex.join(shared, "gh").select("doc_id", "pos")
     dup_counts = dup_windows.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_dup_windows")
     )
@@ -1081,16 +1085,18 @@ WITH lowered AS (
   SELECT doc_id, {toks} AS n_tokens, {grams} AS grams FROM {table}
 ),
 ex AS (
-  SELECT doc_id,
-         unnest(range(0, len(grams))) AS pos,
-         unnest(grams) AS g
-  FROM lowered
+  SELECT doc_id, pos, {str_hash_sql('g')} AS gh FROM (
+    SELECT doc_id,
+           unnest(range(0, len(grams))) AS pos,
+           unnest(grams) AS g
+    FROM lowered
+  )
 ),
 shared AS (
-  SELECT g FROM ex GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+  SELECT gh FROM ex GROUP BY gh HAVING count(DISTINCT doc_id) >= 2
 ),
 dup_windows AS (
-  SELECT doc_id, pos FROM ex JOIN shared USING (g)
+  SELECT doc_id, pos FROM ex JOIN shared USING (gh)
 ),
 dup_counts AS (
   SELECT doc_id, count(*) AS n_dup_windows FROM dup_windows GROUP BY doc_id
