@@ -760,17 +760,27 @@ def contamination_flags(
     shingle set — benchmark corpora are tiny next to training corpora, so
     it broadcasts — and the training side streams through one hash
     equi-join + map-combinable distinct-count. No crossJoin, no driver
-    materialization of either corpus.
+    materialization of either corpus. Both sides reduce shingles to their
+    60-bit portable md5 BEFORE any shuffle: the training-side distinct (the
+    corpus-sized exchange) and the broadcast both carry int64 keys instead
+    of n-token strings.
     """
-    d = docs.select(
-        "doc_id", F.explode(word_shingles(F.col(text_col), n)).alias("sh")
-    ).distinct()
+    d = (
+        docs.select(
+            "doc_id", F.explode(word_shingles(F.col(text_col), n)).alias("sh")
+        )
+        .select("doc_id", str_hash_col(F.col("sh")).alias("shh"))
+        .distinct()
+    )
     e = (
-        eval_docs.select(F.explode(word_shingles(F.col(text_col), n)).alias("sh"))
+        eval_docs.select(
+            F.explode(word_shingles(F.col(text_col), n)).alias("sh")
+        )
+        .select(str_hash_col(F.col("sh")).alias("shh"))
         .distinct()
     )
     return (
-        d.join(F.broadcast(e), "sh")
+        d.join(F.broadcast(e), "shh")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
@@ -780,14 +790,19 @@ def contamination_flags_sql(
     docs_sql: str, eval_sql: str, n: int = 5, text_expr: str = "text"
 ) -> str:
     sh = word_shingles_sql(text_expr, n)
+    shh = str_hash_sql("sh")
     return f"""
 WITH d AS (
-  SELECT DISTINCT doc_id, unnest({sh}) AS sh FROM ({docs_sql})
+  SELECT DISTINCT doc_id, {shh} AS shh FROM (
+    SELECT doc_id, unnest({sh}) AS sh FROM ({docs_sql})
+  )
 ), e AS (
-  SELECT DISTINCT unnest({sh}) AS sh FROM ({eval_sql})
+  SELECT DISTINCT {shh} AS shh FROM (
+    SELECT unnest({sh}) AS sh FROM ({eval_sql})
+  )
 )
 SELECT d.doc_id, count(*) AS n_shared
-FROM d JOIN e ON d.sh = e.sh
+FROM d JOIN e ON d.shh = e.shh
 GROUP BY d.doc_id
 """
 
