@@ -50,6 +50,10 @@ NOTES = {
 - The eval shingle set folds into a 128-long bitmap LITERAL; the bit test (`element_at` + shift + mask) sits in the scan-side `Filter` inside `WholeStageCodegen` — training shingles that miss the bitmap never reach the join.
 - The exact equi-join after the prefilter kills Bloom false positives, so the plan change is invisible in the result (it shares the exact form's oracle).
 - At real scale the bitmap (2^30 bits = 128 MiB) still broadcasts when the eval shingle set itself cannot, converting a two-sided shuffle join into scan-side pruning + a near-empty join.""",
+    "Bounded-state histogram quantiles": """\
+- The bounds relation (one row per group) enters as a `BroadcastHashJoin`; the bin assignment is codegen arithmetic in the scan projection.
+- The per-(group, bin) count is a partial/final `HashAggregate` pair — map-side combine collapses each task to <= bins rows per group BEFORE the only corpus-keyed exchange.
+- Every operator after that aggregate (cumulative window, quantile pick) runs on <= groups x bins rows — the exact percentile's full per-group sort never happens.""",
 }
 
 
@@ -85,6 +89,7 @@ def main() -> None:
         "IVFPQ search (residual ADC + exact rerank)": _ivfpq_search(c, q),
         "DSIR importance scoring": registry.QUERIES["dsir_weights"](spark, SF),
         "Bloom-prefiltered decontamination": registry.QUERIES["decontaminate_bloom"](spark, SF),
+        "Bounded-state histogram quantiles": registry.QUERIES["hist_quantiles"](spark, SF),
     }
     out = [
         "# EXPLAIN — annotated physical plans (generated by scripts/gen_explain_doc.py at sf0.01)",
