@@ -1,0 +1,89 @@
+"""Empty-input behavior across the round-4 operator families: empty frames
+must produce empty (or well-defined) results, never AttributeError/
+IndexError crashes — the defect class ADVICE flagged on stratified_sample."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def _empty_docs(spark):
+    return spark.createDataFrame([], "doc_id long, text string, lang string")
+
+
+def _empty_emb(spark):
+    return spark.createDataFrame([], "vec_id long, embedding array<float>")
+
+
+def test_lmscore_empty(spark):
+    from filtered_ads_vector_search_spark.operators import lmscore as LM
+
+    docs = _empty_docs(spark)
+    assert LM.ngram_lm_perplexity(docs).count() == 0
+    assert LM.dsir_weights(docs).count() == 0
+    assert LM.dsir_resample(docs, n_keep=5).count() == 0
+
+
+def test_sketch_empty(spark):
+    from filtered_ads_vector_search_spark.operators import sketch as SK
+
+    docs = _empty_docs(spark)
+    assert SK.cms_build(docs).count() == 0
+    assert SK.cms_heavy_hitters(docs).count() == 0
+
+
+def test_substr_and_decontaminate_empty(spark):
+    from filtered_ads_vector_search_spark.operators import dedup as DD
+
+    docs = _empty_docs(spark)
+    assert DD.substr_dup_stats(docs).count() == 0
+    some = spark.createDataFrame([(1, "a b c d e f", "en")], "doc_id long, text string, lang string")
+    # empty eval set: nothing is contaminated; empty training set: no rows
+    assert DD.contamination_flags(some, docs).count() == 0
+    assert DD.contamination_flags(docs, some).count() == 0
+    assert DD.contamination_flags_bloom(some, docs).count() == 0
+
+
+def test_quality_empty(spark):
+    from filtered_ads_vector_search_spark.operators import quality as QL
+
+    docs = _empty_docs(spark)
+    assert QL.domain_mix_weights(docs).count() == 0
+    assert QL.token_fertility(docs).count() == 0
+
+
+def test_hist_quantiles_empty_and_constant(spark):
+    from filtered_ads_vector_search_spark.operators import evaluate as E
+
+    empty = spark.createDataFrame([], "event_type string, value double")
+    assert E.hist_quantiles(empty, "value").count() == 0
+    # degenerate group: every value identical -> est == that value
+    const = spark.createDataFrame(
+        [("a", 3.5)] * 10, "event_type string, value double"
+    )
+    rows = E.hist_quantiles(const, "value").collect()
+    assert rows and all(r.est == 3.5 for r in rows)
+
+
+def test_projection_empty(spark):
+    from filtered_ads_vector_search_spark.operators import projection as PJ
+
+    emb = _empty_emb(spark)
+    assert (
+        emb.select(PJ.jl_project(F.col("embedding"), 8, 4).alias("p")).count() == 0
+    )
+    with pytest.raises(ValueError):
+        PJ.pca_train(emb, out_dim=2)
+
+
+def test_bm25_empty_queries_and_corpus(spark, tmp_path):
+    from filtered_ads_vector_search_spark.operators import textsearch as TS
+
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "spark engine")], "doc_id long, text string"
+    )
+    empty_q = spark.createDataFrame([], "query_id int, query_text string")
+    assert TS.bm25_search(docs, empty_q).count() == 0
+    path = str(tmp_path / "ti")
+    TS.write_term_index(docs, path, n_buckets=4)
+    assert TS.bm25_search_index(spark, path, empty_q).count() == 0
