@@ -1,0 +1,115 @@
+"""End-to-end corpus curation job: the engine's operators composed into the
+standard modern pretraining-data recipe, runnable as one call that writes
+artifacts and returns per-stage metrics.
+
+Stage order (each one scale-shaped, see the operators' own docstrings):
+  1. quality gate      — min tokens + composite quality score + Gopher rules
+  2. PII redaction     — regex scrub, text rewritten in place
+  3. exact dedup       — md5 groupBy, keep lowest doc_id
+  4. near-dup removal  — MinHash-LSH pairs -> connected components -> keep
+                         the canonical (minimum) doc per cluster
+  5. decontamination   — n-gram collision vs a held-out eval slice
+  6. sequence packing  — token-budget concat-and-split assignments
+
+Outputs under ``out_dir``:
+  * documents.parquet  — surviving (doc_id, text, n_tok) rows
+  * packing.parquet    — (doc_id, shard/seq assignment) from pack_sequences
+  * metrics.json       — per-stage row counts (the curation funnel)
+
+Everything is deterministic (portable hashing, no rand()), so reruns write
+byte-stable metrics and the same surviving doc_id set.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..operators import dedup as DD
+from ..operators import quality as QL
+from ..operators.chunking import pack_sequences
+
+__all__ = ["curate_corpus"]
+
+
+def curate_corpus(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str,
+    min_tokens: int = 8,
+    min_quality: float = 0.3,
+    dedup_threshold: float = 0.3,
+    pack_budget: int = 512,
+    eval_docs: DataFrame | None = None,
+    decontam_ngram: int = 5,
+) -> dict:
+    """Run the full curation funnel over ``docs`` (doc_id, text, ...).
+
+    ``eval_docs`` (optional) is the held-out benchmark corpus to
+    decontaminate against. Returns the metrics dict it also writes to
+    ``out_dir/metrics.json``.
+    """
+    metrics: dict[str, int] = {}
+    base = docs.select(
+        "doc_id",
+        "text",
+        T.token_count(F.col("text")).alias("n_tok"),
+        T.quality_score(F.col("text")).alias("q"),
+    )
+    metrics["input_docs"] = base.count()
+
+    # 1. quality gate: cheap scalar thresholds + the Gopher rule battery
+    gated = base.filter(
+        (F.col("n_tok") >= min_tokens) & (F.col("q") >= min_quality)
+    )
+    gopher_keep = QL.gopher_rules(gated.select("doc_id", "text")).filter(
+        F.col("keep")
+    ).select("doc_id")
+    gated = gated.join(gopher_keep, "doc_id")
+    metrics["after_quality_gate"] = gated.count()
+
+    # 2. PII redaction (rewrites text; length/token stats recomputed)
+    red = gated.select(
+        "doc_id",
+        T.pii_redact(F.col("text")).alias("text"),
+    ).select("doc_id", "text", T.token_count(F.col("text")).alias("n_tok"))
+
+    # 3. exact dedup: keep the lowest doc_id per identical text
+    canon = red.groupBy(F.md5("text").alias("_h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    exact = red.join(canon.select("doc_id"), "doc_id")
+    metrics["after_exact_dedup"] = exact.count()
+
+    # 4. near-dup: banded MinHash pairs -> components -> keep canonical
+    pairs = DD.minhash_pairs(exact, threshold=dedup_threshold)
+    comp = DD.duplicate_components(pairs)
+    dropped = comp.filter(F.col("doc_id") != F.col("component_id")).select(
+        "doc_id"
+    )
+    neardup = exact.join(dropped, "doc_id", "left_anti")
+    metrics["after_near_dedup"] = neardup.count()
+
+    # 5. decontamination against the eval slice (optional)
+    if eval_docs is not None:
+        survivors = DD.decontaminate(neardup, eval_docs, n=decontam_ngram)
+    else:
+        survivors = neardup
+    metrics["after_decontaminate"] = survivors.count()
+
+    # 6. token-budget packing of the survivors
+    packing = pack_sequences(
+        survivors.select("doc_id", "n_tok"), "n_tok", budget=pack_budget
+    )
+    metrics["packed_rows"] = packing.count()
+
+    survivors.select("doc_id", "text", "n_tok").write.mode("overwrite").parquet(
+        f"{out_dir}/documents.parquet"
+    )
+    packing.write.mode("overwrite").parquet(f"{out_dir}/packing.parquet")
+    with open(f"{out_dir}/metrics.json", "w") as fh:
+        json.dump(metrics, fh, indent=1, sort_keys=True)
+    return metrics
