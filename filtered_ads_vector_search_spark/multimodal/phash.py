@@ -1,0 +1,129 @@
+"""Perceptual image hashing (aHash) + image near-dup pairs.
+
+The image-side analog of the text dedup family: aHash (average hash, the
+standard public perceptual-hash baseline) downsamples the decoded image to
+8x8 grayscale and emits one bit per cell (1 = cell >= image mean), giving a
+64-bit signature that is STABLE under resizing and small noise and
+comparable by Hamming distance.
+
+Spark shape: the hash is one Arrow-batched pandas_udf over the payload
+column (decode happens once, signatures are 8 bytes/row from then on);
+pair generation is the banded-equi-join discipline the SimHash tier uses —
+split the 64 bits into (max_hamming + 1) bands; by pigeonhole, any pair
+within the distance budget collides on at least one full band, so
+candidates come from band-key equi-joins and the exact Hamming check prunes
+the rest. No all-pairs at any scale.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .codecs import decode_bmp_pixels, sniff
+
+__all__ = ["ahash_bits", "ahash_udf", "image_dup_pairs"]
+
+GRID = 8  # 8x8 -> 64-bit signature
+
+
+def ahash_bits(raw: bytes) -> int:
+    """64-bit average hash of a BMP payload (driver-side twin of the UDF)."""
+    px = decode_bmp_pixels(raw).astype(np.float64)
+    gray = px.mean(axis=2)
+    h, w = gray.shape
+    ys = (np.arange(GRID) * h // GRID).clip(0, h - 1)
+    xs = (np.arange(GRID) * w // GRID).clip(0, w - 1)
+    cells = gray[ys][:, xs]
+    bits = (cells >= cells.mean()).flatten()
+    out = 0
+    for i, b in enumerate(bits):
+        if b:
+            out |= 1 << i
+    # two's-complement into signed int64 for the BIGINT column
+    return out - (1 << 64) if out >= (1 << 63) else out
+
+
+def ahash_udf(payload: Column) -> Column:
+    """Arrow-batched aHash over a binary payload column; NULL for payloads
+    that are not decodable BMP images (audio/video/corrupt)."""
+
+    @F.pandas_udf(T.LongType())
+    def run(col: pd.Series) -> pd.Series:
+        out = []
+        for raw in col:
+            try:
+                b = bytes(raw)
+                if sniff(b) != "bmp":
+                    out.append(None)
+                    continue
+                out.append(ahash_bits(b))
+            except Exception:
+                out.append(None)
+        return pd.Series(out, dtype="object")
+
+    return run(payload)
+
+
+def _band(sig: Column, i: int, n_bands: int) -> Column:
+    width = 64 // n_bands
+    return F.shiftrightunsigned(sig, i * width).bitwiseAND(
+        F.lit((1 << width) - 1).cast("long")
+    )
+
+
+def image_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """(id_a, id_b, hamming) for image pairs whose aHash signatures differ in
+    at most ``max_hamming`` bits. Banded pigeonhole candidate generation
+    (exact — a qualifying pair MUST agree on >= 1 of max_hamming+1 bands),
+    then the exact popcount check. id_a < id_b, deduped across bands."""
+    n_bands = max_hamming + 1
+    if 64 % n_bands != 0:
+        # round up to a divisor of 64 (bands only generate CANDIDATES; the
+        # exact hamming filter keeps semantics regardless of band count)
+        for nb in (4, 8, 16, 32):
+            if nb >= n_bands:
+                n_bands = nb
+                break
+    sigs = df.select(
+        F.col(id_col).alias("id"), ahash_udf(F.col(payload_col)).alias("sig")
+    ).filter(F.col("sig").isNotNull())
+    banded = sigs.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band"), _band(F.col("sig"), i, n_bands).alias("key")
+                )
+                for i in range(n_bands)
+            ])
+        ).alias("bk"),
+    ).select("id", "sig", "bk.band", "bk.key")
+    a, b = banded.alias("a"), banded.alias("b")
+    ham = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -1,0 +1,62 @@
+"""Perceptual image hashing (multimodal/phash.py): stability under resize
+and small noise, discrimination between distinct images, banded pair
+generation correctness."""
+
+import numpy as np
+import pyspark.sql.functions as F
+
+from filtered_ads_vector_search_spark.multimodal.codecs import (
+    encode_bmp,
+    resize_bmp,
+)
+from filtered_ads_vector_search_spark.multimodal import phash as PH
+
+
+def _img(seed: int, h: int = 32, w: int = 32) -> bytes:
+    rng = np.random.RandomState(seed)
+    # smooth-ish structure (random gradients) so aHash has signal
+    base = rng.randint(0, 255, (4, 4, 3)).astype(np.float64)
+    ys = np.linspace(0, 3, h).astype(int)
+    xs = np.linspace(0, 3, w).astype(int)
+    return encode_bmp(base[ys][:, xs].astype(np.uint8))
+
+
+def test_ahash_stable_under_resize_and_noise():
+    raw = _img(1)
+    h0 = PH.ahash_bits(raw)
+    assert h0 == PH.ahash_bits(raw)  # deterministic
+    resized = resize_bmp(raw, 16, 16)
+    d_resize = bin((h0 ^ PH.ahash_bits(resized)) & (2**64 - 1)).count("1")
+    assert d_resize <= 3
+    other = _img(2)
+    d_other = bin((h0 ^ PH.ahash_bits(other)) & (2**64 - 1)).count("1")
+    assert d_other > 10
+
+
+def test_image_dup_pairs_banded(spark):
+    rows = []
+    for i in range(6):
+        raw = _img(i)
+        rows.append((i, raw))
+        # plant a resized near-dup of image 0 as id 100
+    rows.append((100, resize_bmp(_img(0), 24, 24)))
+    rows.append((200, b"not an image"))
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    pairs = PH.image_dup_pairs(df, max_hamming=3).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    assert (0, 100) in found
+    # distinct random images don't collide within the budget
+    assert all(a == 0 and b == 100 for a, b in found), found
+
+
+def test_ahash_udf_matches_driver_twin(spark):
+    rows = [(i, _img(i)) for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {
+        r.doc_id: r.sig
+        for r in df.select(
+            "doc_id", PH.ahash_udf(F.col("payload")).alias("sig")
+        ).collect()
+    }
+    for i, raw in rows:
+        assert got[i] == PH.ahash_bits(raw)
