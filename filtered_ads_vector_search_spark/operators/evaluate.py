@@ -17,6 +17,8 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "percentiles",
+    "hist_quantiles",
+    "hist_quantiles_sql",
     "percentiles_per_worker_mean",
     "qps_windows",
     "bracket_mean",
@@ -146,7 +148,7 @@ cum AS (
   FROM counts
 ),
 qd AS (
-  SELECT cum.*, q FROM cum CROSS JOIN (SELECT unnest([{qlist}]) AS q)
+  SELECT cum.*, q FROM cum CROSS JOIN (SELECT unnest([{qlist}]::DOUBLE[]) AS q)
 ),
 hit AS (
   SELECT *, row_number() OVER (PARTITION BY {group_col}, q ORDER BY b) AS _rn

@@ -232,7 +232,10 @@ def domain_mix_weights_sql(
     toks = T.token_count_sql("text")
     return f"""
 WITH agg AS (
-  SELECT {domain_col}, sum({toks}) AS n_tokens FROM {table} GROUP BY {domain_col}
+  -- CAST: DuckDB sum(BIGINT) widens to HUGEINT (object on the pandas hash
+  -- boundary — the tpch_q12 round-1 failure class)
+  SELECT {domain_col}, CAST(sum({toks}) AS BIGINT) AS n_tokens
+  FROM {table} GROUP BY {domain_col}
 ),
 tot AS (SELECT sum(n_tokens) AS tot, count(*) AS nd FROM agg)
 SELECT {domain_col}, n_tokens,

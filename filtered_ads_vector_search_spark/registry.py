@@ -460,8 +460,11 @@ def _event_funnel_sql() -> str:
     reach = ["(t0 IS NOT NULL)"]
     for i in range(1, len(_FUNNEL_STEPS)):
         reach.append(f"({reach[i-1]} AND t{i} IS NOT NULL AND t{i} > t{i-1})")
+    # CAST: DuckDB sum(int) widens to HUGEINT, which lands as object on the
+    # pandas hash boundary (the tpch_q12 round-1 failure class)
     sums = ", ".join(
-        f"sum(CASE WHEN {r} THEN 1 ELSE 0 END) AS n{i}" for i, r in enumerate(reach)
+        f"CAST(sum(CASE WHEN {r} THEN 1 ELSE 0 END) AS BIGINT) AS n{i}"
+        for i, r in enumerate(reach)
     )
     selects = []
     for i, s in enumerate(_FUNNEL_STEPS):
@@ -510,7 +513,7 @@ WITH ev AS (
 cohort AS (
   SELECT user_id, min(d) AS cohort_day FROM ev GROUP BY user_id
 )
-SELECT c.cohort_day, date_diff('day', c.cohort_day, e.d) AS offset_days,
+SELECT c.cohort_day, CAST(date_diff('day', c.cohort_day, e.d) AS INTEGER) AS offset_days,
        count(DISTINCT e.user_id) AS n_users
 FROM ev e JOIN cohort c USING (user_id)
 WHERE date_diff('day', c.cohort_day, e.d) <= 7
@@ -556,7 +559,7 @@ cum AS (
   FROM hist h JOIN tot t USING (window_start, event_type)
 ),
 qd AS (
-  SELECT cum.*, q FROM cum CROSS JOIN (SELECT unnest([0.5, 0.95, 0.99]) AS q)
+  SELECT cum.*, q FROM cum CROSS JOIN (SELECT unnest([0.5, 0.95, 0.99]::DOUBLE[]) AS q)
 ),
 hit AS (
   SELECT *, row_number() OVER (PARTITION BY window_start, event_type, q ORDER BY b) AS _rn
