@@ -315,9 +315,9 @@ WITH ex AS (
 agg AS (
   SELECT term, count(*) AS tf FROM ex GROUP BY term
 )
-SELECT sum(tf) AS n_tokens,
+SELECT CAST(sum(tf) AS BIGINT) AS n_tokens,
        count(*) AS n_types,
-       sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS hapax_types,
+       CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_types,
        round(CAST(count(*) AS DOUBLE) / CAST(sum(tf) AS DOUBLE), 6) AS type_token_ratio,
        round(CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS DOUBLE)
              / CAST(count(*) AS DOUBLE), 6) AS hapax_frac
