@@ -1,16 +1,20 @@
-"""Perceptual image hashing (aHash) + image near-dup pairs.
+"""Perceptual media fingerprints (image aHash, audio energy hash) + banded
+near-dup pairs.
 
-The image-side analog of the text dedup family: aHash (average hash, the
-standard public perceptual-hash baseline) downsamples the decoded image to
-8x8 grayscale and emits one bit per cell (1 = cell >= image mean), giving a
-64-bit signature that is STABLE under resizing and small noise and
-comparable by Hamming distance.
+The media-side analog of the text dedup family:
+* images — aHash (average hash, the standard public perceptual-hash
+  baseline): downsample the decoded image to 8x8 grayscale, one bit per
+  cell (1 = cell >= image mean). Stable under resizing and small noise.
+* audio — energy signature: split the decoded waveform into 64 equal
+  windows, one bit per window (1 = window RMS >= track mean RMS).
+  Amplitude-scale invariant (both sides of the threshold scale together),
+  stable under resampling.
 
-Spark shape: the hash is one Arrow-batched pandas_udf over the payload
-column (decode happens once, signatures are 8 bytes/row from then on);
-pair generation is the banded-equi-join discipline the SimHash tier uses —
-split the 64 bits into (max_hamming + 1) bands; by pigeonhole, any pair
-within the distance budget collides on at least one full band, so
+Spark shape: each fingerprint is one Arrow-batched pandas_udf over the
+payload column (decode happens once, signatures are 8 bytes/row from then
+on); pair generation is the banded-equi-join discipline the SimHash tier
+uses — split the 64 bits into (max_hamming + 1) bands; by pigeonhole, any
+pair within the distance budget collides on at least one full band, so
 candidates come from band-key equi-joins and the exact Hamming check prunes
 the rest. No all-pairs at any scale.
 """
@@ -25,11 +29,19 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .codecs import decode_bmp_pixels, sniff
+from .codecs import decode_bmp_pixels, decode_wav_samples, sniff
 
-__all__ = ["ahash_bits", "ahash_udf", "image_dup_pairs"]
+__all__ = [
+    "ahash_bits",
+    "ahash_udf",
+    "image_dup_pairs",
+    "audio_fingerprint_bits",
+    "audio_fingerprint_udf",
+    "audio_dup_pairs",
+]
 
 GRID = 8  # 8x8 -> 64-bit signature
+AUDIO_WINDOWS = 64
 
 
 def ahash_bits(raw: bytes) -> int:
@@ -77,16 +89,50 @@ def _band(sig: Column, i: int, n_bands: int) -> Column:
     )
 
 
-def image_dup_pairs(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    payload_col: str = "payload",
-    max_hamming: int = 3,
-) -> DataFrame:
-    """(id_a, id_b, hamming) for image pairs whose aHash signatures differ in
-    at most ``max_hamming`` bits. Banded pigeonhole candidate generation
-    (exact — a qualifying pair MUST agree on >= 1 of max_hamming+1 bands),
-    then the exact popcount check. id_a < id_b, deduped across bands."""
+def audio_fingerprint_bits(raw: bytes) -> int:
+    """64-bit energy signature of a WAV payload (driver-side twin)."""
+    samples = decode_wav_samples(raw).astype(np.float64)
+    n = len(samples)
+    if n == 0:
+        return 0
+    bounds = (np.arange(AUDIO_WINDOWS + 1) * n) // AUDIO_WINDOWS
+    rms = np.array([
+        np.sqrt(np.mean(samples[bounds[i]:max(bounds[i + 1], bounds[i] + 1)] ** 2))
+        for i in range(AUDIO_WINDOWS)
+    ])
+    bits = rms >= rms.mean()
+    out = 0
+    for i, b in enumerate(bits):
+        if b:
+            out |= 1 << i
+    return out - (1 << 64) if out >= (1 << 63) else out
+
+
+def audio_fingerprint_udf(payload: Column) -> Column:
+    """Arrow-batched audio energy fingerprint; NULL for non-WAV payloads."""
+
+    @F.pandas_udf(T.LongType())
+    def run(col: pd.Series) -> pd.Series:
+        out = []
+        for raw in col:
+            try:
+                b = bytes(raw)
+                if sniff(b) != "wav":
+                    out.append(None)
+                    continue
+                out.append(audio_fingerprint_bits(b))
+            except Exception:
+                out.append(None)
+        return pd.Series(out, dtype="object")
+
+    return run(payload)
+
+
+def _banded_pairs(sigs: DataFrame, max_hamming: int) -> DataFrame:
+    """(id_a, id_b, hamming) pairs over a (id, sig int64) relation — banded
+    pigeonhole candidate generation (exact: a qualifying pair MUST agree on
+    >= 1 of max_hamming+1 bands), then the exact popcount check. id_a <
+    id_b, deduped across bands."""
     n_bands = max_hamming + 1
     if 64 % n_bands != 0:
         # round up to a divisor of 64 (bands only generate CANDIDATES; the
@@ -95,9 +141,6 @@ def image_dup_pairs(
             if nb >= n_bands:
                 n_bands = nb
                 break
-    sigs = df.select(
-        F.col(id_col).alias("id"), ahash_udf(F.col(payload_col)).alias("sig")
-    ).filter(F.col("sig").isNotNull())
     banded = sigs.select(
         "id",
         "sig",
@@ -127,3 +170,30 @@ def image_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def image_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Image near-dup pairs via aHash + banded Hamming (see _banded_pairs)."""
+    sigs = df.select(
+        F.col(id_col).alias("id"), ahash_udf(F.col(payload_col)).alias("sig")
+    ).filter(F.col("sig").isNotNull())
+    return _banded_pairs(sigs, max_hamming)
+
+
+def audio_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Audio near-dup pairs via the energy fingerprint + banded Hamming."""
+    sigs = df.select(
+        F.col(id_col).alias("id"),
+        audio_fingerprint_udf(F.col(payload_col)).alias("sig"),
+    ).filter(F.col("sig").isNotNull())
+    return _banded_pairs(sigs, max_hamming)

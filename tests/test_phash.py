@@ -60,3 +60,36 @@ def test_ahash_udf_matches_driver_twin(spark):
     }
     for i, raw in rows:
         assert got[i] == PH.ahash_bits(raw)
+
+
+# --- audio energy fingerprint -----------------------------------------------
+
+
+def _wav(seed: int, n: int = 8000, scale: float = 1.0) -> bytes:
+    from filtered_ads_vector_search_spark.multimodal.codecs import encode_wav
+
+    rng = np.random.RandomState(seed)
+    # band-limited-ish signal: random walk, normalized
+    sig = np.cumsum(rng.randn(n))
+    sig = sig / (np.abs(sig).max() + 1e-9)
+    return encode_wav((sig * scale * 20000).astype(np.int16))
+
+
+def test_audio_fingerprint_scale_invariant_and_discriminative():
+    h0 = PH.audio_fingerprint_bits(_wav(1))
+    assert h0 == PH.audio_fingerprint_bits(_wav(1))
+    d_scaled = bin((h0 ^ PH.audio_fingerprint_bits(_wav(1, scale=0.5))) & (2**64 - 1)).count("1")
+    assert d_scaled <= 2
+    d_other = bin((h0 ^ PH.audio_fingerprint_bits(_wav(2))) & (2**64 - 1)).count("1")
+    assert d_other > 10
+
+
+def test_audio_dup_pairs_banded(spark):
+    rows = [(i, _wav(i)) for i in range(5)]
+    rows.append((100, _wav(0, scale=0.5)))  # planted quiet duplicate
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    pairs = {(r.id_a, r.id_b): r.hamming for r in PH.audio_dup_pairs(df, max_hamming=3).collect()}
+    # the planted amplitude-scaled duplicate must be found, and no
+    # coincidental random-walk pair may look MORE similar than it
+    assert (0, 100) in pairs
+    assert all(h >= pairs[(0, 100)] for h in pairs.values()), pairs
