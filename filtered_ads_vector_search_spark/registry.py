@@ -401,6 +401,178 @@ def _hist_quantiles_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return E.hist_quantiles(_tbl(spark, sf_dir, "events"), "value")
 
 
+_PMI_MIN_COUNT, _PMI_TOP = 3, 50
+
+
+def _collocations_pmi_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining by pointwise mutual information over adjacent word
+    pairs: PMI = ln(N_big * c(ab) / (c(a) * c(b))) with a min-count floor
+    (the standard Church & Hanks association measure). Same relational shape
+    as the bigram LM: two map-combinable count aggregates + vocab-sized
+    joins; the rank window runs over the filtered bigram vocabulary."""
+    docs = _tbl(spark, sf_dir, "documents")
+    lowered = docs.select(F.lower(F.col("text")).alias("lt"))
+    uni = (
+        lowered.select(F.explode(T.tokens(F.col("lt"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    big = (
+        lowered.select(F.explode(T.word_ngrams(F.col("lt"), 2)).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("c2"))
+        .filter(F.col("c2") >= _PMI_MIN_COUNT)
+        .withColumn("w1", F.split(F.col("bg"), " ").getItem(0))
+        .withColumn("w2", F.split(F.col("bg"), " ").getItem(1))
+    )
+    nbig = lowered.select(
+        F.explode(T.word_ngrams(F.col("lt"), 2)).alias("bg")
+    ).agg(F.count(F.lit(1)).alias("nb"))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c1").alias("ca"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c1").alias("cb"))
+    scored = (
+        big.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(nbig))
+        .select(
+            "bg",
+            "c2",
+            F.round(
+                F.log(
+                    F.col("nb").cast("double")
+                    * F.col("c2")
+                    / (F.col("ca").cast("double") * F.col("cb"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    w = Window.orderBy(F.col("pmi").desc(), F.col("bg").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _PMI_TOP)
+        .select("rnk", "bg", "c2", "pmi")
+    )
+
+
+def _collocations_pmi_sql() -> str:
+    toks = T.tokens_sql("lower(text)")
+    bgs = T.word_ngrams_sql("lower(text)", 2)
+    return f"""
+WITH uni AS (
+  SELECT w, count(*) AS c1 FROM (
+    SELECT unnest({toks}) AS w FROM documents
+  ) GROUP BY w
+),
+bigall AS (
+  SELECT unnest({bgs}) AS bg FROM documents
+),
+nbig AS (SELECT count(*) AS nb FROM bigall),
+big AS (
+  SELECT bg, count(*) AS c2,
+         string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2
+  FROM bigall GROUP BY bg HAVING count(*) >= {_PMI_MIN_COUNT}
+),
+scored AS (
+  SELECT big.bg, big.c2,
+         round(ln(CAST(nb AS DOUBLE) * c2 / (CAST(a.c1 AS DOUBLE) * b.c1)), 6) AS pmi
+  FROM big
+  JOIN uni a ON big.w1 = a.w
+  JOIN uni b ON big.w2 = b.w
+  CROSS JOIN nbig
+)
+SELECT * FROM (
+  SELECT row_number() OVER (ORDER BY pmi DESC, bg ASC) AS rnk, bg, c2, pmi
+  FROM scored
+) WHERE rnk <= {_PMI_TOP}
+"""
+
+
+def _embedding_dim_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension corpus statistics (mean / min / max, exact integer-free
+    double sums rounded after aggregation) — the drift-monitoring relation a
+    vector pipeline tracks per ingest batch. One posexplode + one
+    map-combinable groupBy; result is dim-sized."""
+    emb = _tbl(spark, sf_dir, "embeddings")
+    ex = emb.select(F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x"))
+    return ex.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("x"), 6).alias("mean"),
+        F.round(F.min("x"), 6).alias("mn"),
+        F.round(F.max("x"), 6).alias("mx"),
+    )
+
+
+def _embedding_dim_stats_sql() -> str:
+    return """
+SELECT dim, count(*) AS n,
+       round(avg(x), 6) AS mean,
+       round(min(x), 6) AS mn,
+       round(max(x), 6) AS mx
+FROM (
+  SELECT unnest(range(0, len(embedding))) AS dim,
+         unnest(list_transform(embedding, v -> CAST(v AS DOUBLE))) AS x
+  FROM embeddings
+) GROUP BY dim
+"""
+
+
+_MAD_K = 3.0
+
+
+def _value_outliers_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per event_type: |x - median| > k * MAD
+    (median absolute deviation — the standard robust z-score). Two exact
+    percentile aggregates (swap in percentile_approx at 100 TB, same call
+    sites) + one broadcast join back; output is the per-type outlier
+    count + rate."""
+    ev = _tbl(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.percentile(F.col("value"), F.lit(0.5)).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "value", "med", F.abs(F.col("value") - F.col("med")).alias("ad")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile(F.col("ad"), F.lit(0.5)).alias("mad")
+    )
+    flagged = dev.join(F.broadcast(mad), "event_type")
+    return flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(
+            (F.col("ad") > F.lit(_MAD_K) * F.col("mad")).cast("long")
+        ).alias("n_outliers"),
+        F.round(
+            F.sum((F.col("ad") > F.lit(_MAD_K) * F.col("mad")).cast("long"))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("outlier_rate"),
+    )
+
+
+def _value_outliers_sql() -> str:
+    return f"""
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS ad
+  FROM events e JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type, quantile_cont(ad, 0.5) AS mad FROM dev GROUP BY event_type
+)
+SELECT d.event_type,
+       count(*) AS n_events,
+       CAST(sum(CASE WHEN d.ad > {_MAD_K} * m.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       round(CAST(sum(CASE WHEN d.ad > {_MAD_K} * m.mad THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS outlier_rate
+FROM dev d JOIN mad m USING (event_type)
+GROUP BY d.event_type
+"""
+
+
 _FUNNEL_STEPS = ("view", "click", "purchase")
 
 
@@ -3884,6 +4056,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_window_quantiles": _event_window_quantiles_spark,
     "event_funnel": _event_funnel_spark,
     "user_retention_cohorts": _retention_cohorts_spark,
+    "collocations_pmi": _collocations_pmi_spark,
+    "embedding_dim_stats": _embedding_dim_stats_spark,
+    "value_outliers": _value_outliers_spark,
     # --- flagships: re-drawn every round ---
     "knn_exact": lambda s, d: _knn_spark(s, d, "sqeuclidean"),
     "dedup_minhash_lsh": _minhash_pairs_spark,
@@ -3891,10 +4066,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_filtered_high": lambda s, d: _knn_spark(s, d, "sqeuclidean", filter_name="high_rated"),
     "knn_inner_product": lambda s, d: _knn_spark(s, d, "inner_product"),
     "knn_cosine": lambda s, d: _knn_spark(s, d, "cosine", round_digits=4),
+    # ------------------- 50-entry verification cut (see note above) ------
     "knn_hamming": lambda s, d: _knn_spark(s, d, "hamming", round_digits=0),
     "knn_hamming_packed": _knn_hamming_packed_spark,
     "recall_curve_sq8": _recall_curve_spark,
-    # ------------------- 50-entry verification cut (see note above) ------
     "filter_selectivity": _selectivity_spark,
     "rating_histogram": _histogram_spark,
     "dedup_exact": _exact_dedup_spark,
@@ -4054,6 +4229,9 @@ ORACLES: dict[str, str] = {
     "event_window_quantiles": _event_window_quantiles_sql(),
     "event_funnel": _event_funnel_sql(),
     "user_retention_cohorts": _retention_cohorts_sql(),
+    "collocations_pmi": _collocations_pmi_sql(),
+    "embedding_dim_stats": _embedding_dim_stats_sql(),
+    "value_outliers": _value_outliers_sql(),
     "decontaminate": _decontaminate_sql(),
     "repetition_stats": _repetition_stats_sql(),
     "dedup_canonical": _dedup_canonical_sql(),
