@@ -4000,16 +4000,21 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # decontamination + its Bloom-prefiltered twin, repetition stats,
     # SemDeDup pairs/keep, Gopher rules, vocabulary stats, PII scan/redact,
     # LM perplexity, DSIR weights/resample, ExactSubstr dup stats, count-min
-    # heavy hitters, JL-projected knn + norm distortion), then (c) a few
-    # longest-stale r2-greens, then flagships. The r2-greens displaced past
-    # the cut by the new queries (min_token_filter, embedding_dup_pairs(_lsh),
-    # vector_norms, sq8_train_bounds, grid_params, token_counts, tpch_q12/
-    # q21/q9/q11/q20, knn_scalable_filtered, knn_blockwise, embed_pipeline,
-    # orders_pivot, multimodal_*, knn_sq8, recall_sq8_vs_fp, knn_fp16,
-    # knn_pq_adc) are queued to LEAD round 5's rotation. Everything below
-    # position 50 is hash-green on current testdata (round 2 or 3) with
-    # unchanged code — and the ENTIRE registry was re-verified green by
-    # scripts/check_correctness.py this round.
+    # heavy hitters, JL-projected knn + norm distortion, histogram quantiles
+    # batch + windowed, domain mix weights, token fertility, funnel,
+    # retention cohorts, PMI collocations, embedding dim stats, MAD
+    # outliers), then (c) a few longest-stale r2-greens, then flagships.
+    # The r2-greens displaced past the cut by the new queries (knn_hamming
+    # (+_packed), recall_curve_sq8, filter_selectivity, rating_histogram,
+    # dedup_exact, best_order_per_priority, lang_id, doc_fingerprint,
+    # min_token_filter, embedding_dup_pairs(_lsh), vector_norms,
+    # sq8_train_bounds, grid_params, token_counts, tpch_q12/q21/q9/q11/q20,
+    # knn_scalable_filtered, knn_blockwise, embed_pipeline, orders_pivot,
+    # multimodal_*, knn_sq8, recall_sq8_vs_fp, knn_fp16, knn_pq_adc) are
+    # queued to LEAD round 5's rotation. Everything below position 50 is
+    # hash-green on current testdata (round 2 or 3) with unchanged code —
+    # and the ENTIRE registry was re-verified green by
+    # scripts/check_correctness.py multiple times this round.
     #
     # --- (a) r1-only greens: re-verify on current testdata ---
     "text_stats": _text_stats_spark,
