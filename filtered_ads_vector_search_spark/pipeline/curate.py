@@ -45,12 +45,16 @@ def curate_corpus(
     pack_budget: int = 512,
     eval_docs: DataFrame | None = None,
     decontam_ngram: int = 5,
+    dsir_keep: int | None = None,
+    dsir_target_lang: str = "en",
 ) -> dict:
     """Run the full curation funnel over ``docs`` (doc_id, text, ...).
 
     ``eval_docs`` (optional) is the held-out benchmark corpus to
-    decontaminate against. Returns the metrics dict it also writes to
-    ``out_dir/metrics.json``.
+    decontaminate against. ``dsir_keep`` (optional; requires a ``lang``
+    column on ``docs``) adds a final DSIR importance-resampling selection
+    stage keeping that many documents. Returns the metrics dict it also
+    writes to ``out_dir/metrics.json``.
     """
     metrics: dict[str, int] = {}
     base = docs.select(
@@ -99,6 +103,18 @@ def curate_corpus(
     else:
         survivors = neardup
     metrics["after_decontaminate"] = survivors.count()
+
+    # 5b. DSIR importance-resampling selection toward the target slice
+    # (optional; seeded Gumbel-top-k, deterministic)
+    if dsir_keep is not None:
+        from ..operators.lmscore import dsir_resample
+
+        with_lang = survivors.join(docs.select("doc_id", "lang"), "doc_id")
+        keep_ids = dsir_resample(
+            with_lang, n_keep=dsir_keep, target_lang=dsir_target_lang
+        ).select("doc_id")
+        survivors = survivors.join(keep_ids, "doc_id")
+        metrics["after_dsir_select"] = survivors.count()
 
     # 6. token-budget packing of the survivors
     packing = pack_sequences(

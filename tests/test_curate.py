@@ -32,3 +32,17 @@ def test_curate_corpus_funnel_and_determinism(spark, tmp_path):
     m2 = curate_corpus(spark, train.repartition(13), out2, eval_docs=ev)
     surv2 = {r.doc_id for r in spark.read.parquet(f"{out2}/documents.parquet").collect()}
     assert m1 == m2 and surv1 == surv2
+
+
+def test_curate_with_dsir_selection(spark, tmp_path):
+    docs = spark.read.parquet(f"{SF_TEST}/documents.parquet")
+    out = str(tmp_path / "dsir_run")
+    m = curate_corpus(spark, docs, out, dsir_keep=50, dsir_target_lang="en")
+    assert m["after_dsir_select"] == 50
+    assert m["packed_rows"] == 50
+    surv = spark.read.parquet(f"{out}/documents.parquet")
+    assert surv.count() == 50
+    # selection leans toward the target slice: majority of kept docs are en
+    kept_lang = surv.join(docs.select("doc_id", "lang"), "doc_id")
+    n_en = kept_lang.filter(F.col("lang") == "en").count()
+    assert n_en > 25, n_en
