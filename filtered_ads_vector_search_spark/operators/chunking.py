@@ -151,3 +151,108 @@ SELECT doc_id,
        (start % {budget} + tok) > {budget} AS straddles
 FROM c
 """
+
+
+# --- content-defined chunking (FastCDC-style rolling boundaries) -------------
+
+CDC_DIVISOR = 8  # expected chunk length ~CDC_DIVISOR tokens
+CDC_SEED = 8191
+
+
+def chunk_cdc(
+    docs: DataFrame,
+    text_col: str = "text",
+    divisor: int = CDC_DIVISOR,
+) -> DataFrame:
+    """Content-defined chunking: cut BEFORE token position p (p >= 1) when
+    the portable hash of the local 2-gram (token[p-1], token[p]) lands in
+    the boundary residue class (hash % divisor == 0). Boundaries depend only
+    on LOCAL content, so after an insertion/edit the chunking re-synchronizes
+    downstream — the property that makes CDC the storage/dedup-friendly
+    split (public FastCDC/LBFS lineage), unlike fixed windows where one
+    shifted token changes every subsequent chunk.
+
+    Output: (doc_id, chunk_id, n_tok, chunk_md5) — chunk_id is the running
+    boundary count, chunk_md5 hashes the space-joined tokens, so identical
+    content spans hash identically across documents.
+
+    Shape: one tokens posexplode; boundary flag + running chunk id are a
+    per-DOC window cumsum (bounded by document length, never corpus-wide);
+    the chunk aggregate uses the order-fixed fold (sort by position) so the
+    DuckDB twin (string_agg ... ORDER BY) builds byte-identical text.
+    """
+    from ..functions.hashing import str_hash_col
+    from ..functions.text import tokens
+
+    ex = docs.select(
+        "doc_id", F.posexplode(tokens(F.lower(F.col(text_col)))).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev = F.lag("tok").over(w)
+    boundary = F.when(
+        prev.isNotNull()
+        & (
+            portable_hash_col(
+                str_hash_col(F.concat_ws(" ", prev, F.col("tok"))), seed=CDC_SEED
+            )
+            % divisor
+            == 0
+        ),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    with_chunk = ex.withColumn("chunk_id", F.sum(boundary).over(w))
+    return (
+        with_chunk.groupBy("doc_id", "chunk_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("pos", "tok"))
+                        ),
+                        lambda s: s["tok"],
+                    ),
+                )
+            ).alias("chunk_md5"),
+        )
+    )
+
+
+def chunk_cdc_sql(table: str = "documents", divisor: int = CDC_DIVISOR) -> str:
+    from ..functions.hashing import str_hash_sql
+    from ..functions.text import tokens_sql
+
+    toks = tokens_sql("lower(text)")
+    h = portable_hash_sql(
+        str_hash_sql("(prev_tok || ' ' || tok)"), seed=CDC_SEED
+    )
+    return f"""
+WITH ex AS (
+  SELECT doc_id,
+         unnest(range(0, len({toks}))) AS pos,
+         unnest({toks}) AS tok
+  FROM {table}
+),
+flagged AS (
+  SELECT doc_id, pos, tok,
+         lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev_tok
+  FROM ex
+),
+marked AS (
+  SELECT doc_id, pos, tok,
+         CASE WHEN prev_tok IS NOT NULL AND ({h}) % {divisor} = 0
+              THEN 1 ELSE 0 END AS boundary
+  FROM flagged
+),
+chunked AS (
+  SELECT doc_id, pos, tok,
+         sum(boundary) OVER (PARTITION BY doc_id ORDER BY pos) AS chunk_id
+  FROM marked
+)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       count(*) AS n_tok,
+       md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_md5
+FROM chunked GROUP BY doc_id, chunk_id
+"""

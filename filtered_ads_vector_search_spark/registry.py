@@ -401,6 +401,18 @@ def _hist_quantiles_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return E.hist_quantiles(_tbl(spark, sf_dir, "events"), "value")
 
 
+def _doc_chunks_cdc_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.chunking import chunk_cdc
+
+    return chunk_cdc(_tbl(spark, sf_dir, "documents"))
+
+
+def _doc_chunks_cdc_sql() -> str:
+    from .operators.chunking import chunk_cdc_sql
+
+    return chunk_cdc_sql()
+
+
 _PR_ITER, _PR_DAMPING = 8, 0.85
 
 
@@ -4118,13 +4130,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_dim_stats": _embedding_dim_stats_spark,
     "value_outliers": _value_outliers_spark,
     "dedup_pagerank": _dedup_pagerank_spark,
+    "doc_chunks_cdc": _doc_chunks_cdc_spark,
     # --- flagships: re-drawn every round ---
     "knn_exact": lambda s, d: _knn_spark(s, d, "sqeuclidean"),
     "dedup_minhash_lsh": _minhash_pairs_spark,
     # --- (c) longest-stale r2-greens (below round 3's verification cut) ---
     "knn_filtered_high": lambda s, d: _knn_spark(s, d, "sqeuclidean", filter_name="high_rated"),
-    "knn_inner_product": lambda s, d: _knn_spark(s, d, "inner_product"),
     # ------------------- 50-entry verification cut (see note above) ------
+    "knn_inner_product": lambda s, d: _knn_spark(s, d, "inner_product"),
     "knn_cosine": lambda s, d: _knn_spark(s, d, "cosine", round_digits=4),
     "knn_hamming": lambda s, d: _knn_spark(s, d, "hamming", round_digits=0),
     "knn_hamming_packed": _knn_hamming_packed_spark,
@@ -4292,6 +4305,7 @@ ORACLES: dict[str, str] = {
     "embedding_dim_stats": _embedding_dim_stats_sql(),
     "value_outliers": _value_outliers_sql(),
     "dedup_pagerank": _dedup_pagerank_sql(),
+    "doc_chunks_cdc": _doc_chunks_cdc_sql(),
     "decontaminate": _decontaminate_sql(),
     "repetition_stats": _repetition_stats_sql(),
     "dedup_canonical": _dedup_canonical_sql(),

@@ -73,3 +73,45 @@ def test_pack_sequences_validation(spark):
     docs = spark.range(5).select(F.col("id").alias("doc_id"), F.lit(3).alias("n_tok"))
     with pytest.raises(ValueError):
         pack_sequences(docs, "n_tok", budget=0)
+
+
+# --- content-defined chunking -----------------------------------------------
+
+
+def test_cdc_boundaries_resynchronize_after_prefix_edit(spark):
+    """The CDC property: prepending a prefix only perturbs chunks up to the
+    first post-edit boundary — every later chunk hash matches the original
+    (fixed windows would shift EVERYTHING). Planted with enough text that
+    at least one shared chunk must exist."""
+    from filtered_ads_vector_search_spark.operators.chunking import chunk_cdc
+
+    words = " ".join(f"w{i % 37}x{i % 11}" for i in range(400))
+    rows = [(0, words), (1, "injected prefix tokens " + words)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    chunks = chunk_cdc(df).collect()
+    by_doc = {0: set(), 1: set()}
+    for r in chunks:
+        by_doc[r.doc_id].add(r.chunk_md5)
+    shared = by_doc[0] & by_doc[1]
+    # nearly all of doc 0's chunks reappear verbatim in doc 1
+    assert len(shared) >= 0.8 * len(by_doc[0]), (len(shared), len(by_doc[0]))
+
+
+def test_cdc_chunks_partition_token_stream(spark):
+    """Chunk token counts sum to the document's token count, and chunk ids
+    are dense from 0."""
+    from filtered_ads_vector_search_spark.operators.chunking import chunk_cdc
+    from tests.conftest import SF_TEST
+
+    docs = spark.read.parquet(f"{SF_TEST}/documents.parquet").limit(50)
+    chunks = chunk_cdc(docs).collect()
+    import collections
+
+    per_doc = collections.defaultdict(list)
+    for r in chunks:
+        per_doc[r.doc_id].append(r)
+    toks = {r.doc_id: len(r.text.split()) for r in docs.collect()}
+    for did, rs in per_doc.items():
+        assert sum(r.n_tok for r in rs) == toks[did]
+        ids = sorted(r.chunk_id for r in rs)
+        assert ids == list(range(len(ids)))
