@@ -105,6 +105,8 @@ def main() -> None:
         "dedup_components_star",
         "substr_dup_stats",
         "lm_perplexity",
+        "cms_heavy_hitters",
+        "hist_quantiles",
         "text_stats",
         "tpch_q1",
         "tpch_q5",
