@@ -29,10 +29,18 @@ __all__ = [
     "cms_build",
     "cms_heavy_hitters",
     "cms_heavy_hitters_sql",
+    "hll_distinct",
+    "hll_distinct_sql",
 ]
 
 CMS_DEPTH = 4
 CMS_WIDTH = 1024
+
+# HyperLogLog: m = 64 registers (b = 6 bucket bits); the portable hash
+# yields ~20 significant bits, leaving ~14 for the rank, capped at 15.
+HLL_M = 64
+HLL_ALPHA = 0.709  # the standard alpha_64 bias constant
+HLL_MAX_RHO = 15
 
 
 def _cell(term: Column, j: int, width: int) -> Column:
@@ -152,4 +160,106 @@ SELECT * FROM (
          term, est_count, true_count
   FROM est
 ) WHERE rnk <= {top_n}
+"""
+
+
+# --- HyperLogLog distinct estimation (Flajolet et al. 2007) ------------------
+#
+# Same bounded-state argument as the count-min grid — HLL state is m = 64
+# small integers regardless of cardinality — and the same portability
+# argument: buckets and ranks derive from the md5-based portable hash, so
+# the DuckDB twin builds IDENTICAL registers. Even the floating-point
+# indicator sum is order-independent here: every term 2^-M_j is a dyadic
+# rational with exponent <= 15, so all partial sums are exactly
+# representable and addition order cannot change the total. The estimate —
+# including the standard small-range linear-counting correction — is
+# therefore hash-checkable despite being approximate w.r.t. the TRUE count.
+
+
+def hll_distinct(
+    documents: DataFrame,
+    text_col: str = "text",
+    m: int = HLL_M,
+    round_digits: int = 4,
+) -> DataFrame:
+    """One-row relation: exact distinct lowercased-token count alongside the
+    HLL estimate built from m registers (the audit form; estimate-only
+    callers drop the exact branch — the register build is the scale path)."""
+    ex = (
+        documents.select(
+            F.explode(T.tokens(F.lower(F.col(text_col)))).alias("t")
+        )
+        .select(str_hash_col(F.col("t")).alias("h"))
+        .select(
+            F.pmod(F.col("h"), F.lit(m)).alias("bucket"),
+            # integer division — h is up to 2^60, double division is lossy
+            F.expr(f"h DIV {m}").alias("rest"),
+        )
+    )
+    rho = F.when(F.col("rest") == 0, F.lit(HLL_MAX_RHO))
+    for i in range(1, HLL_MAX_RHO):
+        rho = rho.when(
+            F.col("rest") % F.lit(1 << i) == F.lit(1 << (i - 1)), F.lit(i)
+        )
+    rho = rho.otherwise(F.lit(HLL_MAX_RHO))
+    regs = ex.select("bucket", rho.alias("rho")).groupBy("bucket").agg(
+        F.max("rho").alias("reg")
+    )
+    agg = regs.agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("reg"))).alias("s_present"),
+        F.count(F.lit(1)).alias("n_present"),
+    )
+    exact = documents.select(
+        F.explode(T.tokens(F.lower(F.col(text_col)))).alias("t")
+    ).agg(F.count_distinct("t").alias("n_exact"))
+    total = F.col("s_present") + (F.lit(m) - F.col("n_present"))  # empty -> 2^0
+    v = F.lit(m) - F.col("n_present")  # zero-valued registers
+    e_raw = F.lit(HLL_ALPHA * m * m) / total
+    est = F.when(
+        (e_raw <= F.lit(2.5 * m)) & (v > 0), F.lit(float(m)) * F.log(F.lit(float(m)) / v)
+    ).otherwise(e_raw)
+    return agg.crossJoin(F.broadcast(exact)).select(
+        "n_exact",
+        F.col("n_present").alias("n_registers_hit"),
+        F.round(est, round_digits).alias("hll_estimate"),
+    )
+
+
+def hll_distinct_sql(
+    table: str = "documents", m: int = HLL_M, round_digits: int = 4
+) -> str:
+    toks = T.tokens_sql("lower(text)")
+    h = str_hash_sql("t")
+    rho_cases = " ".join(
+        f"WHEN rest % {1 << i} = {1 << (i - 1)} THEN {i}"
+        for i in range(1, HLL_MAX_RHO)
+    )
+    return f"""
+WITH ex AS (
+  SELECT (({h}) % {m} + {m}) % {m} AS bucket,
+         ({h}) // {m} AS rest
+  FROM (SELECT unnest({toks}) AS t FROM {table})
+),
+regs AS (
+  SELECT bucket,
+         max(CASE WHEN rest = 0 THEN {HLL_MAX_RHO} {rho_cases}
+                  ELSE {HLL_MAX_RHO} END) AS reg
+  FROM ex GROUP BY bucket
+),
+agg AS (
+  SELECT sum(power(2.0, -reg)) AS s_present, count(*) AS n_present FROM regs
+),
+exact AS (
+  SELECT count(DISTINCT t) AS n_exact
+  FROM (SELECT unnest({toks}) AS t FROM {table})
+)
+SELECT n_exact,
+       n_present AS n_registers_hit,
+       round(CASE WHEN ({HLL_ALPHA * m * m} / (s_present + ({m} - n_present)))
+                       <= {2.5 * m}
+                   AND ({m} - n_present) > 0
+                  THEN {float(m)} * ln({float(m)} / ({m} - n_present))
+                  ELSE {HLL_ALPHA * m * m} / (s_present + ({m} - n_present))
+             END, {round_digits}) AS hll_estimate
+FROM agg CROSS JOIN exact
 """

@@ -407,6 +407,18 @@ def _doc_chunks_cdc_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_cdc(_tbl(spark, sf_dir, "documents"))
 
 
+def _hll_distinct_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import sketch as SK
+
+    return SK.hll_distinct(_tbl(spark, sf_dir, "documents"))
+
+
+def _hll_distinct_sql_() -> str:
+    from .operators import sketch as SK
+
+    return SK.hll_distinct_sql()
+
+
 def _doc_chunks_cdc_sql() -> str:
     from .operators.chunking import chunk_cdc_sql
 
@@ -4131,12 +4143,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "value_outliers": _value_outliers_spark,
     "dedup_pagerank": _dedup_pagerank_spark,
     "doc_chunks_cdc": _doc_chunks_cdc_spark,
+    "distinct_tokens_hll": _hll_distinct_spark,
     # --- flagships: re-drawn every round ---
     "knn_exact": lambda s, d: _knn_spark(s, d, "sqeuclidean"),
     "dedup_minhash_lsh": _minhash_pairs_spark,
     # --- (c) longest-stale r2-greens (below round 3's verification cut) ---
-    "knn_filtered_high": lambda s, d: _knn_spark(s, d, "sqeuclidean", filter_name="high_rated"),
     # ------------------- 50-entry verification cut (see note above) ------
+    "knn_filtered_high": lambda s, d: _knn_spark(s, d, "sqeuclidean", filter_name="high_rated"),
     "knn_inner_product": lambda s, d: _knn_spark(s, d, "inner_product"),
     "knn_cosine": lambda s, d: _knn_spark(s, d, "cosine", round_digits=4),
     "knn_hamming": lambda s, d: _knn_spark(s, d, "hamming", round_digits=0),
@@ -4306,6 +4319,7 @@ ORACLES: dict[str, str] = {
     "value_outliers": _value_outliers_sql(),
     "dedup_pagerank": _dedup_pagerank_sql(),
     "doc_chunks_cdc": _doc_chunks_cdc_sql(),
+    "distinct_tokens_hll": _hll_distinct_sql_(),
     "decontaminate": _decontaminate_sql(),
     "repetition_stats": _repetition_stats_sql(),
     "dedup_canonical": _dedup_canonical_sql(),

@@ -38,3 +38,28 @@ def test_cms_partition_invariance(spark):
     a = SK.cms_heavy_hitters(docs.repartition(1), top_n=10).collect()
     b = SK.cms_heavy_hitters(docs.repartition(16), top_n=10).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+# --- HyperLogLog ------------------------------------------------------------
+
+
+def test_hll_estimate_accuracy_on_large_vocab(spark):
+    """5000 distinct planted tokens, m=64 registers -> standard error
+    ~1.04/sqrt(64) = 13%; assert within 3 sigma (40%)."""
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"tok{j}" for j in range(i * 25, (i + 1) * 25)))
+         for i in range(200)],
+        "doc_id long, text string",
+    )
+    row = SK.hll_distinct(docs).collect()[0]
+    assert row.n_exact == 5000
+    assert abs(row.hll_estimate - 5000) / 5000 < 0.4, row
+
+
+def test_hll_small_range_correction_and_invariance(spark):
+    docs = spark.read.parquet(f"{SF_TEST}/documents.parquet")
+    a = SK.hll_distinct(docs.repartition(1)).collect()[0]
+    b = SK.hll_distinct(docs.repartition(16)).collect()[0]
+    assert (a.n_exact, a.hll_estimate) == (b.n_exact, b.hll_estimate)
+    # 31-token vocab triggers linear counting; small-range estimates are tight
+    assert abs(a.hll_estimate - a.n_exact) / a.n_exact < 0.25, a
