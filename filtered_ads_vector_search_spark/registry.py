@@ -4080,7 +4080,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # heavy hitters, JL-projected knn + norm distortion, histogram quantiles
     # batch + windowed, domain mix weights, token fertility, funnel,
     # retention cohorts, PMI collocations, embedding dim stats, MAD
-    # outliers), then (c) a few longest-stale r2-greens, then flagships.
+    # outliers, dup-graph PageRank, content-defined chunking, HLL distinct
+    # estimation), then (c) a few longest-stale r2-greens, then flagships.
     # The r2-greens displaced past the cut by the new queries (knn_hamming
     # (+_packed), recall_curve_sq8, filter_selectivity, rating_histogram,
     # dedup_exact, best_order_per_priority, lang_id, doc_fingerprint,
