@@ -115,3 +115,50 @@ def test_cdc_chunks_partition_token_stream(spark):
         assert sum(r.n_tok for r in rs) == toks[did]
         ids = sorted(r.chunk_id for r in rs)
         assert ids == list(range(len(ids)))
+
+
+def test_cdc_matches_pure_python_twin(spark):
+    """chunk_cdc's boundary arithmetic reproduced in pure Python over the
+    same portable-hash constants — pins the Spark expression independent of
+    the DuckDB oracle."""
+    import hashlib
+
+    from filtered_ads_vector_search_spark.functions.hashing import A1, A2, C1, C2, P
+    from filtered_ads_vector_search_spark.operators.chunking import (
+        CDC_DIVISOR,
+        CDC_SEED,
+        chunk_cdc,
+    )
+
+    def py_hash(x, seed):
+        h0 = (x + seed * 7919) % P
+        h1 = (h0 * A1 + C1) % P
+        return (h1 * A2 + C2) % P
+
+    rows = [
+        (0, "Alpha beta GAMMA delta epsilon zeta eta theta iota kappa"),
+        (1, "one two three"),
+        (2, "solo"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.chunk_id): (r.n_tok, r.chunk_md5)
+        for r in chunk_cdc(df).collect()
+    }
+    want = {}
+    for did, text in rows:
+        toks = text.lower().split()
+        chunk_id, chunks = 0, {}
+        for p, tok in enumerate(toks):
+            if p > 0:
+                g = f"{toks[p-1]} {tok}"
+                sh = int(hashlib.md5(g.encode()).hexdigest()[:15], 16)
+                if py_hash(sh, CDC_SEED) % CDC_DIVISOR == 0:
+                    chunk_id += 1
+            chunks.setdefault(chunk_id, []).append(tok)
+        for cid, ts in chunks.items():
+            want[(did, cid)] = (
+                len(ts),
+                hashlib.md5(" ".join(ts).encode()).hexdigest(),
+            )
+    assert got == want
