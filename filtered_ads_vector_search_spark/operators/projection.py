@@ -84,9 +84,13 @@ def pca_train(
     Covariance entries are ONE map-combinable aggregate over the flattened
     upper-triangle outer products (d*(d+1)/2 values per vector, exploded,
     groupBy position) — no self-join, no row ids; at most d*(d+1)/2 + d
-    result rows ever reach the driver, never the corpus. Returns
-    (components [out_dim x d, row-major eigenvectors by descending
-    eigenvalue], mean [d]).
+    result rows ever reach the driver, never the corpus. The aggregate is
+    linear in corpus size but carries a d(d+1)/2 fan-out per row, so at
+    real scale train on a bounded hash-gated sample (the same discipline as
+    pq_train / the IVF coarse quantizer — scripts/bench_scale.py trains on
+    a 5% gate and applies to the full corpus). Returns (components
+    [out_dim x d, row-major eigenvectors by descending eigenvalue],
+    mean [d]).
     """
     import numpy as np
 
