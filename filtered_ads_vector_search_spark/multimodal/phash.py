@@ -21,8 +21,6 @@ the rest. No all-pairs at any scale.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -84,9 +82,12 @@ def ahash_udf(payload: Column) -> Column:
 
 def _band(sig: Column, i: int, n_bands: int) -> Column:
     width = 64 // n_bands
-    return F.shiftrightunsigned(sig, i * width).bitwiseAND(
-        F.lit((1 << width) - 1).cast("long")
-    )
+    shifted = F.shiftrightunsigned(sig, i * width)
+    if width >= 64:
+        # single-band case (max_hamming=0): the band IS the whole signature;
+        # (1 << 64) - 1 would overflow a Java long literal
+        return shifted
+    return shifted.bitwiseAND(F.lit((1 << width) - 1).cast("long"))
 
 
 def audio_fingerprint_bits(raw: bytes) -> int:

@@ -880,10 +880,15 @@ def contamination_flags_bloom(
     When it matters: `contamination_flags` broadcasts the eval shingle set
     as a join hash table — fine for benchmark-sized eval corpora. When the
     eval side outgrows the broadcast threshold (decontaminating against a
-    large held-out corpus), the join becomes a two-sided shuffle; the bitmap
-    stays tiny (2^30 bits = 128 MiB at real scale) and prunes the training
-    side AT THE SCAN, cutting the shuffle to near-only-true-collisions. The
-    bit test itself is whole-stage-codegen arithmetic (no UDF)."""
+    large held-out corpus), the join becomes a two-sided shuffle; a bitmap
+    (2^30 bits = 128 MiB at real scale) still fits executor memory and
+    prunes the training side AT THE SCAN, cutting the shuffle to
+    near-only-true-collisions. The bit test itself is whole-stage-codegen
+    arithmetic (no UDF). NOTE the literal-array form here is sized for the
+    DEMONSTRATION default (m/64 = 128 lit elements); at 2^30 bits the
+    bitmap must ship as a broadcast variable consumed by a pandas_udf bit
+    test (or a literal BINARY column), not an array-of-literals expression
+    — the expression tree itself would be 16M nodes."""
     d = docs.select(
         "doc_id", F.explode(word_shingles(F.col(text_col), n)).alias("sh")
     ).distinct()

@@ -69,6 +69,10 @@ def hist_quantiles(
     Output: group cols, q, est (per requested quantile).
     """
     gcols = list(group_cols)
+    # NULL values: exact `percentile` ignores them, so this estimator must
+    # too — unfiltered they'd both inflate n and land in the top bin via
+    # least(NULL -> greatest..) coercion, silently skewing estimates up
+    df = df.filter(F.col(value_col).isNotNull())
     bounds = df.groupBy(*gcols).agg(
         F.min(value_col).alias("lo"),
         F.max(value_col).alias("hi"),
@@ -126,17 +130,20 @@ def hist_quantiles_sql(
     qlist = ", ".join(str(float(q)) for q in qs)
     width = f"((hi - lo) / {float(bins)})"
     return f"""
-WITH bounds AS (
+WITH src AS (
+  SELECT * FROM {table} WHERE {value_col} IS NOT NULL
+),
+bounds AS (
   SELECT {group_col}, min({value_col}) AS lo, max({value_col}) AS hi,
          count(*) AS n
-  FROM {table} GROUP BY {group_col}
+  FROM src GROUP BY {group_col}
 ),
 binned AS (
   SELECT t.{group_col}, b.lo, b.hi, b.n,
          CASE WHEN b.hi = b.lo THEN 0
               ELSE CAST(least(floor((t.{value_col} - b.lo) / {width}),
                               {bins - 1}) AS INT) END AS b
-  FROM {table} t JOIN bounds b USING ({group_col})
+  FROM src t JOIN bounds b USING ({group_col})
 ),
 counts AS (
   SELECT {group_col}, lo, hi, n, b, count(*) AS c

@@ -40,40 +40,57 @@ __all__ = [
 JL_SEED = 314_159
 
 
+def _jl_sign(i: int, k: int, out_dim: int) -> float:
+    """The seeded +-1 sign for (input dim i, output dim k) — plain Python
+    over the portable-hash constants. The matrix is DATA-INDEPENDENT, so
+    both engine twins embed it as literals instead of evaluating
+    in_dim*out_dim hash chains per row."""
+    from ..functions.hashing import A1, A2, C1, C2, P as _P
+
+    h0 = (i * out_dim + k + JL_SEED * 7919) % _P
+    h1 = (h0 * A1 + C1) % _P
+    h2 = (h1 * A2 + C2) % _P
+    return 1.0 if h2 % 2 == 0 else -1.0
+
+
 def jl_project(vec: Column, in_dim: int, out_dim: int) -> Column:
     """Project an array<float/double> column to ``out_dim`` dims with seeded
-    +-1/sqrt(out_dim) hyperplanes. Pure arithmetic on (i, k) — no sampled
-    state, no shuffle, partition-invariant."""
+    +-1/sqrt(out_dim) hyperplanes. The sign matrix is precomputed on the
+    driver (same portable-hash formula, so results are unchanged) and
+    enters the plan as literal rows — per-row work is one zip_with fold per
+    output dim, not in_dim*out_dim modular-hash chains. No sampled state,
+    no shuffle, partition-invariant."""
     if out_dim < 1 or in_dim < 1:
         raise ValueError(f"dims must be positive, got in={in_dim} out={out_dim}")
     scale = 1.0 / float(out_dim) ** 0.5
-
-    def _component(k: Column) -> Column:
-        def _step(acc: Column, i: Column) -> Column:
-            sign = F.when(
-                portable_hash_col(i * F.lit(out_dim) + k, seed=JL_SEED) % 2 == 0,
-                F.lit(1.0),
-            ).otherwise(F.lit(-1.0))
-            return acc + F.element_at(vec, (i + 1).cast("int")).cast("double") * sign
-
-        return (
-            F.aggregate(F.sequence(F.lit(0), F.lit(in_dim - 1)), F.lit(0.0), _step)
-            * F.lit(scale)
+    rows = [
+        F.array(*[F.lit(_jl_sign(i, k, out_dim)) for i in range(in_dim)])
+        for k in range(out_dim)
+    ]
+    v = vec.cast("array<double>")
+    return F.array(*[
+        F.aggregate(
+            F.zip_with(v, row, lambda x, s: x * s),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
         )
-
-    return F.transform(F.sequence(F.lit(0), F.lit(out_dim - 1)), _component)
+        * F.lit(scale)
+        for row in rows
+    ])
 
 
 def jl_project_sql(vec: str, in_dim: int, out_dim: int) -> str:
-    """DuckDB twin of jl_project — identical fold order and sign stream."""
+    """DuckDB twin of jl_project — the same literal sign rows and fold
+    order, so results are bit-identical."""
     scale = 1.0 / float(out_dim) ** 0.5
-    h = portable_hash_sql(f"i * {out_dim} + k", seed=JL_SEED)
-    return (
-        f"list_transform(range(0, {out_dim}), k -> {scale} * "
-        f"list_sum(list_transform(range(0, {in_dim}), "
-        f"i -> CAST({vec}[i + 1] AS DOUBLE) * "
-        f"(CASE WHEN ({h}) % 2 = 0 THEN 1.0 ELSE -1.0 END))))"
-    )
+    comps = []
+    for k in range(out_dim):
+        row = ", ".join(repr(_jl_sign(i, k, out_dim)) for i in range(in_dim))
+        comps.append(
+            f"{scale} * list_sum(list_transform(range(1, {in_dim} + 1), "
+            f"i -> CAST({vec}[i] AS DOUBLE) * ([{row}]::DOUBLE[])[i]))"
+        )
+    return "[" + ", ".join(comps) + "]"
 
 
 def pca_train(

@@ -262,10 +262,15 @@ def append_to_term_index(
 
     meta = spark.read.parquet(f"{path}/meta").collect()[0]
     n_buckets = int(meta["n_buckets"])
-    dt = doc_terms(new_docs, id_col, text_col).withColumn(
-        "term_bucket", _term_bucket(F.col("term"), n_buckets)
+    # persist: tot.collect, the row count, and three writes would otherwise
+    # re-tokenize/re-aggregate new_docs ~5x — this sits in the streaming
+    # foreachBatch hot path
+    dt = (
+        doc_terms(new_docs, id_col, text_col)
+        .withColumn("term_bucket", _term_bucket(F.col("term"), n_buckets))
+        .persist()
     )
-    dlen = dt.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    dlen = dt.groupBy("doc_id").agg(F.sum("tf").alias("dl")).persist()
     stats = dt.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     tot = dlen.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
@@ -283,6 +288,8 @@ def append_to_term_index(
     dlen.write.mode(mode).parquet(f"{root}/doclen")
     stats.write.mode(mode).parquet(f"{root}/stats")
     meta_df.coalesce(1).write.mode(mode).parquet(f"{root}/meta")
+    dt.unpersist()
+    dlen.unpersist()
     return n
 
 

@@ -75,17 +75,23 @@ def curate_corpus(
     gated = gated.join(gopher_keep, "doc_id")
     metrics["after_quality_gate"] = gated.count()
 
-    # 2. PII redaction (rewrites text; length/token stats recomputed)
-    red = gated.select(
-        "doc_id",
-        T.pii_redact(F.col("text")).alias("text"),
-    ).select("doc_id", "text", T.token_count(F.col("text")).alias("n_tok"))
+    # 2. PII redaction (rewrites text; length/token stats recomputed).
+    # Persist: every later stage count + both writes would otherwise replay
+    # the gate + Gopher + regex chain from the scan.
+    red = (
+        gated.select(
+            "doc_id",
+            T.pii_redact(F.col("text")).alias("text"),
+        )
+        .select("doc_id", "text", T.token_count(F.col("text")).alias("n_tok"))
+        .persist()
+    )
 
     # 3. exact dedup: keep the lowest doc_id per identical text
     canon = red.groupBy(F.md5("text").alias("_h")).agg(
         F.min("doc_id").alias("doc_id")
     )
-    exact = red.join(canon.select("doc_id"), "doc_id")
+    exact = red.join(canon.select("doc_id"), "doc_id").persist()
     metrics["after_exact_dedup"] = exact.count()
 
     # 4. near-dup: banded MinHash pairs -> components -> keep canonical
@@ -116,6 +122,8 @@ def curate_corpus(
         survivors = survivors.join(keep_ids, "doc_id")
         metrics["after_dsir_select"] = survivors.count()
 
+    survivors = survivors.persist()
+
     # 6. token-budget packing of the survivors
     packing = pack_sequences(
         survivors.select("doc_id", "n_tok"), "n_tok", budget=pack_budget
@@ -126,6 +134,23 @@ def curate_corpus(
         f"{out_dir}/documents.parquet"
     )
     packing.write.mode("overwrite").parquet(f"{out_dir}/packing.parquet")
-    with open(f"{out_dir}/metrics.json", "w") as fh:
-        json.dump(metrics, fh, indent=1, sort_keys=True)
+    # metrics go through the Hadoop FS (not local open()) so hdfs://, s3a://,
+    # file:// out_dirs all work — same discipline as layout compaction
+    _write_text(
+        spark, f"{out_dir}/metrics.json", json.dumps(metrics, indent=1, sort_keys=True)
+    )
+    red.unpersist()
+    exact.unpersist()
+    survivors.unpersist()
     return metrics
+
+
+def _write_text(spark: SparkSession, path: str, content: str) -> None:
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    out = fs.create(hpath, True)
+    try:
+        out.write(bytearray(content.encode("utf-8")))
+    finally:
+        out.close()

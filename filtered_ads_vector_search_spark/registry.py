@@ -798,7 +798,7 @@ WITH hist AS (
          CAST(least(greatest(floor((value - {_EWQ_LO}) / {width}), 0),
                     {_EWQ_BINS - 1}) AS INT) AS b,
          count(*) AS c
-  FROM events GROUP BY 1, 2, 3
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2, 3
 ),
 tot AS (SELECT window_start, event_type, sum(c) AS n FROM hist GROUP BY 1, 2),
 cum AS (
@@ -4044,20 +4044,14 @@ def _cms_heavy_hitters_sql_() -> str:
 
 
 def _lm_perplexity_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators import lmscore as LM
-
     return LM.ngram_lm_perplexity(_tbl(spark, sf_dir, "documents"))
 
 
 def _dsir_weights_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators import lmscore as LM
-
     return LM.dsir_weights(_tbl(spark, sf_dir, "documents"))
 
 
 def _dsir_resample_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators import lmscore as LM
-
     return LM.dsir_resample(_tbl(spark, sf_dir, "documents"), n_keep=100)
 
 

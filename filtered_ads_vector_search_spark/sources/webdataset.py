@@ -33,7 +33,9 @@ from pyspark.sql import functions as F
 
 __all__ = ["read_tar_members", "read_webdataset", "write_tar_shards"]
 
-_MEMBER_SCHEMA = "shard string, member_name string, size long, payload binary"
+_MEMBER_SCHEMA = (
+    "shard string, member_seq long, member_name string, size long, payload binary"
+)
 
 
 def read_tar_members(spark: SparkSession, path: str) -> DataFrame:
@@ -51,11 +53,13 @@ def read_tar_members(spark: SparkSession, path: str) -> DataFrame:
         for pdf in batches:
             out: dict[str, list] = {
                 "shard": [],
+                "member_seq": [],
                 "member_name": [],
                 "size": [],
                 "payload": [],
             }
             for shard_path, content in zip(pdf["path"], pdf["content"]):
+                seq = 0
                 with tarfile.open(
                     fileobj=io.BytesIO(content), mode="r:*"
                 ) as tf:
@@ -66,6 +70,11 @@ def read_tar_members(spark: SparkSession, path: str) -> DataFrame:
                         if fh is None:
                             continue
                         out["shard"].append(shard_path.rsplit("/", 1)[-1])
+                        # file order within the tar — the tar convention is
+                        # last-occurrence-wins for duplicate names, and the
+                        # grouping layer needs the order to honor it
+                        out["member_seq"].append(seq)
+                        seq += 1
                         out["member_name"].append(m.name)
                         out["size"].append(m.size)
                         out["payload"].append(fh.read())
@@ -80,7 +89,9 @@ def read_webdataset(spark: SparkSession, path: str) -> DataFrame:
     Grouping is the public WebDataset rule — key = member name up to the
     FIRST dot, extension = the rest — applied with a map-combinable
     groupBy(shard, key); samples never span shards, so the group fits one
-    partition's slice of one tar.
+    partition's slice of one tar. Duplicate member names within a shard
+    (legal in tar; last occurrence wins by the format's convention) keep
+    the highest member_seq payload instead of crashing map construction.
     """
     members = read_tar_members(spark, path)
     dot = F.instr(F.col("member_name"), ".")
@@ -90,16 +101,17 @@ def read_webdataset(spark: SparkSession, path: str) -> DataFrame:
     ext = F.when(dot > 0, F.expr("substring(member_name, instr(member_name, '.') + 1)")).otherwise(
         F.lit("")
     )
-    return (
+    latest = (
         members.select(
-            "shard", key.alias("key"), ext.alias("ext"), "payload"
+            "shard", key.alias("key"), ext.alias("ext"), "member_seq", "payload"
         )
-        .groupBy("shard", "key")
-        .agg(
-            F.map_from_entries(
-                F.array_sort(F.collect_list(F.struct("ext", "payload")))
-            ).alias("parts")
-        )
+        .groupBy("shard", "key", "ext")
+        .agg(F.max_by("payload", "member_seq").alias("payload"))
+    )
+    return latest.groupBy("shard", "key").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("ext", "payload")))
+        ).alias("parts")
     )
 
 

@@ -120,7 +120,9 @@ def _windowed_histogram(
 ) -> DataFrame:
     if not hi > lo:
         raise ValueError(f"need hi > lo, got [{lo}, {hi}]")
-    df = events
+    # NULL values would coerce into a NULL bin row and poison read-time
+    # quantile extraction; drop them like the batch estimator does
+    df = events.filter(F.col("value").isNotNull())
     if watermark is not None:
         df = df.withWatermark("ts", watermark)
     return (

@@ -93,3 +93,12 @@ def test_audio_dup_pairs_banded(spark):
     # coincidental random-walk pair may look MORE similar than it
     assert (0, 100) in pairs
     assert all(h >= pairs[(0, 100)] for h in pairs.values()), pairs
+
+
+def test_image_dup_pairs_exact_mode_max_hamming_zero(spark):
+    """max_hamming=0 (exact-signature duplicates) must not overflow the
+    single-band mask — regression for the (1<<64)-1 literal crash."""
+    rows = [(0, _img(1)), (1, _img(1)), (2, _img(2))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    found = {(r.id_a, r.id_b) for r in PH.image_dup_pairs(df, max_hamming=0).collect()}
+    assert found == {(0, 1)}

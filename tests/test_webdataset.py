@@ -90,3 +90,18 @@ def test_webdataset_feeds_multimodal_decode(spark, tmp_path):
         px = decode_bmp_pixels(bytes(r.payload))
         assert meta["width"] > 0 and meta["height"] > 0
         assert px.shape == (meta["height"], meta["width"], 3)
+
+
+def test_webdataset_duplicate_member_names_last_wins(spark, tmp_path):
+    """Duplicate member names inside a tar (legal; last wins by the format
+    convention) must not crash map construction — regression for the
+    DUPLICATED_MAP_KEY failure."""
+    p = tmp_path / "dup.tar"
+    with tarfile.open(p, "w") as tf:
+        for payload in (b"old caption", b"new caption"):
+            info = tarfile.TarInfo(name="000001.txt")
+            info.size = len(payload)
+            tf.addfile(info, io.BytesIO(payload))
+    rows = WD.read_webdataset(spark, str(p)).collect()
+    assert len(rows) == 1
+    assert bytes(rows[0].parts["txt"]) == b"new caption"
