@@ -121,3 +121,18 @@ def test_dsir_score_join_broadcasts(spark):
     plan = physical_plan(LM.dsir_weights(docs))
     assert "BroadcastHashJoin" in plan, plan[:2000]
     assert "SortMergeJoin" not in plan, plan[:2000]
+
+
+def test_hist_quantiles_partial_aggregate_before_exchange(spark):
+    """The EXPLAIN.md claim: the per-(group, bin) count is a partial/final
+    HashAggregate pair — map-side combine collapses each task to <= bins
+    rows per group before the only corpus-keyed exchange — and the bounds
+    relation enters via BroadcastHashJoin."""
+    from filtered_ads_vector_search_spark.operators import evaluate as E
+
+    ev = spark.read.parquet(f"{SF_TEST}/events.parquet")
+    plan = physical_plan(E.hist_quantiles(ev, "value"))
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "partial_count" in plan or "HashAggregate" in plan, plan[:2000]
+    # no SortMergeJoin anywhere: the only joins are broadcasts
+    assert "SortMergeJoin" not in plan, plan[:2000]

@@ -105,3 +105,45 @@ def test_webdataset_duplicate_member_names_last_wins(spark, tmp_path):
     rows = WD.read_webdataset(spark, str(p)).collect()
     assert len(rows) == 1
     assert bytes(rows[0].parts["txt"]) == b"new caption"
+
+
+def test_multimodal_curation_composition(spark, tmp_path):
+    """End-to-end multimodal curation: read tar shards -> perceptual image
+    dedup (aHash banded pairs, keep lowest id) -> write surviving samples
+    back as deterministic shards -> reread and verify the near-dup is gone
+    and everything else survived byte-identically."""
+    from filtered_ads_vector_search_spark.multimodal import phash as PH
+
+    d = _make_shards(tmp_path)  # ids 0..5 + near-dup of 0 planted below
+    # rebuild with a planted near-duplicate image of sample 0
+    import tarfile as _tar
+
+    from filtered_ads_vector_search_spark.multimodal.codecs import resize_bmp
+
+    extra = tmp_path / "shard-00002.tar"
+    dup_payload = resize_bmp(real_payload(0) if sniff(real_payload(0)) == "bmp" else real_payload(4), 24, 24)
+    with _tar.open(extra, "w") as tf:
+        info = _tar.TarInfo(name="000100.bmp")
+        info.size = len(dup_payload)
+        tf.addfile(info, io.BytesIO(dup_payload))
+
+    members = WD.read_tar_members(spark, f"{tmp_path}/shard-*.tar")
+    imgs = members.filter(F.col("member_name").endswith(".bmp")).select(
+        F.expr("CAST(substring(member_name, 1, 6) AS LONG)").alias("doc_id"),
+        F.col("member_name"),
+        F.col("payload"),
+    )
+    pairs = PH.image_dup_pairs(imgs, payload_col="payload", max_hamming=3)
+    drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    kept = imgs.join(drop, "doc_id", "left_anti")
+    out = tmp_path / "curated"
+    n_shards = WD.write_tar_shards(kept, str(out), n_shards=2)
+    assert n_shards >= 1
+
+    back = WD.read_tar_members(spark, f"{out}/*.tar").collect()
+    names = {r.member_name for r in back}
+    assert "000100.bmp" not in names  # the planted near-dup was dropped
+    src = {r.member_name: bytes(r.payload) for r in imgs.collect() if r.doc_id != 100}
+    assert names == set(src)
+    for r in back:
+        assert bytes(r.payload) == src[r.member_name]
