@@ -147,10 +147,23 @@ def _estimate_selectivity(relation: DataFrame, predicate: Column) -> float:
     """Fraction of `relation` rows passing `predicate`, in ONE pass (a single
     count/count-if aggregate). Callers hand this the tiny persisted sample
     when one exists — never the full index relation of a loaded layout."""
-    row = relation.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.count(F.when(predicate, F.lit(1))).alias("kept"),
-    ).collect()[0]
+    from pyspark.errors import AnalysisException
+
+    try:
+        row = relation.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(predicate, F.lit(1))).alias("kept"),
+        ).collect()[0]
+    except AnalysisException as ex:
+        # loaded layouts estimate from the sample sidecar, which drops the
+        # vector/codes columns — surface the contract instead of a raw
+        # unresolved-column error
+        raise ValueError(
+            "adaptive_nprobe selectivity estimation runs on the sample "
+            f"sidecar (columns: {relation.columns}); the predicate must "
+            "reference only metadata columns carried by the sample — "
+            "vector/codes columns are dropped from it by design"
+        ) from ex
     return (row["kept"] / row["n"]) if row["n"] else 1.0
 
 
@@ -180,10 +193,13 @@ def _compact_layout(
     merged = _read_layout(spark, path, data_subdir)
     n_buckets = merged.select(bucket_col).distinct().count()
     tmp = f"{path}/{data_subdir}__compact_tmp"
-    # one shuffle task per bucket -> files/bucket == files_per_bucket
+    # hash-partitioning on the bucket column alone routes ALL of a bucket's
+    # rows to one task regardless of partition count, so files_per_bucket>1
+    # needs an explicit deterministic salt key alongside the bucket
+    salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(max(1, files_per_bucket)))
     (
         merged.repartition(
-            max(1, n_buckets * files_per_bucket), F.col(bucket_col)
+            max(1, n_buckets * files_per_bucket), F.col(bucket_col), salt
         )
         .write.mode("overwrite")
         .partitionBy(bucket_col)
@@ -667,3 +683,5 @@ class IVFIndex:
 
     def unpersist(self) -> None:
         self.assigned.unpersist()
+        if self.sel_sample is not None:
+            self.sel_sample.unpersist()

@@ -21,7 +21,7 @@ exactly matching DuckDB oracle (the *_sql builders).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import (
@@ -765,13 +765,13 @@ def contamination_flags(
     corpus-sized exchange) and the broadcast both carry int64 keys instead
     of n-token strings.
     """
-    d = (
-        docs.select(
-            "doc_id", F.explode(word_shingles(F.col(text_col), n)).alias("sh")
-        )
-        .select("doc_id", str_hash_col(F.col("sh")).alias("shh"))
-        .distinct()
-    )
+    # no .distinct() on the training side: word_shingles is array_distinct
+    # per document, so (doc_id, shh) rows are already unique (modulo hash
+    # collisions, which both engines then count identically) — a distinct
+    # here would be a redundant corpus-wide shuffle of the largest relation
+    d = docs.select(
+        "doc_id", F.explode(word_shingles(F.col(text_col), n)).alias("sh")
+    ).select("doc_id", str_hash_col(F.col("sh")).alias("shh"))
     e = (
         eval_docs.select(
             F.explode(word_shingles(F.col(text_col), n)).alias("sh")
@@ -793,7 +793,7 @@ def contamination_flags_sql(
     shh = str_hash_sql("sh")
     return f"""
 WITH d AS (
-  SELECT DISTINCT doc_id, {shh} AS shh FROM (
+  SELECT doc_id, {shh} AS shh FROM (
     SELECT doc_id, unnest({sh}) AS sh FROM ({docs_sql})
   )
 ), e AS (
@@ -955,9 +955,19 @@ def repetition_stats(
         covered = F.col("c") * F.char_length(F.col("g"))
         if dup_only:
             agg = F.sum(F.when(F.col("c") > 1, covered).otherwise(F.lit(0)))
-        else:
-            agg = F.max(covered)
-        return counts.groupBy("doc_id", "n_chars").agg(agg.alias("cov"))
+            return counts.groupBy("doc_id", "n_chars").agg(agg.alias("cov"))
+        # the Gopher rule wants the coverage of the single MOST FREQUENT
+        # n-gram (not the max coverage over all n-grams, which a long rare
+        # gram could win); ties break by coverage then gram for determinism
+        w = Window.partitionBy("doc_id").orderBy(
+            F.col("c").desc(), covered.desc(), F.col("g").asc()
+        )
+        return (
+            counts.withColumn("_cov", covered)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("doc_id", "n_chars", F.col("_cov").alias("cov"))
+        )
 
     top = per_doc("_g_top", dup_only=False).select(
         "doc_id",
@@ -994,9 +1004,15 @@ top_counts AS (
     SELECT doc_id, n_chars, unnest(g_top) AS g FROM base
   ) GROUP BY 1, 2, 3
 ),
+top_ranked AS (
+  SELECT doc_id, n_chars, c * length(g) AS cov,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY c DESC, c * length(g) DESC, g ASC) AS _rn
+  FROM top_counts
+),
 top_frac AS (
-  SELECT doc_id, round(CAST(max(c * length(g)) AS DOUBLE) / n_chars, 4) AS top_ngram_char_frac
-  FROM top_counts GROUP BY doc_id, n_chars
+  SELECT doc_id, round(CAST(cov AS DOUBLE) / n_chars, 4) AS top_ngram_char_frac
+  FROM top_ranked WHERE _rn = 1
 ),
 dup_counts AS (
   SELECT doc_id, n_chars, g, count(*) AS c FROM (

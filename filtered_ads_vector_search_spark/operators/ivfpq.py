@@ -325,6 +325,11 @@ class IVFPQIndex:
                     fraction=frac,
                 )
         out.unpersist()
+        # load() persisted the selectivity sample sidecar; this sits in the
+        # foreachBatch hot path (one call per micro-batch), so the cache
+        # entry must be released or it leaks once per batch forever
+        if idx.sel_sample is not None:
+            idx.sel_sample.unpersist()
         return n
 
     @staticmethod
@@ -529,3 +534,5 @@ class IVFPQIndex:
 
     def unpersist(self) -> None:
         self.coded.unpersist()
+        if self.sel_sample is not None:
+            self.sel_sample.unpersist()
