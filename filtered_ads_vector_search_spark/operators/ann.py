@@ -103,18 +103,92 @@ def _batch_root(path: str, batch_id: int) -> str:
     return f"{path}/batches/batch-{batch_id:012d}"
 
 
-def _batch_roots(spark, path: str) -> list[str]:
-    """Existing per-batch append directories under a layout, sorted."""
+# Compaction staging names. `batches__compacting` is the frozen snapshot a
+# running compaction folds from (readers union it exactly like `batches`, so
+# every batch is visible in exactly one place at all times); the marker file
+# gates the commit step so a crashed compaction can be finished idempotently
+# instead of double-folding on retry.
+_SNAP_DIR = "batches__compacting"
+_COMMIT_MARKER = "__compact_commit"
+
+
+def _hadoop_fs(spark, path: str):
+    """(fs, mkpath) pair for the Hadoop FileSystem owning `path` — all layout
+    maintenance goes through this API (never local shutil), so it works on
+    file://, hdfs:// and s3a:// alike."""
     jvm = spark.sparkContext._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(f"{path}/batches")
-    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
-    if not fs.exists(hpath):
-        return []
-    return sorted(
-        str(st.getPath().toUri().getPath())
-        for st in fs.listStatus(hpath)
-        if st.isDirectory()
-    )
+    mkpath = jvm.org.apache.hadoop.fs.Path
+    fs = mkpath(path).getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return fs, mkpath
+
+
+def _batch_roots(spark, path: str) -> list[str]:
+    """Existing per-batch append directories under a layout, sorted. Includes
+    batches parked in the compaction snapshot dir: during (or after a crash
+    of) a compaction each batch lives in exactly one of `batches/` or
+    `batches__compacting/`, so the union is always exactly one copy."""
+    fs, mkpath = _hadoop_fs(spark, path)
+    out = []
+    for sub in ("batches", _SNAP_DIR):
+        hpath = mkpath(f"{path}/{sub}")
+        if not fs.exists(hpath):
+            continue
+        out.extend(
+            str(st.getPath().toUri().getPath())
+            for st in fs.listStatus(hpath)
+            if st.isDirectory()
+        )
+    return sorted(out)
+
+
+def _snapshot_batches(spark, path: str) -> None:
+    """Freeze the batch set a compaction will fold: move `batches/` (or its
+    children, when a crashed run already left a snapshot) into
+    `batches__compacting/`. Renames only — no data copies on HDFS/local; on
+    an object store the rename is a copy, same as any directory swap."""
+    fs, mkpath = _hadoop_fs(spark, path)
+    src, dst = mkpath(f"{path}/batches"), mkpath(f"{path}/{_SNAP_DIR}")
+    if not fs.exists(src):
+        return
+    if not fs.exists(dst):
+        fs.rename(src, dst)
+        return
+    for st in fs.listStatus(src):
+        fs.rename(st.getPath(), mkpath(f"{path}/{_SNAP_DIR}/{st.getPath().getName()}"))
+    fs.delete(src, True)
+
+
+def _commit_compaction(spark, path: str, names: tuple[str, ...]) -> None:
+    """Swap every staged `{name}__compact_tmp` into place, then drop the
+    snapshot and the marker. IDEMPOTENT over any crash point: each step is
+    conditioned on what exists, so re-running finishes a partial commit
+    (tmp already swapped -> skipped; live already renamed away -> tmp just
+    renamed in) without double-folding anything."""
+    fs, mkpath = _hadoop_fs(spark, path)
+    for name in names:
+        tmp = mkpath(f"{path}/{name}__compact_tmp")
+        live = mkpath(f"{path}/{name}")
+        old = mkpath(f"{path}/{name}__compact_old")
+        if fs.exists(tmp):
+            if fs.exists(live):
+                fs.rename(live, old)
+            fs.rename(tmp, live)
+        if fs.exists(old):
+            fs.delete(old, True)
+    fs.delete(mkpath(f"{path}/{_SNAP_DIR}"), True)
+    fs.delete(mkpath(f"{path}/{_COMMIT_MARKER}"), True)
+    # drop any session-shared cached file listings for the swapped dirs
+    spark.catalog.refreshByPath(path)
+
+
+def _write_commit_marker(spark, path: str) -> None:
+    fs, mkpath = _hadoop_fs(spark, path)
+    fs.create(mkpath(f"{path}/{_COMMIT_MARKER}"), True).close()
+
+
+def _has_commit_marker(spark, path: str) -> bool:
+    fs, mkpath = _hadoop_fs(spark, path)
+    return bool(fs.exists(mkpath(f"{path}/{_COMMIT_MARKER}")))
 
 
 def _data_roots(spark, path: str, data_subdir: str) -> list[str]:
@@ -176,6 +250,7 @@ def _compact_layout(
     files_per_bucket: int = 1,
     bucket_col: str = "partition_id",
     write_sidecars: bool = True,
+    staged_names: tuple[str, ...] = (),
 ) -> int:
     """Maintenance: merge the base directory and all per-batch appends into a
     fresh bucketed base with ~files_per_bucket files per bucket, rewrite the
@@ -187,9 +262,28 @@ def _compact_layout(
     QUIESCED AND ITS LAST BATCH CHECKPOINT-COMMITTED: compaction folds the
     batch directories into the base and deletes them, so a batch that was
     written but not yet committed would be re-delivered on restart and
-    duplicate its vectors. Concurrent readers holding the OLD file listing
-    will fail mid-scan on a local/HDFS filesystem; on an object store front
-    this with a versioned manifest. Returns the merged row count."""
+    duplicate its vectors.
+
+    CRASH SAFETY (single-writer contract): the batch set is first frozen by
+    renaming `batches/` -> `batches__compacting/` (readers union both, so
+    exactly one copy of every batch stays visible), then ALL merged output
+    is staged under `__compact_tmp` dirs, and only then does a marker-file-
+    guarded commit swap everything in and drop the snapshot. A crash before
+    the marker leaves base + snapshot untouched (retry recomputes from the
+    same state — no double-fold); a crash during the commit is finished
+    idempotently on the next call via `_commit_compaction`. Readers during
+    the commit's directory renames can briefly fail or see relations from
+    two generations — on an object store front this with a versioned
+    manifest. Returns the merged row count.
+
+    `staged_names` lets a caller (compact_term_index) pre-stage additional
+    sidecar relations whose swap must ride the SAME commit."""
+    marker_names = (data_subdir,) + tuple(staged_names)
+    if _has_commit_marker(spark, path):
+        # a previous run crashed mid-commit; its staged tmps are complete
+        # (the marker is written only after every tmp), so finish it first
+        _commit_compaction(spark, path, marker_names)
+    _snapshot_batches(spark, path)
     merged = _read_layout(spark, path, data_subdir)
     n_buckets = merged.select(bucket_col).distinct().count()
     tmp = f"{path}/{data_subdir}__compact_tmp"
@@ -205,22 +299,8 @@ def _compact_layout(
         .partitionBy(bucket_col)
         .parquet(tmp)
     )
-    # directory swap through the Hadoop FileSystem API (NOT local shutil),
-    # so compaction works wherever Spark can write - HDFS, file://, s3a
-    jvm = spark.sparkContext._jvm
-    conf = spark.sparkContext._jsc.hadoopConfiguration()
-
-    def _hpath(p: str):
-        return jvm.org.apache.hadoop.fs.Path(p)
-
-    fs = _hpath(path).getFileSystem(conf)
-    old = f"{path}/{data_subdir}__compact_old"
-    fs.rename(_hpath(f"{path}/{data_subdir}"), _hpath(old))
-    fs.rename(_hpath(tmp), _hpath(f"{path}/{data_subdir}"))
-    fs.delete(_hpath(old), True)
-    fs.delete(_hpath(f"{path}/batches"), True)
-    # drop any session-shared cached file listings for the swapped dirs
-    spark.catalog.refreshByPath(path)
+    _write_commit_marker(spark, path)
+    _commit_compaction(spark, path, marker_names)
     compacted = spark.read.parquet(f"{path}/{data_subdir}")
     if write_sidecars:
         _write_sidecars(

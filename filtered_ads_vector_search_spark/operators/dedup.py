@@ -826,26 +826,48 @@ BLOOM_HASHES = 3
 _BLOOM_SEED = 7700
 
 
-def _bloom_positions(sh: Column, m: int, kb: int) -> list[Column]:
-    base = str_hash_col(sh)
+def _bloom_positions_h(shh: Column, m: int, kb: int) -> list[Column]:
+    """Bit positions for an ALREADY str_hash_col-reduced shingle (int64)."""
     return [
-        F.pmod(portable_hash_col(base, seed=_BLOOM_SEED + i), F.lit(m))
+        F.pmod(portable_hash_col(shh, seed=_BLOOM_SEED + i), F.lit(m))
         for i in range(kb)
     ]
 
 
+def _bloom_positions(sh: Column, m: int, kb: int) -> list[Column]:
+    return _bloom_positions_h(str_hash_col(sh), m, kb)
+
+
+def _bloom_size_for(n_keys: int) -> int:
+    """Bitmap size for an eval shingle set of ``n_keys``: ~16 bits/key
+    (false-positive rate ~0.5% at kb=3), rounded up to a multiple of 64,
+    floored at the demonstration default and capped at 2^20 bits — beyond
+    that the literal-array expression form is the wrong vehicle (the
+    docstring's broadcast-variable note) and the prefilter degrades to
+    pass-through rather than growing an unboundedly large expression."""
+    want = max(BLOOM_BITS, 16 * max(n_keys, 1))
+    return min(1 << 20, (want + 63) // 64 * 64)
+
+
 def bloom_bitmap(
-    shingles: DataFrame, col: str = "sh", m: int = BLOOM_BITS, kb: int = BLOOM_HASHES
+    shingles: DataFrame,
+    col: str = "sh",
+    m: int = BLOOM_BITS,
+    kb: int = BLOOM_HASHES,
+    hashed: bool = False,
 ) -> list[int]:
     """Build an m-bit Bloom bitmap of a shingle relation as m/64 signed
     longs. The build is a map-combinable bit_or aggregate over word indices,
     so the driver collects AT MOST m/64 rows no matter how many shingles go
     in — the bounded-collect discipline (same as centroid/codebook tables).
+    ``hashed=True`` means ``col`` already holds the 60-bit ``str_hash_col``
+    reduction of the shingle (int64) rather than the raw string.
     """
     if m % 64 != 0:
         raise ValueError(f"bloom bits m must be a multiple of 64, got {m}")
+    mk_pos = _bloom_positions_h if hashed else _bloom_positions
     pos = shingles.select(
-        F.explode(F.array(*_bloom_positions(F.col(col), m, kb))).alias("p")
+        F.explode(F.array(*mk_pos(F.col(col), m, kb))).alias("p")
     )
     words = (
         pos.select(
@@ -867,7 +889,7 @@ def contamination_flags_bloom(
     eval_docs: DataFrame,
     n: int = 5,
     text_col: str = "text",
-    m: int = BLOOM_BITS,
+    m: int | None = None,
     kb: int = BLOOM_HASHES,
 ) -> DataFrame:
     """`contamination_flags` with a Bloom-bitmap runtime prefilter: the eval
@@ -875,7 +897,15 @@ def contamination_flags_bloom(
     training shingle is bit-tested BEFORE the equi-join. Bloom false
     positives pass the prefilter but die in the exact join that follows, so
     the RESULT is identical to `contamination_flags` (the registry reuses
-    the exact form's oracle) — only the plan changes.
+    the exact form's oracle) — only the plan changes.  Both the bitmap keys
+    and the final join use the SAME 60-bit `str_hash_col` reduction as the
+    exact form, so the two forms agree even on cross-string hash collisions
+    (the oracle contract is exact, not merely overwhelmingly-likely).
+
+    ``m=None`` (default) sizes the bitmap from the eval shingle count
+    (~16 bits/key, `_bloom_size_for`) — the fixed 8192-bit demonstration
+    default would saturate past ~1k distinct eval shingles and pass
+    everything.  Sizing costs one count of the (tiny, distinct) eval side.
 
     When it matters: `contamination_flags` broadcasts the eval shingle set
     as a join hash table — fine for benchmark-sized eval corpora. When the
@@ -884,32 +914,37 @@ def contamination_flags_bloom(
     (2^30 bits = 128 MiB at real scale) still fits executor memory and
     prunes the training side AT THE SCAN, cutting the shuffle to
     near-only-true-collisions. The bit test itself is whole-stage-codegen
-    arithmetic (no UDF). NOTE the literal-array form here is sized for the
-    DEMONSTRATION default (m/64 = 128 lit elements); at 2^30 bits the
-    bitmap must ship as a broadcast variable consumed by a pandas_udf bit
-    test (or a literal BINARY column), not an array-of-literals expression
-    — the expression tree itself would be 16M nodes."""
+    arithmetic (no UDF). NOTE the literal-array form here is capped at 2^20
+    bits (m/64 = 16k lit elements); at 2^30 bits the bitmap must ship as a
+    broadcast variable consumed by a pandas_udf bit test (or a literal
+    BINARY column), not an array-of-literals expression — the expression
+    tree itself would be 16M nodes."""
+    # (doc_id, shh) exactly like the exact form: word_shingles is
+    # array_distinct per document, so no corpus-wide distinct is needed
     d = docs.select(
         "doc_id", F.explode(word_shingles(F.col(text_col), n)).alias("sh")
-    ).distinct()
+    ).select("doc_id", str_hash_col(F.col("sh")).alias("shh"))
     e = (
         eval_docs.select(F.explode(word_shingles(F.col(text_col), n)).alias("sh"))
+        .select(str_hash_col(F.col("sh")).alias("shh"))
         .distinct()
     )
-    bm = bloom_bitmap(e, m=m, kb=kb)
+    if m is None:
+        m = _bloom_size_for(e.count())
+    bm = bloom_bitmap(e, col="shh", m=m, kb=kb, hashed=True)
     bitmap = F.array(*[F.lit(w).cast("long") for w in bm])
     probe = d.withColumn("_bm", bitmap)
     hit = None
-    for i, p in enumerate(_bloom_positions(F.col("sh"), m, kb)):
+    for i, p in enumerate(_bloom_positions_h(F.col("shh"), m, kb)):
         probe = probe.withColumn(f"_p{i}", p)
         t = F.expr(
             f"((element_at(_bm, cast(_p{i} / 64 AS INT) + 1) "
             f">> cast(_p{i} % 64 AS INT)) & 1) = 1"
         )
         hit = t if hit is None else (hit & t)
-    pre = probe.filter(hit).select("doc_id", "sh")
+    pre = probe.filter(hit).select("doc_id", "shh")
     return (
-        pre.join(F.broadcast(e), "sh")
+        pre.join(F.broadcast(e), "shh")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
@@ -1172,19 +1207,38 @@ LEFT JOIN covered c ON c.doc_id = l.doc_id
 # over trained KMeans cells (quality path, same plan shape).
 
 
-def semdedup_pairs(
+# The SemDeDup paper clusters web-scale corpora into ~N/50k cells (100k
+# clusters over ~5B embeddings); that regime keeps the |cluster|² pair work
+# bounded at ~2.5e9 comparisons per cell worst-case and is the scale default
+# here when ``n_clusters`` is not pinned.
+SEMDEDUP_ROWS_PER_CLUSTER = 50_000
+
+
+def _semdedup_assigned(
     embeddings: DataFrame,
-    n_clusters: int = 8,
-    max_cos_dist: float = 0.2,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
+    n_clusters: int | None,
+    id_col: str,
+    vec_col: str,
+    max_cluster_rows: int | None,
 ) -> DataFrame:
-    """Within-cluster cosine near-dup pairs (cluster_id, id_a, id_b,
-    cos_dist), id_a < id_b.  One shuffle on cluster_id for the self-join;
-    per-cluster pair cost is |cluster|² — bounded by the coarse quantizer,
-    never an all-corpus crossJoin."""
+    """Single shared cluster-assignment pass for ``semdedup_pairs`` /
+    ``semdedup_keep`` (one ``IVFIndex.build_fixed`` call, persisted by the
+    build, reused by every downstream join).
+
+    ``n_clusters=None`` derives the paper-regime default
+    ``ceil(N / SEMDEDUP_ROWS_PER_CLUSTER)`` from a corpus count — one extra
+    scan, paid only when the caller does not pin the knob.
+
+    ``max_cluster_rows`` guards against a degenerate quantizer (e.g. an
+    all-near-identical corpus collapsing into one cell, which would turn the
+    per-cluster quadratic into an all-pairs corpus²): cluster sizes are a
+    |clusters|-sized aggregate, and the build RAISES if any cell exceeds the
+    bound instead of silently launching an infeasible self-join."""
     from .ann import IVFIndex
 
+    if n_clusters is None:
+        n_rows = embeddings.count()
+        n_clusters = max(2, -(-n_rows // SEMDEDUP_ROWS_PER_CLUSTER))
     idx = IVFIndex.build_fixed(
         embeddings, n_centroids=n_clusters, id_col=id_col, vec_col=vec_col
     )
@@ -1192,6 +1246,48 @@ def semdedup_pairs(
         F.col("partition_id").alias("cluster_id"),
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
+    )
+    if max_cluster_rows is not None:
+        biggest = (
+            assigned.groupBy("cluster_id")
+            .count()
+            .agg(F.max("count").alias("m"))
+            .first()["m"]
+        )
+        if biggest is not None and biggest > max_cluster_rows:
+            raise ValueError(
+                f"SemDeDup degenerate clustering: largest cluster has "
+                f"{biggest} rows > max_cluster_rows={max_cluster_rows}; "
+                f"within-cluster pair cost is quadratic, so raise n_clusters "
+                f"(~N/{SEMDEDUP_ROWS_PER_CLUSTER}) or the bound explicitly."
+            )
+    return assigned
+
+
+def semdedup_pairs(
+    embeddings: DataFrame,
+    n_clusters: int | None = None,
+    max_cos_dist: float = 0.2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster_rows: int | None = 200_000,
+    _assigned: DataFrame | None = None,
+) -> DataFrame:
+    """Within-cluster cosine near-dup pairs (cluster_id, id_a, id_b,
+    cos_dist), id_a < id_b.  One shuffle on cluster_id for the self-join;
+    per-cluster pair cost is |cluster|² — bounded by the coarse quantizer,
+    never an all-corpus crossJoin.
+
+    ``n_clusters=None`` (default) derives ~N/50k cells from the corpus size
+    (the SemDeDup paper's regime); pin it for reproducible oracle runs.
+    ``max_cluster_rows`` raises on a degenerate cell before the quadratic
+    join launches — see ``_semdedup_assigned``."""
+    assigned = (
+        _assigned
+        if _assigned is not None
+        else _semdedup_assigned(
+            embeddings, n_clusters, id_col, vec_col, max_cluster_rows
+        )
     )
     a = assigned.select(
         "cluster_id", F.col("id").alias("id_a"), F.col("v").alias("v_a")
@@ -1211,31 +1307,35 @@ def semdedup_pairs(
 
 def semdedup_keep(
     embeddings: DataFrame,
-    n_clusters: int = 8,
+    n_clusters: int | None = None,
     max_cos_dist: float = 0.2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_cluster_rows: int | None = 200_000,
 ) -> DataFrame:
     """Survivors of the greedy keep rule: a vector is dropped iff some
     lower-id vector in ITS cluster is within max_cos_dist.  Exactly the
-    pairs' id_b side, removed with one left_anti join — no iteration."""
-    from .ann import IVFIndex
+    pairs' id_b side, removed with one left_anti join — no iteration.
 
+    Runs ONE shared cluster assignment (a single ``IVFIndex.build_fixed``,
+    persisted) feeding both the pair generation and the keep base — not a
+    second full-corpus quantizer pass."""
+    assigned = _semdedup_assigned(
+        embeddings, n_clusters, id_col, vec_col, max_cluster_rows
+    )
     pairs = semdedup_pairs(
         embeddings,
-        n_clusters=n_clusters,
         max_cos_dist=max_cos_dist,
         id_col=id_col,
         vec_col=vec_col,
-    )
-    idx = IVFIndex.build_fixed(
-        embeddings, n_centroids=n_clusters, id_col=id_col, vec_col=vec_col
-    )
-    assigned = idx.assigned.select(
-        F.col(id_col).alias("id"), F.col("partition_id").alias("cluster_id")
+        _assigned=assigned,
     )
     dropped = pairs.select(F.col("id_b").alias("id")).distinct()
-    return assigned.join(dropped, "id", "left_anti").select("id", "cluster_id")
+    return (
+        assigned.select("id", "cluster_id")
+        .join(dropped, "id", "left_anti")
+        .select("id", "cluster_id")
+    )
 
 
 def _semdedup_ctes(

@@ -293,31 +293,42 @@ def append_to_term_index(
     return n
 
 
+_TERM_INDEX_RELATIONS = ("terms", "doclen", "stats", "meta")
+
+
 def compact_term_index(spark, path: str, files_per_bucket: int = 1) -> int:
     """Fold per-batch appends back into the base layout: merge doclen/stats/
-    meta (additive aggregates) into fresh base tables, then rewrite the
-    postings relation to ~files_per_bucket files per bucket and drop the
-    batch directories (same quiesced-stream caveats as ann.compact_layout).
+    meta (additive aggregates) into fresh base tables, rewrite the postings
+    relation to ~files_per_bucket files per bucket, and drop the batch
+    directories (same quiesced-stream caveats as ann.compact_layout).
+
+    All four relations are folded from ONE frozen batch snapshot
+    (`batches/` renamed to `batches__compacting/` up front — readers union
+    both, so every batch row stays visible exactly once), staged under
+    `__compact_tmp` dirs, and swapped in by a single marker-file-guarded
+    commit shared with the terms rewrite. A crash before the marker leaves
+    base + snapshot untouched and a retry recomputes from the same state —
+    re-running can never double-fold doc lengths or df into the base; a
+    crash during the commit is finished idempotently by the next call.
     Returns the merged postings row count."""
-    from .ann import _compact_layout, _read_sidecar
+    from .ann import (
+        _commit_compaction,
+        _compact_layout,
+        _has_commit_marker,
+        _read_sidecar,
+        _snapshot_batches,
+    )
 
-    jvm = spark.sparkContext._jvm
-    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    if _has_commit_marker(spark, path):
+        # previous run crashed mid-commit; its tmps are complete — finish it
+        _commit_compaction(spark, path, _TERM_INDEX_RELATIONS)
+    _snapshot_batches(spark, path)
 
-    def _hpath(p: str):
-        return jvm.org.apache.hadoop.fs.Path(p)
+    def _stage(df: DataFrame, name: str) -> None:
+        df.write.mode("overwrite").parquet(f"{path}/{name}__compact_tmp")
 
-    fs = _hpath(path).getFileSystem(conf)
-
-    def _swap_in(df: DataFrame, name: str) -> None:
-        tmp, old = f"{path}/{name}__compact_tmp", f"{path}/{name}__compact_old"
-        df.write.mode("overwrite").parquet(tmp)
-        fs.rename(_hpath(f"{path}/{name}"), _hpath(old))
-        fs.rename(_hpath(tmp), _hpath(f"{path}/{name}"))
-        fs.delete(_hpath(old), True)
-
-    _swap_in(_read_sidecar(spark, path, "doclen"), "doclen")
-    _swap_in(
+    _stage(_read_sidecar(spark, path, "doclen"), "doclen")
+    _stage(
         _read_sidecar(spark, path, "stats")
         .groupBy("term")
         .agg(F.sum("df").alias("df")),
@@ -328,8 +339,9 @@ def compact_term_index(spark, path: str, files_per_bucket: int = 1) -> int:
         F.sum("sum_dl").alias("sum_dl"),
         F.max("n_buckets").alias("n_buckets"),
     )
-    _swap_in(meta.coalesce(1), "meta")
-    # rewrites terms/, deletes {path}/batches, refreshes cached listings
+    _stage(meta.coalesce(1), "meta")
+    # stages terms__compact_tmp, then commits ALL four staged relations,
+    # drops the snapshot, and refreshes cached listings
     return _compact_layout(
         spark,
         path,
@@ -339,6 +351,7 @@ def compact_term_index(spark, path: str, files_per_bucket: int = 1) -> int:
         files_per_bucket=files_per_bucket,
         bucket_col="term_bucket",
         write_sidecars=False,
+        staged_names=("doclen", "stats", "meta"),
     )
 
 

@@ -93,14 +93,23 @@ def read_webdataset(spark: SparkSession, path: str) -> DataFrame:
     (legal in tar; last occurrence wins by the format's convention) keep
     the highest member_seq payload instead of crashing map construction.
     """
-    members = read_tar_members(spark, path)
-    dot = F.instr(F.col("member_name"), ".")
-    key = F.when(dot > 0, F.expr("substring(member_name, 1, instr(member_name, '.') - 1)")).otherwise(
-        F.col("member_name")
+    # The split point is the first dot of the BASENAME, with any directory
+    # prefix kept in the key (the published WebDataset rule) — splitting on
+    # the first dot of the full path would collapse distinct samples under a
+    # dotted directory ('v1.0/000123.jpg' must key as 'v1.0/000123', not 'v1')
+    members = read_tar_members(spark, path).withColumn(
+        "_base", F.substring_index(F.col("member_name"), "/", -1)
+    ).withColumn("_dot", F.instr(F.col("_base"), "."))
+    prefix = F.expr(
+        "substring(member_name, 1, length(member_name) - length(_base))"
     )
-    ext = F.when(dot > 0, F.expr("substring(member_name, instr(member_name, '.') + 1)")).otherwise(
-        F.lit("")
-    )
+    key = F.when(
+        F.col("_dot") > 0,
+        F.concat(prefix, F.expr("substring(_base, 1, _dot - 1)")),
+    ).otherwise(F.col("member_name"))
+    ext = F.when(
+        F.col("_dot") > 0, F.expr("substring(_base, _dot + 1)")
+    ).otherwise(F.lit(""))
     latest = (
         members.select(
             "shard", key.alias("key"), ext.alias("ext"), "member_seq", "payload"
@@ -123,15 +132,37 @@ def write_tar_shards(
     out_dir/shard-NNNNN.tar. Shard assignment is a deterministic hash of the
     member name (stable across partitioning); member order inside a shard is
     sorted by name, so byte-identical reruns produce byte-identical shards
-    (modulo tar mtime fields, which are zeroed). Returns shards written."""
-    import os
+    (modulo tar mtime fields, which are zeroed). Returns shards written.
 
-    os.makedirs(out_dir, exist_ok=True)
+    Shard bytes are written FROM THE EXECUTORS through a scheme-dispatched
+    filesystem — plain POSIX I/O for local paths, `pyarrow.fs` for remote
+    URIs (s3://, gs://, hdfs:// where libhdfs is available) — never a
+    driver-side collect of shard bytes. An out_dir whose scheme pyarrow
+    cannot resolve raises in the task rather than silently landing shards
+    on executor-local disks (executors have no JVM gateway, so the Hadoop
+    FileSystem route the layout-maintenance code uses is driver-only)."""
     assigned = df.select(
         F.pmod(F.xxhash64(F.col(name_col)), F.lit(n_shards)).alias("_s"),
         F.col(name_col).alias("n"),
         F.col(payload_col).alias("p"),
     ).repartition(n_shards, "_s")
+
+    def _open_shard(fname: str):
+        from urllib.parse import urlparse
+
+        scheme = urlparse(out_dir).scheme
+        # single-letter schemes are Windows drive letters, not URIs
+        if len(scheme) <= 1 or scheme == "file":
+            import os
+
+            local = out_dir[len("file://"):] if scheme == "file" else out_dir
+            os.makedirs(local, exist_ok=True)
+            return open(f"{local}/{fname}", "wb")
+        import pyarrow.fs as pafs
+
+        fs, root = pafs.FileSystem.from_uri(out_dir)
+        fs.create_dir(root, recursive=True)
+        return fs.open_output_stream(f"{root}/{fname}")
 
     def write_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         rows = []
@@ -145,12 +176,15 @@ def write_tar_shards(
             by_shard.setdefault(int(s), []).append((str(n), bytes(p)))
         out: dict[str, list] = {"shard_id": [], "n_members": []}
         for s, members in by_shard.items():
-            with tarfile.open(f"{out_dir}/shard-{s:05d}.tar", "w") as tf:
-                for n, p in sorted(members):
-                    info = tarfile.TarInfo(name=n)
-                    info.size = len(p)
-                    info.mtime = 0
-                    tf.addfile(info, io.BytesIO(p))
+            with _open_shard(f"shard-{s:05d}.tar") as fh:
+                # "w|" (stream mode): strictly sequential writes, no
+                # seek/tell — required for remote output streams
+                with tarfile.open(fileobj=fh, mode="w|") as tf:
+                    for n, p in sorted(members):
+                        info = tarfile.TarInfo(name=n)
+                        info.size = len(p)
+                        info.mtime = 0
+                        tf.addfile(info, io.BytesIO(p))
             out["shard_id"].append(s)
             out["n_members"].append(len(members))
         yield pd.DataFrame(out)

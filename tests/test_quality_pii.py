@@ -43,6 +43,36 @@ def test_semdedup_single_cluster_equals_brute(spark):
     }
 
 
+def test_semdedup_degenerate_cluster_guard_raises(spark):
+    """A degenerate quantizer (here forced with n_clusters=1) must RAISE
+    before launching the quadratic self-join once the largest cell exceeds
+    max_cluster_rows — the all-near-identical-corpus failure mode."""
+    emb = _emb(spark).limit(50)
+    with pytest.raises(ValueError, match="degenerate clustering"):
+        DD.semdedup_pairs(emb, n_clusters=1, max_cos_dist=0.7, max_cluster_rows=10)
+    with pytest.raises(ValueError, match="degenerate clustering"):
+        DD.semdedup_keep(emb, n_clusters=1, max_cos_dist=0.7, max_cluster_rows=10)
+
+
+def test_semdedup_derived_n_clusters_and_shared_build(spark, monkeypatch):
+    """n_clusters=None derives ceil(N/50k) (>=2); semdedup_keep runs exactly
+    ONE IVFIndex.build_fixed for pairs + keep combined."""
+    from filtered_ads_vector_search_spark.operators import ann as ANN
+
+    emb = _emb(spark).limit(80)
+    calls = []
+    orig = ANN.IVFIndex.build_fixed
+
+    def counting(*args, **kwargs):
+        calls.append(kwargs.get("n_centroids", args[1] if len(args) > 1 else None))
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(ANN.IVFIndex, "build_fixed", staticmethod(counting))
+    kept = DD.semdedup_keep(emb, n_clusters=None, max_cos_dist=0.7)
+    kept.collect()
+    assert calls == [2], calls  # 80 rows -> max(2, ceil(80/50k)) = 2, once
+
+
 def test_semdedup_keep_no_remaining_intra_cluster_pair(spark):
     """Greedy keep rule fixpoint: among survivors there is NO intra-cluster
     pair within the threshold whose lower id is also kept (the lower-id

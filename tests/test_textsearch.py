@@ -129,8 +129,85 @@ def test_bm25_index_append_and_compact(spark, tmp_path):
     import pathlib
 
     assert not (pathlib.Path(path) / "batches").exists()
+    assert not (pathlib.Path(path) / "batches__compacting").exists()
     after = sorted(map(tuple, TS.bm25_search_index(spark, path, qs, k=10).collect()))
     assert after == want
+
+
+def test_compact_term_index_crash_retry_no_double_fold(spark, tmp_path):
+    """Crash-safety of the snapshot+marker compaction protocol.
+
+    (1) crash BEFORE the commit marker: the batch set is already parked in
+    batches__compacting and stale __compact_tmp dirs exist — readers still
+    see exactly one copy of every batch, and a retry folds from the same
+    base+snapshot state (no double-counted doc lengths / df).
+    (2) crash DURING the commit (marker written, some relations swapped):
+    the next call finishes the commit idempotently."""
+    from filtered_ads_vector_search_spark.operators.ann import (
+        _snapshot_batches,
+        _write_commit_marker,
+    )
+
+    docs = spark.read.parquet(f"{SF_TEST}/documents.parquet")
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    qs = spark.createDataFrame(
+        [(1, "spark window agg"), (2, "vector scan filter")],
+        "query_id int, query_text string",
+    )
+    full = str(tmp_path / "tidx_full")
+    TS.write_term_index(docs, full, n_buckets=16)
+    want = sorted(map(tuple, TS.bm25_search_index(spark, full, qs, k=10).collect()))
+
+    # --- (1) pre-marker crash: snapshot taken, one stale tmp staged
+    path = str(tmp_path / "tidx_crash1")
+    TS.write_term_index(old, path, n_buckets=16)
+    TS.append_to_term_index(spark, path, new, batch_id=7)
+    _snapshot_batches(spark, path)  # "crashed" run froze the batch set...
+    # ...and had staged a doclen tmp before dying (stale content on retry)
+    spark.range(1).selectExpr(
+        "cast(id as long) AS doc_id", "cast(999 as long) AS dl"
+    ).write.parquet(f"{path}/doclen__compact_tmp")
+    # readers still see base + snapshot = exactly one copy of every batch
+    mid = sorted(map(tuple, TS.bm25_search_index(spark, path, qs, k=10).collect()))
+    assert mid == want
+    TS.compact_term_index(spark, path)  # retry: recomputes, no double-fold
+    got = sorted(map(tuple, TS.bm25_search_index(spark, path, qs, k=10).collect()))
+    assert got == want
+
+    # --- (2) mid-commit crash: all tmps staged + marker written, nothing
+    # swapped yet; the next compact_term_index call must finish the commit
+    path2 = str(tmp_path / "tidx_crash2")
+    TS.write_term_index(old, path2, n_buckets=16)
+    TS.append_to_term_index(spark, path2, new, batch_id=3)
+    _snapshot_batches(spark, path2)
+    from filtered_ads_vector_search_spark.operators.ann import _read_sidecar
+
+    _read_sidecar(spark, path2, "doclen").write.parquet(
+        f"{path2}/doclen__compact_tmp"
+    )
+    _read_sidecar(spark, path2, "stats").groupBy("term").agg(
+        F.sum("df").alias("df")
+    ).write.parquet(f"{path2}/stats__compact_tmp")
+    _read_sidecar(spark, path2, "meta").agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("sum_dl").alias("sum_dl"),
+        F.max("n_buckets").alias("n_buckets"),
+    ).coalesce(1).write.parquet(f"{path2}/meta__compact_tmp")
+    from filtered_ads_vector_search_spark.operators.ann import _read_layout
+
+    _read_layout(spark, path2, "terms").write.partitionBy("term_bucket").parquet(
+        f"{path2}/terms__compact_tmp"
+    )
+    _write_commit_marker(spark, path2)
+    TS.compact_term_index(spark, path2)  # finishes the crashed commit first
+    import pathlib
+
+    assert not (pathlib.Path(path2) / "batches").exists()
+    assert not (pathlib.Path(path2) / "batches__compacting").exists()
+    assert not (pathlib.Path(path2) / "__compact_commit").exists()
+    got2 = sorted(map(tuple, TS.bm25_search_index(spark, path2, qs, k=10).collect()))
+    assert got2 == want
     # bounded files per bucket after compaction
     for bdir in (pathlib.Path(path) / "terms").glob("term_bucket=*"):
         assert len(list(bdir.glob("*.parquet"))) <= 1, bdir

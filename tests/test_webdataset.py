@@ -56,6 +56,32 @@ def test_webdataset_grouping(spark, tmp_path):
         assert r.shard == f"shard-{i % 2:05d}.tar"
 
 
+def test_webdataset_key_splits_on_basename_dot(spark, tmp_path):
+    """The WebDataset grouping rule splits key/ext at the first dot of the
+    BASENAME; a dotted directory component must stay in the key ('v1.0/x.jpg'
+    -> key 'v1.0/x', ext 'jpg'), and distinct samples under it must not
+    collapse into one row."""
+    p = tmp_path / "shard-00000.tar"
+    with tarfile.open(p, "w") as tf:
+        for name, data in [
+            ("v1.0/000123.jpg", b"img-123"),
+            ("v1.0/000123.txt", b"cap-123"),
+            ("v1.0/000124.jpg", b"img-124"),
+            ("v1.0/000124.txt", b"cap-124"),
+            ("nodir.tar.gz", b"double-ext"),
+            ("plainnoext", b"bare"),
+        ]:
+            info = tarfile.TarInfo(name=name)
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+    rows = {r.key: dict(r.parts) for r in WD.read_webdataset(spark, str(p)).collect()}
+    assert set(rows) == {"v1.0/000123", "v1.0/000124", "nodir", "plainnoext"}
+    assert bytes(rows["v1.0/000123"]["jpg"]) == b"img-123"
+    assert bytes(rows["v1.0/000124"]["txt"]) == b"cap-124"
+    assert bytes(rows["nodir"]["tar.gz"]) == b"double-ext"
+    assert bytes(rows["plainnoext"][""]) == b"bare"
+
+
 def test_write_tar_shards_deterministic(spark, tmp_path):
     rows = [(f"m{i:03d}.bin", bytes([i] * 10)) for i in range(20)]
     df = spark.createDataFrame(rows, "member_name string, payload binary")
