@@ -43,6 +43,15 @@ def portable_hash_col(col: Column, seed: int = 0) -> Column:
     return h2
 
 
+def portable_hash_np(arr, seed: int = 0):
+    """NumPy twin of portable_hash_col for Arrow-batched kernels (same
+    constants, same two mixing rounds; int64-safe: every intermediate is
+    < P * A2 ≈ 1.8e14)."""
+    h0 = (arr.astype("int64") + seed * 7919) % P
+    h1 = (h0 * A1 + C1) % P
+    return (h1 * A2 + C2) % P
+
+
 def portable_hash_sql(expr: str, seed: int = 0) -> str:
     # CAST to BIGINT: DuckDB types integer parquet columns as INT32, and
     # e.g. id + seed*7919 can exceed 2^31 (seed 1337 overflows at id

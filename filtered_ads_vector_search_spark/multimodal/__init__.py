@@ -2,14 +2,22 @@
 ``binary`` columns with typed metadata; decode/feature-extract as Pandas UDFs
 over ``mapInPandas``).
 
-Uncompressed BMP and PCM WAV payloads are decoded FOR REAL by the pure-Python
-codecs module (headers, pixels, samples — no external libs); the
-deterministic fake payload covers the remaining media types, and compressed
-formats raise NotImplementedError at the clearly marked seam where
-PIL/ffmpeg would plug in.
+Uncompressed BMP, PCM WAV, and baseline JPEG payloads are decoded FOR REAL
+by the pure-Python codecs/jpeg modules (headers, pixels, samples — no
+external libs); the deterministic fake payload covers the remaining media
+types, and the remaining compressed formats (progressive JPEG/H.264/AAC)
+raise NotImplementedError at the clearly marked seam where PIL/ffmpeg would
+plug in.
 """
 
-from .columns import MEDIA_META_SCHEMA, with_real_media, with_synthetic_media
+from .columns import (
+    MEDIA_META_SCHEMA,
+    jpeg_source_pixels,
+    real_jpeg_payload,
+    with_real_jpeg,
+    with_real_media,
+    with_synthetic_media,
+)
 from .udfs import (
     content_stats,
     decode_media_meta,
@@ -20,6 +28,9 @@ from .udfs import (
 
 __all__ = [
     "MEDIA_META_SCHEMA",
+    "jpeg_source_pixels",
+    "real_jpeg_payload",
+    "with_real_jpeg",
     "with_real_media",
     "with_synthetic_media",
     "content_stats",

@@ -1,10 +1,12 @@
-"""Minimal pure-Python real-media codecs: uncompressed BMP and PCM WAV.
+"""Minimal pure-Python real-media codecs: BMP, PCM WAV, and baseline JPEG.
 
 This makes the real-codec seam in udfs._parse_header exercisable without any
 external image/audio library: BI_RGB 24-bit BMP and RIFF/WAVE PCM s16le mono
-are simple enough to encode/decode with struct + numpy, yet are REAL file
-formats a user could drop into the payload column. Compressed codecs
-(JPEG/H.264/AAC) remain behind the NotImplementedError seam.
+are simple enough to encode/decode with struct + numpy, and baseline
+sequential JPEG (SOF0 — the dominant real-world image format) is a full
+pure-NumPy implementation in the sibling ``jpeg`` module, re-exported here.
+Remaining compressed codecs (progressive JPEG/H.264/AAC) stay behind the
+NotImplementedError seam.
 
 The reference has no media pipeline at all — this is part of the
 beyond-reference training-data-pipeline surface (brief: multimodal columns).
@@ -16,6 +18,8 @@ import struct
 
 import numpy as np
 
+from .jpeg import decode_jpeg_meta, decode_jpeg_pixels, encode_jpeg
+
 __all__ = [
     "encode_bmp",
     "decode_bmp_meta",
@@ -24,6 +28,11 @@ __all__ = [
     "encode_wav",
     "decode_wav_meta",
     "decode_wav_samples",
+    "encode_jpeg",
+    "decode_jpeg_meta",
+    "decode_jpeg_pixels",
+    "decode_image_pixels",
+    "resize_image",
     "sniff",
 ]
 
@@ -36,12 +45,38 @@ def _row_size(width: int) -> int:
 
 
 def sniff(raw: bytes) -> str | None:
-    """'bmp' | 'wav' | None for unrecognized payloads."""
+    """'bmp' | 'wav' | 'jpeg' | None for unrecognized payloads."""
     if raw[:2] == b"BM":
         return "bmp"
     if raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
         return "wav"
+    if raw[:3] == b"\xff\xd8\xff":
+        return "jpeg"
     return None
+
+
+def decode_image_pixels(raw: bytes) -> np.ndarray:
+    """Any supported image payload -> (height, width, 3) uint8 RGB."""
+    kind = sniff(raw)
+    if kind == "bmp":
+        return decode_bmp_pixels(raw)
+    if kind == "jpeg":
+        return decode_jpeg_pixels(raw)
+    raise ValueError(f"not a decodable image payload (sniffed {kind!r})")
+
+
+def resize_image(raw: bytes, width: int, height: int) -> bytes:
+    """Codec-preserving resize: BMP stays BMP, JPEG is re-encoded as JPEG."""
+    kind = sniff(raw)
+    if kind == "bmp":
+        return resize_bmp(raw, width, height)
+    if kind == "jpeg":
+        px = decode_jpeg_pixels(raw)
+        h0, w0, _ = px.shape
+        ys = (np.arange(height) * h0 // height).clip(0, h0 - 1)
+        xs = (np.arange(width) * w0 // width).clip(0, w0 - 1)
+        return encode_jpeg(px[ys][:, xs])
+    raise ValueError(f"not a resizable image payload (sniffed {kind!r})")
 
 
 def encode_bmp(pixels: np.ndarray) -> bytes:

@@ -27,7 +27,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .codecs import decode_bmp_pixels, decode_wav_samples, sniff
+from .codecs import decode_image_pixels, decode_wav_samples, sniff
 
 __all__ = [
     "ahash_bits",
@@ -43,13 +43,24 @@ AUDIO_WINDOWS = 64
 
 
 def ahash_bits(raw: bytes) -> int:
-    """64-bit average hash of a BMP payload (driver-side twin of the UDF)."""
-    px = decode_bmp_pixels(raw).astype(np.float64)
+    """64-bit average hash of a BMP payload (driver-side twin of the UDF).
+
+    True aHash: each of the 8x8 grid cells is the MEAN of its pixel block
+    (not a single sampled pixel — point sampling is far more sensitive to
+    resampling/noise), thresholded against the grid mean. Accepts any
+    decodable image payload (BMP or baseline JPEG)."""
+    px = decode_image_pixels(raw).astype(np.float64)
     gray = px.mean(axis=2)
     h, w = gray.shape
-    ys = (np.arange(GRID) * h // GRID).clip(0, h - 1)
-    xs = (np.arange(GRID) * w // GRID).clip(0, w - 1)
-    cells = gray[ys][:, xs]
+    ys = (np.arange(GRID + 1) * h) // GRID
+    xs = (np.arange(GRID + 1) * w) // GRID
+    cells = np.empty((GRID, GRID))
+    for i in range(GRID):
+        y0, y1 = ys[i], max(ys[i + 1], ys[i] + 1)
+        for j in range(GRID):
+            x0, x1 = xs[j], max(xs[j + 1], xs[j] + 1)
+            # max() guards degenerate blocks on images smaller than the grid
+            cells[i, j] = gray[min(y0, h - 1):y1, min(x0, w - 1):x1].mean()
     bits = (cells >= cells.mean()).flatten()
     out = 0
     for i, b in enumerate(bits):
@@ -61,7 +72,7 @@ def ahash_bits(raw: bytes) -> int:
 
 def ahash_udf(payload: Column) -> Column:
     """Arrow-batched aHash over a binary payload column; NULL for payloads
-    that are not decodable BMP images (audio/video/corrupt)."""
+    that are not decodable images (audio/video/corrupt)."""
 
     @F.pandas_udf(T.LongType())
     def run(col: pd.Series) -> pd.Series:
@@ -69,7 +80,7 @@ def ahash_udf(payload: Column) -> Column:
         for raw in col:
             try:
                 b = bytes(raw)
-                if sniff(b) != "bmp":
+                if sniff(b) not in ("bmp", "jpeg"):
                     out.append(None)
                     continue
                 out.append(ahash_bits(b))

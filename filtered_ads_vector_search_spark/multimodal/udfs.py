@@ -5,11 +5,12 @@ stay inside the executor, batches are bounded by
 ``spark.sql.execution.arrow.maxRecordsPerBatch``, and the output schema is
 explicit so downstream operators are fully declarative.
 
-Real codecs: uncompressed BMP and PCM WAV payloads are decoded for real by
-the pure-Python codecs module (no external libs). The deterministic fake
-header from columns.synth_payload remains the stand-in for everything else;
-compressed formats (JPEG/H.264/...) raise NotImplementedError at the
-clearly marked seam — PIL/ffmpeg would plug in there.
+Real codecs: uncompressed BMP, PCM WAV, and baseline JPEG payloads are
+decoded for real by the pure-Python codecs module (no external libs). The
+deterministic fake header from columns.synth_payload remains the stand-in
+for everything else; remaining compressed formats (progressive JPEG/
+H.264/...) raise NotImplementedError at the clearly marked seam —
+PIL/ffmpeg would plug in there.
 """
 
 from __future__ import annotations
@@ -35,11 +36,14 @@ def _parse_header(raw: bytes) -> dict:
             return C.decode_bmp_meta(raw)
         if kind == "wav":
             return C.decode_wav_meta(raw)
+        if kind == "jpeg":
+            return C.decode_jpeg_meta(raw)  # pure-NumPy baseline decoder
         # ---- real-codec seam: plug PIL/ffmpeg probing here for formats
-        # ---- beyond uncompressed BMP / PCM WAV ----
+        # ---- beyond BMP / PCM WAV / baseline JPEG ----
         raise NotImplementedError(
-            "compressed media decoding requires image/audio libs not present "
-            "in this container; payload is neither FAKE, BMP, nor WAV"
+            "compressed media decoding beyond baseline JPEG requires "
+            "image/audio libs not present in this container; payload is "
+            "neither FAKE, BMP, WAV, nor JPEG"
         )
     t, width, height, duration = struct.unpack("<BHHI", raw[4:13])
     media_type = _TYPES[t]
@@ -113,11 +117,12 @@ def resize_images(
             meta = _parse_header(raw)
             if meta["media_type"] != "image":
                 return raw
-            if meta["codec"] == "bmp":
-                return C.resize_bmp(raw, width, height)  # real resample
+            if meta["codec"] in ("bmp", "jpeg"):
+                return C.resize_image(raw, width, height)  # real resample
             t, _, _, duration = struct.unpack("<BHHI", raw[4:13])
-            # ---- real-codec seam: plug PIL resampling here for compressed
-            # ---- formats; the fake path just rewrites header + body hash ----
+            # ---- real-codec seam: plug PIL resampling here for formats
+            # ---- beyond BMP/baseline JPEG; the fake path just rewrites
+            # ---- header + body hash ----
             body = hashlib.md5(raw[13:] + struct.pack("<HH", width, height)).digest()
             return MAGIC + struct.pack("<BHHI", t, width, height, duration) + body
 

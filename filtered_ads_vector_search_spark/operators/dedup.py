@@ -21,6 +21,8 @@ exactly matching DuckDB oracle (the *_sql builders).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -838,15 +840,24 @@ def _bloom_positions(sh: Column, m: int, kb: int) -> list[Column]:
     return _bloom_positions_h(str_hash_col(sh), m, kb)
 
 
+# Above this many 64-bit words the bitmap ships as a Spark broadcast
+# variable consumed by an Arrow-batched bit-test kernel instead of an
+# array-of-literals expression — Catalyst analysis/codegen cost grows with
+# literal count (measured: ~3.5 s per query at 8k elements), while a
+# broadcast numpy array is O(1) in the plan.
+_BLOOM_LITERAL_MAX_WORDS = 1024
+
+
 def _bloom_size_for(n_keys: int) -> int:
     """Bitmap size for an eval shingle set of ``n_keys``: ~16 bits/key
     (false-positive rate ~0.5% at kb=3), rounded up to a multiple of 64,
-    floored at the demonstration default and capped at 2^20 bits — beyond
-    that the literal-array expression form is the wrong vehicle (the
-    docstring's broadcast-variable note) and the prefilter degrades to
-    pass-through rather than growing an unboundedly large expression."""
+    floored at the demonstration default and capped at P//64*64 = 1,000,000
+    bits — the portable hash's output lives in [0, P) with P = 1,000,003,
+    so positions past P are unreachable and a larger bitmap buys nothing.
+    Past ~60k eval shingles the load factor (and FP rate) therefore rises;
+    FPs only cost exact-join work, never correctness."""
     want = max(BLOOM_BITS, 16 * max(n_keys, 1))
-    return min(1 << 20, (want + 63) // 64 * 64)
+    return min(P // 64 * 64, (want + 63) // 64 * 64)
 
 
 def bloom_bitmap(
@@ -932,17 +943,40 @@ def contamination_flags_bloom(
     if m is None:
         m = _bloom_size_for(e.count())
     bm = bloom_bitmap(e, col="shh", m=m, kb=kb, hashed=True)
-    bitmap = F.array(*[F.lit(w).cast("long") for w in bm])
-    probe = d.withColumn("_bm", bitmap)
-    hit = None
-    for i, p in enumerate(_bloom_positions_h(F.col("shh"), m, kb)):
-        probe = probe.withColumn(f"_p{i}", p)
-        t = F.expr(
-            f"((element_at(_bm, cast(_p{i} / 64 AS INT) + 1) "
-            f">> cast(_p{i} % 64 AS INT)) & 1) = 1"
-        )
-        hit = t if hit is None else (hit & t)
-    pre = probe.filter(hit).select("doc_id", "shh")
+    if m // 64 <= _BLOOM_LITERAL_MAX_WORDS:
+        # small bitmap: whole-stage-codegen arithmetic on a literal array
+        bitmap = F.array(*[F.lit(w).cast("long") for w in bm])
+        probe = d.withColumn("_bm", bitmap)
+        hit = None
+        for i, p in enumerate(_bloom_positions_h(F.col("shh"), m, kb)):
+            probe = probe.withColumn(f"_p{i}", p)
+            t = F.expr(
+                f"((element_at(_bm, cast(_p{i} / 64 AS INT) + 1) "
+                f">> cast(_p{i} % 64 AS INT)) & 1) = 1"
+            )
+            hit = t if hit is None else (hit & t)
+        pre = probe.filter(hit).select("doc_id", "shh")
+    else:
+        # large bitmap: one broadcast numpy array + an Arrow-batched bit
+        # test (same positions via the portable hash's numpy twin) — the
+        # plan carries a single UDF node instead of m/64 literals
+        from ..functions.hashing import portable_hash_np
+
+        words = np.array(bm, dtype=np.int64).view(np.uint64)
+        bc = docs.sparkSession.sparkContext.broadcast(words)
+        seeds = [_BLOOM_SEED + i for i in range(kb)]
+
+        @F.pandas_udf("boolean")
+        def bloom_hit(shh: pd.Series) -> pd.Series:
+            w = bc.value
+            h = shh.to_numpy("int64")
+            ok = np.ones(len(h), dtype=bool)
+            for s in seeds:
+                pos = portable_hash_np(h, seed=s) % m
+                ok &= ((w[pos >> 6] >> (pos.astype("uint64") & 63)) & 1) == 1
+            return pd.Series(ok)
+
+        pre = d.filter(bloom_hit(F.col("shh"))).select("doc_id", "shh")
     return (
         pre.join(F.broadcast(e), "shh")
         .groupBy("doc_id")

@@ -47,6 +47,7 @@ def curate_corpus(
     decontam_ngram: int = 5,
     dsir_keep: int | None = None,
     dsir_target_lang: str = "en",
+    stage_seconds: dict | None = None,
 ) -> dict:
     """Run the full curation funnel over ``docs`` (doc_id, text, ...).
 
@@ -55,8 +56,23 @@ def curate_corpus(
     column on ``docs``) adds a final DSIR importance-resampling selection
     stage keeping that many documents. Returns the metrics dict it also
     writes to ``out_dir/metrics.json``.
+
+    ``stage_seconds`` (optional): a caller-supplied dict that receives the
+    wall seconds of each funnel stage (keyed like the metrics rows, plus
+    ``write_artifacts``). Kept OUT of metrics.json so reruns stay
+    byte-stable — timings are the bench harness's concern (the reference
+    analog: ``all_runs_summary-2.csv`` ``run_time_minutes``).
     """
+    import time as _time
+
     metrics: dict[str, int] = {}
+    _t = {"mark": _time.time()}
+
+    def _lap(key: str) -> None:
+        now = _time.time()
+        if stage_seconds is not None:
+            stage_seconds[key] = round(now - _t["mark"], 3)
+        _t["mark"] = now
     base = docs.select(
         "doc_id",
         "text",
@@ -64,6 +80,7 @@ def curate_corpus(
         T.quality_score(F.col("text")).alias("q"),
     )
     metrics["input_docs"] = base.count()
+    _lap("input_docs")
 
     # 1. quality gate: cheap scalar thresholds + the Gopher rule battery
     gated = base.filter(
@@ -74,6 +91,7 @@ def curate_corpus(
     ).select("doc_id")
     gated = gated.join(gopher_keep, "doc_id")
     metrics["after_quality_gate"] = gated.count()
+    _lap("after_quality_gate")
 
     # 2. PII redaction (rewrites text; length/token stats recomputed).
     # Persist: every later stage count + both writes would otherwise replay
@@ -93,6 +111,7 @@ def curate_corpus(
     )
     exact = red.join(canon.select("doc_id"), "doc_id").persist()
     metrics["after_exact_dedup"] = exact.count()
+    _lap("after_exact_dedup")
 
     # 4. near-dup: banded MinHash pairs -> components -> keep canonical
     pairs = DD.minhash_pairs(exact, threshold=dedup_threshold)
@@ -102,6 +121,7 @@ def curate_corpus(
     )
     neardup = exact.join(dropped, "doc_id", "left_anti")
     metrics["after_near_dedup"] = neardup.count()
+    _lap("after_near_dedup")
 
     # 5. decontamination against the eval slice (optional)
     if eval_docs is not None:
@@ -109,6 +129,7 @@ def curate_corpus(
     else:
         survivors = neardup
     metrics["after_decontaminate"] = survivors.count()
+    _lap("after_decontaminate")
 
     # 5b. DSIR importance-resampling selection toward the target slice
     # (optional; seeded Gumbel-top-k, deterministic)
@@ -121,6 +142,7 @@ def curate_corpus(
         ).select("doc_id")
         survivors = survivors.join(keep_ids, "doc_id")
         metrics["after_dsir_select"] = survivors.count()
+        _lap("after_dsir_select")
 
     survivors = survivors.persist()
 
@@ -129,6 +151,7 @@ def curate_corpus(
         survivors.select("doc_id", "n_tok"), "n_tok", budget=pack_budget
     )
     metrics["packed_rows"] = packing.count()
+    _lap("packed_rows")
 
     survivors.select("doc_id", "text", "n_tok").write.mode("overwrite").parquet(
         f"{out_dir}/documents.parquet"
@@ -139,6 +162,7 @@ def curate_corpus(
     _write_text(
         spark, f"{out_dir}/metrics.json", json.dumps(metrics, indent=1, sort_keys=True)
     )
+    _lap("write_artifacts")
     red.unpersist()
     exact.unpersist()
     survivors.unpersist()

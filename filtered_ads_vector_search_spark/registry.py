@@ -3316,6 +3316,47 @@ FROM documents
 """
 
 
+def _multimodal_decode_jpeg_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline-JPEG decode: deterministic smooth-gradient images are
+    encoded by the pure-NumPy JPEG encoder (columns.real_jpeg_payload —
+    4:4:4 for even ids, 4:2:0 for odd), then decoded back by the
+    mapInPandas meta path AND pixel-decoded against the arithmetic source
+    image. JPEG is lossy, so the value check is a bound: `content_ok` is
+    true iff max |decoded - source| <= 16 over every pixel (q90 on a smooth
+    gradient stays within a few counts; a Huffman/DCT/upsampling bug blows
+    far past the bound). The oracle recomputes the header fields from
+    doc_id and expects content_ok = true everywhere; n_bytes is excluded
+    (entropy-coded length is not SQL-expressible)."""
+    from .multimodal import decode_media_meta, with_real_jpeg
+    from .multimodal.columns import jpeg_content_ok_udf
+
+    docs = _tbl(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 200
+    )
+    decoded = decode_media_meta(with_real_jpeg(docs))
+    return decoded.select(
+        "doc_id",
+        "media_type",
+        "codec",
+        "width",
+        "height",
+        jpeg_content_ok_udf(F.col("doc_id"), F.col("payload")).alias("content_ok"),
+    )
+
+
+def _multimodal_decode_jpeg_sql() -> str:
+    return """
+SELECT doc_id,
+       'image' AS media_type,
+       'jpeg' AS codec,
+       CAST(16 + doc_id % 9 AS INT) AS width,
+       CAST(16 + doc_id % 7 AS INT) AS height,
+       TRUE AS content_ok
+FROM documents
+WHERE doc_id < 200
+"""
+
+
 def _frame_counts_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling fan-out: rows per doc after sampling every 10s — the
     oracle recomputes the fan-out arithmetically."""
@@ -4181,6 +4222,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_resize": _multimodal_resize_spark,
     "frame_sample_counts": _frame_counts_spark,
     "multimodal_decode": _multimodal_decode_spark,
+    "multimodal_decode_jpeg": _multimodal_decode_jpeg_spark,
     "knn_sq8": lambda s, d: _knn_spark(s, d, "sqeuclidean", quant="sq8"),
     "recall_sq8_vs_fp": _recall_sq8_spark,
     "knn_fp16": _knn_fp16_spark,
@@ -4248,7 +4290,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # r2-vintage queries, (b) the 3 queries whose code changed this round
 # (SemDeDup's corpus-derived n_clusters + shared k-means build; the Bloom
 # decontamination prefilter now joining on the 60-bit shingle hash to match
-# its oracle exactly), then (c) the 9 longest-stale r3-vintage queries.
+# its oracle exactly) plus the NEW baseline-JPEG decode query, then (c) the
+# 8 longest-stale r3-vintage queries.
 # After this round only r3/r4-vintage greens remain, queued for round 6.
 _R5_PREFIX: list[str] = [
     # (a) r2-vintage — longest stale first-ish, grouped by family
@@ -4282,6 +4325,7 @@ _R5_PREFIX: list[str] = [
     "multimodal_meta",
     "multimodal_resize",
     "multimodal_decode",
+    "multimodal_decode_jpeg",
     "frame_sample_counts",
     "best_order_per_priority",
     "orders_pivot",
@@ -4303,7 +4347,6 @@ _R5_PREFIX: list[str] = [
     "qps_windows",
     "pareto_frontier_suppliers",
     "quality_brackets",
-    "grid_search_lsh",
 ]
 assert len(_R5_PREFIX) == 50 and len(set(_R5_PREFIX)) == 50
 QUERIES = {
@@ -4431,6 +4474,7 @@ ORACLES: dict[str, str] = {
     "grid_metrics_lsh_fixed": _grid_metrics_lsh_fixed_sql(),
     "grid_search_lsh": _grid_search_lsh_sql(),
     "multimodal_decode": _multimodal_decode_sql(),
+    "multimodal_decode_jpeg": _multimodal_decode_jpeg_sql(),
     "tpch_q21": _tpch_q21_sql(),
     "tpch_q9": _tpch_q9_sql(),
     "tpch_q11": _tpch_q11_sql(),

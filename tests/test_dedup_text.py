@@ -290,7 +290,9 @@ def test_bloom_decontaminate_equals_exact_even_with_forced_fps(spark):
         "doc_id long, text string",
     )
     exact = sorted(map(tuple, contamination_flags(docs, ev, n=5).collect()))
-    for m in (64, 8192):
+    # 64/8192: literal-array expression path; 200_000 (>1024 words): the
+    # broadcast + Arrow-batched bit-test path — same result either way
+    for m in (64, 8192, 200_000):
         bloom = sorted(
             map(tuple, contamination_flags_bloom(docs, ev, n=5, m=m).collect())
         )

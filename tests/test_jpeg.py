@@ -1,0 +1,125 @@
+"""Pure-NumPy baseline JPEG codec (multimodal/jpeg.py): round-trip fidelity,
+meta parse, non-baseline rejection, and its integration with the decode /
+resize UDFs and the perceptual-hash path."""
+
+import numpy as np
+import pytest
+import pyspark.sql.functions as F
+
+from filtered_ads_vector_search_spark.multimodal import codecs as C
+from filtered_ads_vector_search_spark.multimodal import jpeg as J
+from filtered_ads_vector_search_spark.multimodal import phash as PH
+from filtered_ads_vector_search_spark.multimodal.columns import (
+    jpeg_source_pixels,
+    real_jpeg_payload,
+)
+
+
+def _smooth(seed: int, h: int = 32, w: int = 32) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    base = rng.randint(30, 225, (4, 4, 3)).astype(np.float64)
+    img = np.kron(base, np.ones((h // 4, w // 4, 1)))
+    return np.clip(img + rng.uniform(-8, 8, img.shape), 0, 255).astype(np.uint8)
+
+
+def _psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = ((a.astype(float) - b.astype(float)) ** 2).mean()
+    return 10 * np.log10(255**2 / max(mse, 1e-9))
+
+
+def test_jpeg_roundtrip_444_and_420():
+    img = _smooth(1)
+    for subsample, floor in ((False, 33.0), (True, 30.0)):
+        raw = C.encode_jpeg(img, quality=90, subsample=subsample)
+        assert C.sniff(raw) == "jpeg"
+        dec = C.decode_jpeg_pixels(raw)
+        assert dec.shape == img.shape
+        assert _psnr(img, dec) > floor, (subsample, _psnr(img, dec))
+
+
+def test_jpeg_odd_dimensions_pad_and_crop():
+    img = _smooth(2)[:27, :29]
+    for subsample in (False, True):
+        dec = C.decode_jpeg_pixels(C.encode_jpeg(img, quality=90, subsample=subsample))
+        assert dec.shape == img.shape
+        assert _psnr(img, dec) > 29.0
+
+
+def test_jpeg_meta_fields():
+    raw = C.encode_jpeg(_smooth(3)[:20, :24], quality=90)
+    meta = C.decode_jpeg_meta(raw)
+    assert meta == {
+        "media_type": "image",
+        "codec": "jpeg",
+        "width": 24,
+        "height": 20,
+        "duration_ms": 0,
+        "n_bytes": len(raw),
+    }
+
+
+def test_jpeg_rejects_progressive():
+    raw = bytearray(C.encode_jpeg(_smooth(4), quality=90))
+    i = raw.find(b"\xff\xc0")
+    raw[i + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
+    with pytest.raises(NotImplementedError, match="SOF0"):
+        C.decode_jpeg_meta(bytes(raw))
+    with pytest.raises(NotImplementedError, match="SOF0"):
+        C.decode_jpeg_pixels(bytes(raw))
+
+
+def test_jpeg_near_exact_on_smooth_gradients():
+    """The registry oracle's premise: q90 on the arithmetic gradient images
+    is within 1 count per pixel, both chroma modes."""
+    for i in range(40):
+        src = jpeg_source_pixels(i).astype(np.int64)
+        dec = C.decode_jpeg_pixels(real_jpeg_payload(i)).astype(np.int64)
+        assert dec.shape == src.shape
+        assert int(np.abs(dec - src).max()) <= 1, i
+
+
+def test_ahash_stable_across_jpeg_reencode():
+    """Perceptual-hash stability across a lossy JPEG re-encode of the same
+    pixels — the near-dup case image dedup must catch."""
+    img = _smooth(5)
+    bmp = C.encode_bmp(img)
+    h_bmp = PH.ahash_bits(bmp)
+    for subsample in (False, True):
+        jpg = C.encode_jpeg(img, quality=90, subsample=subsample)
+        d = bin((h_bmp ^ PH.ahash_bits(jpg)) & (2**64 - 1)).count("1")
+        assert d <= 3, (subsample, d)
+    other = C.encode_jpeg(_smooth(6), quality=90)
+    d_other = bin((h_bmp ^ PH.ahash_bits(other)) & (2**64 - 1)).count("1")
+    assert d_other > 10
+
+
+def test_image_dup_pairs_finds_jpeg_reencode(spark):
+    """A JPEG re-encode planted next to its BMP original surfaces as a
+    banded near-dup pair."""
+    imgs = [_smooth(i) for i in range(5)]
+    rows = [(i, C.encode_bmp(im)) for i, im in enumerate(imgs)]
+    rows.append((100, C.encode_jpeg(imgs[0], quality=90)))
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    found = {(r.id_a, r.id_b) for r in PH.image_dup_pairs(df, max_hamming=3).collect()}
+    assert (0, 100) in found
+
+
+def test_decode_media_meta_and_resize_on_jpeg(spark):
+    """UDF integration: JPEG payloads flow through the decode-meta and
+    resize mapInPandas paths (resize re-encodes as JPEG at the new dims)."""
+    from filtered_ads_vector_search_spark.multimodal import (
+        decode_media_meta,
+        resize_images,
+        with_real_jpeg,
+    )
+
+    docs = spark.range(0, 8).select(F.col("id").alias("doc_id"))
+    meta = decode_media_meta(with_real_jpeg(docs)).collect()
+    for r in meta:
+        assert r.codec == "jpeg" and r.media_type == "image"
+        assert r.width == 16 + r.doc_id % 9 and r.height == 16 + r.doc_id % 7
+    resized = decode_media_meta(
+        resize_images(with_real_jpeg(docs), width=12, height=10)
+    ).collect()
+    for r in resized:
+        assert r.codec == "jpeg" and (r.width, r.height) == (12, 10)

@@ -13,12 +13,18 @@ from filtered_ads_vector_search_spark.multimodal import phash as PH
 
 
 def _img(seed: int, h: int = 32, w: int = 32) -> bytes:
+    """Structured test image: an 8x8 pattern of dark/bright blocks (values
+    far from the global mean, so cells sit well away from the aHash
+    threshold) upsampled to h x w, plus per-pixel noise that BLOCK MEANS
+    average away — exactly the regime true (mean-pooled) aHash is stable
+    in, and where a point-sampling hash would wobble."""
     rng = np.random.RandomState(seed)
-    # smooth-ish structure (random gradients) so aHash has signal
-    base = rng.randint(0, 255, (4, 4, 3)).astype(np.float64)
-    ys = np.linspace(0, 3, h).astype(int)
-    xs = np.linspace(0, 3, w).astype(int)
-    return encode_bmp(base[ys][:, xs].astype(np.uint8))
+    base = np.where(rng.rand(8, 8) < 0.5, 40.0, 215.0)
+    ys = (np.arange(h) * 8) // h
+    xs = (np.arange(w) * 8) // w
+    gray = base[ys][:, xs] + rng.uniform(-50, 50, (h, w))
+    px = np.repeat(gray.clip(0, 255)[:, :, None], 3, axis=2)
+    return encode_bmp(px.astype(np.uint8))
 
 
 def test_ahash_stable_under_resize_and_noise():
