@@ -1224,6 +1224,146 @@ LEFT JOIN covered c ON c.doc_id = l.doc_id
 """
 
 
+# A (doc_id, window_pos) pair is encoded as doc_id * 2^20 + pos so one
+# integer MIN picks the lexicographically-first occurrence of a gram in
+# both engines (no struct-min portability concerns). Documents longer than
+# 2^20 whitespace tokens would alias positions — far beyond any curation
+# corpus's document length; shard such documents upstream.
+_SUBSTR_POS_ENCODE = 1 << 20
+
+
+def substr_dedup_remove(
+    docs: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """The REMOVAL step of ExactSubstr dedup (Lee et al., ACL 2022),
+    completing `substr_dup_stats`: every occurrence of a cross-document
+    duplicated ``k``-token window is cut out of its document EXCEPT the
+    canonical one (the globally lexicographically-first (doc_id, pos)
+    occurrence — deterministic, partition-invariant). Removed spans are
+    interval-unioned per document, surviving tokens are rejoined with
+    single spaces (output text is whitespace-normalized, like the published
+    tool's token-stream rewrite). Returns
+    (doc_id, text, n_tokens, n_removed_tokens) for EVERY input document.
+
+    One-pass contract: canonical occurrences survive, so a second pass can
+    still see duplicated grams (and removal can splice new windows
+    together) — same fixpoint caveat as the published implementation; run
+    to fixpoint only if the training recipe demands it.
+
+    Relational shape mirrors `substr_dup_stats`: gram-hash aggregate
+    (vocab-sized, carries an int64 MIN of the encoded occurrence) -> one
+    equi-join back -> bounded x k fan-out of removed windows only ->
+    token-position anti-join -> per-doc ordered reassembly (array_sort over
+    (pos, token) structs; a groupBy, not a window sort). No all-pairs.
+    """
+    if k < 1:
+        raise ValueError(f"window size k must be >= 1, got {k}")
+    base = docs.select(
+        "doc_id",
+        tokens(F.col(text_col)).alias("_toks"),
+        word_ngrams(F.lower(F.col(text_col)), k).alias("_grams"),
+    )
+    ex = base.select(
+        "doc_id", F.posexplode(F.col("_grams")).alias("pos", "g")
+    ).select("doc_id", "pos", str_hash_col(F.col("g")).alias("gh"))
+    enc = F.col("doc_id") * F.lit(_SUBSTR_POS_ENCODE) + F.col("pos")
+    gram = (
+        ex.groupBy("gh")
+        .agg(
+            F.count_distinct("doc_id").alias("nd"),
+            F.min(enc).alias("canon"),
+        )
+        .filter(F.col("nd") >= 2)
+        .select("gh", "canon")
+    )
+    removed_w = (
+        ex.join(gram, "gh").filter(enc != F.col("canon")).select("doc_id", "pos")
+    )
+    removed_pos = removed_w.select(
+        "doc_id",
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))).alias("ti"),
+    ).distinct()
+    tok_pos = base.select(
+        "doc_id", F.posexplode(F.col("_toks")).alias("ti", "tok")
+    )
+    kept = tok_pos.join(removed_pos, ["doc_id", "ti"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ti", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    return (
+        base.select("doc_id", F.size("_toks").alias("n_tokens"))
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("text", F.lit("")).alias("text"),
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0))).alias(
+                "n_removed_tokens"
+            ),
+        )
+    )
+
+
+def substr_dedup_remove_sql(table: str = "documents", k: int = 8) -> str:
+    grams = word_ngrams_sql("lower(text)", k)
+    toks = tokens_sql("text")
+    gh = str_hash_sql("g")
+    enc = f"(doc_id * {_SUBSTR_POS_ENCODE} + pos)"
+    return f"""
+WITH base AS (
+  SELECT doc_id, {toks} AS toks, {grams} AS grams FROM {table}
+),
+ex AS (
+  SELECT doc_id, pos, {gh} AS gh FROM (
+    SELECT doc_id,
+           unnest(range(0, len(grams))) AS pos,
+           unnest(grams) AS g
+    FROM base
+  )
+),
+gram AS (
+  SELECT gh, min({enc}) AS canon
+  FROM ex GROUP BY gh HAVING count(DISTINCT doc_id) >= 2
+),
+removed_w AS (
+  SELECT doc_id, pos FROM ex JOIN gram USING (gh) WHERE {enc} <> canon
+),
+removed_pos AS (
+  SELECT DISTINCT doc_id, ti FROM (
+    SELECT doc_id, unnest(range(pos, pos + {k})) AS ti FROM removed_w
+  )
+),
+tok_pos AS (
+  SELECT doc_id, unnest(range(0, len(toks))) AS ti, unnest(toks) AS tok
+  FROM base
+),
+kept AS (
+  SELECT t.doc_id, t.ti, t.tok
+  FROM tok_pos t LEFT JOIN removed_pos r
+    ON t.doc_id = r.doc_id AND t.ti = r.ti
+  WHERE r.ti IS NULL
+),
+rebuilt AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY ti) AS text, count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT b.doc_id,
+       coalesce(r.text, '') AS text,
+       len(b.toks) AS n_tokens,
+       len(b.toks) - coalesce(r.n_kept, 0) AS n_removed_tokens
+FROM base b LEFT JOIN rebuilt r ON b.doc_id = r.doc_id
+"""
+
+
 # --- SemDeDup: cluster-bounded semantic dedup -------------------------------
 #
 # SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at web-scale

@@ -22,9 +22,11 @@ Scale story — the 100 TB search path this engine would actually run:
 * the probe list carries one LUT per (query, probed bucket) — m x n_codes
   doubles x queries x nprobe rows, always broadcast; the coded corpus only
   ever streams through one equi-join on its bucket key;
-* per-row score cost is an m-step fold of two array lookups inside
-  whole-stage codegen; full vectors are touched only by the (optional)
-  rerank of ~R rows per query.
+* per-row ADC cost is an m-step fold of two array lookups — as an
+  expression (the DuckDB-oracle tier; HOFs run interpreted) or, for large
+  query batches, the bit-identical Arrow kernel (``search(arrow_adc=True)``,
+  ~6x measured at 1000 queries x 1M rows); full vectors are touched only by
+  the (optional) rerank of ~R rows per query.
 
 Like the IVF and PQ tiers, two build flavors: ``build_fixed`` (hash-picked
 centroids + arithmetic codebooks — the ENTIRE prune->encode->ADC->rerank
@@ -38,6 +40,8 @@ from __future__ import annotations
 import time
 from dataclasses import dataclass
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -60,6 +64,11 @@ from .pq import (
     pq_train,
 )
 from .topk import knn_window
+
+# arrow_adc collects the query matrix + probe list driver-side (the same
+# bounded-collect discipline as knn_scalable's broadcast queries); above
+# this many queries, shard the batch upstream instead.
+_ADC_MAX_QUERIES = 100_000
 
 __all__ = ["IVFPQIndex"]
 
@@ -384,6 +393,7 @@ class IVFPQIndex:
         rerank: int = 0,
         predicate: Column | None = None,
         adaptive_nprobe: bool = False,
+        arrow_adc: bool = False,
     ) -> DataFrame:
         """Filtered approximate top-k over the composed index.
 
@@ -400,7 +410,15 @@ class IVFPQIndex:
 
         ``predicate`` (over coded-corpus columns) applies BEFORE candidate
         selection — filter-then-top-k, same contract as IVFIndex.search.
-        """
+
+        ``arrow_adc=True`` swaps step 3's per-candidate HOF fold for the
+        Arrow-batched numpy kernel (``_adc_candidates_arrow``) — same
+        results (bit-identical fold order, same (dist, id) tie-break),
+        ~5-10x the throughput on large query batches, because HOF
+        expressions run interpreted (~1us/candidate x m) while the kernel
+        scores a whole bucket x query-chunk block per numpy op. The
+        expression path stays the default: it is the DuckDB-oracle tier
+        and has no driver-side query collect."""
         if rerank and not self.has_vectors:
             raise ValueError(
                 "rerank requires keep_vectors=True at build time (the coded "
@@ -439,6 +457,13 @@ class IVFPQIndex:
         corpus = self.coded
         if predicate is not None:
             corpus = corpus.filter(predicate)
+
+        if arrow_adc:
+            top = max(rerank, k) if rerank else k
+            cand = self._adc_candidates_arrow(queries, probes, corpus, top)
+            return self._finish_from_candidates(
+                cand, queries, corpus, k, rerank, joined_vectors=False
+            )
 
         # Codebooks ride as a broadcast 1-row relation, NOT an inline literal:
         # the m x n_codes x sd nested-array literal costs ~0.9s of parse +
@@ -501,6 +526,132 @@ class IVFPQIndex:
             .join(corpus, "partition_id")
             .select("query_id", *keep, adc.alias("adc_dist"))
         )
+        return self._finish_from_candidates(
+            cand, queries, corpus, k, rerank, joined_vectors=True
+        )
+
+    def _adc_candidates_arrow(
+        self,
+        queries: DataFrame,
+        probes: DataFrame,
+        corpus: DataFrame,
+        top: int,
+    ) -> DataFrame:
+        """Arrow-batched ADC scoring — the large-query-batch throughput form.
+
+        The expression path pays ~1us of interpreted HOF evaluation per
+        (candidate row x m); at 10k queries x nprobe/n_centroids x 1M rows
+        that is hundreds of seconds of pure expression overhead. This kernel
+        broadcasts the (bounded) query matrix + probe lists + centroids +
+        codebooks once, STATICALLY prunes the coded scan to the probed
+        buckets (an isin on the partition column — stronger than the join's
+        dynamic pruning), and scores each bucket x query-chunk block with
+        numpy, emitting only a per-(query, chunk) local top-``top`` that the
+        shared window merge reduces — the knn_scalable partial-top-k shape.
+
+        Numerically BIT-IDENTICAL to the expression form (same discipline as
+        pq_encode_udf): LUT entries accumulate subspace elements in
+        ascending order from 0.0 and ADC sums LUT cells in ascending j — the
+        same IEEE doubles as the 0.0D-seeded ascending aggregate folds — and
+        candidates are pre-sorted by neighbor_id so a STABLE argsort on
+        distance reproduces the (adc_dist, neighbor_id) tie-break exactly.
+
+        Driver-side collects are the query matrix and probe list (bounded:
+        raises above _ADC_MAX_QUERIES queries — shard the query batch
+        upstream) and the centroid table — never the coded corpus.
+        """
+        m, n_codes, sd = _validate(self.codebooks)
+        q_rows = queries.select("query_id", "q_vec").collect()
+        if len(q_rows) > _ADC_MAX_QUERIES:
+            raise ValueError(
+                f"arrow_adc collects the query matrix; got {len(q_rows)} "
+                f"queries > _ADC_MAX_QUERIES={_ADC_MAX_QUERIES} — shard the "
+                "query batch upstream"
+            )
+        qids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
+        Q = np.array([list(r["q_vec"]) for r in q_rows], dtype=np.float64)
+        qpos = {int(q): i for i, q in enumerate(qids)}
+        bucket_queries: dict[int, list[int]] = {}
+        for r in probes.collect():
+            bucket_queries.setdefault(int(r["partition_id"]), []).append(
+                qpos[int(r["query_id"])]
+            )
+        bq = {b: np.array(v, dtype=np.int64) for b, v in bucket_queries.items()}
+        cent = np.zeros((self.n_centroids, Q.shape[1]), dtype=np.float64)
+        for r in self.centroids.collect():
+            cent[int(r["centroid_id"])] = np.asarray(
+                r["centroid"], dtype=np.float64
+            )
+        CB = np.ascontiguousarray(self.codebooks, dtype=np.float64)
+        residual = self.residual
+        bc = corpus.sparkSession.sparkContext.broadcast((qids, Q, bq, cent, CB))
+
+        pruned = corpus.filter(
+            F.col("partition_id").isin([int(b) for b in bq])
+        ).select(
+            "partition_id", F.col(self.id_col).alias("neighbor_id"), "codes"
+        )
+
+        def score(batches):
+            qids_, Q_, bq_, cent_, CB_ = bc.value
+            m_, nc_, sd_ = CB_.shape
+            for pdf in batches:
+                out_q: list[np.ndarray] = []
+                out_n: list[np.ndarray] = []
+                out_d: list[np.ndarray] = []
+                for b, grp in pdf.groupby("partition_id"):
+                    qsel = bq_.get(int(b))
+                    if qsel is None or len(qsel) == 0:
+                        continue
+                    ids = grp["neighbor_id"].to_numpy(np.int64)
+                    order = np.argsort(ids)  # ascending id => exact tie-break
+                    ids = ids[order]
+                    codes = np.array(grp["codes"].tolist(), dtype=np.int64)[order]
+                    qr = Q_[qsel] - cent_[int(b)][None, :] if residual else Q_[qsel]
+                    S = qr.reshape(len(qsel), m_, sd_)
+                    lut = np.zeros((len(qsel), m_, nc_), dtype=np.float64)
+                    for el in range(sd_):  # ascending-element left fold
+                        d = S[:, :, None, el] - CB_[None, :, :, el]
+                        lut += d * d
+                    n = len(ids)
+                    t = min(top, n)
+                    for c0 in range(0, len(qsel), 256):  # bound (q x n) block
+                        lc = lut[c0:c0 + 256]
+                        sc = lc[:, 0, codes[:, 0]]
+                        for j in range(1, m_):  # ascending-j left fold
+                            sc = sc + lc[:, j, codes[:, j]]
+                        keep = np.argsort(sc, axis=1, kind="stable")[:, :t]
+                        rows = np.repeat(qsel[c0:c0 + 256], t)
+                        out_q.append(qids_[rows])
+                        out_n.append(ids[keep].ravel())
+                        out_d.append(np.take_along_axis(sc, keep, axis=1).ravel())
+                if out_q:
+                    yield pd.DataFrame(
+                        {
+                            "query_id": np.concatenate(out_q),
+                            "neighbor_id": np.concatenate(out_n),
+                            "adc_dist": np.concatenate(out_d),
+                        }
+                    )
+
+        return pruned.mapInPandas(
+            score, "query_id long, neighbor_id long, adc_dist double"
+        )
+
+    def _finish_from_candidates(
+        self,
+        cand: DataFrame,
+        queries: DataFrame,
+        corpus: DataFrame,
+        k: int,
+        rerank: int,
+        joined_vectors: bool,
+    ) -> DataFrame:
+        """Shared tail of both ADC physical forms: per-query ADC top-k (or
+        top-R + exact rerank). ``joined_vectors=False`` (the Arrow kernel's
+        candidates carry no vector column) fetches rerank vectors by
+        streaming the corpus through one equi-join against the BROADCAST
+        <= queries x R short list — never a corpus-side shuffle."""
         w_adc = Window.partitionBy("query_id").orderBy(
             F.col("adc_dist").asc(), F.col("neighbor_id").asc()
         )
@@ -512,10 +663,17 @@ class IVFPQIndex:
                     "query_id", "neighbor_id", "rank", F.col("adc_dist").alias("dist")
                 )
             )
-        short = (
-            cand.withColumn("_arn", F.row_number().over(w_adc))
-            .filter(F.col("_arn") <= max(rerank, k))
-            .join(F.broadcast(queries.select("query_id", "q_vec")), "query_id")
+        short = cand.withColumn("_arn", F.row_number().over(w_adc)).filter(
+            F.col("_arn") <= max(rerank, k)
+        )
+        if not joined_vectors:
+            short = corpus.select(
+                F.col(self.id_col).alias("neighbor_id"), self.vec_col
+            ).join(
+                F.broadcast(short.select("query_id", "neighbor_id")), "neighbor_id"
+            )
+        short = short.join(
+            F.broadcast(queries.select("query_id", "q_vec")), "query_id"
         )
         exact = F.expr(
             f"aggregate(zip_with(cast(q_vec as array<double>), "

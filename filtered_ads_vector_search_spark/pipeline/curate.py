@@ -48,6 +48,7 @@ def curate_corpus(
     dsir_keep: int | None = None,
     dsir_target_lang: str = "en",
     stage_seconds: dict | None = None,
+    gopher: bool = True,
 ) -> dict:
     """Run the full curation funnel over ``docs`` (doc_id, text, ...).
 
@@ -62,6 +63,12 @@ def curate_corpus(
     ``write_artifacts``). Kept OUT of metrics.json so reruns stay
     byte-stable — timings are the bench harness's concern (the reference
     analog: ``all_runs_summary-2.csv`` ``run_time_minutes``).
+
+    ``gopher=False`` skips the Gopher natural-language rule battery (word
+    count / stopword / repetition thresholds) while keeping the scalar
+    min-token + quality gate — for corpora the published rules are not
+    calibrated for (code, synthetic benchmarks, non-English without a
+    translated stopword list).
     """
     import time as _time
 
@@ -86,10 +93,11 @@ def curate_corpus(
     gated = base.filter(
         (F.col("n_tok") >= min_tokens) & (F.col("q") >= min_quality)
     )
-    gopher_keep = QL.gopher_rules(gated.select("doc_id", "text")).filter(
-        F.col("keep")
-    ).select("doc_id")
-    gated = gated.join(gopher_keep, "doc_id")
+    if gopher:
+        gopher_keep = QL.gopher_rules(gated.select("doc_id", "text")).filter(
+            F.col("keep")
+        ).select("doc_id")
+        gated = gated.join(gopher_keep, "doc_id")
     metrics["after_quality_gate"] = gated.count()
     _lap("after_quality_gate")
 

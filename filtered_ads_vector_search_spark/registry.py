@@ -4076,6 +4076,15 @@ def _substr_dup_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.substr_dup_stats(_tbl(spark, sf_dir, "documents"), k=8)
 
 
+def _substr_dedup_remove_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr REMOVAL (Lee et al. 2022): cut every non-canonical
+    occurrence of a cross-doc duplicated 8-token window and rebuild the
+    text — the full-text output is hash-checked, so the interval union,
+    the canonical-occurrence rule, and the ordered reassembly must all be
+    bit-identical to the DuckDB twin."""
+    return DD.substr_dedup_remove(_tbl(spark, sf_dir, "documents"), k=8)
+
+
 def _cms_heavy_hitters_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import sketch as SK
 
@@ -4171,6 +4180,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsir_weights": _dsir_weights_spark,
     "dsir_resample": _dsir_resample_spark,
     "substr_dup_stats": _substr_dup_stats_spark,
+    "substr_dedup_remove": _substr_dedup_remove_spark,
     "cms_heavy_hitters": _cms_heavy_hitters_spark,
     "decontaminate_bloom": _decontaminate_bloom_spark,
     "knn_jl": _knn_jl_spark,
@@ -4334,10 +4344,11 @@ _R5_PREFIX: list[str] = [
     "tpch_q12",
     "tpch_q20",
     "tpch_q21",
-    # (b) code changed in round 5 — need fresh green rows
+    # (b) code changed / NEW in round 5 — need fresh green rows
     "semdedup_pairs",
     "semdedup_keep",
     "decontaminate_bloom",
+    "substr_dedup_remove",
     # (c) longest-stale r3-vintage fill
     "knn_filtered_mid",
     "knn_filtered_low",
@@ -4346,7 +4357,6 @@ _R5_PREFIX: list[str] = [
     "latency_percentiles_v2",
     "qps_windows",
     "pareto_frontier_suppliers",
-    "quality_brackets",
 ]
 assert len(_R5_PREFIX) == 50 and len(set(_R5_PREFIX)) == 50
 QUERIES = {
@@ -4419,6 +4429,7 @@ ORACLES: dict[str, str] = {
     "dsir_weights": LM.dsir_weights_sql(),
     "dsir_resample": LM.dsir_resample_sql(n_keep=100),
     "substr_dup_stats": DD.substr_dup_stats_sql(k=8),
+    "substr_dedup_remove": DD.substr_dedup_remove_sql(k=8),
     "cms_heavy_hitters": _cms_heavy_hitters_sql_(),
     "decontaminate_bloom": _decontaminate_sql(),
     "knn_jl": _knn_jl_sql(),

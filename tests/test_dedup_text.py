@@ -271,6 +271,56 @@ def test_substr_dup_stats_overlap_union(spark):
     assert out[0].dup_tokens == 9
 
 
+def test_substr_dedup_remove_keeps_canonical_occurrence(spark):
+    """Removal step: the globally-first (doc_id, pos) occurrence of a
+    duplicated span survives; every other occurrence is cut; untouched
+    documents come back whitespace-normalized but otherwise intact."""
+    from filtered_ads_vector_search_spark.operators.dedup import (
+        substr_dedup_remove,
+    )
+
+    span = "alpha bravo charlie delta echo foxtrot golf hotel"  # 8 tokens
+    rows = [
+        (0, f"unique0 one two three {span} tail0 tailx"),
+        (1, f"{span} other stuff here totally different ending"),
+        (2, "completely unrelated text with no shared windows at all here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in substr_dedup_remove(df, k=8).collect()}
+    # doc 0 holds the canonical occurrence (lowest doc_id): untouched
+    assert out[0].text == rows[0][1] and out[0].n_removed_tokens == 0
+    # doc 1's occurrence is cut (all 8 tokens), the rest survives in order
+    assert out[1].text == "other stuff here totally different ending"
+    assert out[1].n_removed_tokens == 8
+    # unique doc untouched
+    assert out[2].text == rows[2][1] and out[2].n_removed_tokens == 0
+    # n_tokens reflects the ORIGINAL token count
+    assert out[1].n_tokens == 8 + 6
+
+
+def test_substr_dedup_remove_overlap_union_and_partition_invariance(spark):
+    """Overlapping duplicated windows union their spans (9 tokens cut, not
+    16), and the result is partition-count invariant (deterministic
+    canonical rule)."""
+    from filtered_ads_vector_search_spark.operators.dedup import (
+        substr_dedup_remove,
+    )
+
+    shared = "a b c d e f g h i"  # 9 tokens -> overlapping windows 0 and 1
+    rows = [(0, f"{shared} xx yy"), (1, f"{shared} zz qq")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in substr_dedup_remove(df, k=8).collect()}
+    assert out[0].text == rows[0][1] and out[0].n_removed_tokens == 0
+    assert out[1].text == "zz qq" and out[1].n_removed_tokens == 9
+    again = {
+        r.doc_id: r
+        for r in substr_dedup_remove(df.repartition(7), k=8).collect()
+    }
+    assert {(r.doc_id, r.text, r.n_removed_tokens) for r in out.values()} == {
+        (r.doc_id, r.text, r.n_removed_tokens) for r in again.values()
+    }
+
+
 # --- Bloom-prefiltered decontamination --------------------------------------
 
 

@@ -37,6 +37,7 @@ def test_substr_and_decontaminate_empty(spark):
 
     docs = _empty_docs(spark)
     assert DD.substr_dup_stats(docs).count() == 0
+    assert DD.substr_dedup_remove(docs).count() == 0
     some = spark.createDataFrame([(1, "a b c d e f", "en")], "doc_id long, text string, lang string")
     # empty eval set: nothing is contaminated; empty training set: no rows
     assert DD.contamination_flags(some, docs).count() == 0

@@ -204,6 +204,31 @@ def test_ivfpq_trained_recall_floor(spark):
     idx.unpersist()
 
 
+def test_ivfpq_arrow_adc_bit_identical_to_expression_form(spark):
+    """The Arrow ADC kernel must return EXACTLY the expression form's rows —
+    same neighbors, ranks, and bit-identical distances (shared fold-order
+    discipline) — across ADC-only, reranked, and predicate-filtered
+    searches, on both build flavors."""
+    from pyspark.sql import functions as F
+
+    from filtered_ads_vector_search_spark.operators.ivfpq import IVFPQIndex
+
+    q, c = _split(spark)
+    for idx in (
+        IVFPQIndex.build_fixed(c, n_centroids=8, m=4, n_codes=16),
+        IVFPQIndex.build(c, n_centroids=8, m=8, n_codes=32, seed=42),
+    ):
+        for kwargs in (
+            dict(k=K, nprobe=4),
+            dict(k=K, nprobe=4, rerank=30),
+            dict(k=K, nprobe=8, rerank=20, predicate=F.col("vec_id") % 3 != 0),
+        ):
+            want = sorted(map(tuple, idx.search(q, **kwargs).collect()))
+            got = sorted(map(tuple, idx.search(q, arrow_adc=True, **kwargs).collect()))
+            assert got == want, (kwargs, got[:3], want[:3])
+        idx.unpersist()
+
+
 def test_ivfpq_rerank_requires_vectors(spark):
     import pytest
 
