@@ -38,6 +38,11 @@ from pyspark.sql import functions as F
 
 from .topk import Metric, distance_col, knn_window
 
+# arrow_score collects the query matrix + probe list driver-side (the same
+# bounded-collect discipline as knn_scalable's broadcast queries); above
+# this many queries, shard the batch upstream instead.
+_SCORE_MAX_QUERIES = 100_000
+
 __all__ = ["IVFIndex"]
 
 # --- layout sidecars: per-bucket stats + bounded selectivity sample ---------
@@ -688,10 +693,18 @@ class IVFIndex:
         nprobe: int = 8,
         predicate: Column | None = None,
         adaptive_nprobe: bool = False,
+        arrow_score: bool = False,
     ) -> DataFrame:
         """Filtered approximate top-k. `queries` is (query_id, q_vec);
         `predicate` (over assigned-corpus columns) is applied BEFORE candidate
         selection — filter-then-top-k semantics.
+
+        ``arrow_score=True`` (sqeuclidean only) swaps the per-candidate HOF
+        distance fold for the Arrow-batched numpy kernel — bit-identical
+        rows (same element-ascending fold, same (dist, id) tie-break), the
+        large-query-batch throughput form; see IVFPQIndex.search(arrow_adc)
+        for the shared rationale. The expression path stays the default
+        (DuckDB-oracle tier, no driver-side query collect).
 
         ``adaptive_nprobe=True`` widens the probe count by 1/selectivity under
         a selective predicate (clamped to n_centroids): a filter keeping s of
@@ -735,6 +748,22 @@ class IVFIndex:
         if predicate is not None:
             corpus = corpus.filter(predicate)
 
+        if arrow_score:
+            if self.metric != "sqeuclidean":
+                raise NotImplementedError(
+                    "arrow_score implements the sqeuclidean fold; use the "
+                    f"expression path for metric={self.metric!r}"
+                )
+            scored = self._score_candidates_arrow(queries, probes, corpus, k)
+            w = Window.partitionBy("query_id").orderBy(
+                F.col("dist").asc(), F.col("neighbor_id").asc()
+            )
+            return (
+                scored.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .select("query_id", "neighbor_id", "rank", "dist")
+            )
+
         # 2. candidates via equi-join on the bucket key. The probe list is
         #    queries x nprobe rows — always the small side; broadcast it
         #    explicitly so the corpus NEVER shuffles or broadcasts (at 100 TB
@@ -759,6 +788,89 @@ class IVFIndex:
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "rank", "dist")
+        )
+
+    def _score_candidates_arrow(
+        self,
+        queries: DataFrame,
+        probes: DataFrame,
+        corpus: DataFrame,
+        top: int,
+    ) -> DataFrame:
+        """Arrow-batched exact scoring of probed buckets (sqeuclidean).
+
+        Same kernel shape as IVFPQIndex._adc_candidates_arrow: broadcast the
+        bounded query matrix + per-bucket probe lists, statically prune the
+        corpus scan to probed buckets, score each bucket x query-chunk block
+        with an element-ascending (x-y)^2 left fold in numpy — the same IEEE
+        doubles as the 0.0D-seeded ascending aggregate fold — and emit a
+        per-(query, chunk) local top-``top`` with candidates pre-sorted by
+        neighbor_id so the stable argsort reproduces the (dist, id)
+        tie-break exactly. The window merge downstream is shared with the
+        expression form."""
+        q_rows = queries.select("query_id", "q_vec").collect()
+        if len(q_rows) > _SCORE_MAX_QUERIES:
+            raise ValueError(
+                f"arrow_score collects the query matrix; got {len(q_rows)} "
+                f"queries > {_SCORE_MAX_QUERIES} — shard the batch upstream"
+            )
+        qids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
+        Q = np.array([list(r["q_vec"]) for r in q_rows], dtype=np.float64)
+        qpos = {int(q): i for i, q in enumerate(qids)}
+        bucket_queries: dict[int, list[int]] = {}
+        for r in probes.collect():
+            bucket_queries.setdefault(int(r["partition_id"]), []).append(
+                qpos[int(r["query_id"])]
+            )
+        bq = {b: np.array(v, dtype=np.int64) for b, v in bucket_queries.items()}
+        bc = corpus.sparkSession.sparkContext.broadcast((qids, Q, bq))
+        pruned = corpus.filter(
+            F.col("partition_id").isin([int(b) for b in bq])
+        ).select(
+            "partition_id",
+            F.col(self.id_col).alias("neighbor_id"),
+            F.col(self.vec_col).alias("_v"),
+        )
+
+        def score(batches):
+            qids_, Q_, bq_ = bc.value
+            for pdf in batches:
+                out_q: list[np.ndarray] = []
+                out_n: list[np.ndarray] = []
+                out_d: list[np.ndarray] = []
+                for b, grp in pdf.groupby("partition_id"):
+                    qsel = bq_.get(int(b))
+                    if qsel is None or len(qsel) == 0:
+                        continue
+                    ids = grp["neighbor_id"].to_numpy(np.int64)
+                    order = np.argsort(ids)  # ascending id => exact tie-break
+                    ids = ids[order]
+                    V = np.array(grp["_v"].tolist(), dtype=np.float64)[order]
+                    n = len(ids)
+                    t = min(top, n)
+                    d = V.shape[1]
+                    for c0 in range(0, len(qsel), 256):  # bound (q x n) block
+                        Qc = Q_[qsel[c0:c0 + 256]]
+                        sc = np.zeros((len(Qc), n), dtype=np.float64)
+                        for el in range(d):  # ascending-element left fold
+                            diff = Qc[:, el, None] - V[None, :, el]
+                            sc += diff * diff
+                        keep = np.argsort(sc, axis=1, kind="stable")[:, :t]
+                        rows = np.repeat(qsel[c0:c0 + 256], t)
+                        out_q.append(qids_[rows])
+                        out_n.append(ids[keep].ravel())
+                        out_d.append(np.take_along_axis(sc, keep, axis=1).ravel())
+                if out_q:
+                    yield pd.DataFrame(
+                        {
+                            "query_id": np.concatenate(out_q),
+                            "neighbor_id": np.concatenate(out_n),
+                            "dist": np.concatenate(out_d),
+                        }
+                    )
+
+        return pruned.mapInPandas(
+            score, "query_id long, neighbor_id long, dist double"
         )
 
     def unpersist(self) -> None:

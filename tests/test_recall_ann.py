@@ -229,6 +229,42 @@ def test_ivfpq_arrow_adc_bit_identical_to_expression_form(spark):
         idx.unpersist()
 
 
+def test_ivf_arrow_score_bit_identical_to_expression_form(spark):
+    """IVFIndex.search(arrow_score=True) must return EXACTLY the expression
+    form's rows — plain, predicate-filtered, and adaptive — on both build
+    flavors; non-sqeuclidean metrics raise toward the expression path."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from filtered_ads_vector_search_spark.operators.ann import IVFIndex
+
+    q, c = _split(spark)
+    for idx in (
+        IVFIndex.build_fixed(c, n_centroids=8),
+        IVFIndex.build(c, n_centroids=8, seed=42),
+    ):
+        for kwargs in (
+            dict(k=K, nprobe=4),
+            dict(k=K, nprobe=4, predicate=F.col("vec_id") % 3 != 0),
+            dict(
+                k=K,
+                nprobe=2,
+                predicate=F.col("vec_id") % 5 == 0,
+                adaptive_nprobe=True,
+            ),
+        ):
+            want = sorted(map(tuple, idx.search(q, **kwargs).collect()))
+            got = sorted(
+                map(tuple, idx.search(q, arrow_score=True, **kwargs).collect())
+            )
+            assert got == want, (kwargs, got[:3], want[:3])
+        idx.unpersist()
+    cos = IVFIndex.build_fixed(c, n_centroids=4, metric="cosine")
+    with _pytest.raises(NotImplementedError):
+        cos.search(q, k=K, nprobe=2, arrow_score=True)
+    cos.unpersist()
+
+
 def test_ivfpq_rerank_requires_vectors(spark):
     import pytest
 
