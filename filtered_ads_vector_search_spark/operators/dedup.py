@@ -1364,6 +1364,124 @@ FROM base b LEFT JOIN rebuilt r ON b.doc_id = r.doc_id
 """
 
 
+def line_dedup_corpus(
+    docs: DataFrame,
+    min_occurrences: int = 2,
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """CORPUS-LEVEL line dedup — the C4 recipe (Raffel et al. 2020: "we
+    discarded all but one of any three-sentence span occurring more than
+    once in the data set", applied here at line granularity, the common
+    reproduction): a trimmed line whose corpus-wide occurrence count is
+    >= ``min_occurrences`` keeps only its canonical occurrence (the
+    globally-first (doc_id, line_pos), same int64-MIN rule as
+    `substr_dedup_remove`); every other occurrence — including repeats
+    WITHIN one document (boilerplate) — is dropped. Whitespace-only lines
+    are structure, not content: never counted, never removed. Returns
+    (doc_id, text, n_lines, n_removed_lines) for every input document,
+    text rebuilt from surviving lines joined with ``sep``.
+
+    Scale shape: one posexplode -> line-hash aggregate (distinct-line-sized
+    relation carrying a count and an int64 MIN) -> one equi-join back ->
+    per-doc ordered reassembly. The corpus-sized shuffle carries the 60-bit
+    line hash, not line text. No all-pairs anywhere."""
+    if min_occurrences < 2:
+        raise ValueError(f"min_occurrences must be >= 2, got {min_occurrences}")
+    base = docs.select(
+        "doc_id", F.split(F.col(text_col), sep, -1).alias("_lines")
+    )
+    ex = base.select(
+        "doc_id", F.posexplode(F.col("_lines")).alias("pos", "line")
+    ).withColumn("_norm", F.trim(F.col("line")))
+    content = ex.filter(F.col("_norm") != "").select(
+        "doc_id", "pos", str_hash_col(F.col("_norm")).alias("lh")
+    )
+    enc = F.col("doc_id") * F.lit(_SUBSTR_POS_ENCODE) + F.col("pos")
+    freq = (
+        content.groupBy("lh")
+        .agg(F.count(F.lit(1)).alias("n"), F.min(enc).alias("canon"))
+        .filter(F.col("n") >= min_occurrences)
+        .select("lh", "canon")
+    )
+    removed = (
+        content.join(freq, "lh").filter(enc != F.col("canon")).select("doc_id", "pos")
+    )
+    kept = ex.select("doc_id", "pos", "line").join(
+        removed, ["doc_id", "pos"], "left_anti"
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            sep,
+        ).alias("text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    return (
+        base.select("doc_id", F.size("_lines").alias("n_lines"))
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("text", F.lit("")).alias("text"),
+            "n_lines",
+            (F.col("n_lines") - F.coalesce("n_kept", F.lit(0))).alias(
+                "n_removed_lines"
+            ),
+        )
+    )
+
+
+def line_dedup_corpus_sql(
+    docs_sql: str,
+    min_occurrences: int = 2,
+    sep_sql: str = "chr(10)",
+) -> str:
+    """DuckDB twin over an arbitrary (doc_id, text) relation SQL."""
+    lh = str_hash_sql("norm")
+    enc = f"(doc_id * {_SUBSTR_POS_ENCODE} + pos)"
+    return f"""
+WITH base AS (
+  SELECT doc_id, string_split(text, {sep_sql}) AS lines FROM ({docs_sql})
+),
+ex AS (
+  SELECT doc_id, pos, line, trim(line) AS norm FROM (
+    SELECT doc_id,
+           unnest(range(0, len(lines))) AS pos,
+           unnest(lines) AS line
+    FROM base
+  )
+),
+content AS (
+  SELECT doc_id, pos, {lh} AS lh FROM ex WHERE norm <> ''
+),
+freq AS (
+  SELECT lh, min({enc}) AS canon
+  FROM content GROUP BY lh HAVING count(*) >= {min_occurrences}
+),
+removed AS (
+  SELECT doc_id, pos FROM content JOIN freq USING (lh) WHERE {enc} <> canon
+),
+kept AS (
+  SELECT e.doc_id, e.pos, e.line
+  FROM ex e LEFT JOIN removed r ON e.doc_id = r.doc_id AND e.pos = r.pos
+  WHERE r.pos IS NULL
+),
+rebuilt AS (
+  SELECT doc_id, string_agg(line, {sep_sql} ORDER BY pos) AS text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT b.doc_id,
+       coalesce(r.text, '') AS text,
+       len(b.lines) AS n_lines,
+       len(b.lines) - coalesce(r.n_kept, 0) AS n_removed_lines
+FROM base b LEFT JOIN rebuilt r ON b.doc_id = r.doc_id
+"""
+
+
 # --- SemDeDup: cluster-bounded semantic dedup -------------------------------
 #
 # SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at web-scale

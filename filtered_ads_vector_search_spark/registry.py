@@ -4076,6 +4076,58 @@ def _substr_dup_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.substr_dup_stats(_tbl(spark, sf_dir, "documents"), k=8)
 
 
+def _zorder_keys_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over two event dimensions — the
+    Delta/Iceberg OPTIMIZE ZORDER analog; the interleave expression is
+    generated from one loop for both engines (layout.py), and the layout
+    writer + Parquet-footer skipping property are pytest-verified
+    (test_layout.py)."""
+    from .operators import layout as LY
+
+    ev = _tbl(spark, sf_dir, "events")
+    x = F.pmod(F.col("user_id"), F.lit(1024))
+    y = F.pmod(F.col("event_id"), F.lit(1024))
+    return ev.select("event_id", LY.zorder_key_col(x, y).alias("zkey"))
+
+
+def _zorder_keys_sql() -> str:
+    from .operators import layout as LY
+
+    zk = LY.zorder_key_sql("user_id % 1024", "event_id % 1024")
+    return f"SELECT event_id, {zk} AS zkey FROM events"
+
+
+def _line_dedup_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-level line dedup. The synthetic documents carry no
+    newlines, so the query first line-izes each doc into 8-token lines with
+    an arithmetic re-chunker the oracle reproduces exactly — the dedup then
+    finds real cross-document duplicated lines (the corpus has heavy token
+    overlap) and the FULL rebuilt text is hash-checked."""
+    docs = _tbl(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    n_lines = F.ceil(F.size(toks) / F.lit(8.0)).cast("int")
+    linized = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), n_lines - 1),
+            lambda i: F.array_join(F.slice(toks, i * 8 + 1, 8), " "),
+        ),
+        "\n",
+    )
+    ld = docs.select("doc_id", linized.alias("text"))
+    return DD.line_dedup_corpus(ld, min_occurrences=2)
+
+
+def _line_dedup_sql() -> str:
+    linized = (
+        "SELECT doc_id, array_to_string(list_transform("
+        "range(0, CAST(ceil(len(toks) / 8.0) AS INT)), "
+        "i -> array_to_string(list_slice(toks, i*8 + 1, i*8 + 8), ' ')), "
+        "chr(10)) AS text "
+        f"FROM (SELECT doc_id, {T.tokens_sql('text')} AS toks FROM documents)"
+    )
+    return DD.line_dedup_corpus_sql(linized, min_occurrences=2)
+
+
 def _substr_dedup_remove_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr REMOVAL (Lee et al. 2022): cut every non-canonical
     occurrence of a cross-doc duplicated 8-token window and rebuild the
@@ -4181,6 +4233,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsir_resample": _dsir_resample_spark,
     "substr_dup_stats": _substr_dup_stats_spark,
     "substr_dedup_remove": _substr_dedup_remove_spark,
+    "line_dedup_corpus": _line_dedup_spark,
+    "zorder_keys": _zorder_keys_spark,
     "cms_heavy_hitters": _cms_heavy_hitters_spark,
     "decontaminate_bloom": _decontaminate_bloom_spark,
     "knn_jl": _knn_jl_spark,
@@ -4300,8 +4354,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # r2-vintage queries, (b) the 3 queries whose code changed this round
 # (SemDeDup's corpus-derived n_clusters + shared k-means build; the Bloom
 # decontamination prefilter now joining on the 60-bit shingle hash to match
-# its oracle exactly) plus the NEW baseline-JPEG decode query, then (c) the
-# 8 longest-stale r3-vintage queries.
+# its oracle exactly) plus the queries NEW in round 5 (baseline-JPEG decode,
+# ExactSubstr removal, C4 corpus-level line dedup, Z-order keys), then
+# (c) the 5 longest-stale r3-vintage queries that still fit; the displaced
+# r3 greens (qps_windows, pareto_frontier_suppliers, quality_brackets,
+# grid_search_lsh) lead round 6's rotation.
 # After this round only r3/r4-vintage greens remain, queued for round 6.
 _R5_PREFIX: list[str] = [
     # (a) r2-vintage — longest stale first-ish, grouped by family
@@ -4349,14 +4406,14 @@ _R5_PREFIX: list[str] = [
     "semdedup_keep",
     "decontaminate_bloom",
     "substr_dedup_remove",
+    "line_dedup_corpus",
+    "zorder_keys",
     # (c) longest-stale r3-vintage fill
     "knn_filtered_mid",
     "knn_filtered_low",
     "knn_sq8_filtered_high",
     "latency_percentiles",
     "latency_percentiles_v2",
-    "qps_windows",
-    "pareto_frontier_suppliers",
 ]
 assert len(_R5_PREFIX) == 50 and len(set(_R5_PREFIX)) == 50
 QUERIES = {
@@ -4430,6 +4487,8 @@ ORACLES: dict[str, str] = {
     "dsir_resample": LM.dsir_resample_sql(n_keep=100),
     "substr_dup_stats": DD.substr_dup_stats_sql(k=8),
     "substr_dedup_remove": DD.substr_dedup_remove_sql(k=8),
+    "line_dedup_corpus": _line_dedup_sql(),
+    "zorder_keys": _zorder_keys_sql(),
     "cms_heavy_hitters": _cms_heavy_hitters_sql_(),
     "decontaminate_bloom": _decontaminate_sql(),
     "knn_jl": _knn_jl_sql(),

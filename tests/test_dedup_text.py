@@ -321,6 +321,49 @@ def test_substr_dedup_remove_overlap_union_and_partition_invariance(spark):
     }
 
 
+def test_line_dedup_corpus_c4_rule(spark):
+    """C4-style corpus-level line dedup: a line occurring >= min_occurrences
+    times keeps only its globally-first occurrence (cross-doc AND within-doc
+    boilerplate), whitespace-only lines are untouched structure, unique
+    lines survive verbatim."""
+    from filtered_ads_vector_search_spark.operators.dedup import (
+        line_dedup_corpus,
+    )
+
+    boiler = "subscribe to our newsletter"
+    rows = [
+        (0, f"unique intro\n{boiler}\nsome real content"),
+        (1, f"{boiler}\nother content\n\n{boiler}"),  # 2 copies + blank line
+        (2, "totally unique document\nwith its own lines"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in line_dedup_corpus(df, min_occurrences=2).collect()}
+    # doc 0 holds the canonical occurrence: untouched
+    assert out[0].text == rows[0][1] and out[0].n_removed_lines == 0
+    # doc 1 loses BOTH its copies; the empty line survives as structure
+    assert out[1].text == "other content\n"
+    assert out[1].n_removed_lines == 2 and out[1].n_lines == 4
+    assert out[2].text == rows[2][1] and out[2].n_removed_lines == 0
+    # threshold: at min_occurrences=4 nothing reaches the bar
+    out3 = {r.doc_id: r.text for r in line_dedup_corpus(df, min_occurrences=4).collect()}
+    assert out3 == {i: t for i, t in rows}
+
+
+def test_line_dedup_corpus_partition_invariance(spark):
+    from filtered_ads_vector_search_spark.operators.dedup import (
+        line_dedup_corpus,
+    )
+
+    rows = [(i, f"shared header line\nbody {i}\nshared footer line") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(map(tuple, line_dedup_corpus(df).collect()))
+    b = sorted(map(tuple, line_dedup_corpus(df.repartition(7)).collect()))
+    assert a == b
+    by_id = {t[0]: t for t in a}
+    assert by_id[0][1] == rows[0][1]  # canonical doc keeps both shared lines
+    assert all(by_id[i][3] == 2 for i in range(1, 20))  # everyone else loses 2
+
+
 # --- Bloom-prefiltered decontamination --------------------------------------
 
 
