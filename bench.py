@@ -141,6 +141,20 @@ def main() -> None:
         ).count(),
     )
 
+    # round-5 additions: ExactSubstr removal, C4 line dedup, BPE training
+    docs_sf = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    timed(
+        "substr_dedup_remove",
+        lambda: registry.QUERIES["substr_dedup_remove"](spark, SF_DIR).count(),
+    )
+    timed(
+        "line_dedup_corpus",
+        lambda: registry.QUERIES["line_dedup_corpus"](spark, SF_DIR).count(),
+    )
+    from filtered_ads_vector_search_spark.operators import bpe as B
+
+    timed("bpe_train_200", lambda: len(B.bpe_train(docs_sf, n_merges=200)), repeats=1)
+
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
