@@ -48,8 +48,12 @@ NOTES = {
 - The exploded corpus is touched twice (featurize, score) and the only corpus-keyed `Exchange` is the final map-combinable `groupBy(doc_id)` partial/final aggregate pair.""",
     "Bloom-prefiltered decontamination": """\
 - The eval shingle set folds into a 128-long bitmap LITERAL; the bit test (`element_at` + shift + mask) sits in the scan-side `Filter` inside `WholeStageCodegen` — training shingles that miss the bitmap never reach the join.
-- The exact equi-join after the prefilter kills Bloom false positives, so the plan change is invisible in the result (it shares the exact form's oracle).
-- At real scale the bitmap (2^30 bits = 128 MiB) still broadcasts when the eval shingle set itself cannot, converting a two-sided shuffle join into scan-side pruning + a near-empty join.""",
+- The exact equi-join after the prefilter kills Bloom false positives, so the plan change is invisible in the result (it shares the exact form's oracle); both the bitmap keys and the join use the same 60-bit shingle hash, so the contract is exact even under collisions.
+- The bitmap auto-sizes from the eval shingle count; past 1024 words it ships as ONE Spark broadcast consumed by an Arrow-batched bit test (a single `ArrowEvalPython` filter node) instead of growing the literal expression — still scan-side pruning + a near-empty join.""",
+    "IVFPQ search (Arrow ADC kernel form)": """\
+- Same logical search as the expression form (bit-identical rows asserted in tests), different physical scoring: the probed-bucket scan is STATICALLY pruned by an `partition_id IN (...)` `PushedFilters` entry (stronger than the join's dynamic pruning — visible in the scan), and candidates flow into ONE `MapInPandas` node that scores a whole bucket x query-chunk block per numpy op.
+- Per-candidate cost drops from an interpreted m-step HOF fold (~1us x m) to a vectorized LUT gather: measured 45.5s -> 7.2s at 1000 queries x 1M corpus rows, 219 vs 61 q/s at the scale bench.
+- The kernel emits only local top-R partials per (query, chunk); the shared `WindowGroupLimit` merge and the <= R-rows/query exact rerank are identical to the expression form's tail.""",
     "Bounded-state histogram quantiles": """\
 - The bounds relation (one row per group) enters as a `BroadcastHashJoin`; the bin assignment is codegen arithmetic in the scan projection.
 - The per-(group, bin) count is a partial/final `HashAggregate` pair — map-side combine collapses each task to <= bins rows per group BEFORE the only corpus-keyed exchange.
@@ -57,11 +61,11 @@ NOTES = {
 }
 
 
-def _ivfpq_search(c, q):
+def _ivfpq_search(c, q, arrow=False):
     from filtered_ads_vector_search_spark.operators.ivfpq import IVFPQIndex
 
     return IVFPQIndex.build_fixed(c, n_centroids=16, m=4, n_codes=16).search(
-        q, k=10, nprobe=4, rerank=30
+        q, k=10, nprobe=4, rerank=30, arrow_adc=arrow
     )
 
 
@@ -87,6 +91,7 @@ def main() -> None:
         "LSH bucket search (fused top-k)": _lsh_search(c, q),
         "As-of join (union-window form)": registry.QUERIES["event_attribution"](spark, SF),
         "IVFPQ search (residual ADC + exact rerank)": _ivfpq_search(c, q),
+        "IVFPQ search (Arrow ADC kernel form)": _ivfpq_search(c, q, arrow=True),
         "DSIR importance scoring": registry.QUERIES["dsir_weights"](spark, SF),
         "Bloom-prefiltered decontamination": registry.QUERIES["decontaminate_bloom"](spark, SF),
         "Bounded-state histogram quantiles": registry.QUERIES["hist_quantiles"](spark, SF),

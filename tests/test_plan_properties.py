@@ -136,3 +136,27 @@ def test_hist_quantiles_partial_aggregate_before_exchange(spark):
     assert "partial_count" in plan or "HashAggregate" in plan, plan[:2000]
     # no SortMergeJoin anywhere: the only joins are broadcasts
     assert "SortMergeJoin" not in plan, plan[:2000]
+
+
+def test_ivfpq_arrow_kernel_statically_prunes_and_merges_partials(spark):
+    """The EXPLAIN.md claims for the Arrow ADC kernel form: the coded scan
+    carries a static partition_id IN (...) filter (pushed to the scan —
+    stronger than dynamic pruning), scoring is ONE MapInPandas node, and
+    the merge keeps the Partial WindowGroupLimit before the exchange."""
+    from filtered_ads_vector_search_spark.operators.ivfpq import IVFPQIndex
+    from filtered_ads_vector_search_spark.plans import (
+        assert_partial_window_group_limit,
+    )
+
+    emb = spark.read.parquet(f"{SF_TEST}/embeddings.parquet")
+    q, c = TK.split_queries(emb)
+    idx = IVFPQIndex.build_fixed(c, n_centroids=8, m=4, n_codes=16)
+    try:
+        found = idx.search(q, k=10, nprobe=2, arrow_adc=True)
+        plan = physical_plan(found)
+        assert "MapInPandas" in plan, plan[:2000]
+        assert plan.count("MapInPandas") == 1, plan[:2000]
+        assert "partition_id" in plan and " IN " in plan, plan[:2000]
+        assert_partial_window_group_limit(found)
+    finally:
+        idx.unpersist()
