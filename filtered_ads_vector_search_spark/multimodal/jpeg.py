@@ -180,6 +180,11 @@ class _BitWriter:
         if self._n:
             self.put(0x7F, 8 - self._n)  # pad with 1-bits per the spec
 
+    def emit_marker(self, marker: int) -> None:
+        """Byte-align, then append a raw (unstuffed) marker — RSTn."""
+        self.flush()
+        self.out += bytes([0xFF, marker])
+
 
 def _magnitude(v: int) -> tuple[int, int]:
     """(ssss, raw bits) for a DC diff / AC value."""
@@ -236,9 +241,18 @@ def _plane_blocks(plane: np.ndarray, qtab: np.ndarray) -> np.ndarray:
     return q.astype(np.int32)
 
 
-def encode_jpeg(pixels: np.ndarray, quality: int = 90, subsample: bool = False) -> bytes:
+def encode_jpeg(
+    pixels: np.ndarray,
+    quality: int = 90,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
     """(h, w, 3) uint8 RGB -> baseline JFIF bytes. ``subsample=True`` emits
-    4:2:0 (2x2-mean chroma), exercising the decoder's upsampling path."""
+    4:2:0 (2x2-mean chroma), exercising the decoder's upsampling path.
+    ``restart_interval=N`` emits a DRI segment and an RSTn marker every N
+    MCUs (byte-aligned, DC predictors reset — the error-resilience feature
+    real encoders use for parallel decode), exercising the decoder's
+    restart path."""
     h, w, c = pixels.shape
     assert c == 3
     px = pixels.astype(np.float64)
@@ -275,8 +289,13 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90, subsample: bool = False) 
     bw = _BitWriter()
     mcus_y, mcus_x = cbb.shape[0], cbb.shape[1]
     preds = [0, 0, 0]
+    mcu_i, rst_i = 0, 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                bw.emit_marker(0xD0 + (rst_i % 8))
+                rst_i += 1
+                preds = [0, 0, 0]
             for by in range(vs):
                 for bx in range(hs):
                     preds[0] = _encode_block(
@@ -284,6 +303,7 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90, subsample: bool = False) 
                     )
             preds[1] = _encode_block(bw, cbb[my, mx], preds[1], dc_c, ac_c)
             preds[2] = _encode_block(bw, crb[my, mx], preds[2], dc_c, ac_c)
+            mcu_i += 1
     bw.flush()
 
     out = bytearray()
@@ -292,6 +312,8 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90, subsample: bool = False) 
     for tid, q in ((0, qy), (1, qc)):
         out += b"\xff\xdb" + struct.pack(">HB", 67, tid)
         out += bytes(int(v) for v in q[_ZIGZAG])
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, h, w, 3)
     out += bytes([1, (hs << 4) | vs, 0])  # Y
     out += bytes([2, 0x11, 1])  # Cb

@@ -58,6 +58,25 @@ def test_jpeg_meta_fields():
     }
 
 
+def test_jpeg_restart_markers_roundtrip():
+    """DRI + RSTn path: restart intervals byte-align the stream and reset
+    DC predictors; the decoder must resynchronize at every marker and
+    reproduce the no-restart decode within quantization noise, for both
+    chroma modes and for intervals that don't divide the MCU count."""
+    img = _smooth(7, 40, 48)
+    for subsample in (False, True):
+        base = C.decode_jpeg_pixels(C.encode_jpeg(img, quality=90, subsample=subsample))
+        for interval in (1, 2, 3, 7):
+            raw = C.encode_jpeg(
+                img, quality=90, subsample=subsample, restart_interval=interval
+            )
+            assert b"\xff\xdd" in raw  # DRI present
+            dec = C.decode_jpeg_pixels(raw)
+            # identical coefficients, identical pixels: restart changes the
+            # stream framing only
+            assert (dec == base).all(), (subsample, interval)
+
+
 def test_jpeg_rejects_progressive():
     raw = bytearray(C.encode_jpeg(_smooth(4), quality=90))
     i = raw.find(b"\xff\xc0")
