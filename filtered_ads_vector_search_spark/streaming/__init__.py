@@ -17,6 +17,9 @@ same capability needs:
   impression attribution), with a batch twin for oracle checking.
 * ``dedup``    — dropDuplicatesWithinWatermark streaming exact dedup
   (state bounded by the watermark horizon), with a batch twin.
+* ``curate``   — the stateless curation stages (quality gate, PII
+  redaction, decontamination against a static eval set) composed onto a
+  document stream; stream == batch row for row.
 """
 
 from .windows import windowed_event_stats, windowed_event_stats_batch, stream_events
