@@ -1,0 +1,182 @@
+"""Hypothesis property fuzz — Spark-free, so hundreds of examples run in
+seconds. These triangulate: the registry already proves Spark == DuckDB on
+the fixed testdata; here the DuckDB twins and numpy twins are checked
+against INDEPENDENT pure-Python references on randomized inputs, and the
+JPEG codec is fuzzed across shapes/modes."""
+
+import duckdb
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from filtered_ads_vector_search_spark.functions.hashing import (
+    portable_hash_np,
+    portable_hash_sql,
+)
+from filtered_ads_vector_search_spark.multimodal import jpeg as J
+from filtered_ads_vector_search_spark.operators import layout as LY
+from filtered_ads_vector_search_spark.operators.dedup import (
+    line_dedup_corpus_sql,
+)
+
+
+@given(
+    seed=st.integers(0, 10**6),
+    h=st.integers(8, 25),
+    w=st.integers(8, 25),
+    sub=st.booleans(),
+    rst=st.sampled_from([0, 1, 3]),
+)
+@settings(max_examples=30, deadline=None)
+def test_jpeg_roundtrip_fuzz(seed, h, w, sub, rst):
+    """Any smooth image, any (odd) shape, either chroma mode, with or
+    without restart markers: encode is deterministic, decode returns the
+    input shape, and fidelity clears a PSNR floor."""
+    rng = np.random.RandomState(seed)
+    base = rng.randint(20, 235, (4, 4, 3)).astype(np.float64)
+    ys = (np.arange(h) * 4) // h
+    xs = (np.arange(w) * 4) // w
+    img = np.clip(base[ys][:, xs] + rng.uniform(-6, 6, (h, w, 3)), 0, 255).astype(
+        np.uint8
+    )
+    raw = J.encode_jpeg(img, quality=92, subsample=sub, restart_interval=rst)
+    assert raw == J.encode_jpeg(img, quality=92, subsample=sub, restart_interval=rst)
+    meta = J.decode_jpeg_meta(raw)
+    assert (meta["width"], meta["height"]) == (w, h)
+    dec = J.decode_jpeg_pixels(raw)
+    assert dec.shape == img.shape
+    mse = ((dec.astype(float) - img.astype(float)) ** 2).mean()
+    psnr = 10 * np.log10(255**2 / max(mse, 1e-9))
+    if not sub:
+        assert psnr > 24.0, (seed, h, w, sub, rst, psnr)
+    else:
+        # 4:2:0's fidelity is bounded by chroma subsampling itself, not the
+        # codec: on tiny sharp-edged images the LOSSLESS subsample+upsample
+        # pipeline can land at ~16 dB. Assert the codec either tracks that
+        # per-image theoretical limit (within 2.5 dB — dominant when the
+        # image is subsample-hostile) or clears the fixed good-quality
+        # floor (dominant when the limit is high and q92 quantization noise
+        # is the remaining gap).
+        bound = min(_ideal_420_psnr(img) - 2.5, 24.0)
+        assert psnr > bound, (seed, h, w, rst, psnr, bound)
+
+
+def _ideal_420_psnr(img: np.ndarray) -> float:
+    """PSNR of the lossless 4:2:0 pipeline (color transform + 2x2 chroma
+    mean + replicate upsample + inverse transform) — the subsampling bound
+    the codec cannot beat."""
+    px = img.astype(np.float64)
+    r, g, b = px[..., 0], px[..., 1], px[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    h, w = y.shape
+
+    def pad16(p):
+        ph = (p.shape[0] + 15) // 16 * 16
+        pw = (p.shape[1] + 15) // 16 * 16
+        return np.pad(p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])), mode="edge")
+
+    def down_up(p):
+        q = pad16(p)
+        d = q.reshape(q.shape[0] // 2, 2, q.shape[1] // 2, 2).mean(axis=(1, 3))
+        return np.repeat(np.repeat(d, 2, 0), 2, 1)[:h, :w]
+
+    cbu, cru = down_up(cb), down_up(cr)
+    rr = y + 1.402 * (cru - 128)
+    gg = y - 0.344136 * (cbu - 128) - 0.714136 * (cru - 128)
+    bb = y + 1.772 * (cbu - 128)
+    rec = np.clip(np.round(np.stack([rr, gg, bb], 2)), 0, 255)
+    mse = ((rec - px) ** 2).mean()
+    return 10 * np.log10(255**2 / max(mse, 1e-9))
+
+
+def _morton_py(x: int, y: int, bits: int = 16) -> int:
+    out = 0
+    for b in range(bits):
+        out |= ((x >> b) & 1) << (2 * b)
+        out |= ((y >> b) & 1) << (2 * b + 1)
+    return out
+
+
+@given(x=st.integers(0, 2**16 - 1), y=st.integers(0, 2**16 - 1))
+@settings(max_examples=200, deadline=None)
+def test_morton_sql_twin_matches_python(x, y):
+    con = duckdb.connect()
+    got = con.sql(
+        f"SELECT {LY.zorder_key_sql(str(x), str(y))} AS zk"
+    ).fetchone()[0]
+    assert got == _morton_py(x, y)
+
+
+@given(v=st.integers(0, (1 << 60) - 1), seed=st.integers(0, 10_000))
+@settings(max_examples=200, deadline=None)
+def test_portable_hash_numpy_twin_matches_sql(v, seed):
+    """The Arrow kernels' numpy hash must equal the SQL form bit for bit —
+    the Bloom broadcast path's oracle contract hangs on this."""
+    con = duckdb.connect()
+    got_sql = con.sql(
+        f"SELECT {portable_hash_sql(str(v), seed=seed)} AS h"
+    ).fetchone()[0]
+    got_np = int(portable_hash_np(np.array([v], dtype=np.int64), seed=seed)[0])
+    assert got_np == got_sql
+
+
+_LINE_POOL = [
+    "shared boilerplate line",
+    "subscribe now",
+    "alpha beta gamma",
+    "unique-ish content one",
+    "unique-ish content two",
+    "  ",
+    "",
+    "another body line",
+]
+
+
+def _line_dedup_ref(docs, min_occ=2):
+    """Independent pure-Python reference of the C4 line-dedup contract."""
+    occ: dict[str, int] = {}
+    for _d, t in docs:
+        for line in t.split("\n"):
+            n = line.strip()
+            if n:
+                occ[n] = occ.get(n, 0) + 1
+    canon: dict[str, tuple[int, int]] = {}
+    for d, t in sorted(docs):
+        for p, line in enumerate(t.split("\n")):
+            n = line.strip()
+            if n and n not in canon:
+                canon[n] = (d, p)
+    out = []
+    for d, t in docs:
+        lines = t.split("\n")
+        kept = [
+            line
+            for p, line in enumerate(lines)
+            if not (
+                line.strip()
+                and occ[line.strip()] >= min_occ
+                and canon[line.strip()] != (d, p)
+            )
+        ]
+        out.append((d, "\n".join(kept), len(lines), len(lines) - len(kept)))
+    return sorted(out)
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(_LINE_POOL), min_size=1, max_size=6),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_line_dedup_sql_twin_matches_python_reference(docs):
+    rows = [(i, "\n".join(lines)) for i, lines in enumerate(docs)]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?)", rows)
+    sql = line_dedup_corpus_sql("SELECT doc_id, text FROM d")
+    got = sorted(con.sql(sql).fetchall())
+    assert got == _line_dedup_ref(rows)
