@@ -66,16 +66,25 @@ def decode_image_pixels(raw: bytes) -> np.ndarray:
 
 
 def resize_image(raw: bytes, width: int, height: int) -> bytes:
-    """Codec-preserving resize: BMP stays BMP, JPEG is re-encoded as JPEG."""
+    """Codec-preserving resize: BMP stays BMP, JPEG is re-encoded as JPEG
+    with the source's chroma mode preserved (read from the SOF sampling
+    factors). Quality is not recoverable from a JPEG (only its quant
+    tables survive), so the re-encode uses the encoder's q90 default."""
     kind = sniff(raw)
     if kind == "bmp":
         return resize_bmp(raw, width, height)
     if kind == "jpeg":
-        px = decode_jpeg_pixels(raw)
-        h0, w0, _ = px.shape
-        ys = (np.arange(height) * h0 // height).clip(0, h0 - 1)
-        xs = (np.arange(width) * w0 // width).clip(0, w0 - 1)
-        return encode_jpeg(px[ys][:, xs])
+        from .jpeg import _parse_segments
+
+        subsample = False
+        for marker, payload, _ in _parse_segments(raw):
+            if marker == 0xC0:  # SOF0: first component's h/v factors
+                subsample = payload[7] != 0x11
+                break
+        return encode_jpeg(
+            _nn_resample(decode_jpeg_pixels(raw), width, height),
+            subsample=subsample,
+        )
     raise ValueError(f"not a resizable image payload (sniffed {kind!r})")
 
 
@@ -124,13 +133,17 @@ def decode_bmp_pixels(raw: bytes) -> np.ndarray:
     return rows[::-1, :, ::-1].copy()  # back to top-down RGB
 
 
-def resize_bmp(raw: bytes, width: int, height: int) -> bytes:
-    """Nearest-neighbor resample — a real resize of real pixels."""
-    px = decode_bmp_pixels(raw)
+def _nn_resample(px: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor index gather shared by every image resize path."""
     h0, w0, _ = px.shape
     ys = (np.arange(height) * h0 // height).clip(0, h0 - 1)
     xs = (np.arange(width) * w0 // width).clip(0, w0 - 1)
-    return encode_bmp(px[ys][:, xs])
+    return px[ys][:, xs]
+
+
+def resize_bmp(raw: bytes, width: int, height: int) -> bytes:
+    """Nearest-neighbor resample — a real resize of real pixels."""
+    return encode_bmp(_nn_resample(decode_bmp_pixels(raw), width, height))
 
 
 def encode_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:

@@ -367,6 +367,10 @@ def _parse_segments(raw: bytes):
     while i < len(raw):
         if raw[i] != 0xFF:
             raise ValueError("malformed JPEG marker stream")
+        # ITU-T T.81 B.1.1.2: any number of 0xFF fill bytes may pad before
+        # a marker — real encoders/transcoders emit them
+        while i + 1 < len(raw) and raw[i + 1] == 0xFF:
+            i += 1
         marker = raw[i + 1]
         if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
             i += 2

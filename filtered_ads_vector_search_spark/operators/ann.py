@@ -38,10 +38,123 @@ from pyspark.sql import functions as F
 
 from .topk import Metric, distance_col, knn_window
 
-# arrow_score collects the query matrix + probe list driver-side (the same
-# bounded-collect discipline as knn_scalable's broadcast queries); above
-# this many queries, shard the batch upstream instead.
+# The Arrow kernels collect the query matrix + probe list driver-side (the
+# same bounded-collect discipline as knn_scalable's broadcast queries);
+# above this many queries, shard the batch upstream instead.
 _SCORE_MAX_QUERIES = 100_000
+
+
+def _arrow_bucket_topk(
+    queries: DataFrame,
+    probes: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    data_col: str,
+    data_dtype: str,
+    top: int,
+    out_col: str,
+    extra: tuple,
+    bucket_scorer,
+    kernel_name: str,
+) -> DataFrame:
+    """Shared scaffolding of the Arrow scoring kernels (IVF exact /
+    IVFPQ ADC): bounded query+probe collect, broadcast, static bucket
+    pruning, per-bucket neighbor_id pre-sort (the exact (score, id)
+    tie-break via STABLE argsort), 256-query chunking to bound the
+    (q x n) block, and local top-``top`` partial emission for the shared
+    window merge. The kernels differ ONLY in ``bucket_scorer``:
+
+        bucket_scorer(Q, qsel, bucket_id, data, extra) -> chunk_fn
+        chunk_fn(c0, c1) -> (c1-c0, n_bucket_rows) float64 score matrix
+
+    where ``data`` is the bucket's ``data_col`` rows as a (n, ...) array of
+    ``data_dtype``, already sorted by ascending neighbor_id. Keeping the
+    scaffold in one place keeps the two kernels' tie-break / chunking /
+    cap discipline from drifting apart — both assert bit-equality with
+    their expression forms."""
+    q_rows = queries.select("query_id", "q_vec").collect()
+    if not q_rows:  # expression-path contract: empty in, empty out
+        return corpus.sparkSession.createDataFrame(
+            [], f"query_id long, neighbor_id long, {out_col} double"
+        )
+    if len(q_rows) > _SCORE_MAX_QUERIES:
+        raise ValueError(
+            f"{kernel_name} collects the query matrix; got {len(q_rows)} "
+            f"queries > {_SCORE_MAX_QUERIES} — shard the batch upstream"
+        )
+    qids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
+    Q = np.array([list(r["q_vec"]) for r in q_rows], dtype=np.float64)
+    qpos = {int(q): i for i, q in enumerate(qids)}
+    bucket_queries: dict[int, list[int]] = {}
+    for r in probes.collect():
+        bucket_queries.setdefault(int(r["partition_id"]), []).append(
+            qpos[int(r["query_id"])]
+        )
+    bq = {b: np.array(v, dtype=np.int64) for b, v in bucket_queries.items()}
+    bc = corpus.sparkSession.sparkContext.broadcast((qids, Q, bq) + extra)
+    pruned = corpus.filter(
+        F.col("partition_id").isin([int(b) for b in bq])
+    ).select(
+        "partition_id",
+        F.col(id_col).alias("neighbor_id"),
+        F.col(data_col).alias("_data"),
+    )
+
+    def score(batches):
+        payload = bc.value
+        qids_, Q_, bq_ = payload[0], payload[1], payload[2]
+        extra_ = payload[3:]
+        for pdf in batches:
+            out_q: list[np.ndarray] = []
+            out_n: list[np.ndarray] = []
+            out_d: list[np.ndarray] = []
+            for b, grp in pdf.groupby("partition_id"):
+                qsel = bq_.get(int(b))
+                if qsel is None or len(qsel) == 0:
+                    continue
+                ids = grp["neighbor_id"].to_numpy(np.int64)
+                order = np.argsort(ids)  # ascending id => exact tie-break
+                ids = ids[order]
+                data = np.array(grp["_data"].tolist(), dtype=data_dtype)[order]
+                chunk_fn = bucket_scorer(Q_, qsel, int(b), data, extra_)
+                n = len(ids)
+                t = min(top, n)
+                for c0 in range(0, len(qsel), 256):  # bound the (q x n) block
+                    c1 = min(c0 + 256, len(qsel))
+                    sc = chunk_fn(c0, c1)
+                    keep = np.argsort(sc, axis=1, kind="stable")[:, :t]
+                    rows = np.repeat(qsel[c0:c1], t)
+                    out_q.append(qids_[rows])
+                    out_n.append(ids[keep].ravel())
+                    out_d.append(np.take_along_axis(sc, keep, axis=1).ravel())
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.concatenate(out_q),
+                        "neighbor_id": np.concatenate(out_n),
+                        out_col: np.concatenate(out_d),
+                    }
+                )
+
+    return pruned.mapInPandas(
+        score, f"query_id long, neighbor_id long, {out_col} double"
+    )
+
+
+def _sqeuclidean_bucket_scorer(Q, qsel, _b, V, _extra):
+    """Element-ascending (x-y)^2 left fold — the same IEEE doubles as the
+    0.0D-seeded ascending aggregate fold of the expression form."""
+    d = V.shape[1]
+
+    def chunk(c0, c1):
+        Qc = Q[qsel[c0:c1]]
+        sc = np.zeros((len(Qc), V.shape[0]), dtype=np.float64)
+        for el in range(d):  # ascending-element left fold
+            diff = Qc[:, el, None] - V[None, :, el]
+            sc += diff * diff
+        return sc
+
+    return chunk
 
 __all__ = ["IVFIndex"]
 
@@ -129,21 +242,25 @@ def _hadoop_fs(spark, path: str):
 
 def _batch_roots(spark, path: str) -> list[str]:
     """Existing per-batch append directories under a layout, sorted. Includes
-    batches parked in the compaction snapshot dir: during (or after a crash
-    of) a compaction each batch lives in exactly one of `batches/` or
-    `batches__compacting/`, so the union is always exactly one copy."""
+    batches parked in the compaction snapshot dir. Normally each batch lives
+    in exactly one of `batches/` or `batches__compacting/`; the one way both
+    can briefly hold the SAME batch id is a crashed compaction followed by a
+    streaming replay of an uncommitted batch (idempotent per-batch content),
+    so duplicates are deduped BY BATCH DIRECTORY NAME here, preferring the
+    parked snapshot copy — readers always see exactly one copy."""
     fs, mkpath = _hadoop_fs(spark, path)
-    out = []
-    for sub in ("batches", _SNAP_DIR):
+    seen: dict[str, str] = {}
+    for sub in (_SNAP_DIR, "batches"):  # snapshot copy wins on a name clash
         hpath = mkpath(f"{path}/{sub}")
         if not fs.exists(hpath):
             continue
-        out.extend(
-            str(st.getPath().toUri().getPath())
-            for st in fs.listStatus(hpath)
-            if st.isDirectory()
-        )
-    return sorted(out)
+        for st in fs.listStatus(hpath):
+            if st.isDirectory():
+                seen.setdefault(
+                    str(st.getPath().getName()),
+                    str(st.getPath().toUri().getPath()),
+                )
+    return sorted(seen.values())
 
 
 def _snapshot_batches(spark, path: str) -> None:
@@ -156,10 +273,22 @@ def _snapshot_batches(spark, path: str) -> None:
     if not fs.exists(src):
         return
     if not fs.exists(dst):
-        fs.rename(src, dst)
+        if not fs.rename(src, dst):
+            raise IOError(f"snapshot rename failed: {src} -> {dst}")
         return
     for st in fs.listStatus(src):
-        fs.rename(st.getPath(), mkpath(f"{path}/{_SNAP_DIR}/{st.getPath().getName()}"))
+        child_dst = mkpath(f"{path}/{_SNAP_DIR}/{st.getPath().getName()}")
+        if fs.exists(child_dst):
+            # same batch id parked by a crashed compaction AND re-created by
+            # a streaming replay: per-batch appends are idempotent (identical
+            # content for a batch id), so drop the duplicate copy
+            fs.delete(st.getPath(), True)
+        elif not fs.rename(st.getPath(), child_dst):
+            # Hadoop rename reports failure via its return value, not an
+            # exception — surface it instead of silently bulk-deleting src
+            raise IOError(
+                f"snapshot merge rename failed: {st.getPath()} -> {child_dst}"
+            )
     fs.delete(src, True)
 
 
@@ -797,80 +926,22 @@ class IVFIndex:
         corpus: DataFrame,
         top: int,
     ) -> DataFrame:
-        """Arrow-batched exact scoring of probed buckets (sqeuclidean).
-
-        Same kernel shape as IVFPQIndex._adc_candidates_arrow: broadcast the
-        bounded query matrix + per-bucket probe lists, statically prune the
-        corpus scan to probed buckets, score each bucket x query-chunk block
-        with an element-ascending (x-y)^2 left fold in numpy — the same IEEE
-        doubles as the 0.0D-seeded ascending aggregate fold — and emit a
-        per-(query, chunk) local top-``top`` with candidates pre-sorted by
-        neighbor_id so the stable argsort reproduces the (dist, id)
-        tie-break exactly. The window merge downstream is shared with the
-        expression form."""
-        q_rows = queries.select("query_id", "q_vec").collect()
-        if len(q_rows) > _SCORE_MAX_QUERIES:
-            raise ValueError(
-                f"arrow_score collects the query matrix; got {len(q_rows)} "
-                f"queries > {_SCORE_MAX_QUERIES} — shard the batch upstream"
-            )
-        qids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
-        Q = np.array([list(r["q_vec"]) for r in q_rows], dtype=np.float64)
-        qpos = {int(q): i for i, q in enumerate(qids)}
-        bucket_queries: dict[int, list[int]] = {}
-        for r in probes.collect():
-            bucket_queries.setdefault(int(r["partition_id"]), []).append(
-                qpos[int(r["query_id"])]
-            )
-        bq = {b: np.array(v, dtype=np.int64) for b, v in bucket_queries.items()}
-        bc = corpus.sparkSession.sparkContext.broadcast((qids, Q, bq))
-        pruned = corpus.filter(
-            F.col("partition_id").isin([int(b) for b in bq])
-        ).select(
-            "partition_id",
-            F.col(self.id_col).alias("neighbor_id"),
-            F.col(self.vec_col).alias("_v"),
-        )
-
-        def score(batches):
-            qids_, Q_, bq_ = bc.value
-            for pdf in batches:
-                out_q: list[np.ndarray] = []
-                out_n: list[np.ndarray] = []
-                out_d: list[np.ndarray] = []
-                for b, grp in pdf.groupby("partition_id"):
-                    qsel = bq_.get(int(b))
-                    if qsel is None or len(qsel) == 0:
-                        continue
-                    ids = grp["neighbor_id"].to_numpy(np.int64)
-                    order = np.argsort(ids)  # ascending id => exact tie-break
-                    ids = ids[order]
-                    V = np.array(grp["_v"].tolist(), dtype=np.float64)[order]
-                    n = len(ids)
-                    t = min(top, n)
-                    d = V.shape[1]
-                    for c0 in range(0, len(qsel), 256):  # bound (q x n) block
-                        Qc = Q_[qsel[c0:c0 + 256]]
-                        sc = np.zeros((len(Qc), n), dtype=np.float64)
-                        for el in range(d):  # ascending-element left fold
-                            diff = Qc[:, el, None] - V[None, :, el]
-                            sc += diff * diff
-                        keep = np.argsort(sc, axis=1, kind="stable")[:, :t]
-                        rows = np.repeat(qsel[c0:c0 + 256], t)
-                        out_q.append(qids_[rows])
-                        out_n.append(ids[keep].ravel())
-                        out_d.append(np.take_along_axis(sc, keep, axis=1).ravel())
-                if out_q:
-                    yield pd.DataFrame(
-                        {
-                            "query_id": np.concatenate(out_q),
-                            "neighbor_id": np.concatenate(out_n),
-                            "dist": np.concatenate(out_d),
-                        }
-                    )
-
-        return pruned.mapInPandas(
-            score, "query_id long, neighbor_id long, dist double"
+        """Arrow-batched exact scoring of probed buckets (sqeuclidean) —
+        the shared `_arrow_bucket_topk` scaffold with the element-ascending
+        (x-y)^2 fold as the bucket scorer; bit-identical rows to the
+        expression form (tests assert it)."""
+        return _arrow_bucket_topk(
+            queries,
+            probes,
+            corpus,
+            id_col=self.id_col,
+            data_col=self.vec_col,
+            data_dtype="float64",
+            top=top,
+            out_col="dist",
+            extra=(),
+            bucket_scorer=_sqeuclidean_bucket_scorer,
+            kernel_name="arrow_score",
         )
 
     def unpersist(self) -> None:

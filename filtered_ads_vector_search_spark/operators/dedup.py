@@ -1388,8 +1388,13 @@ def line_dedup_corpus(
     line hash, not line text. No all-pairs anywhere."""
     if min_occurrences < 2:
         raise ValueError(f"min_occurrences must be >= 2, got {min_occurrences}")
+    import re
+
+    # F.split's pattern is a Java regex while array_join (and the DuckDB
+    # twin's string_split) treat sep literally — escape so a separator like
+    # '|' splits literally instead of per-character
     base = docs.select(
-        "doc_id", F.split(F.col(text_col), sep, -1).alias("_lines")
+        "doc_id", F.split(F.col(text_col), re.escape(sep), -1).alias("_lines")
     )
     ex = base.select(
         "doc_id", F.posexplode(F.col("_lines")).alias("pos", "line")

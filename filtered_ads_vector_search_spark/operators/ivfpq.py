@@ -41,12 +41,12 @@ import time
 from dataclasses import dataclass
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .ann import (
     IVFIndex,
+    _arrow_bucket_topk,
     _batch_root,
     _compact_layout,
     _estimate_selectivity,
@@ -65,10 +65,28 @@ from .pq import (
 )
 from .topk import knn_window
 
-# arrow_adc collects the query matrix + probe list driver-side (the same
-# bounded-collect discipline as knn_scalable's broadcast queries); above
-# this many queries, shard the batch upstream instead.
-_ADC_MAX_QUERIES = 100_000
+def _adc_bucket_scorer(Q, qsel, b, codes, extra):
+    """ADC via a per-bucket residual LUT: LUT entries accumulate subspace
+    elements in ascending order from 0.0 and ADC sums LUT cells in
+    ascending j — the same IEEE doubles as the 0.0D-seeded ascending
+    aggregate folds of the expression form."""
+    cent, CB, residual = extra
+    m, nc, sd = CB.shape
+    qr = Q[qsel] - cent[b][None, :] if residual else Q[qsel]
+    S = qr.reshape(len(qsel), m, sd)
+    lut = np.zeros((len(qsel), m, nc), dtype=np.float64)
+    for el in range(sd):  # ascending-element left fold
+        d = S[:, :, None, el] - CB[None, :, :, el]
+        lut += d * d
+
+    def chunk(c0, c1):
+        lc = lut[c0:c1]
+        sc = lc[:, 0, codes[:, 0]]
+        for j in range(1, m):  # ascending-j left fold
+            sc = sc + lc[:, j, codes[:, j]]
+        return sc
+
+    return chunk
 
 __all__ = ["IVFPQIndex"]
 
@@ -548,6 +566,9 @@ class IVFPQIndex:
         dynamic pruning), and scores each bucket x query-chunk block with
         numpy, emitting only a per-(query, chunk) local top-``top`` that the
         shared window merge reduces — the knn_scalable partial-top-k shape.
+        The scaffolding (collect caps, broadcast, pre-sort/chunk/stable-
+        argsort discipline) is `ann._arrow_bucket_topk`, shared with
+        IVFIndex's exact kernel; only `_adc_bucket_scorer` is ADC-specific.
 
         Numerically BIT-IDENTICAL to the expression form (same discipline as
         pq_encode_udf): LUT entries accumulate subspace elements in
@@ -557,85 +578,28 @@ class IVFPQIndex:
         distance reproduces the (adc_dist, neighbor_id) tie-break exactly.
 
         Driver-side collects are the query matrix and probe list (bounded:
-        raises above _ADC_MAX_QUERIES queries — shard the query batch
+        raises above ann._SCORE_MAX_QUERIES queries — shard the query batch
         upstream) and the centroid table — never the coded corpus.
         """
         m, n_codes, sd = _validate(self.codebooks)
-        q_rows = queries.select("query_id", "q_vec").collect()
-        if len(q_rows) > _ADC_MAX_QUERIES:
-            raise ValueError(
-                f"arrow_adc collects the query matrix; got {len(q_rows)} "
-                f"queries > _ADC_MAX_QUERIES={_ADC_MAX_QUERIES} — shard the "
-                "query batch upstream"
-            )
-        qids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
-        Q = np.array([list(r["q_vec"]) for r in q_rows], dtype=np.float64)
-        qpos = {int(q): i for i, q in enumerate(qids)}
-        bucket_queries: dict[int, list[int]] = {}
-        for r in probes.collect():
-            bucket_queries.setdefault(int(r["partition_id"]), []).append(
-                qpos[int(r["query_id"])]
-            )
-        bq = {b: np.array(v, dtype=np.int64) for b, v in bucket_queries.items()}
-        cent = np.zeros((self.n_centroids, Q.shape[1]), dtype=np.float64)
+        cent = np.zeros((self.n_centroids, m * sd), dtype=np.float64)
         for r in self.centroids.collect():
             cent[int(r["centroid_id"])] = np.asarray(
                 r["centroid"], dtype=np.float64
             )
         CB = np.ascontiguousarray(self.codebooks, dtype=np.float64)
-        residual = self.residual
-        bc = corpus.sparkSession.sparkContext.broadcast((qids, Q, bq, cent, CB))
-
-        pruned = corpus.filter(
-            F.col("partition_id").isin([int(b) for b in bq])
-        ).select(
-            "partition_id", F.col(self.id_col).alias("neighbor_id"), "codes"
-        )
-
-        def score(batches):
-            qids_, Q_, bq_, cent_, CB_ = bc.value
-            m_, nc_, sd_ = CB_.shape
-            for pdf in batches:
-                out_q: list[np.ndarray] = []
-                out_n: list[np.ndarray] = []
-                out_d: list[np.ndarray] = []
-                for b, grp in pdf.groupby("partition_id"):
-                    qsel = bq_.get(int(b))
-                    if qsel is None or len(qsel) == 0:
-                        continue
-                    ids = grp["neighbor_id"].to_numpy(np.int64)
-                    order = np.argsort(ids)  # ascending id => exact tie-break
-                    ids = ids[order]
-                    codes = np.array(grp["codes"].tolist(), dtype=np.int64)[order]
-                    qr = Q_[qsel] - cent_[int(b)][None, :] if residual else Q_[qsel]
-                    S = qr.reshape(len(qsel), m_, sd_)
-                    lut = np.zeros((len(qsel), m_, nc_), dtype=np.float64)
-                    for el in range(sd_):  # ascending-element left fold
-                        d = S[:, :, None, el] - CB_[None, :, :, el]
-                        lut += d * d
-                    n = len(ids)
-                    t = min(top, n)
-                    for c0 in range(0, len(qsel), 256):  # bound (q x n) block
-                        lc = lut[c0:c0 + 256]
-                        sc = lc[:, 0, codes[:, 0]]
-                        for j in range(1, m_):  # ascending-j left fold
-                            sc = sc + lc[:, j, codes[:, j]]
-                        keep = np.argsort(sc, axis=1, kind="stable")[:, :t]
-                        rows = np.repeat(qsel[c0:c0 + 256], t)
-                        out_q.append(qids_[rows])
-                        out_n.append(ids[keep].ravel())
-                        out_d.append(np.take_along_axis(sc, keep, axis=1).ravel())
-                if out_q:
-                    yield pd.DataFrame(
-                        {
-                            "query_id": np.concatenate(out_q),
-                            "neighbor_id": np.concatenate(out_n),
-                            "adc_dist": np.concatenate(out_d),
-                        }
-                    )
-
-        return pruned.mapInPandas(
-            score, "query_id long, neighbor_id long, adc_dist double"
+        return _arrow_bucket_topk(
+            queries,
+            probes,
+            corpus,
+            id_col=self.id_col,
+            data_col="codes",
+            data_dtype="int64",
+            top=top,
+            out_col="adc_dist",
+            extra=(cent, CB, self.residual),
+            bucket_scorer=_adc_bucket_scorer,
+            kernel_name="arrow_adc",
         )
 
     def _finish_from_candidates(

@@ -150,12 +150,14 @@ def write_tar_shards(
     def _open_shard(fname: str):
         from urllib.parse import urlparse
 
-        scheme = urlparse(out_dir).scheme
+        parsed = urlparse(out_dir)
         # single-letter schemes are Windows drive letters, not URIs
-        if len(scheme) <= 1 or scheme == "file":
+        if len(parsed.scheme) <= 1 or parsed.scheme == "file":
             import os
 
-            local = out_dir[len("file://"):] if scheme == "file" else out_dir
+            # urlparse handles both URI renderings Hadoop/Java emit:
+            # file:/tmp/x and file:///tmp/x both yield path='/tmp/x'
+            local = parsed.path if parsed.scheme == "file" else out_dir
             os.makedirs(local, exist_ok=True)
             return open(f"{local}/{fname}", "wb")
         import pyarrow.fs as pafs

@@ -349,6 +349,20 @@ def test_line_dedup_corpus_c4_rule(spark):
     assert out3 == {i: t for i, t in rows}
 
 
+def test_line_dedup_regex_significant_separator(spark):
+    """A regex-significant sep ('|') must split literally, not as the
+    empty-match regex (which would explode one element per character)."""
+    from filtered_ads_vector_search_spark.operators.dedup import (
+        line_dedup_corpus,
+    )
+
+    rows = [(0, "keep this|shared seg|tail zero"), (1, "shared seg|other tail")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in line_dedup_corpus(df, sep="|").collect()}
+    assert out[0].text == rows[0][1] and out[0].n_lines == 3
+    assert out[1].text == "other tail" and out[1].n_removed_lines == 1
+
+
 def test_line_dedup_corpus_partition_invariance(spark):
     from filtered_ads_vector_search_spark.operators.dedup import (
         line_dedup_corpus,

@@ -77,6 +77,35 @@ def test_jpeg_restart_markers_roundtrip():
             assert (dec == base).all(), (subsample, interval)
 
 
+def test_jpeg_tolerates_fill_bytes_before_markers():
+    """ITU-T T.81 B.1.1.2 allows 0xFF fill bytes before any marker; real
+    transcoders emit them — parsing must skip them."""
+    img = _smooth(8)
+    raw = C.encode_jpeg(img, quality=90)
+    i = raw.find(b"\xff\xdb")  # pad before DQT and before SOF0
+    padded = raw[:i] + b"\xff\xff" + raw[i:]
+    j = padded.find(b"\xff\xc0")
+    padded = padded[:j] + b"\xff" + padded[j:]
+    assert C.decode_jpeg_meta(padded)["width"] == img.shape[1]
+    assert (C.decode_jpeg_pixels(padded) == C.decode_jpeg_pixels(raw)).all()
+
+
+def test_resize_image_preserves_jpeg_chroma_mode():
+    img = _smooth(9)
+    for sub in (False, True):
+        raw = C.encode_jpeg(img, quality=90, subsample=sub)
+        out = C.resize_image(raw, 16, 12)
+        assert C.sniff(out) == "jpeg"
+        from filtered_ads_vector_search_spark.multimodal.jpeg import (
+            _parse_segments,
+        )
+
+        for marker, payload, _ in _parse_segments(out):
+            if marker == 0xC0:
+                assert (payload[7] != 0x11) == sub
+                break
+
+
 def test_jpeg_rejects_progressive():
     raw = bytearray(C.encode_jpeg(_smooth(4), quality=90))
     i = raw.find(b"\xff\xc0")

@@ -265,6 +265,27 @@ def test_ivf_arrow_score_bit_identical_to_expression_form(spark):
     cos.unpersist()
 
 
+def test_arrow_kernels_empty_queries_return_empty(spark):
+    """Both Arrow kernels honor the expression-path contract: an empty
+    query batch returns an empty result instead of crashing on the
+    driver-side collect."""
+    from pyspark.sql import functions as F
+
+    from filtered_ads_vector_search_spark.operators.ann import IVFIndex
+    from filtered_ads_vector_search_spark.operators.ivfpq import IVFPQIndex
+
+    q, c = _split(spark)
+    empty_q = q.filter(F.lit(False))
+    ivf = IVFIndex.build_fixed(c, n_centroids=4)
+    assert ivf.search(empty_q, k=5, nprobe=2, arrow_score=True).count() == 0
+    ivf.unpersist()
+    pq = IVFPQIndex.build_fixed(c, n_centroids=4, m=4, n_codes=16)
+    assert (
+        pq.search(empty_q, k=5, nprobe=2, rerank=10, arrow_adc=True).count() == 0
+    )
+    pq.unpersist()
+
+
 def test_ivfpq_rerank_requires_vectors(spark):
     import pytest
 

@@ -171,6 +171,13 @@ def test_compact_term_index_crash_retry_no_double_fold(spark, tmp_path):
     # readers still see base + snapshot = exactly one copy of every batch
     mid = sorted(map(tuple, TS.bm25_search_index(spark, path, qs, k=10).collect()))
     assert mid == want
+    # a streaming REPLAY of the same (uncommitted) batch id lands in
+    # batches/ while the parked copy sits in the snapshot: readers must
+    # dedupe by batch name (no double-counted doc lengths / df) and the
+    # retrying compaction must merge without losing either copy
+    TS.append_to_term_index(spark, path, new, batch_id=7)
+    replay = sorted(map(tuple, TS.bm25_search_index(spark, path, qs, k=10).collect()))
+    assert replay == want
     TS.compact_term_index(spark, path)  # retry: recomputes, no double-fold
     got = sorted(map(tuple, TS.bm25_search_index(spark, path, qs, k=10).collect()))
     assert got == want

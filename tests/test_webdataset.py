@@ -82,6 +82,17 @@ def test_webdataset_key_splits_on_basename_dot(spark, tmp_path):
     assert bytes(rows["plainnoext"][""]) == b"bare"
 
 
+def test_write_tar_shards_single_slash_file_uri(spark, tmp_path):
+    """'file:/path' (the single-slash URI rendering Hadoop/Java emit) must
+    resolve to the same absolute directory as the plain path."""
+    rows = [(f"m{i:03d}.bin", bytes([i] * 8)) for i in range(6)]
+    df = spark.createDataFrame(rows, "member_name string, payload binary")
+    out = tmp_path / "uri_out"
+    WD.write_tar_shards(df, f"file:{out}", n_shards=2)
+    got = WD.read_tar_members(spark, f"{out}/*.tar").collect()
+    assert sorted((r.member_name, bytes(r.payload)) for r in got) == sorted(rows)
+
+
 def test_write_tar_shards_deterministic(spark, tmp_path):
     rows = [(f"m{i:03d}.bin", bytes([i] * 10)) for i in range(20)]
     df = spark.createDataFrame(rows, "member_name string, payload binary")
