@@ -85,11 +85,23 @@ def _arrow_bucket_topk(
     qids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
     Q = np.array([list(r["q_vec"]) for r in q_rows], dtype=np.float64)
     qpos = {int(q): i for i, q in enumerate(qids)}
+    if len(qpos) != len(qids):
+        # the expression path would score each duplicate row; collapsing
+        # them into qpos silently (last q_vec wins) would break the asserted
+        # bit-identity contract — refuse malformed input instead
+        raise ValueError(
+            f"{kernel_name}: duplicate query_id rows in the query batch "
+            f"({len(qids)} rows, {len(qpos)} distinct ids)"
+        )
     bucket_queries: dict[int, list[int]] = {}
     for r in probes.collect():
-        bucket_queries.setdefault(int(r["partition_id"]), []).append(
-            qpos[int(r["query_id"])]
-        )
+        qi = qpos.get(int(r["query_id"]))
+        if qi is None:
+            raise ValueError(
+                f"{kernel_name}: probe references query_id "
+                f"{int(r['query_id'])} absent from the query batch"
+            )
+        bucket_queries.setdefault(int(r["partition_id"]), []).append(qi)
     bq = {b: np.array(v, dtype=np.int64) for b, v in bucket_queries.items()}
     bc = corpus.sparkSession.sparkContext.broadcast((qids, Q, bq) + extra)
     pruned = corpus.filter(
@@ -304,9 +316,13 @@ def _commit_compaction(spark, path: str, names: tuple[str, ...]) -> None:
         live = mkpath(f"{path}/{name}")
         old = mkpath(f"{path}/{name}__compact_old")
         if fs.exists(tmp):
-            if fs.exists(live):
-                fs.rename(live, old)
-            fs.rename(tmp, live)
+            # Hadoop rename reports failure via its return value, not an
+            # exception — a silently failed swap followed by the snapshot
+            # delete below would lose the only surviving copy
+            if fs.exists(live) and not fs.rename(live, old):
+                raise IOError(f"compaction rename failed: {live} -> {old}")
+            if not fs.rename(tmp, live):
+                raise IOError(f"compaction rename failed: {tmp} -> {live}")
         if fs.exists(old):
             fs.delete(old, True)
     fs.delete(mkpath(f"{path}/{_SNAP_DIR}"), True)

@@ -1228,8 +1228,29 @@ LEFT JOIN covered c ON c.doc_id = l.doc_id
 # integer MIN picks the lexicographically-first occurrence of a gram in
 # both engines (no struct-min portability concerns). Documents longer than
 # 2^20 whitespace tokens would alias positions — far beyond any curation
-# corpus's document length; shard such documents upstream.
+# corpus's document length; shard such documents upstream. The encoding
+# also requires 0 <= doc_id < 2^43: larger ids overflow int64 (or hard-fail
+# under ANSI mode) and negative ids invert the "lexicographically-first
+# canonical" MIN rule — `_encode_occurrence` enforces this at runtime.
 _SUBSTR_POS_ENCODE = 1 << 20
+_SUBSTR_DOC_ID_MAX = (1 << 63) // _SUBSTR_POS_ENCODE  # 2^43
+
+
+def _encode_occurrence(doc_col: Column, pos_col: Column) -> Column:
+    """(doc_id, pos) -> one int64 whose MIN is the lexicographically-first
+    occurrence. Raises (per-row, JVM-side) on doc_ids outside [0, 2^43),
+    which would silently alias under the 2^20 position stride."""
+    in_domain = (doc_col >= 0) & (doc_col < F.lit(_SUBSTR_DOC_ID_MAX))
+    return F.when(
+        in_domain, doc_col * F.lit(_SUBSTR_POS_ENCODE) + pos_col
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("doc_id out of occurrence-encoding domain [0, 2^43): "),
+                doc_col.cast("string"),
+            )
+        )
+    )
 
 
 def substr_dedup_remove(
@@ -1268,7 +1289,7 @@ def substr_dedup_remove(
     ex = base.select(
         "doc_id", F.posexplode(F.col("_grams")).alias("pos", "g")
     ).select("doc_id", "pos", str_hash_col(F.col("g")).alias("gh"))
-    enc = F.col("doc_id") * F.lit(_SUBSTR_POS_ENCODE) + F.col("pos")
+    enc = _encode_occurrence(F.col("doc_id"), F.col("pos"))
     gram = (
         ex.groupBy("gh")
         .agg(
@@ -1402,7 +1423,7 @@ def line_dedup_corpus(
     content = ex.filter(F.col("_norm") != "").select(
         "doc_id", "pos", str_hash_col(F.col("_norm")).alias("lh")
     )
-    enc = F.col("doc_id") * F.lit(_SUBSTR_POS_ENCODE) + F.col("pos")
+    enc = _encode_occurrence(F.col("doc_id"), F.col("pos"))
     freq = (
         content.groupBy("lh")
         .agg(F.count(F.lit(1)).alias("n"), F.min(enc).alias("canon"))

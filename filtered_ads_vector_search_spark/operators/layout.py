@@ -32,49 +32,68 @@ __all__ = [
     "parquet_minmax",
 ]
 
-# 16 bits per dimension -> a 32-bit key; inputs are masked to this width,
-# so callers bucket wider domains first (e.g. pmod(col, 1 << 16))
+# 16 bits per dimension -> a 32-bit key for 2 columns; inputs are masked to
+# this width, so callers bucket wider domains first (e.g. pmod(col, 1 << 16))
 ZORDER_BITS = 16
 
 
-def zorder_key_col(x: Column, y: Column, bits: int = ZORDER_BITS) -> Column:
-    """Morton interleave of the low ``bits`` bits of two non-negative int
-    columns: bit b of x lands at position 2b, bit b of y at 2b+1. Disjoint
-    target bits, so the combine is a plain sum — one flat codegen
-    expression of 2*bits shift/mask terms."""
+def _check_width(n_cols: int, bits: int) -> None:
+    if n_cols < 2:
+        raise ValueError(f"zorder key needs >= 2 columns, got {n_cols}")
+    if n_cols * bits > 63:
+        # position n_cols*bits - 1 must stay below the int64 sign bit
+        raise ValueError(
+            f"zorder key width {n_cols}x{bits}={n_cols * bits} bits exceeds "
+            f"the 63 usable bits of int64 — lower bits (e.g. "
+            f"bits={63 // n_cols}) or bucket the domains tighter"
+        )
+
+
+def zorder_key_col(*cols: Column, bits: int = ZORDER_BITS) -> Column:
+    """Morton interleave of the low ``bits`` bits of n non-negative int
+    columns: bit b of column i lands at position n*b + i (the standard
+    n-dimensional Morton rule — Delta's OPTIMIZE ZORDER BY takes the same
+    n-column list). Disjoint target bits, so the combine is a plain sum —
+    one flat codegen expression of n*bits shift/mask terms. Requires
+    n*bits <= 63 (the key is one signed int64)."""
+    n = len(cols)
+    _check_width(n, bits)
     out = None
     for b in range(bits):
-        tx = F.shiftleft(F.shiftrightunsigned(x.cast("long"), b).bitwiseAND(F.lit(1)), 2 * b)
-        ty = F.shiftleft(F.shiftrightunsigned(y.cast("long"), b).bitwiseAND(F.lit(1)), 2 * b + 1)
-        term = tx + ty
-        out = term if out is None else out + term
+        for i, c in enumerate(cols):
+            term = F.shiftleft(
+                F.shiftrightunsigned(c.cast("long"), b).bitwiseAND(F.lit(1)),
+                n * b + i,
+            )
+            out = term if out is None else out + term
     return out
 
 
-def zorder_key_sql(x_expr: str, y_expr: str, bits: int = ZORDER_BITS) -> str:
+def zorder_key_sql(*exprs: str, bits: int = ZORDER_BITS) -> str:
     """DuckDB twin generated from the same loop/constants."""
+    n = len(exprs)
+    _check_width(n, bits)
     terms = []
     for b in range(bits):
-        terms.append(f"((({x_expr}) >> {b}) & 1) * {1 << (2 * b)}")
-        terms.append(f"((({y_expr}) >> {b}) & 1) * {1 << (2 * b + 1)}")
+        for i, e in enumerate(exprs):
+            terms.append(f"((({e}) >> {b}) & 1) * {1 << (n * b + i)}")
     return "(" + " + ".join(terms) + ")"
 
 
 def write_zordered(
     df: DataFrame,
     path: str,
-    x_col: str,
-    y_col: str,
+    *cols: str,
     n_files: int = 16,
     bits: int = ZORDER_BITS,
 ) -> None:
     """Write ``df`` as ~n_files Parquet files clustered on the Z-order key
-    of (x_col, y_col): repartitionByRange on the key splits the curve into
-    contiguous segments (quad-tree cell unions — tight min/max on BOTH
-    dimensions), sortWithinPartitions keeps row groups tight inside each
-    file. The key column is dropped before writing — the FILE STATISTICS of
-    the original columns are the index."""
-    zk = zorder_key_col(F.col(x_col), F.col(y_col), bits)
+    of ``cols``: repartitionByRange on the key splits the curve into
+    contiguous segments (hyper-octant cell unions — tight min/max on EVERY
+    listed dimension), sortWithinPartitions keeps row groups tight inside
+    each file. The key column is dropped before writing — the FILE
+    STATISTICS of the original columns are the index."""
+    zk = zorder_key_col(*[F.col(c) for c in cols], bits=bits)
     (
         df.withColumn("_zkey", zk)
         .repartitionByRange(n_files, "_zkey")

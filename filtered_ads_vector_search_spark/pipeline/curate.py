@@ -112,6 +112,11 @@ def curate_corpus(
         .select("doc_id", "text", T.token_count(F.col("text")).alias("n_tok"))
         .persist()
     )
+    # materialize the redaction cache NOW so its wall time lands on its own
+    # stage key instead of bleeding into after_exact_dedup (the later exact
+    # count then reads the cache — no duplicated work)
+    red.count()
+    _lap("pii_redaction")
 
     # 3. exact dedup: keep the lowest doc_id per identical text
     canon = red.groupBy(F.md5("text").alias("_h")).agg(
@@ -153,6 +158,10 @@ def curate_corpus(
         _lap("after_dsir_select")
 
     survivors = survivors.persist()
+    # same discipline: fill the survivors cache on its own stage key so
+    # packed_rows (and the writes) time only their own work
+    survivors.count()
+    _lap("persist_survivors")
 
     # 6. token-budget packing of the survivors
     packing = pack_sequences(

@@ -4077,23 +4077,27 @@ def _substr_dup_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _zorder_keys_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Z-order (Morton) clustering key over two event dimensions — the
-    Delta/Iceberg OPTIMIZE ZORDER analog; the interleave expression is
-    generated from one loop for both engines (layout.py), and the layout
-    writer + Parquet-footer skipping property are pytest-verified
+    """Z-order (Morton) clustering key over THREE event dimensions — the
+    Delta/Iceberg OPTIMIZE ZORDER analog (which takes an n-column list);
+    the n-dim interleave expression is generated from one loop for both
+    engines (layout.py), and the layout writer + Parquet-footer skipping
+    property are pytest-verified on 2- and 3-column layouts
     (test_layout.py)."""
     from .operators import layout as LY
 
     ev = _tbl(spark, sf_dir, "events")
     x = F.pmod(F.col("user_id"), F.lit(1024))
     y = F.pmod(F.col("event_id"), F.lit(1024))
-    return ev.select("event_id", LY.zorder_key_col(x, y).alias("zkey"))
+    z = F.pmod(F.shiftrightunsigned(F.col("event_id"), 10), F.lit(1024))
+    return ev.select("event_id", LY.zorder_key_col(x, y, z).alias("zkey"))
 
 
 def _zorder_keys_sql() -> str:
     from .operators import layout as LY
 
-    zk = LY.zorder_key_sql("user_id % 1024", "event_id % 1024")
+    zk = LY.zorder_key_sql(
+        "user_id % 1024", "event_id % 1024", "(event_id >> 10) % 1024"
+    )
     return f"SELECT event_id, {zk} AS zkey FROM events"
 
 
