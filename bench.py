@@ -35,12 +35,14 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     timings: dict[str, float] = {}
 
-    def timed(name: str, fn, repeats: int = 3) -> None:
+    def timed(name: str, fn, repeats: int = 5) -> None:
         # Best-of-N: each workload runs N times and we record the fastest,
         # so one GC pause / compilation hiccup doesn't masquerade as a plan
         # regression (observed: isolated 4-5s outliers on queries that
         # otherwise run ~1s). Steady-state is what a long-lived cluster job
-        # sees.
+        # sees. N=5 after the round-6 drift bisection (BENCH_DRIFT.md):
+        # best-of-3 left ±20-30% between-session spread on sub-second
+        # queries, which round 5 misread as a 1.14x regression.
         best = None
         for _ in range(repeats):
             t0 = time.time()
@@ -153,7 +155,18 @@ def main() -> None:
     )
     from filtered_ads_vector_search_spark.operators import bpe as B
 
-    timed("bpe_train_200", lambda: len(B.bpe_train(docs_sf, n_merges=200)), repeats=1)
+    def train_bpe():
+        state["merges"] = B.bpe_train(docs_sf, n_merges=200)
+
+    timed("bpe_train_200", train_bpe, repeats=1)
+    timed(
+        "bpe_apply_200",
+        lambda: docs_sf.select(
+            B.bpe_apply_udf(state["merges"])(F.col("text")).alias("n")
+        )
+        .agg(F.sum("n"))
+        .collect(),
+    )
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

@@ -137,8 +137,20 @@ def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
 def bpe_apply_udf(merges: list[tuple[str, str]], lowercase: bool = True):
     """Arrow-batched per-document subword count under the trained merges —
     the real-tokenizer fertility input. The merge list rides in the closure
-    (broadcast by Spark's task serialization; it is n_merges tuples)."""
+    (broadcast by Spark's task serialization; it is n_merges tuples).
+
+    Per-word memo: word frequency is Zipfian, so most tokens in a batch
+    repeat a small head vocabulary; encoding is pure given the fixed merge
+    ranks, so caching the subword count per word changes nothing but the
+    constant factor (the same memo every production tokenizer keeps). A
+    plain dict (not functools.lru_cache — the wrapper is not
+    cloudpickle-serializable inside a UDF closure) capped at 2^17 entries:
+    insertion simply stops at the cap, which keeps the Zipf head — the
+    entries that matter — and bounds worker memory. One cache per Python
+    worker, warm across Arrow batches of the same task."""
     ranks = {tuple(p): i for i, p in enumerate(merges)}
+    cache: dict[str, int] = {}
+    cache_cap = 1 << 17
 
     @F.pandas_udf("int")
     def run(texts: pd.Series) -> pd.Series:
@@ -149,7 +161,12 @@ def bpe_apply_udf(merges: list[tuple[str, str]], lowercase: bool = True):
                 s = s.lower()
             n = 0
             for w in s.split():
-                n += len(_encode_word(w, ranks))
+                c = cache.get(w)
+                if c is None:
+                    c = len(_encode_word(w, ranks))
+                    if len(cache) < cache_cap:
+                        cache[w] = c
+                n += c
             out.append(n)
         return pd.Series(out, dtype="int32")
 

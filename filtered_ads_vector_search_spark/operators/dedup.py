@@ -1630,6 +1630,7 @@ def semdedup_keep(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_cluster_rows: int | None = 200_000,
+    arrow_kernel: bool = False,
 ) -> DataFrame:
     """Survivors of the greedy keep rule: a vector is dropped iff some
     lower-id vector in ITS cluster is within max_cos_dist.  Exactly the
@@ -1637,10 +1638,19 @@ def semdedup_keep(
 
     Runs ONE shared cluster assignment (a single ``IVFIndex.build_fixed``,
     persisted) feeding both the pair generation and the keep base — not a
-    second full-corpus quantizer pass."""
+    second full-corpus quantizer pass.
+
+    ``arrow_kernel=True`` swaps the within-cluster |cluster|² expression
+    self-join for a per-cluster NumPy kernel (`_semdedup_keep_arrow`) — the
+    throughput form for paper-regime cluster sizes (~50k rows/cell), where
+    the interpreted HOF cosine over billions of pair rows is the bottleneck.
+    Decision-identical to the expression path (boundary-banded exact refine);
+    asserted against it in tests."""
     assigned = _semdedup_assigned(
         embeddings, n_clusters, id_col, vec_col, max_cluster_rows
     )
+    if arrow_kernel:
+        return _semdedup_keep_arrow(assigned, max_cos_dist)
     pairs = semdedup_pairs(
         embeddings,
         max_cos_dist=max_cos_dist,
@@ -1653,6 +1663,96 @@ def semdedup_keep(
         assigned.select("id", "cluster_id")
         .join(dropped, "id", "left_anti")
         .select("id", "cluster_id")
+    )
+
+
+def _semdedup_keep_arrow(assigned: DataFrame, max_cos_dist: float) -> DataFrame:
+    """Per-cluster survivors via one ``applyInPandas`` kernel per cell.
+
+    The expression path materializes every within-cluster (id_a < id_b) pair
+    and evaluates the cosine HOF fold per row — |cluster|²/2 interpreted
+    fold evaluations, the scale bottleneck at paper-regime ~50k-row cells
+    (1.25e9 pairs/cell). This kernel answers the SAME decision per pair with
+    chunked BLAS over the cell's (n, d) matrix, plus an exact-arithmetic
+    refine on the (measure-zero) boundary band so the kept SET is
+    decision-identical to the expression form:
+
+    * fast path: normalized matmul gives cos_dist_blas; the expression
+      decision ``round(d, 4) <= thr`` (Spark HALF_UP on an on-grid thr) is
+      equivalent to ``d < thr + 5e-5``; BLAS-vs-fold summation error is
+      <~1e-12, so any pair farther than 1e-9 from that cutoff is decided
+      outright.
+    * refine path: pairs inside the 1e-9 band are recomputed with the
+      expression's exact arithmetic — element-ascending left-fold dot and
+      norms in float64, then the shortest-repr HALF_UP decimal rounding
+      Spark's ``round`` performs (BigDecimal.valueOf == Python repr) — and
+      compared ``<= thr`` exactly.
+
+    Shuffle shape is unchanged: one exchange on cluster_id; each cell is one
+    task, so cells parallelize across executors and the guard in
+    `_semdedup_assigned` still bounds the per-task quadratic."""
+    import decimal
+
+    thr = float(max_cos_dist)
+    cutoff = thr + 5e-5
+    band_eps = 1e-9
+    chunk = 1024
+
+    def _refine(a: np.ndarray, b: np.ndarray) -> bool:
+        dot = 0.0
+        na = 0.0
+        nb = 0.0
+        for x, y in zip(a, b):  # element-ascending left folds, like the HOF
+            dot += x * y
+        for x in a:
+            na += x * x
+        for y in b:
+            nb += y * y
+        den = float(np.sqrt(na)) * float(np.sqrt(nb))
+        if den == 0.0:  # expression: nullif -> NULL -> pair filtered out
+            return False
+        d = 1.0 - dot / den
+        q = decimal.Decimal(repr(d)).quantize(
+            decimal.Decimal("0.0001"), rounding=decimal.ROUND_HALF_UP
+        )
+        return float(q) <= thr
+
+    def keep_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        cluster = int(pdf["cluster_id"].iloc[0])
+        ids = pdf["id"].to_numpy(np.int64)
+        order = np.argsort(ids)  # ascending id == the lower-id keep rule
+        ids = ids[order]
+        n = len(ids)
+        if n <= 1:
+            return pd.DataFrame({"id": ids, "cluster_id": np.full(n, cluster)})
+        Vm = np.array(pdf["v"].tolist(), dtype=np.float64)[order]
+        nrm = np.sqrt(np.einsum("ij,ij->i", Vm, Vm))
+        zero = nrm == 0.0
+        N = Vm / np.where(zero, np.inf, nrm)[:, None]  # zero-norm rows never pair
+        dropped = np.zeros(n, dtype=bool)
+        for c0 in range(0, n, chunk):
+            c1 = min(c0 + chunk, n)
+            D = N[:c1] @ N[c0:c1].T
+            np.subtract(1.0, D, out=D)  # (i, j-c0) cos_dist, i < c1
+            valid = np.arange(c1)[:, None] < np.arange(c0, c1)[None, :]
+            # zero-norm rows: the expression's nullif makes their pairs NULL,
+            # which the <= filter drops — they never pair on either side
+            valid &= ~zero[:c1, None]
+            valid &= ~zero[None, c0:c1]
+            hit = (D < cutoff - band_eps) & valid
+            dropped[c0:c1] |= hit.any(axis=0)
+            band = (np.abs(D - cutoff) <= band_eps) & valid
+            if band.any():
+                for bi, bj in zip(*np.nonzero(band)):
+                    j = c0 + bj
+                    if not dropped[j] and _refine(Vm[bi], Vm[j]):
+                        dropped[j] = True
+        return pd.DataFrame(
+            {"id": ids[~dropped], "cluster_id": np.full(int((~dropped).sum()), cluster)}
+        )
+
+    return assigned.groupBy("cluster_id").applyInPandas(
+        keep_fn, schema="id bigint, cluster_id int"
     )
 
 

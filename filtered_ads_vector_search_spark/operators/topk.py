@@ -175,6 +175,31 @@ def _np_distances(metric: Metric, q: np.ndarray, c: np.ndarray) -> np.ndarray:
     raise ValueError(metric)
 
 
+def _topk_set_mask(dmat: np.ndarray, kk: int) -> np.ndarray:
+    """Exact per-row top-``kk`` SET under (dist asc, column-index asc) as a
+    boolean mask — fully vectorized, no per-query Python loop.
+
+    A bare argpartition keeps an arbitrary member of a distance tie
+    straddling the cut, which would break the exact equivalence with the
+    window form (and partition-count invariance) for integer metrics or
+    duplicate vectors. Here: kth distance via partition (O(n) per row),
+    everything strictly below it is in; the remaining slots are filled by
+    the LOWEST column indices among the ties at the threshold (columns are
+    pre-sorted by ascending neighbor_id, so column order IS the id
+    tie-break). Each row ends up with exactly kk True cells."""
+    thresh = np.partition(dmat, kk - 1, axis=1)[:, kk - 1]
+    lt = dmat < thresh[:, None]
+    eq = dmat == thresh[:, None]
+    need = kk - lt.sum(axis=1)
+    take_eq = eq & (np.cumsum(eq, axis=1) <= need[:, None])
+    return lt | take_eq
+
+
+# bound the (q_chunk x n) distance block a single kernel invocation holds
+# (mirrors ann._arrow_bucket_topk's 256-query chunking)
+_QUERY_CHUNK = 256
+
+
 def _local_topk_tuples(
     q_ids: np.ndarray,
     q_mat: np.ndarray,
@@ -184,29 +209,52 @@ def _local_topk_tuples(
     k: int,
     sign: float,
 ) -> pd.DataFrame:
-    """Local top-k under the FULL (dist, neighbor_id) ordering — a bare
-    argpartition keeps an arbitrary member of a distance tie straddling the
-    cut, which would break the exact equivalence with the window form (and
-    partition-count invariance) for integer metrics or duplicate vectors.
-    Here: kth distance via partition, take every candidate <= it, lexsort by
-    (dist, id), truncate to k."""
-    dmat = _np_distances(metric, q_mat, c_mat)
+    """Local top-k partials for one corpus block: presort the block by
+    ascending neighbor_id (making column order the id tie-break), chunk the
+    query side to bound the distance block, and emit the exact top-k SET per
+    query via `_topk_set_mask`. Partial rows are NOT rank-ordered within a
+    query — the global per-query window merge re-sorts by (dist,
+    neighbor_id), so only the set membership and dist values matter here,
+    and those are identical to the window form's."""
+    order0 = np.argsort(c_ids)
+    c_ids = c_ids[order0]
+    c_mat = c_mat[order0]
     kk = min(k, c_mat.shape[0])
-    out_q, out_n, out_d = [], [], []
-    thresh = np.partition(dmat, kk - 1, axis=1)[:, kk - 1]
-    for i in range(dmat.shape[0]):
-        cand = np.flatnonzero(dmat[i] <= thresh[i])
-        order = np.lexsort((c_ids[cand], dmat[i, cand]))[:kk]
-        sel = cand[order]
-        out_q.append(np.full(kk, q_ids[i], dtype=np.int64))
-        out_n.append(c_ids[sel])
-        out_d.append(sign * dmat[i, sel])
-    return pd.DataFrame(
-        {
-            "query_id": np.concatenate(out_q),
-            "neighbor_id": np.concatenate(out_n),
-            "dist": np.concatenate(out_d),
-        }
+    frames = []
+    for c0 in range(0, len(q_ids), _QUERY_CHUNK):
+        c1 = min(c0 + _QUERY_CHUNK, len(q_ids))
+        dmat = _np_distances(metric, q_mat[c0:c1], c_mat)
+        rows, cols = np.nonzero(_topk_set_mask(dmat, kk))
+        frames.append(
+            pd.DataFrame(
+                {
+                    "query_id": q_ids[c0:c1][rows],
+                    "neighbor_id": c_ids[cols],
+                    "dist": sign * dmat[rows, cols],
+                }
+            )
+        )
+    if not frames:
+        return pd.DataFrame({"query_id": [], "neighbor_id": [], "dist": []}).astype(
+            {"query_id": "int64", "neighbor_id": "int64", "dist": "float64"}
+        )
+    return pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
+
+
+def _arrow_vectors(batch, vec_col: str) -> np.ndarray:
+    """(n, d) float64 matrix from an Arrow list<float> column — flat-buffer
+    reshape, no per-row Python list materialization (the pandas object-array
+    vstack this replaces was the dominant cost of the scan, not the BLAS)."""
+    col = batch.column(batch.schema.get_field_index(vec_col))
+    if col.null_count:
+        raise ValueError(f"{vec_col}: null vectors are not searchable")
+    offs = col.offsets.to_numpy()
+    widths = np.diff(offs)
+    if len(widths) and widths.min() != widths.max():
+        raise ValueError(f"{vec_col}: ragged vector lengths in one batch")
+    vals = col.values.to_numpy(zero_copy_only=False)[offs[0]:offs[-1]]
+    return vals.reshape(batch.num_rows, int(widths[0]) if len(widths) else 0).astype(
+        np.float64
     )
 
 
@@ -218,13 +266,19 @@ def knn_scalable(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Scale-out exact top-k: broadcast query matrix, per-partition local top-k
+    """Scale-out exact top-k: broadcast query matrix, per-batch local top-k
     (NumPy argpartition — reference: cpu_search utils_grid_search.py:919-928),
     then global per-query merge of the k-sized partials.
 
     At 100 TB the corpus scan is embarrassingly parallel, nothing shuffles
-    except partitions×queries×k partial rows, and the final merge is a
-    per-query top-k over ~(#partitions × k) rows.
+    except batches×queries×k partial rows, and the final merge is a
+    per-query top-k over bounded partials.
+
+    The scan is ``mapInArrow``: vectors cross the JVM→Python boundary as
+    Arrow list buffers and become the (n, d) scoring matrix by a flat-buffer
+    reshape (`_arrow_vectors`) — no per-row Python list objects; selection is
+    the vectorized exact-tie-break mask (`_topk_set_mask`), the same kernel
+    discipline as ann._arrow_bucket_topk.
 
     The QUERY side is collected to the driver and broadcast, so it must be
     small by design (the reference's query set is 1-10k rows). Collecting
@@ -251,19 +305,33 @@ def knn_scalable(
     # per task): at 10k queries x high dim the matrix is megabytes.
     bc = queries.sparkSession.sparkContext.broadcast((q_ids, q_mat))
 
-    def local_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def local_topk(batches):
+        import pyarrow as pa
+
         q_ids, q_mat = bc.value
-        for pdf in batches:
-            if pdf.empty:
+        for batch in batches:
+            if batch.num_rows == 0:
                 continue
-            c_ids = pdf[id_col].to_numpy(dtype=np.int64)
-            c_mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            c_ids = (
+                batch.column(batch.schema.get_field_index(id_col))
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            c_mat = _arrow_vectors(batch, vec_col)
             # tie-aware k-smallest (mirrors the reference's argpartition at
             # utils_grid_search.py:923-928, plus the deterministic id
             # tie-break the merge stage relies on)
-            yield _local_topk_tuples(q_ids, q_mat, c_ids, c_mat, metric, k, sign)
+            out = _local_topk_tuples(q_ids, q_mat, c_ids, c_mat, metric, k, sign)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out["query_id"].to_numpy(), type=pa.int64()),
+                    pa.array(out["neighbor_id"].to_numpy(), type=pa.int64()),
+                    pa.array(out["dist"].to_numpy(), type=pa.float64()),
+                ],
+                names=["query_id", "neighbor_id", "dist"],
+            )
 
-    partials = corpus.select(id_col, vec_col).mapInPandas(
+    partials = corpus.select(id_col, vec_col).mapInArrow(
         local_topk, schema="query_id bigint, neighbor_id bigint, dist double"
     )
     asc = metric != "inner_product"

@@ -275,3 +275,38 @@ def test_token_fertility_planted(spark):
     assert out["en"].chars_per_ws_token == 4.5
     assert out["en"].bpe_per_ws_token == 1.0
     assert out["de"].bpe_per_ws_token > 1.0
+
+
+def test_semdedup_keep_arrow_kernel_matches_expression(spark):
+    """The BLAS kernel's kept SET must equal the expression self-join's —
+    the decision-identity contract (boundary-banded exact refine)."""
+    emb = _emb(spark)
+    expr = DD.semdedup_keep(emb, n_clusters=8, max_cos_dist=0.7)
+    arw = DD.semdedup_keep(emb, n_clusters=8, max_cos_dist=0.7, arrow_kernel=True)
+    e = sorted((r.id, r.cluster_id) for r in expr.collect())
+    a = sorted((r.id, r.cluster_id) for r in arw.collect())
+    assert e and e == a
+
+
+def test_semdedup_keep_arrow_kernel_duplicates_and_zero_vectors(spark):
+    """Planted exact duplicates drop their higher id in BOTH forms; zero-norm
+    vectors never pair (expression: nullif -> NULL) even when the threshold
+    exceeds 1.0 (the kernel's D=1.0 fast-path trap)."""
+    rows = [
+        (0, [1.0, 0.0]), (1, [1.0, 0.0]),        # exact dup pair
+        (2, [0.0, 0.0]), (3, [0.0, 0.0]),        # zero vectors
+        (4, [0.0, 1.0]), (5, [-1.0, 0.0]),       # orthogonal / opposite
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    for thr in (0.2, 1.0):
+        e = sorted(
+            r.id for r in DD.semdedup_keep(df, n_clusters=2, max_cos_dist=thr).collect()
+        )
+        a = sorted(
+            r.id
+            for r in DD.semdedup_keep(
+                df, n_clusters=2, max_cos_dist=thr, arrow_kernel=True
+            ).collect()
+        )
+        assert e == a, (thr, e, a)
+        assert 2 in a and 3 in a  # zero vectors always survive
