@@ -2,12 +2,14 @@
 ``binary`` columns with typed metadata; decode/feature-extract as Pandas UDFs
 over ``mapInPandas``).
 
-Uncompressed BMP, PCM WAV, and baseline JPEG payloads are decoded FOR REAL
-by the pure-Python codecs/jpeg modules (headers, pixels, samples — no
-external libs); the deterministic fake payload covers the remaining media
-types, and the remaining compressed formats (progressive JPEG/H.264/AAC)
-raise NotImplementedError at the clearly marked seam where PIL/ffmpeg would
-plug in.
+Uncompressed BMP, PCM WAV, and both real-world JPEG modes — baseline
+(SOF0) and progressive (SOF2) — are decoded FOR REAL by the pure-Python
+codecs/jpeg modules (headers, pixels, samples — no external libs); the
+deterministic fake payload covers the remaining media types, and the
+remaining compressed formats (H.264/AAC, plus JPEG's arithmetic/
+hierarchical/lossless modes, which are essentially absent from real
+corpora) raise NotImplementedError at the clearly marked seam where
+PIL/ffmpeg would plug in.
 """
 
 from .columns import (

@@ -1,12 +1,13 @@
-"""Minimal pure-Python real-media codecs: BMP, PCM WAV, and baseline JPEG.
+"""Minimal pure-Python real-media codecs: BMP, PCM WAV, and JPEG.
 
 This makes the real-codec seam in udfs._parse_header exercisable without any
 external image/audio library: BI_RGB 24-bit BMP and RIFF/WAVE PCM s16le mono
-are simple enough to encode/decode with struct + numpy, and baseline
-sequential JPEG (SOF0 — the dominant real-world image format) is a full
-pure-NumPy implementation in the sibling ``jpeg`` module, re-exported here.
-Remaining compressed codecs (progressive JPEG/H.264/AAC) stay behind the
-NotImplementedError seam.
+are simple enough to encode/decode with struct + numpy, and JPEG — both
+baseline sequential (SOF0) and progressive (SOF2), together essentially all
+real-world files — is a full pure-NumPy implementation in the sibling
+``jpeg`` module, re-exported here. Remaining compressed codecs (H.264/AAC,
+JPEG arithmetic/hierarchical/lossless) stay behind the NotImplementedError
+seam.
 
 The reference has no media pipeline at all — this is part of the
 beyond-reference training-data-pipeline surface (brief: multimodal columns).

@@ -6,14 +6,20 @@ seam). Everything here is the public baseline-sequential subset:
 
 * decoder — SOF0 (baseline DCT, Huffman, 8-bit), interleaved single scan,
   arbitrary sampling factors (4:4:4 / 4:2:2 / 4:2:0 ...), restart markers,
-  byte-stuffing; progressive (SOF2) and arithmetic coding stay behind a
-  ``NotImplementedError``.
+  byte-stuffing; AND SOF2 (progressive DCT, Huffman): multi-scan spectral
+  selection + successive approximation, DC first/refine, AC first/refine
+  with EOB runs (ITU-T T.81 G.2 semantics) — the two modes that together
+  cover essentially all real-world JPEG files. Arithmetic coding,
+  hierarchical, and lossless modes stay behind a ``NotImplementedError``.
 * encoder — 4:4:4 or 4:2:0, Annex-K quantization tables scaled by the
   usual libjpeg quality curve, Annex-K Huffman tables. The encoder exists
   so fixtures and round-trip tests are self-contained (no image library in
   the container); encoder and decoder share all tables, so round-trip
   correctness never depends on transcribed constants being byte-perfect
-  against external files.
+  against external files. ``progressive=True`` emits a ten-scan SOF2
+  script (DC first at Al=1 → per-component AC bands at Al=1 → DC refine →
+  AC refine) from the SAME quantized coefficients as the baseline path, so
+  tests can assert progressive decode == baseline decode pixel-exactly.
 
 Everything is (height, width, 3) uint8 RGB at the API boundary, matching
 the BMP codec. JPEG is lossy: round trips are validated by PSNR, not
@@ -111,6 +117,21 @@ _AC_CHROMA = (
         0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
         0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
     ],
+)
+
+# AC table for the progressive scans. The Annex-K AC tables lack the EOBn
+# symbols (r<<4 for r=1..14) progressive entropy coding needs, so the
+# progressive encoder carries its own table: every symbol it can emit —
+# EOB0..EOB14, ZRL, and (run,size) for run 0..15 / size 1..14 — as a flat
+# 240-entry length-8 canonical code (codes 0..239; valid prefix code, the
+# all-ones code stays unused). Compression is mediocre and irrelevant: the
+# encoder exists to produce self-contained test payloads, and the decoder
+# reads whatever DHT the stream declares.
+_AC_PROG = (
+    [0, 0, 0, 0, 0, 0, 0, 240, 0, 0, 0, 0, 0, 0, 0, 0],
+    [r << 4 for r in range(15)]
+    + [0xF0]
+    + [(r << 4) | s for r in range(16) for s in range(1, 15)],
 )
 
 # orthonormal 8x8 DCT-II matrix: F = A @ f @ A.T, f = A.T @ F @ A
@@ -246,15 +267,22 @@ def encode_jpeg(
     quality: int = 90,
     subsample: bool = False,
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
     """(h, w, 3) uint8 RGB -> baseline JFIF bytes. ``subsample=True`` emits
     4:2:0 (2x2-mean chroma), exercising the decoder's upsampling path.
     ``restart_interval=N`` emits a DRI segment and an RSTn marker every N
     MCUs (byte-aligned, DC predictors reset — the error-resilience feature
     real encoders use for parallel decode), exercising the decoder's
-    restart path."""
+    restart path. ``progressive=True`` emits the SOF2 multi-scan form from
+    the same quantized coefficients (see module docstring)."""
     h, w, c = pixels.shape
     assert c == 3
+    if progressive and restart_interval:
+        raise ValueError(
+            "restart_interval is only wired to the baseline scan emitter; "
+            "the progressive scan script is emitted restart-free"
+        )
     px = pixels.astype(np.float64)
     r, g, b = px[..., 0], px[..., 1], px[..., 2]
     y = 0.299 * r + 0.587 * g + 0.114 * b
@@ -283,6 +311,9 @@ def encode_jpeg(
     yb = _plane_blocks(np.clip(y, 0, 255), qy)
     cbb = _plane_blocks(np.clip(cb, 0, 255), qc)
     crb = _plane_blocks(np.clip(cr, 0, 255), qc)
+
+    if progressive:
+        return _encode_progressive(h, w, qy, qc, hs, vs, yb, cbb, crb)
 
     dc_l, ac_l = _canonical_codes(*_DC_LUMA), _canonical_codes(*_AC_LUMA)
     dc_c, ac_c = _canonical_codes(*_DC_CHROMA), _canonical_codes(*_AC_CHROMA)
@@ -327,6 +358,238 @@ def encode_jpeg(
     out += bytes([1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
     out += bw.out
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def _prog_dc_first_scan(comps: list[dict], al: int) -> bytes:
+    """Interleaved DC first scan (Ss=Se=0, Ah=0): codes the point-transformed
+    DC (arithmetic shift, T.81 G.1.2.1) as baseline-style predictive diffs,
+    over the full MCU grid (pad blocks included, like the baseline scan)."""
+    bw = _BitWriter()
+    preds = [0] * len(comps)
+    mcus_y, mcus_x = comps[-1]["zz"].shape[0] // comps[-1]["v"], \
+        comps[-1]["zz"].shape[1] // comps[-1]["h"]
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for k, c in enumerate(comps):
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        dc = int(c["zz"][my * c["v"] + by, mx * c["h"] + bx, 0]) >> al
+                        ssss, bits = _magnitude(dc - preds[k])
+                        code, ln = c["dc"][ssss]
+                        bw.put(code, ln)
+                        bw.put(bits, ssss)
+                        preds[k] = dc
+    bw.flush()
+    return bytes(bw.out)
+
+
+def _prog_dc_refine_scan(comps: list[dict], al: int) -> bytes:
+    """Interleaved DC refinement scan (Ah=Al+1): one raw bit per block — bit
+    ``al`` of the (two's-complement) DC value; no Huffman coding."""
+    bw = _BitWriter()
+    mcus_y, mcus_x = comps[-1]["zz"].shape[0] // comps[-1]["v"], \
+        comps[-1]["zz"].shape[1] // comps[-1]["h"]
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for c in comps:
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        dc = int(c["zz"][my * c["v"] + by, mx * c["h"] + bx, 0])
+                        bw.put((dc >> al) & 1, 1)
+    bw.flush()
+    return bytes(bw.out)
+
+
+def _prog_ac_first_scan(
+    zz: np.ndarray, bh: int, bwid: int, ss: int, se: int, al: int, ac: dict
+) -> bytes:
+    """Non-interleaved AC first scan for one component over its ceil-dims
+    block grid: magnitudes are ``|v| >> al`` (truncation toward zero), runs
+    of all-zero bands accumulate into EOBn runs (capped at 32767)."""
+    bw = _BitWriter()
+    eobrun = 0
+
+    def flush() -> None:
+        nonlocal eobrun
+        if eobrun:
+            n = eobrun.bit_length() - 1
+            code, ln = ac[n << 4]
+            bw.put(code, ln)
+            bw.put(eobrun - (1 << n), n)
+            eobrun = 0
+
+    for by in range(bh):
+        for bx in range(bwid):
+            band = zz[by, bx, ss:se + 1]
+            r = 0
+            for v0 in band:
+                v = int(v0)
+                av = abs(v) >> al
+                if av == 0:
+                    r += 1
+                    continue
+                flush()
+                while r > 15:
+                    code, ln = ac[0xF0]
+                    bw.put(code, ln)
+                    r -= 16
+                ssss, bits = _magnitude(av if v > 0 else -av)
+                code, ln = ac[(r << 4) | ssss]
+                bw.put(code, ln)
+                bw.put(bits, ssss)
+                r = 0
+            if r > 0:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush()
+    flush()
+    bw.flush()
+    return bytes(bw.out)
+
+
+def _prog_ac_refine_scan(
+    zz: np.ndarray, bh: int, bwid: int, ss: int, se: int, al: int, ac: dict
+) -> bytes:
+    """Non-interleaved AC refinement scan (Ah=Al+1): newly-significant
+    coefficients (|v|>>al == 1) are coded as (run,1)+sign; correction bits
+    for already-significant ones ride buffered after the next symbol (or
+    after the EOBn that closes a run) — T.81 G.2 / the classic libjpeg
+    ordering the decoder's advance loop expects."""
+    bw = _BitWriter()
+    eobrun = 0
+    pending: list[int] = []  # correction bits owed right after the next EOBn
+
+    def flush() -> None:
+        nonlocal eobrun
+        if eobrun:
+            n = eobrun.bit_length() - 1
+            code, ln = ac[n << 4]
+            bw.put(code, ln)
+            bw.put(eobrun - (1 << n), n)
+            eobrun = 0
+        for b in pending:
+            bw.put(b, 1)
+        pending.clear()
+
+    for by in range(bh):
+        for bx in range(bwid):
+            band = [int(v) for v in zz[by, bx, ss:se + 1]]
+            absv = [abs(v) >> al for v in band]
+            eob_i = max((i for i, a in enumerate(absv) if a == 1), default=-1)
+            r = 0
+            br: list[int] = []  # this block's buffered correction bits
+            for i, a in enumerate(absv):
+                if a == 0:
+                    r += 1
+                    continue
+                while r > 15 and i <= eob_i:
+                    flush()
+                    code, ln = ac[0xF0]
+                    bw.put(code, ln)
+                    r -= 16
+                    for b in br:
+                        bw.put(b, 1)
+                    br = []
+                if a > 1:
+                    br.append(a & 1)
+                    continue
+                # newly significant at this approximation level
+                flush()
+                code, ln = ac[(r << 4) | 1]
+                bw.put(code, ln)
+                bw.put(1 if band[i] > 0 else 0, 1)
+                for b in br:
+                    bw.put(b, 1)
+                br = []
+                r = 0
+            if r > 0 or br:
+                eobrun += 1
+                pending.extend(br)
+                if eobrun == 0x7FFF:
+                    flush()
+    flush()
+    bw.flush()
+    return bytes(bw.out)
+
+
+def _encode_progressive(
+    h: int,
+    w: int,
+    qy: np.ndarray,
+    qc: np.ndarray,
+    hs: int,
+    vs: int,
+    yb: np.ndarray,
+    cbb: np.ndarray,
+    crb: np.ndarray,
+) -> bytes:
+    """Assemble the SOF2 stream: headers, then the ten-scan script
+    DC(Al=1) → AC bands per component (Al=1, luma split 1-5/6-63 to
+    exercise spectral selection) → DC refine → AC refine. AC scans cover
+    each component's ceil(dim/8) block grid (non-interleaved rule); DC
+    scans are interleaved over the full MCU grid, matching the decoder."""
+    zzs = [yb[..., _ZIGZAG], cbb[..., _ZIGZAG], crb[..., _ZIGZAG]]
+    dc_l, dc_c = _canonical_codes(*_DC_LUMA), _canonical_codes(*_DC_CHROMA)
+    ac_p = _canonical_codes(*_AC_PROG)
+    comps = [
+        {"zz": zzs[0], "h": hs, "v": vs, "dc": dc_l},
+        {"zz": zzs[1], "h": 1, "v": 1, "dc": dc_c},
+        {"zz": zzs[2], "h": 1, "v": 1, "dc": dc_c},
+    ]
+    # non-interleaved (per-component) block grids: ceil of the component's
+    # true sample dims — pad blocks beyond them are never AC-coded
+    dims = [
+        ((h + 7) // 8, (w + 7) // 8),
+        ((-(-h // vs) + 7) // 8, (-(-w // hs) + 7) // 8),
+        ((-(-h // vs) + 7) // 8, (-(-w // hs) + 7) // 8),
+    ]
+
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for tid, q in ((0, qy), (1, qc)):
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tid)
+        out += bytes(int(v) for v in q[_ZIGZAG])
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 17, 8, h, w, 3)  # SOF2
+    out += bytes([1, (hs << 4) | vs, 0])
+    out += bytes([2, 0x11, 1])
+    out += bytes([3, 0x11, 1])
+    for cls, tid, (bits, vals) in (
+        (0, 0, _DC_LUMA), (0, 1, _DC_CHROMA), (1, 0, _AC_PROG)
+    ):
+        out += b"\xff\xc4" + struct.pack(">HB", 19 + len(vals), (cls << 4) | tid)
+        out += bytes(bits) + bytes(vals)
+
+    def sos(comp_specs: list[tuple[int, int]], ss: int, se: int, ah: int, al: int,
+            data: bytes) -> None:
+        out.extend(b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(comp_specs),
+                                             len(comp_specs)))
+        for cid, tables in comp_specs:
+            out.extend(bytes([cid, tables]))
+        out.extend(bytes([ss, se, (ah << 4) | al]))
+        out.extend(data)
+
+    all_dc = [(1, 0x00), (2, 0x10), (3, 0x10)]  # (component id, DCtab<<4|ACtab)
+    sos(all_dc, 0, 0, 0, 1, _prog_dc_first_scan(comps, 1))
+    sos([(1, 0x00)], 1, 5, 0, 1,
+        _prog_ac_first_scan(zzs[0], dims[0][0], dims[0][1], 1, 5, 1, ac_p))
+    sos([(1, 0x00)], 6, 63, 0, 1,
+        _prog_ac_first_scan(zzs[0], dims[0][0], dims[0][1], 6, 63, 1, ac_p))
+    sos([(2, 0x00)], 1, 63, 0, 1,
+        _prog_ac_first_scan(zzs[1], dims[1][0], dims[1][1], 1, 63, 1, ac_p))
+    sos([(3, 0x00)], 1, 63, 0, 1,
+        _prog_ac_first_scan(zzs[2], dims[2][0], dims[2][1], 1, 63, 1, ac_p))
+    sos(all_dc, 0, 0, 1, 0, _prog_dc_refine_scan(comps, 0))
+    sos([(1, 0x00)], 1, 5, 1, 0,
+        _prog_ac_refine_scan(zzs[0], dims[0][0], dims[0][1], 1, 5, 0, ac_p))
+    sos([(1, 0x00)], 6, 63, 1, 0,
+        _prog_ac_refine_scan(zzs[0], dims[0][0], dims[0][1], 6, 63, 0, ac_p))
+    sos([(2, 0x00)], 1, 63, 1, 0,
+        _prog_ac_refine_scan(zzs[1], dims[1][0], dims[1][1], 1, 63, 0, ac_p))
+    sos([(3, 0x00)], 1, 63, 1, 0,
+        _prog_ac_refine_scan(zzs[2], dims[2][0], dims[2][1], 1, 63, 0, ac_p))
+    out += b"\xff\xd9"
     return bytes(out)
 
 
@@ -392,10 +655,12 @@ def _extend(v: int, t: int) -> int:
 
 
 def decode_jpeg_meta(raw: bytes) -> dict:
-    """Header-only parse: dimensions from SOF0 (progressive/arithmetic raise
-    NotImplementedError — that seam is now only for non-baseline modes)."""
+    """Header-only parse: dimensions from SOF0 (baseline) or SOF2
+    (progressive); the remaining SOF modes (arithmetic, hierarchical,
+    lossless) raise NotImplementedError — that seam is now only for modes
+    essentially absent from real-world corpora."""
     for marker, payload, _ in _parse_segments(raw):
-        if marker == 0xC0:
+        if marker in (0xC0, 0xC2):
             _, h, w, _ = struct.unpack(">BHHB", payload[:6])
             return {
                 "media_type": "image",
@@ -405,24 +670,305 @@ def decode_jpeg_meta(raw: bytes) -> dict:
                 "duration_ms": 0,
                 "n_bytes": len(raw),
             }
-        if marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        if marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                       0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"only baseline sequential JPEG (SOF0) supported, got SOF marker "
-                f"0xFF{marker:02X}"
+                f"only baseline (SOF0) and progressive (SOF2) JPEG supported, "
+                f"got SOF marker 0xFF{marker:02X}"
             )
-    raise ValueError("no SOF0 frame header in JPEG payload")
+    raise ValueError("no SOF0/SOF2 frame header in JPEG payload")
+
+
+def _entropy_segments(raw: bytes, start: int) -> tuple[list[bytes], int]:
+    """Destuffed entropy-coded bytes from ``start``, split at RSTn markers;
+    returns (segments, offset of the 0xFF of the next header marker)."""
+    segments: list[bytes] = []
+    cur = bytearray()
+    i = start
+    while i < len(raw):
+        byte = raw[i]
+        if byte == 0xFF:
+            nxt = raw[i + 1] if i + 1 < len(raw) else 0xD9
+            if nxt == 0x00:
+                cur.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                segments.append(bytes(cur))
+                cur = bytearray()
+                i += 2
+                continue
+            break  # EOI or next marker
+        cur.append(byte)
+        i += 1
+    segments.append(bytes(cur))
+    return segments, i
+
+
+def _scan_baseline(
+    segments: list[bytes],
+    order: list[tuple[dict, dict, dict]],
+    restart_interval: int,
+    mcus_x: int,
+    mcus_y: int,
+) -> None:
+    """Single baseline scan: fills each component's zigzag coefficient array
+    over the full (pad-inclusive) MCU grid."""
+    total_mcus = mcus_x * mcus_y
+    per_seg = restart_interval if restart_interval else total_mcus
+    mcu = 0
+    for seg in segments:
+        if mcu >= total_mcus:
+            break
+        br = _BitReader(seg)
+        preds = [0] * len(order)
+        seg_end = min(total_mcus, mcu + per_seg)
+        while mcu < seg_end:
+            my, mx = divmod(mcu, mcus_x)
+            for k, (ci, dc_map, ac_map) in enumerate(order):
+                for by in range(ci["v"]):
+                    for bx in range(ci["h"]):
+                        zz = ci["coef"][my * ci["v"] + by, mx * ci["h"] + bx]
+                        t = br.read_symbol(dc_map)
+                        preds[k] += _extend(br.read(t), t)
+                        zz[0] = preds[k]
+                        j = 1
+                        while j < 64:
+                            rs = br.read_symbol(ac_map)
+                            if rs == 0x00:  # EOB
+                                break
+                            run, ssss = rs >> 4, rs & 0x0F
+                            if ssss == 0:
+                                if run != 15:
+                                    raise ValueError("bad AC run in JPEG stream")
+                                j += 16  # ZRL
+                                continue
+                            j += run
+                            if j > 63:
+                                raise ValueError("AC index overflow in JPEG stream")
+                            zz[j] = _extend(br.read(ssss), ssss)
+                            j += 1
+            mcu += 1
+
+
+def _scan_prog_dc(
+    segments: list[bytes],
+    order: list[tuple[dict, dict | None]],
+    restart_interval: int,
+    mcus_x: int,
+    mcus_y: int,
+    ah: int,
+    al: int,
+) -> None:
+    """Progressive DC scan (Ss=Se=0). First pass (Ah=0): baseline-style
+    predictive diffs of the point-transformed DC, stored shifted left by Al.
+    Refinement (Ah=Al+1): one raw bit per block, OR-ed in at position Al
+    (two's-complement, so negative DCs refine correctly). Interleaved over
+    the MCU grid when multi-component, else over the component's own
+    ceil-dims block grid (the T.81 non-interleaved rule)."""
+    interleaved = len(order) > 1
+    if interleaved:
+        total = mcus_x * mcus_y
+    else:
+        ci0 = order[0][0]
+        total = ci0["bh"] * ci0["bw"]
+    per_seg = restart_interval if restart_interval else total
+    unit = 0
+
+    def dc_one(br: _BitReader, blk: np.ndarray, preds: list[int], k: int,
+               dc_map: dict | None) -> None:
+        if ah == 0:
+            t = br.read_symbol(dc_map)
+            preds[k] += _extend(br.read(t), t)
+            blk[0] = preds[k] << al
+        elif br.read(1):
+            blk[0] = int(blk[0]) | (1 << al)
+
+    for seg in segments:
+        if unit >= total:
+            break
+        br = _BitReader(seg)
+        preds = [0] * len(order)
+        seg_end = min(total, unit + per_seg)
+        while unit < seg_end:
+            if interleaved:
+                my, mx = divmod(unit, mcus_x)
+                for k, (ci, dc_map) in enumerate(order):
+                    for by in range(ci["v"]):
+                        for bx in range(ci["h"]):
+                            dc_one(br, ci["coef"][my * ci["v"] + by,
+                                                  mx * ci["h"] + bx], preds, k, dc_map)
+            else:
+                ci, dc_map = order[0]
+                by, bx = divmod(unit, ci["bw"])
+                dc_one(br, ci["coef"][by, bx], preds, 0, dc_map)
+            unit += 1
+
+
+def _ac_first_block(br: _BitReader, zz: np.ndarray, ac_map: dict,
+                    ss: int, se: int, al: int, eobrun: int) -> int:
+    """One block of a progressive AC first scan; returns the updated EOB
+    run. A block inside a pending run is skipped outright (its band is all
+    zero at this approximation level)."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = br.read_symbol(ac_map)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1  # EOBn: run of 2^r + bits blocks, this
+            if r:                  # block is the first member
+                eobrun += br.read(r)
+            return eobrun
+        k += r
+        if k > se:
+            raise ValueError("AC index overflow in progressive JPEG scan")
+        zz[k] = _extend(br.read(s), s) << al
+        k += 1
+    return 0
+
+
+def _ac_refine_block(br: _BitReader, zz: np.ndarray, ac_map: dict,
+                     ss: int, se: int, p1: int, m1: int, eobrun: int) -> int:
+    """One block of a progressive AC refinement scan (T.81 G.2): newly-
+    significant coefficients arrive as (run,1)+sign symbols; every
+    already-nonzero coefficient passed along the way carries one correction
+    bit. The ``c & p1`` guard keeps a coefficient from being corrected
+    twice at the same bit position on malformed streams."""
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = br.read_symbol(ac_map)
+            r, s = rs >> 4, rs & 0x0F
+            val = 0
+            if s:
+                if s != 1:
+                    raise ValueError("bad newly-significant size in AC refinement")
+                val = p1 if br.read(1) else m1
+            elif r != 15:
+                eobrun = 1 << r  # the trailing handler below decrements for
+                if r:            # this block
+                    eobrun += br.read(r)
+                break
+            # advance over r zero-history coefficients (16 for ZRL),
+            # reading a correction bit at each nonzero one passed
+            while k <= se:
+                c = int(zz[k])
+                if c != 0:
+                    if br.read(1) and (c & p1) == 0:
+                        zz[k] = c + (p1 if c >= 0 else m1)
+                else:
+                    r -= 1
+                    if r < 0:
+                        break
+                k += 1
+            if val and k <= se:
+                zz[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:  # correction bits for the rest of the band
+            c = int(zz[k])
+            if c != 0 and br.read(1) and (c & p1) == 0:
+                zz[k] = c + (p1 if c >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _scan_prog_ac(
+    segments: list[bytes],
+    ci: dict,
+    ac_map: dict,
+    restart_interval: int,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+) -> None:
+    """Progressive AC scan: always single-component, row-major over the
+    component's ceil-dims block grid; the EOB run resets at restart
+    boundaries."""
+    total = ci["bh"] * ci["bw"]
+    per_seg = restart_interval if restart_interval else total
+    unit = 0
+    p1, m1 = 1 << al, -(1 << al)
+    for seg in segments:
+        if unit >= total:
+            break
+        br = _BitReader(seg)
+        eobrun = 0
+        seg_end = min(total, unit + per_seg)
+        while unit < seg_end:
+            by, bx = divmod(unit, ci["bw"])
+            zz = ci["coef"][by, bx]
+            if ah == 0:
+                eobrun = _ac_first_block(br, zz, ac_map, ss, se, al, eobrun)
+            else:
+                eobrun = _ac_refine_block(br, zz, ac_map, ss, se, p1, m1, eobrun)
+            unit += 1
+
+
+def _reconstruct(frame: dict, comps: dict[int, dict],
+                 qtabs: dict[int, np.ndarray]) -> np.ndarray:
+    """Dequantize + IDCT every component's accumulated coefficients in one
+    vectorized einsum, upsample to the luma grid, crop, color-convert."""
+    h, w = frame["h"], frame["w"]
+    hmax = max(c[1] for c in frame["comps"])
+    vmax = max(c[2] for c in frame["comps"])
+    planes = []
+    for cid, ch, cv, qid in frame["comps"]:
+        nat = comps[cid]["coef"][:, :, _UNZIGZAG].astype(np.float64) * qtabs[qid]
+        rows, cols = nat.shape[:2]
+        pix = np.einsum("ji,rcjk,kl->rcil", _A, nat.reshape(rows, cols, 8, 8), _A)
+        plane = (pix + 128.0).transpose(0, 2, 1, 3).reshape(rows * 8, cols * 8)
+        plane = np.repeat(np.repeat(plane, vmax // cv, axis=0), hmax // ch, axis=1)
+        planes.append(plane[:h, :w])
+    if len(planes) == 1:
+        y = planes[0]
+        rgb = np.stack([y, y, y], axis=2)
+    else:
+        y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+        r = y + 1.402 * cr
+        g = y - 0.344136 * cb - 0.714136 * cr
+        b = y + 1.772 * cb
+        rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
 
 
 def decode_jpeg_pixels(raw: bytes) -> np.ndarray:
-    """Baseline JPEG bytes -> (height, width, 3) uint8 RGB."""
+    """Baseline (SOF0) or progressive (SOF2) JPEG bytes -> (height, width,
+    3) uint8 RGB. Every scan accumulates quantized zigzag coefficients into
+    per-component arrays; dequantization/IDCT/upsampling run once at the
+    end, vectorized over all blocks."""
+    if raw[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
     qtabs: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}  # (class, id) -> decode map
     frame = None
-    scan_comps = None
+    comps: dict[int, dict] = {}
+    progressive = False
     restart_interval = 0
-    scan_start = None
-    for marker, payload, end in _parse_segments(raw):
+    mcus_x = mcus_y = 0
+    saw_scan = False
+    i = 2
+    while i + 1 < len(raw):
+        if raw[i] != 0xFF:
+            raise ValueError("malformed JPEG marker stream")
+        while i + 1 < len(raw) and raw[i + 1] == 0xFF:
+            i += 1
+        marker = raw[i + 1]
+        if marker == 0xD9:
+            break
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        length = struct.unpack(">H", raw[i + 2:i + 4])[0]
+        payload = raw[i + 4:i + 2 + length]
+        nxt = i + 2 + length
         if marker == 0xDB:
             j = 0
             while j < len(payload):
@@ -446,10 +992,11 @@ def decode_jpeg_pixels(raw: bytes) -> np.ndarray:
                 vals = list(payload[j + 17:j + 17 + n])
                 huff[(cls_id >> 4, cls_id & 0x0F)] = _decode_map(bits, vals)
                 j += 17 + n
-        elif marker == 0xC0:
+        elif marker in (0xC0, 0xC2):
+            progressive = marker == 0xC2
             prec, h, w, nc = struct.unpack(">BHHB", payload[:6])
             if prec != 8:
-                raise NotImplementedError("only 8-bit baseline JPEG supported")
+                raise NotImplementedError("only 8-bit JPEG supported")
             frame = {
                 "h": h, "w": w,
                 "comps": [
@@ -458,112 +1005,63 @@ def decode_jpeg_pixels(raw: bytes) -> np.ndarray:
                     for k in range(nc)
                 ],
             }
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            hmax = max(c[1] for c in frame["comps"])
+            vmax = max(c[2] for c in frame["comps"])
+            mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+            mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+            for cid, ch, cv, _qid in frame["comps"]:
+                comps[cid] = {
+                    "h": ch, "v": cv,
+                    # full MCU-grid coefficient store (zigzag order); the
+                    # ceil-dims bh/bw bound the non-interleaved scans
+                    "coef": np.zeros((mcus_y * cv, mcus_x * ch, 64),
+                                     dtype=np.int64),
+                    "bh": (-(-(h * cv) // vmax) + 7) // 8,
+                    "bw": (-(-(w * ch) // hmax) + 7) // 8,
+                }
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"only baseline sequential JPEG (SOF0) supported, got SOF marker "
-                f"0xFF{marker:02X}"
+                f"only baseline (SOF0) and progressive (SOF2) JPEG supported, "
+                f"got SOF marker 0xFF{marker:02X}"
             )
         elif marker == 0xDD:
             restart_interval = struct.unpack(">H", payload[:2])[0]
         elif marker == 0xDA:
+            if frame is None:
+                raise ValueError("SOS before SOF in JPEG payload")
             ns = payload[0]
-            scan_comps = [(payload[1 + 2 * k], payload[2 + 2 * k] >> 4,
-                           payload[2 + 2 * k] & 0x0F) for k in range(ns)]
-            scan_start = end
-    if frame is None or scan_comps is None:
-        raise ValueError("JPEG payload missing SOF0/SOS")
-
-    # split entropy-coded data into restart intervals, destuffed
-    segments: list[bytes] = []
-    cur = bytearray()
-    i = scan_start
-    while i < len(raw):
-        byte = raw[i]
-        if byte == 0xFF:
-            nxt = raw[i + 1] if i + 1 < len(raw) else 0xD9
-            if nxt == 0x00:
-                cur.append(0xFF)
-                i += 2
-                continue
-            if 0xD0 <= nxt <= 0xD7:
-                segments.append(bytes(cur))
-                cur = bytearray()
-                i += 2
-                continue
-            break  # EOI or next marker
-        cur.append(byte)
-        i += 1
-    segments.append(bytes(cur))
-
-    hmax = max(c[1] for c in frame["comps"])
-    vmax = max(c[2] for c in frame["comps"])
-    mcus_x = (frame["w"] + 8 * hmax - 1) // (8 * hmax)
-    mcus_y = (frame["h"] + 8 * vmax - 1) // (8 * vmax)
-    comp_info = []
-    for cid, ch, cv, qid in frame["comps"]:
-        sdc = next(s for s in scan_comps if s[0] == cid)
-        comp_info.append({
-            "h": ch, "v": cv, "q": qtabs[qid],
-            "dc": huff[(0, sdc[1])], "ac": huff[(1, sdc[2])],
-            "plane": np.zeros((mcus_y * cv * 8, mcus_x * ch * 8)),
-        })
-
-    total_mcus = mcus_x * mcus_y
-    per_seg = restart_interval if restart_interval else total_mcus
-    mcu = 0
-    for seg in segments:
-        if mcu >= total_mcus:
-            break
-        br = _BitReader(seg)
-        preds = [0] * len(comp_info)
-        seg_end = min(total_mcus, mcu + per_seg)
-        while mcu < seg_end:
-            my, mx = divmod(mcu, mcus_x)
-            for k, ci in enumerate(comp_info):
-                for by in range(ci["v"]):
-                    for bx in range(ci["h"]):
-                        zz = np.zeros(64)
-                        t = br.read_symbol(ci["dc"])
-                        preds[k] += _extend(br.read(t), t)
-                        zz[0] = preds[k]
-                        j = 1
-                        while j < 64:
-                            rs = br.read_symbol(ci["ac"])
-                            if rs == 0x00:  # EOB
-                                break
-                            run, ssss = rs >> 4, rs & 0x0F
-                            if ssss == 0:
-                                if run != 15:
-                                    raise ValueError("bad AC run in JPEG stream")
-                                j += 16  # ZRL
-                                continue
-                            j += run
-                            if j > 63:
-                                raise ValueError("AC index overflow in JPEG stream")
-                            zz[j] = _extend(br.read(ssss), ssss)
-                            j += 1
-                        coefs = np.empty(64)
-                        coefs[_ZIGZAG] = zz
-                        block = _A.T @ (coefs * ci["q"]).reshape(8, 8) @ _A + 128.0
-                        y0 = (my * ci["v"] + by) * 8
-                        x0 = (mx * ci["h"] + bx) * 8
-                        ci["plane"][y0:y0 + 8, x0:x0 + 8] = block
-            mcu += 1
-
-    h, w = frame["h"], frame["w"]
-    planes = []
-    for ci in comp_info:
-        p = np.repeat(np.repeat(ci["plane"], vmax // ci["v"], axis=0),
-                      hmax // ci["h"], axis=1)
-        planes.append(p[:h, :w])
-    if len(planes) == 1:
-        y = planes[0]
-        rgb = np.stack([y, y, y], axis=2)
-    else:
-        y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
-        r = y + 1.402 * cr
-        g = y - 0.344136 * cb - 0.714136 * cr
-        b = y + 1.772 * cb
-        rgb = np.stack([r, g, b], axis=2)
-    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+            scomps = [(payload[1 + 2 * k], payload[2 + 2 * k] >> 4,
+                       payload[2 + 2 * k] & 0x0F) for k in range(ns)]
+            ss, se = payload[1 + 2 * ns], payload[2 + 2 * ns]
+            ah, al = payload[3 + 2 * ns] >> 4, payload[3 + 2 * ns] & 0x0F
+            segments, nxt = _entropy_segments(raw, nxt)
+            saw_scan = True
+            if not progressive:
+                _scan_baseline(
+                    segments,
+                    [(comps[cid], huff[(0, dct)], huff[(1, act)])
+                     for cid, dct, act in scomps],
+                    restart_interval, mcus_x, mcus_y,
+                )
+            elif ss == 0:
+                if se != 0:
+                    raise ValueError("progressive DC scan must have Se=0")
+                _scan_prog_dc(
+                    segments,
+                    [(comps[cid], huff[(0, dct)] if ah == 0 else None)
+                     for cid, dct, _act in scomps],
+                    restart_interval, mcus_x, mcus_y, ah, al,
+                )
+            else:
+                if ns != 1:
+                    raise ValueError(
+                        "progressive AC scans are single-component (T.81 B.2.3)"
+                    )
+                cid, _dct, act = scomps[0]
+                _scan_prog_ac(segments, comps[cid], huff[(1, act)],
+                              restart_interval, ss, se, ah, al)
+        i = nxt
+    if frame is None or not saw_scan:
+        raise ValueError("JPEG payload missing SOF/SOS")
+    return _reconstruct(frame, comps, qtabs)

@@ -5,12 +5,12 @@ stay inside the executor, batches are bounded by
 ``spark.sql.execution.arrow.maxRecordsPerBatch``, and the output schema is
 explicit so downstream operators are fully declarative.
 
-Real codecs: uncompressed BMP, PCM WAV, and baseline JPEG payloads are
-decoded for real by the pure-Python codecs module (no external libs). The
-deterministic fake header from columns.synth_payload remains the stand-in
-for everything else; remaining compressed formats (progressive JPEG/
-H.264/...) raise NotImplementedError at the clearly marked seam —
-PIL/ffmpeg would plug in there.
+Real codecs: uncompressed BMP, PCM WAV, and JPEG (baseline SOF0 and
+progressive SOF2) payloads are decoded for real by the pure-Python codecs
+module (no external libs). The deterministic fake header from
+columns.synth_payload remains the stand-in for everything else; remaining
+compressed formats (H.264/...) raise NotImplementedError at the clearly
+marked seam — PIL/ffmpeg would plug in there.
 """
 
 from __future__ import annotations
@@ -39,11 +39,11 @@ def _parse_header(raw: bytes) -> dict:
         if kind == "jpeg":
             return C.decode_jpeg_meta(raw)  # pure-NumPy baseline decoder
         # ---- real-codec seam: plug PIL/ffmpeg probing here for formats
-        # ---- beyond BMP / PCM WAV / baseline JPEG ----
+        # ---- beyond BMP / PCM WAV / JPEG (baseline + progressive) ----
         raise NotImplementedError(
-            "compressed media decoding beyond baseline JPEG requires "
-            "image/audio libs not present in this container; payload is "
-            "neither FAKE, BMP, WAV, nor JPEG"
+            "compressed media decoding beyond JPEG requires image/audio "
+            "libs not present in this container; payload is neither FAKE, "
+            "BMP, WAV, nor JPEG"
         )
     t, width, height, duration = struct.unpack("<BHHI", raw[4:13])
     media_type = _TYPES[t]

@@ -106,14 +106,64 @@ def test_resize_image_preserves_jpeg_chroma_mode():
                 break
 
 
-def test_jpeg_rejects_progressive():
-    raw = bytearray(C.encode_jpeg(_smooth(4), quality=90))
-    i = raw.find(b"\xff\xc0")
-    raw[i + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
-    with pytest.raises(NotImplementedError, match="SOF0"):
-        C.decode_jpeg_meta(bytes(raw))
-    with pytest.raises(NotImplementedError, match="SOF0"):
-        C.decode_jpeg_pixels(bytes(raw))
+def test_jpeg_rejects_unsupported_sof_modes():
+    """Arithmetic-coded (SOF9) and extended-sequential (SOF1) frames stay
+    behind the NotImplementedError seam; SOF0 and SOF2 are the real paths."""
+    for sof in (0xC1, 0xC9):
+        raw = bytearray(C.encode_jpeg(_smooth(4), quality=90))
+        i = raw.find(b"\xff\xc0")
+        raw[i + 1] = sof
+        with pytest.raises(NotImplementedError, match="SOF0"):
+            C.decode_jpeg_meta(bytes(raw))
+        with pytest.raises(NotImplementedError, match="SOF0"):
+            C.decode_jpeg_pixels(bytes(raw))
+
+
+def test_jpeg_progressive_matches_baseline_exactly():
+    """SOF2 ten-scan script vs SOF0 single scan from the SAME quantized
+    coefficients: after the full refine chain (Al 1 -> 0) the accumulated
+    coefficients are identical, so the decoded pixels must be bit-equal —
+    both chroma modes, odd dims, and a flat patch that drives EOB runs
+    across many all-zero AC blocks."""
+    img = _smooth(11, 48, 56).copy()
+    img[8:32, 8:40] = 128  # flat region -> all-zero AC blocks -> EOBRUN > 1
+    for crop in ((48, 56), (33, 47)):
+        sub_img = img[: crop[0], : crop[1]]
+        for subsample in (False, True):
+            base = C.encode_jpeg(sub_img, quality=85, subsample=subsample)
+            prog = C.encode_jpeg(
+                sub_img, quality=85, subsample=subsample, progressive=True
+            )
+            assert b"\xff\xc2" in prog and prog.count(b"\xff\xda") == 10
+            db = C.decode_jpeg_pixels(base)
+            dp = C.decode_jpeg_pixels(prog)
+            assert (db == dp).all(), (crop, subsample)
+
+
+def test_jpeg_progressive_noise_image_exercises_zrl_and_refine():
+    """Dense high-frequency content at low quality drives the ZRL (>15-zero
+    run) and refinement-correction-bit paths; equality with the baseline
+    decode proves each fired path reconstructs the exact coefficients."""
+    rng = np.random.RandomState(12)
+    img = rng.randint(0, 256, (40, 40, 3)).astype(np.uint8)
+    for quality in (30, 90):
+        base = C.decode_jpeg_pixels(C.encode_jpeg(img, quality=quality))
+        prog = C.decode_jpeg_pixels(
+            C.encode_jpeg(img, quality=quality, progressive=True)
+        )
+        assert (base == prog).all(), quality
+
+
+def test_jpeg_progressive_meta():
+    raw = C.encode_jpeg(_smooth(13)[:20, :24], quality=90, progressive=True)
+    meta = C.decode_jpeg_meta(raw)
+    assert meta["width"] == 24 and meta["height"] == 20
+    assert meta["codec"] == "jpeg" and meta["n_bytes"] == len(raw)
+
+
+def test_jpeg_progressive_rejects_restart_interval():
+    with pytest.raises(ValueError, match="restart_interval"):
+        C.encode_jpeg(_smooth(14), quality=90, progressive=True, restart_interval=2)
 
 
 def test_jpeg_near_exact_on_smooth_gradients():

@@ -61,6 +61,37 @@ def test_jpeg_roundtrip_fuzz(seed, h, w, sub, rst):
         assert psnr > bound, (seed, h, w, rst, psnr, bound)
 
 
+@given(
+    seed=st.integers(0, 10**6),
+    h=st.integers(8, 25),
+    w=st.integers(8, 25),
+    sub=st.booleans(),
+    quality=st.sampled_from([35, 80, 95]),
+    noisy=st.booleans(),
+)
+@settings(max_examples=30, deadline=None)
+def test_jpeg_progressive_equals_baseline_fuzz(seed, h, w, sub, quality, noisy):
+    """Any image shape, chroma mode, and quality: the progressive (SOF2)
+    stream decodes to EXACTLY the baseline decode of the same coefficients
+    — the successive-approximation chain (Al 1 -> 0) is lossless, whatever
+    mix of EOB runs / ZRL / refinement bits the content produces."""
+    rng = np.random.RandomState(seed)
+    if noisy:
+        img = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+    else:
+        base = rng.randint(20, 235, (4, 4, 3)).astype(np.float64)
+        ys = (np.arange(h) * 4) // h
+        xs = (np.arange(w) * 4) // w
+        img = np.clip(base[ys][:, xs] + rng.uniform(-6, 6, (h, w, 3)), 0, 255).astype(
+            np.uint8
+        )
+    db = J.decode_jpeg_pixels(J.encode_jpeg(img, quality=quality, subsample=sub))
+    dp = J.decode_jpeg_pixels(
+        J.encode_jpeg(img, quality=quality, subsample=sub, progressive=True)
+    )
+    assert (db == dp).all(), (seed, h, w, sub, quality, noisy)
+
+
 def _ideal_420_psnr(img: np.ndarray) -> float:
     """PSNR of the lossless 4:2:0 pipeline (color transform + 2x2 chroma
     mean + replicate upsample + inverse transform) — the subsampling bound
