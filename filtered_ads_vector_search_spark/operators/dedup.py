@@ -1631,6 +1631,7 @@ def semdedup_keep(
     vec_col: str = "embedding",
     max_cluster_rows: int | None = 200_000,
     arrow_kernel: bool = False,
+    kernel_shard_rows: int = 32_768,
 ) -> DataFrame:
     """Survivors of the greedy keep rule: a vector is dropped iff some
     lower-id vector in ITS cluster is within max_cos_dist.  Exactly the
@@ -1641,16 +1642,20 @@ def semdedup_keep(
     second full-corpus quantizer pass.
 
     ``arrow_kernel=True`` swaps the within-cluster |cluster|² expression
-    self-join for a per-cluster NumPy kernel (`_semdedup_keep_arrow`) — the
-    throughput form for paper-regime cluster sizes (~50k rows/cell), where
-    the interpreted HOF cosine over billions of pair rows is the bottleneck.
-    Decision-identical to the expression path (boundary-banded exact refine);
-    asserted against it in tests."""
+    self-join for a column-sharded NumPy kernel (`_semdedup_keep_arrow`) —
+    the throughput form for paper-regime cluster sizes (~50k rows/cell),
+    where the interpreted HOF cosine over billions of pair rows is the
+    bottleneck; ``kernel_shard_rows`` bounds each task's target block so a
+    skewed cell cannot become a single-task straggler. Decision-identical
+    to the expression path (boundary-banded exact refine); asserted against
+    it in tests."""
     assigned = _semdedup_assigned(
         embeddings, n_clusters, id_col, vec_col, max_cluster_rows
     )
     if arrow_kernel:
-        return _semdedup_keep_arrow(assigned, max_cos_dist)
+        return _semdedup_keep_arrow(
+            assigned, max_cos_dist, shard_rows=kernel_shard_rows
+        )
     pairs = semdedup_pairs(
         embeddings,
         max_cos_dist=max_cos_dist,
@@ -1666,14 +1671,16 @@ def semdedup_keep(
     )
 
 
-def _semdedup_keep_arrow(assigned: DataFrame, max_cos_dist: float) -> DataFrame:
-    """Per-cluster survivors via one ``applyInPandas`` kernel per cell.
+def _semdedup_keep_arrow(
+    assigned: DataFrame, max_cos_dist: float, shard_rows: int = 32_768
+) -> DataFrame:
+    """Per-cluster survivors via column-sharded ``applyInPandas`` kernels.
 
     The expression path materializes every within-cluster (id_a < id_b) pair
     and evaluates the cosine HOF fold per row — |cluster|²/2 interpreted
     fold evaluations, the scale bottleneck at paper-regime ~50k-row cells
     (1.25e9 pairs/cell). This kernel answers the SAME decision per pair with
-    chunked BLAS over the cell's (n, d) matrix, plus an exact-arithmetic
+    tiled BLAS over the cell's (n, d) matrix, plus an exact-arithmetic
     refine on the (measure-zero) boundary band so the kept SET is
     decision-identical to the expression form:
 
@@ -1688,15 +1695,26 @@ def _semdedup_keep_arrow(assigned: DataFrame, max_cos_dist: float) -> DataFrame:
       Spark's ``round`` performs (BigDecimal.valueOf == Python repr) — and
       compared ``<= thr`` exactly.
 
-    Shuffle shape is unchanged: one exchange on cluster_id; each cell is one
-    task, so cells parallelize across executors and the guard in
-    `_semdedup_assigned` still bounds the per-task quadratic."""
+    Straggler control — the 100 TB point of this function: one task per
+    CELL makes wall time the quadratic of the LARGEST cell (a 150k-row cell
+    is ~20x the pair work of a 50k paper-regime one). So cells are
+    column-sharded: targets split into ``shard_rows``-sized id-ordered
+    blocks, and each (cluster, shard) task receives its target block plus
+    every lower-id row of the cell as scoring sources (an explode over
+    shards >= the row's own — bounded <= ceil(guard/shard_rows)-fold
+    duplication of cell rows, ~123 MB worst-case per 150k cell at d=64).
+    Per-task pair work is then <= shard_rows * |cell| regardless of cell
+    skew, and shards spread across executors like any other task. Cells at
+    or under ``shard_rows`` keep exactly one task and duplicate nothing."""
     import decimal
+
+    from pyspark.sql import Window
 
     thr = float(max_cos_dist)
     cutoff = thr + 5e-5
     band_eps = 1e-9
-    chunk = 1024
+    chunk = 1024       # target columns per GEMM tile
+    src_tile = 16_384  # source rows per GEMM tile (bounds D to ~128 MB)
 
     def _refine(a: np.ndarray, b: np.ndarray) -> bool:
         dot = 0.0
@@ -1717,41 +1735,86 @@ def _semdedup_keep_arrow(assigned: DataFrame, max_cos_dist: float) -> DataFrame:
         )
         return float(q) <= thr
 
+    lo = cutoff - band_eps
+
     def keep_fn(pdf: pd.DataFrame) -> pd.DataFrame:
         cluster = int(pdf["cluster_id"].iloc[0])
         ids = pdf["id"].to_numpy(np.int64)
+        tgt = pdf["is_target"].to_numpy(dtype=bool)
         order = np.argsort(ids)  # ascending id == the lower-id keep rule
         ids = ids[order]
+        tgt = tgt[order]
         n = len(ids)
-        if n <= 1:
-            return pd.DataFrame({"id": ids, "cluster_id": np.full(n, cluster)})
+        # this shard's targets are the max-id contiguous block; everything
+        # below them is a pure scoring source from lower shards
+        t0 = int(np.argmax(tgt)) if tgt.any() else n
+        m = n - t0
+        if m == 0:
+            return pd.DataFrame(
+                {"id": ids[:0], "cluster_id": np.full(0, cluster, dtype=np.int32)}
+            )
         Vm = np.array(pdf["v"].tolist(), dtype=np.float64)[order]
         nrm = np.sqrt(np.einsum("ij,ij->i", Vm, Vm))
         zero = nrm == 0.0
-        N = Vm / np.where(zero, np.inf, nrm)[:, None]  # zero-norm rows never pair
-        dropped = np.zeros(n, dtype=bool)
-        for c0 in range(0, n, chunk):
+        N = Vm / np.where(zero, 1.0, nrm)[:, None]
+        if zero.any():
+            # the expression's nullif makes zero-norm pairs NULL, which the
+            # <= filter drops — NaN rows turn every comparison False on both
+            # sides without a per-tile mask pass
+            N[zero] = np.nan
+        dropped = np.zeros(m, dtype=bool)
+        tri = ~np.tri(chunk, chunk, dtype=bool)  # strict upper: i < j
+        for c0 in range(t0, n, chunk):
             c1 = min(c0 + chunk, n)
-            D = N[:c1] @ N[c0:c1].T
-            np.subtract(1.0, D, out=D)  # (i, j-c0) cos_dist, i < c1
-            valid = np.arange(c1)[:, None] < np.arange(c0, c1)[None, :]
-            # zero-norm rows: the expression's nullif makes their pairs NULL,
-            # which the <= filter drops — they never pair on either side
-            valid &= ~zero[:c1, None]
-            valid &= ~zero[None, c0:c1]
-            hit = (D < cutoff - band_eps) & valid
-            dropped[c0:c1] |= hit.any(axis=0)
-            band = (np.abs(D - cutoff) <= band_eps) & valid
+            ct = N[c0:c1].T
+            col = dropped[c0 - t0:c1 - t0]  # view — |= writes through
+            # full-valid source tiles strictly below the target chunk
+            for s0 in range(0, c0, src_tile):
+                if col.all():
+                    break
+                s1 = min(s0 + src_tile, c0)
+                D = N[s0:s1] @ ct
+                np.subtract(1.0, D, out=D)  # (i - s0, j - c0) cos_dist
+                col |= (D < lo).any(axis=0)
+                band = np.abs(D - cutoff) <= band_eps
+                if band.any():
+                    for bi, bj in zip(*np.nonzero(band)):
+                        if not col[bj] and _refine(Vm[s0 + bi], Vm[c0 + bj]):
+                            col[bj] = True
+            # diagonal tile: within-chunk (i < j) pairs
+            D = N[c0:c1] @ ct
+            np.subtract(1.0, D, out=D)
+            v = tri[: c1 - c0, : c1 - c0]
+            col |= ((D < lo) & v).any(axis=0)
+            band = (np.abs(D - cutoff) <= band_eps) & v
             if band.any():
                 for bi, bj in zip(*np.nonzero(band)):
-                    j = c0 + bj
-                    if not dropped[j] and _refine(Vm[bi], Vm[j]):
-                        dropped[j] = True
+                    if not col[bj] and _refine(Vm[c0 + bi], Vm[c0 + bj]):
+                        col[bj] = True
+        keep_ids = ids[t0:][~dropped]
         return pd.DataFrame(
-            {"id": ids[~dropped], "cluster_id": np.full(int((~dropped).sum()), cluster)}
+            {
+                "id": keep_ids,
+                "cluster_id": np.full(len(keep_ids), cluster, dtype=np.int32),
+            }
         )
 
-    return assigned.groupBy("cluster_id").applyInPandas(
+    w = Window.partitionBy("cluster_id").orderBy("id")
+    sharded = (
+        assigned.withColumn(
+            "own_shard",
+            ((F.row_number().over(w) - F.lit(1)) / F.lit(int(shard_rows))).cast("int"),
+        )
+        .withColumn(
+            "max_shard", F.max("own_shard").over(Window.partitionBy("cluster_id"))
+        )
+        .withColumn(
+            "shard", F.explode(F.sequence(F.col("own_shard"), F.col("max_shard")))
+        )
+        .withColumn("is_target", F.col("shard") == F.col("own_shard"))
+        .select("cluster_id", "shard", "id", "v", "is_target")
+    )
+    return sharded.groupBy("cluster_id", "shard").applyInPandas(
         keep_fn, schema="id bigint, cluster_id int"
     )
 

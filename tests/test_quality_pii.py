@@ -288,6 +288,26 @@ def test_semdedup_keep_arrow_kernel_matches_expression(spark):
     assert e and e == a
 
 
+def test_semdedup_keep_arrow_kernel_sharded_matches_expression(spark):
+    """Forcing multi-shard cells (kernel_shard_rows far below the cell
+    sizes) must not change the kept SET: every shard task sees its target
+    block plus ALL lower-id cell rows as sources, so the drop decision per
+    id is identical to the single-task and expression forms."""
+    emb = _emb(spark)
+    expr = DD.semdedup_keep(emb, n_clusters=8, max_cos_dist=0.7)
+    for shard_rows in (7, 64):
+        arw = DD.semdedup_keep(
+            emb,
+            n_clusters=8,
+            max_cos_dist=0.7,
+            arrow_kernel=True,
+            kernel_shard_rows=shard_rows,
+        )
+        e = sorted((r.id, r.cluster_id) for r in expr.collect())
+        a = sorted((r.id, r.cluster_id) for r in arw.collect())
+        assert e and e == a, shard_rows
+
+
 def test_semdedup_keep_arrow_kernel_duplicates_and_zero_vectors(spark):
     """Planted exact duplicates drop their higher id in BOTH forms; zero-norm
     vectors never pair (expression: nullif -> NULL) even when the threshold
