@@ -96,22 +96,29 @@ def jpeg_source_pixels(doc_id: int):
     return ((doc_id * 7) % 96 + y * 2 + x * 2 + c * 2).astype("uint8")
 
 
-def real_jpeg_payload(doc_id: int) -> bytes:
-    """Deterministic baseline-JPEG payload of the arithmetic source image;
-    odd ids use 4:2:0 chroma subsampling (exercises the decoder's
-    upsampling path), even ids 4:4:4."""
+def real_jpeg_payload(doc_id: int, progressive: bool = False) -> bytes:
+    """Deterministic JPEG payload of the arithmetic source image; odd ids
+    use 4:2:0 chroma subsampling (exercises the decoder's upsampling path),
+    even ids 4:4:4. ``progressive=True`` emits the SOF2 multi-scan form of
+    the SAME quantized coefficients (decodes pixel-identically)."""
     from . import codecs as C
 
     return C.encode_jpeg(
-        jpeg_source_pixels(doc_id), quality=90, subsample=bool(doc_id % 2)
+        jpeg_source_pixels(doc_id),
+        quality=90,
+        subsample=bool(doc_id % 2),
+        progressive=progressive,
     )
 
 
-def with_real_jpeg(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Attach the deterministic baseline-JPEG payload column keyed by id."""
+def with_real_jpeg(
+    df: DataFrame, id_col: str = "doc_id", progressive: bool = False
+) -> DataFrame:
+    """Attach the deterministic JPEG payload column keyed by id (baseline
+    SOF0 by default, progressive SOF2 with ``progressive=True``)."""
     @F.pandas_udf(T.BinaryType())
     def gen(ids: pd.Series) -> pd.Series:
-        return ids.map(lambda i: real_jpeg_payload(int(i)))
+        return ids.map(lambda i: real_jpeg_payload(int(i), progressive))
 
     return df.withColumn("payload", gen(F.col(id_col)))
 

@@ -3316,24 +3316,28 @@ FROM documents
 """
 
 
-def _multimodal_decode_jpeg_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Baseline-JPEG decode: deterministic smooth-gradient images are
-    encoded by the pure-NumPy JPEG encoder (columns.real_jpeg_payload —
-    4:4:4 for even ids, 4:2:0 for odd), then decoded back by the
-    mapInPandas meta path AND pixel-decoded against the arithmetic source
-    image. JPEG is lossy, so the value check is a bound: `content_ok` is
-    true iff max |decoded - source| <= 16 over every pixel (q90 on a smooth
-    gradient stays within a few counts; a Huffman/DCT/upsampling bug blows
-    far past the bound). The oracle recomputes the header fields from
-    doc_id and expects content_ok = true everywhere; n_bytes is excluded
-    (entropy-coded length is not SQL-expressible)."""
+def _multimodal_decode_jpeg_spark(
+    spark: SparkSession, sf_dir: str, progressive: bool = False
+) -> DataFrame:
+    """JPEG decode: deterministic smooth-gradient images are encoded by the
+    pure-NumPy JPEG encoder (columns.real_jpeg_payload — 4:4:4 for even
+    ids, 4:2:0 for odd; baseline SOF0, or the ten-scan progressive SOF2
+    stream of the same coefficients when ``progressive``), then decoded
+    back by the mapInPandas meta path AND pixel-decoded against the
+    arithmetic source image. JPEG is lossy, so the value check is a bound:
+    `content_ok` is true iff max |decoded - source| <= 16 over every pixel
+    (q90 on a smooth gradient stays within a few counts; a Huffman/DCT/
+    upsampling — or progressive refinement — bug blows far past the
+    bound). The oracle recomputes the header fields from doc_id and expects
+    content_ok = true everywhere; n_bytes is excluded (entropy-coded length
+    is not SQL-expressible)."""
     from .multimodal import decode_media_meta, with_real_jpeg
     from .multimodal.columns import jpeg_content_ok_udf
 
     docs = _tbl(spark, sf_dir, "documents").select("doc_id").filter(
         F.col("doc_id") < 200
     )
-    decoded = decode_media_meta(with_real_jpeg(docs))
+    decoded = decode_media_meta(with_real_jpeg(docs, progressive=progressive))
     return decoded.select(
         "doc_id",
         "media_type",
@@ -3342,6 +3346,10 @@ def _multimodal_decode_jpeg_spark(spark: SparkSession, sf_dir: str) -> DataFrame
         "height",
         jpeg_content_ok_udf(F.col("doc_id"), F.col("payload")).alias("content_ok"),
     )
+
+
+def _multimodal_decode_jpeg_prog_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _multimodal_decode_jpeg_spark(spark, sf_dir, progressive=True)
 
 
 def _multimodal_decode_jpeg_sql() -> str:
@@ -4291,6 +4299,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "frame_sample_counts": _frame_counts_spark,
     "multimodal_decode": _multimodal_decode_spark,
     "multimodal_decode_jpeg": _multimodal_decode_jpeg_spark,
+    "multimodal_decode_jpeg_prog": _multimodal_decode_jpeg_prog_spark,
     "knn_sq8": lambda s, d: _knn_spark(s, d, "sqeuclidean", quant="sq8"),
     "recall_sq8_vs_fp": _recall_sq8_spark,
     "knn_fp16": _knn_fp16_spark,
@@ -4351,78 +4360,79 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": _ngram_pairs_spark,
 }
 
-# ROUND-5 ROTATION. The driver verifies the first 50 entries of queries()
-# each round. Round 4 left ~38 queries whose latest *driver* green row dates
-# to round 2 (machinery re-verified green since by scripts/check_correctness.py,
-# but evidence-vintage matters). Round 5 therefore leads with: (a) all 38
-# r2-vintage queries, (b) the 3 queries whose code changed this round
-# (SemDeDup's corpus-derived n_clusters + shared k-means build; the Bloom
-# decontamination prefilter now joining on the 60-bit shingle hash to match
-# its oracle exactly) plus the queries NEW in round 5 (baseline-JPEG decode,
-# ExactSubstr removal, C4 corpus-level line dedup, Z-order keys), then
-# (c) the 5 longest-stale r3-vintage queries that still fit; the displaced
-# r3 greens (qps_windows, pareto_frontier_suppliers, quality_brackets,
-# grid_search_lsh) lead round 6's rotation.
-# After this round only r3/r4-vintage greens remain, queued for round 6.
-_R5_PREFIX: list[str] = [
-    # (a) r2-vintage — longest stale first-ish, grouped by family
-    "knn_hamming",
-    "knn_hamming_packed",
-    "knn_inner_product",
-    "knn_cosine",
-    "knn_filtered_high",
-    "knn_sq8",
-    "knn_fp16",
-    "knn_pq_adc",
-    "pq_codes",
-    "knn_scalable_filtered",
-    "knn_blockwise",
-    "recall_sq8_vs_fp",
-    "recall_curve_sq8",
-    "sq8_train_bounds",
-    "vector_norms",
-    "filter_selectivity",
-    "rating_histogram",
-    "grid_params",
-    "ann_lsh",
-    "dedup_exact",
-    "embedding_dup_pairs",
-    "embedding_dup_pairs_lsh",
-    "doc_fingerprint",
-    "lang_id",
-    "min_token_filter",
-    "token_counts",
-    "embed_pipeline",
-    "multimodal_meta",
-    "multimodal_resize",
-    "multimodal_decode",
+# ROUND-6 ROTATION. The driver verifies the first 50 entries of queries()
+# each round. After round 5, exactly 37 queries' latest driver-green row
+# dates to round 3 (machinery re-verified green since by
+# scripts/check_correctness.py, but evidence-vintage matters). Round 6
+# therefore leads with: (a) all 37 r3-vintage queries, (b) the queries NEW
+# or code-touched this round (the progressive-JPEG variant plus the
+# coefficient-accumulating decoder rewrite behind multimodal_decode_jpeg;
+# the mapInArrow exact-scan rewrite behind knn_scalable_filtered; the
+# n-column Z-order generalization behind zorder_keys; the (doc_id, pos)
+# domain validation behind substr_dedup_remove / line_dedup_corpus; the
+# BPE-apply word memo behind token_fertility; the cluster build shared with
+# the new opt-in Arrow kernel behind semdedup_keep), then (c) core
+# r4-vintage fill. After this round every query's latest driver row is r4+
+# and the rotation debt is retired.
+_R6_PREFIX: list[str] = [
+    # (a) r3-vintage
+    "tpch_q1",
+    "tpch_q1_sql_api",
+    "tpch_q2",
+    "tpch_q3",
+    "tpch_q4",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q10",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q18",
+    "tpch_q19",
+    "tpch_q22",
+    "lineitem_rollup",
+    "customer_setops",
+    "qps_windows",
+    "quality_brackets",
+    "pareto_frontier_suppliers",
+    "event_window_stats",
+    "event_sliding_windows",
+    "event_lag_stats",
+    "event_attribution",
+    "event_error_context",
+    "purchase_attribution_pairs",
+    "user_sessions",
+    "user_sessions_native",
+    "grid_metrics_lsh_fixed",
+    "grid_search_lsh",
+    "doc_chunks",
+    "pack_assignments",
+    "doc_clean",
+    "dedup_ngram_jaccard",
+    # (b) new / code-touched in round 6
+    "multimodal_decode_jpeg_prog",
     "multimodal_decode_jpeg",
-    "frame_sample_counts",
-    "best_order_per_priority",
-    "orders_pivot",
-    "tpch_q9",
-    "tpch_q11",
-    "tpch_q12",
-    "tpch_q20",
-    "tpch_q21",
-    # (b) code changed / NEW in round 5 — need fresh green rows
-    "semdedup_pairs",
-    "semdedup_keep",
-    "decontaminate_bloom",
+    "knn_scalable_filtered",
+    "zorder_keys",
     "substr_dedup_remove",
     "line_dedup_corpus",
-    "zorder_keys",
-    # (c) longest-stale r3-vintage fill
-    "knn_filtered_mid",
-    "knn_filtered_low",
-    "knn_sq8_filtered_high",
-    "latency_percentiles",
-    "latency_percentiles_v2",
+    "token_fertility",
+    "semdedup_keep",
+    # (c) core r4-vintage fill
+    "knn_exact",
+    "ann_ivf_fixed",
+    "dedup_minhash_lsh",
+    "grid_search_ivf",
+    "knn_ivfpq_rerank",
 ]
-assert len(_R5_PREFIX) == 50 and len(set(_R5_PREFIX)) == 50
+assert len(_R6_PREFIX) == 50 and len(set(_R6_PREFIX)) == 50
 QUERIES = {
-    **{k: QUERIES[k] for k in _R5_PREFIX},
-    **{k: v for k, v in QUERIES.items() if k not in _R5_PREFIX},
+    **{k: QUERIES[k] for k in _R6_PREFIX},
+    **{k: v for k, v in QUERIES.items() if k not in _R6_PREFIX},
 }
 
 ORACLES: dict[str, str] = {
@@ -4549,6 +4559,7 @@ ORACLES: dict[str, str] = {
     "grid_search_lsh": _grid_search_lsh_sql(),
     "multimodal_decode": _multimodal_decode_sql(),
     "multimodal_decode_jpeg": _multimodal_decode_jpeg_sql(),
+    "multimodal_decode_jpeg_prog": _multimodal_decode_jpeg_sql(),
     "tpch_q21": _tpch_q21_sql(),
     "tpch_q9": _tpch_q9_sql(),
     "tpch_q11": _tpch_q11_sql(),
