@@ -1748,6 +1748,11 @@ def _semdedup_keep_arrow(
         # this shard's targets are the max-id contiguous block; everything
         # below them is a pure scoring source from lower shards
         t0 = int(np.argmax(tgt)) if tgt.any() else n
+        if not (tgt[t0:].all() and not tgt[:t0].any()):
+            raise AssertionError(
+                "semdedup shard contract violated: targets must be the "
+                "max-id contiguous block of the (cluster, shard) group"
+            )
         m = n - t0
         if m == 0:
             return pd.DataFrame(

@@ -103,14 +103,19 @@ def main() -> None:
     n_vec = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     n_doc = int(sys.argv[2]) if len(sys.argv) > 2 else 200_000
     out = sys.argv[3] if len(sys.argv) > 3 else "/root/repo/scale_data"
+    n_doc_large = int(sys.argv[4]) if len(sys.argv) > 4 else 1_000_000
     spark = get_spark(app_name="favs-gen-scale")
     spark.sparkContext.setLogLevel("ERROR")
     gen_vectors(spark, n_vec, out)
     gen_documents(spark, n_doc, out)
+    # the 1M-document corpus for the curate_funnel_1m row (same generator,
+    # same planted dup cadence, separate directory)
+    gen_documents(spark, n_doc_large, f"{out}/docs1m")
     nv = spark.read.parquet(f"{out}/vectors.parquet").count()
     nd = spark.read.parquet(f"{out}/documents.parquet").count()
-    print(f"wrote {nv} vectors, {nd} documents under {out}")
-    assert nv == n_vec and nd == n_doc
+    nd1m = spark.read.parquet(f"{out}/docs1m/documents.parquet").count()
+    print(f"wrote {nv} vectors, {nd} + {nd1m} documents under {out}")
+    assert nv == n_vec and nd == n_doc and nd1m == n_doc_large
 
 
 if __name__ == "__main__":
