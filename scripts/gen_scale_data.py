@@ -30,12 +30,12 @@ VOCAB = 2000
 DOC_WORDS = 30
 
 
-def gen_vectors(spark, n: int, out: str) -> None:
+def gen_vectors(spark, n: int, out: str, n_clusters: int = N_CLUSTERS) -> None:
     def gen(batches):
         j = np.arange(DIM, dtype=np.uint64)
         for pdf in batches:
             ids = pdf["id"].to_numpy().astype(np.uint64)
-            c = ids % N_CLUSTERS
+            c = ids % n_clusters
             center = (
                 ((c[:, None] * np.uint64(2654435761) + j[None, :] * np.uint64(97)) % 1000)
                 .astype(np.float64)
