@@ -166,6 +166,124 @@ def test_jpeg_progressive_rejects_restart_interval():
         C.encode_jpeg(_smooth(14), quality=90, progressive=True, restart_interval=2)
 
 
+def _custom_progressive(img: np.ndarray, quality: int, subsample: bool) -> bytes:
+    """A scan script the library encoder never emits — DC and AC coded at
+    Al=0 outright (no successive approximation) and the DC scans
+    NON-interleaved, one single-component scan per component over its
+    ceil-dims block grid. Real decoders must accept any T.81-legal script;
+    this exercises the decoder's ns=1 DC path and its Al=0 fast path."""
+    from filtered_ads_vector_search_spark.multimodal.jpeg import (
+        _AC_PROG,
+        _BitWriter,
+        _DC_CHROMA,
+        _DC_LUMA,
+        _canonical_codes,
+        _magnitude,
+        _plane_blocks,
+        _prog_ac_first_scan,
+        _quality_tables,
+        _ZIGZAG,
+    )
+    import struct
+
+    h, w, _ = img.shape
+    px = img.astype(np.float64)
+    r, g, b = px[..., 0], px[..., 1], px[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    qy, qc = _quality_tables(quality)
+    hs, vs = (2, 2) if subsample else (1, 1)
+
+    def pad(plane, mult):
+        ph = (plane.shape[0] + mult - 1) // mult * mult
+        pw = (plane.shape[1] + mult - 1) // mult * mult
+        return np.pad(plane, ((0, ph - plane.shape[0]), (0, pw - plane.shape[1])),
+                      mode="edge")
+
+    y = pad(y, 8 * vs)
+    if subsample:
+        cbp, crp = pad(cb, 16), pad(cr, 16)
+        cb = cbp.reshape(cbp.shape[0] // 2, 2, cbp.shape[1] // 2, 2).mean(axis=(1, 3))
+        cr = crp.reshape(crp.shape[0] // 2, 2, crp.shape[1] // 2, 2).mean(axis=(1, 3))
+    else:
+        cb, cr = pad(cb, 8), pad(cr, 8)
+    zzs = [
+        _plane_blocks(np.clip(p, 0, 255), qt)[..., _ZIGZAG]
+        for p, qt in ((y, qy), (cb, qc), (cr, qc))
+    ]
+    dims = [
+        ((h + 7) // 8, (w + 7) // 8),
+        ((-(-h // vs) + 7) // 8, (-(-w // hs) + 7) // 8),
+        ((-(-h // vs) + 7) // 8, (-(-w // hs) + 7) // 8),
+    ]
+    dc_codes = [_canonical_codes(*_DC_LUMA), _canonical_codes(*_DC_CHROMA),
+                _canonical_codes(*_DC_CHROMA)]
+    ac_p = _canonical_codes(*_AC_PROG)
+
+    def dc_noninterleaved(ci: int) -> bytes:
+        # single-component DC first scan at Al=0: row-major over the
+        # component's ceil-dims grid, own predictor
+        bw = _BitWriter()
+        pred = 0
+        bh, bwid = dims[ci]
+        for by in range(bh):
+            for bx in range(bwid):
+                dc = int(zzs[ci][by, bx, 0])
+                ssss, bits = _magnitude(dc - pred)
+                code, ln = dc_codes[ci][ssss]
+                bw.put(code, ln)
+                bw.put(bits, ssss)
+                pred = dc
+        bw.flush()
+        return bytes(bw.out)
+
+    out = bytearray()
+    out += b"\xff\xd8"
+    for tid, qt in ((0, qy), (1, qc)):
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tid)
+        out += bytes(int(v) for v in qt[_ZIGZAG])
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 17, 8, h, w, 3)
+    out += bytes([1, (hs << 4) | vs, 0]) + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1])
+    for cls, tid, (bits, vals) in (
+        (0, 0, _DC_LUMA), (0, 1, _DC_CHROMA), (1, 0, _AC_PROG)
+    ):
+        out += b"\xff\xc4" + struct.pack(">HB", 19 + len(vals), (cls << 4) | tid)
+        out += bytes(bits) + bytes(vals)
+
+    def sos(specs, ss, se, ah, al, data):
+        out.extend(b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(specs), len(specs)))
+        for cid, tabs in specs:
+            out.extend(bytes([cid, tabs]))
+        out.extend(bytes([ss, se, (ah << 4) | al]))
+        out.extend(data)
+
+    for ci, (cid, dct) in enumerate(((1, 0x00), (2, 0x10), (3, 0x10))):
+        sos([(cid, dct)], 0, 0, 0, 0, dc_noninterleaved(ci))
+    for ci, cid in enumerate((1, 2, 3)):
+        bh, bwid = dims[ci]
+        sos([(cid, 0x00)], 1, 63, 0, 0,
+            _prog_ac_first_scan(zzs[ci], bh, bwid, 1, 63, 0, ac_p))
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_jpeg_progressive_custom_scan_script():
+    """A T.81-legal script the library encoder never produces: Al=0 (no
+    successive approximation) and single-component non-interleaved DC
+    scans. For 4:4:4 every component's non-interleaved grid equals the MCU
+    grid, so the decode is bit-equal to baseline; for 4:2:0 the luma
+    non-interleaved grid SKIPS the MCU pad blocks (their DC never gets
+    coded), which only touches cropped-away pad pixels — asserted
+    identical on the visible region."""
+    img = _smooth(15, 44, 52)[:39, :45]
+    for subsample in (False, True):
+        base = C.decode_jpeg_pixels(C.encode_jpeg(img, quality=85, subsample=subsample))
+        custom = C.decode_jpeg_pixels(_custom_progressive(img, 85, subsample))
+        assert custom.shape == base.shape
+        assert (custom == base).all(), subsample
+
+
 def test_jpeg_near_exact_on_smooth_gradients():
     """The registry oracle's premise: q90 on the arithmetic gradient images
     is within 1 count per pixel, both chroma modes."""
