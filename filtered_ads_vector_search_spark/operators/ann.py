@@ -599,11 +599,15 @@ class IVFIndex:
         # and k-means++ seeding consumes rows by position — so without a
         # deterministic order the trained index would vary with input
         # partitioning, breaking the engine's partition-invariance principle.
-        train = (
-            corpus.select(F.col(vec_col).alias("_v"))
-            .withColumn("_h", F.crc32(F.col("_v").cast("string")))
-            .orderBy("_h", F.col("_v").cast("string"))
-            .limit(train_sample_rows)
+        from .sampling import bounded_hash_take
+
+        train = bounded_hash_take(
+            corpus.select(F.col(vec_col).alias("_v")).withColumn(
+                "_h", F.crc32(F.col("_v").cast("string"))
+            ),
+            "_h",
+            ["_h", F.col("_v").cast("string")],
+            train_sample_rows,
         )
         X = np.array([r["_v"] for r in train.collect()], dtype=np.float64)
         if len(X) == 0:

@@ -106,13 +106,16 @@ def pq_train(
 
     The sample is hash-ordered (not .limit on an arbitrary scan) so training
     is partition-invariant; at 100 TB the sample is still ``sample_n`` rows.
-    Driver memory: sample_n × dim × 8 bytes (100k × 64 ≈ 51 MB)."""
-    rows = (
-        corpus.select(F.col(vec_col).alias("v"), F.crc32(F.col(vec_col).cast("string")).alias("h"))
-        .orderBy("h")
-        .limit(sample_n)
-        .collect()
+    Driver memory: sample_n × dim × 8 bytes (100k × 64 ≈ 51 MB); the
+    bounded_hash_take pre-filter also caps the take's per-task driver
+    traffic (a bare orderBy+limit collect ships tasks × sample_n rows)."""
+    from .sampling import bounded_hash_take
+
+    src = corpus.select(
+        F.col(vec_col).alias("v"),
+        F.crc32(F.col(vec_col).cast("string")).alias("h"),
     )
+    rows = bounded_hash_take(src, "h", ["h"], sample_n).collect()
     X = np.asarray([r["v"] for r in rows], dtype=np.float64)
     dim = X.shape[1]
     if dim % m != 0:

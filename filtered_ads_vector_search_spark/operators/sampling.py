@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from ..functions.hashing import P, portable_hash_col, portable_hash_sql
 
 __all__ = [
+    "bounded_hash_take",
     "seeded_sample",
     "seeded_sample_sql",
     "stratified_sample",
@@ -34,6 +35,38 @@ __all__ = [
 ]
 
 SAMPLE_SEED = 271828
+
+
+def bounded_hash_take(
+    df: DataFrame, hash_col: str, order_cols: list, n: int
+) -> DataFrame:
+    """Driver-traffic-bounded equivalent of ``df.orderBy(*order_cols)
+    .limit(n)`` when ``order_cols`` leads with a uniform 32-bit hash
+    column.
+
+    Spark executes orderBy+limit+collect as TakeOrdered: EVERY task ships
+    its local top-``n`` to the driver, so intermediate driver traffic is
+    tasks x n rows — at 5M vectors x 32 tasks x 100k sample rows that is
+    >1 GiB and trips spark.driver.maxResultSize, even though the FINAL
+    result is bounded. Pre-filtering to rows whose hash falls under ~2x
+    the expected n-th-smallest threshold caps the take's input at ~2n rows
+    total. The filter keeps every row with hash <= T, so whenever >= n rows
+    survive, the global top-n by (hash, tie-break) is fully contained and
+    the final take selects EXACTLY the same rows as the unfiltered form —
+    training samples stay bit-identical (the trained-artifact oracle
+    queries depend on this). Falls back to the plain take when the corpus
+    is small or the threshold undershoots (non-uniform hash values)."""
+    total = df.count()
+    if total > 4 * n:
+        # crc32 is uniform on [0, 2^32); the n-th smallest of `total` draws
+        # concentrates tightly around 2^32 * n/total — 2x covers it with
+        # overwhelming probability, and the count check below restores
+        # exactness whenever it does not
+        thresh = int(min(2**32 - 1, round(2.0 * (n / total) * 2**32)))
+        cand = df.filter(F.col(hash_col) <= F.lit(thresh))
+        if cand.count() >= n:
+            df = cand
+    return df.orderBy(*order_cols).limit(n)
 
 
 def _gate(id_col: str, fraction: float, seed: int) -> Column:

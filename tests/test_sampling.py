@@ -79,3 +79,28 @@ def test_sampling_validation(spark):
         SM.stratified_topn(df, "doc_id", "lang", 0)
     with pytest.raises(ValueError, match="at least one group"):
         SM.stratified_sample(df, "doc_id", "lang", {})
+
+
+def test_bounded_hash_take_selects_identical_rows(spark):
+    """The threshold pre-filter must not change WHICH rows the take
+    returns — only how many reach the driver. Sized so the filter path
+    engages (total > 4n) and compared against the plain orderBy+limit."""
+    df = spark.range(20_000).select(
+        F.col("id"), F.crc32(F.col("id").cast("string")).alias("h")
+    )
+    n = 500
+    got = sorted(
+        r.id for r in SM.bounded_hash_take(df, "h", ["h", "id"], n).collect()
+    )
+    want = sorted(r.id for r in df.orderBy("h", "id").limit(n).collect())
+    assert got == want and len(got) == n
+
+
+def test_bounded_hash_take_small_input_fallback(spark):
+    """total <= 4n: the pre-filter must not engage (and the result is the
+    whole input when n >= total)."""
+    df = spark.range(100).select(
+        F.col("id"), F.crc32(F.col("id").cast("string")).alias("h")
+    )
+    out = SM.bounded_hash_take(df, "h", ["h"], 500).collect()
+    assert len(out) == 100
