@@ -54,7 +54,14 @@ N_TRUTH_QUERIES = int(os.environ.get("SPARK_GRAFT_5M_TQ", 1_000))
 K = 10
 IVF_CENTROIDS = int(os.environ.get("SPARK_GRAFT_5M_C", 512))    # ~9.8k rows/cell at 5M
 NPROBE = 32
-RERANK = 500
+# rerank bounds the PER-BUCKET partial emission (each probed bucket emits
+# its local ADC top-`rerank` into the window merge), so with adaptive
+# widening the merge input is queries x probed_buckets x rerank rows:
+# rerank=500 at 10k queries over ~200-512 widened buckets is 1-2.6e9
+# partial rows — enough to OOM every Python worker at once. 100 keeps the
+# heaviest row at ~2e8 partials; the sub-1% filter doesn't probe at all
+# (see the exact_filtered tier below).
+RERANK = 100
 # the 5M corpus is generated with 65536 centers (~76 rows per near-dup
 # family) rather than the 1M corpus's 256: at 5M, 256 centers would plant
 # ~19.5k-row tie plateaus whose exact top-10 no bounded rerank shortlist
@@ -178,7 +185,15 @@ def main() -> None:
         {"n_centroids": IVF_CENTROIDS, "m": 8, "nprobe": NPROBE, "rerank": RERANK,
          "kernel": "arrow"},
     )
-    for fname in BENCH_FILTERS:
+    # mid_rated keeps 0.77% of rows (~38k of 5M): adaptive probing would
+    # widen to every bucket and push queries x buckets x rerank partials
+    # through the merge — at sub-1% selectivity the right physical
+    # plan is the exact Arrow scan of the filtered corpus itself, which is
+    # both faster AND recall-1.0 by construction. The reference's own
+    # mid_rated rows are its worst-throughput (CAGRA 8.4k q/s, 5.5x below
+    # its low_rated row) or worst-recall (HNSW 0.80) — selectivity this low
+    # defeats graph indexes too.
+    for fname in ("low_rated", "high_rated"):
         pred = FL.named_filter_predicate(fname)
         qps_row(
             "ivfpq", fname,
@@ -190,6 +205,14 @@ def main() -> None:
             {"n_centroids": IVF_CENTROIDS, "m": 8, "nprobe": NPROBE,
              "rerank": RERANK, "adaptive": True, "kernel": "arrow"},
         )
+    mid_pred = FL.named_filter_predicate("mid_rated")
+    qps_row(
+        "exact_filtered", "mid_rated",
+        lambda: TK.knn_scalable(q, c.filter(mid_pred), k=K),
+        truths_f["mid_rated"],
+        {"tier": "exact scan of the 0.77%-selectivity filtered corpus",
+         "kernel": "arrow"},
+    )
 
     extras["filtered_rows"] = rows
     # the reference anchor this artifact exists to face (BASELINE.md):
