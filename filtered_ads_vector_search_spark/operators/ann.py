@@ -117,9 +117,13 @@ def _arrow_bucket_topk(
         qids_, Q_, bq_ = payload[0], payload[1], payload[2]
         extra_ = payload[3:]
         for pdf in batches:
-            out_q: list[np.ndarray] = []
-            out_n: list[np.ndarray] = []
-            out_d: list[np.ndarray] = []
+            # yield per BUCKET, not per input batch: each yielded frame
+            # becomes ONE Arrow IPC batch on the Python->JVM wire, and an
+            # unbucketed corpus relation can interleave hundreds of probed
+            # buckets inside one input batch — concatenating them produced
+            # single ~1 GB batches (queries x buckets x top rows) that
+            # exhausted Arrow's direct-memory pool at 5M x 10k queries. A
+            # per-bucket frame is bounded by queries_probing x top rows.
             for b, grp in pdf.groupby("partition_id"):
                 qsel = bq_.get(int(b))
                 if qsel is None or len(qsel) == 0:
@@ -131,6 +135,9 @@ def _arrow_bucket_topk(
                 chunk_fn = bucket_scorer(Q_, qsel, int(b), data, extra_)
                 n = len(ids)
                 t = min(top, n)
+                out_q: list[np.ndarray] = []
+                out_n: list[np.ndarray] = []
+                out_d: list[np.ndarray] = []
                 for c0 in range(0, len(qsel), 256):  # bound the (q x n) block
                     c1 = min(c0 + 256, len(qsel))
                     sc = chunk_fn(c0, c1)
@@ -139,7 +146,6 @@ def _arrow_bucket_topk(
                     out_q.append(qids_[rows])
                     out_n.append(ids[keep].ravel())
                     out_d.append(np.take_along_axis(sc, keep, axis=1).ravel())
-            if out_q:
                 yield pd.DataFrame(
                     {
                         "query_id": np.concatenate(out_q),
