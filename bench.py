@@ -96,6 +96,27 @@ def main() -> None:
     timed("ann_lsh_search", lambda: state["lsh"].search(q, k=10).count())
     state["lsh"].unpersist()
 
+    # --- tier planner: selectivity-routed filtered search (each timed run
+    # includes the routing estimate itself, not just the chosen tier) ---
+    from filtered_ads_vector_search_spark.operators.ann import plan_filtered_search
+
+    pidx = IVFIndex.build_fixed(FL.with_rating_bucket(c), n_centroids=32)
+    timed(
+        "planner_filtered_mid_exact",
+        lambda: plan_filtered_search(
+            pidx, q, k=10, nprobe=8,
+            predicate=FL.named_filter_predicate("mid_rated"),
+        ).result.count(),
+    )
+    timed(
+        "planner_filtered_low_ann",
+        lambda: plan_filtered_search(
+            pidx, q, k=10, nprobe=8,
+            predicate=FL.named_filter_predicate("low_rated"),
+        ).result.count(),
+    )
+    pidx.unpersist()
+
     # --- registry headline queries (same code path the driver checks) ---
     # (knn_hamming_packed / recall_sq8_vs_fp were trimmed when the round-4
     # text/dedup/sketch surface below was added — they time the same

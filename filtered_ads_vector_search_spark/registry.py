@@ -2667,6 +2667,111 @@ SELECT query_id, neighbor_id, rnk, round(dist, 3) AS dist FROM r WHERE rnk <= {K
 """
 
 
+def _knn_auto_exact_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tier planner, exact route: mid_rated keeps ~0.77%, so adaptive probe
+    widening ceil(nprobe/s) saturates the 16-centroid fixed index and the
+    planner must route to the exact filtered scan (recall 1.0 by
+    construction). The tier label rides in the result so the oracle checks
+    the ROUTING decision, not just the rows."""
+    from .operators.ann import IVFIndex, plan_filtered_search
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    q, c = TK.split_queries(emb)
+    idx = IVFIndex.build_fixed(
+        FL.with_rating_bucket(c), n_centroids=IVF_FIXED_CENTROIDS
+    )
+    plan = plan_filtered_search(
+        idx, q, k=K, nprobe=IVF_FIXED_NPROBE,
+        predicate=FL.named_filter_predicate("mid_rated"),
+    )
+    return plan.result.select(
+        "query_id", "neighbor_id", F.col("rank").alias("rnk"),
+        F.lit(plan.tier).alias("tier"),
+    )
+
+
+def _knn_auto_ann_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tier planner, ann route: low_rated keeps ~83.6%, so
+    ceil(nprobe/s) = 5 < 16 buckets and the planner stays on the IVF tier at
+    the widened nprobe. tier + nprobe_eff ride in the result and the oracle
+    recomputes the widening rule itself (scalar subquery over the exact
+    selectivity), so the planner's arithmetic is value-checked end to end."""
+    from .operators.ann import IVFIndex, plan_filtered_search
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    q, c = TK.split_queries(emb)
+    idx = IVFIndex.build_fixed(
+        FL.with_rating_bucket(c), n_centroids=IVF_FIXED_CENTROIDS
+    )
+    plan = plan_filtered_search(
+        idx, q, k=K, nprobe=IVF_FIXED_NPROBE,
+        predicate=FL.named_filter_predicate("low_rated"),
+    )
+    return plan.result.select(
+        "query_id", "neighbor_id", F.col("rank").alias("rnk"),
+        F.round("dist", 3).alias("dist"),
+        F.lit(plan.tier).alias("tier"),
+        F.lit(plan.nprobe_effective).cast("int").alias("nprobe_eff"),
+    )
+
+
+def _knn_auto_ann_sql() -> str:
+    d_assign = V.sqeuclidean_sql("c.embedding", "cent.centroid")
+    d_probe = V.sqeuclidean_sql("q.q_vec", "cent.centroid")
+    d_rerank = V.sqeuclidean_sql("q.q_vec", "a.embedding")
+    buckets = ", ".join(f"'{b}'" for b in FL.NAMED_FILTERS["low_rated"])
+    bucket_c = FL.rating_bucket_sql("vec_id")
+    bucket_a = FL.rating_bucket_sql("a.vec_id")
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings
+  WHERE {FL.is_query_sql('vec_id')}
+), c AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE NOT {FL.is_query_sql('vec_id')}
+), sel AS (
+  SELECT CAST(SUM(CASE WHEN {bucket_c} IN ({buckets}) THEN 1 ELSE 0 END) AS DOUBLE)
+           / COUNT(*) AS s
+  FROM c
+), eff AS (
+  SELECT LEAST(CAST(CEIL(CAST({IVF_FIXED_NPROBE} AS DOUBLE) / s) AS INT),
+               {IVF_FIXED_CENTROIDS}) AS np
+  FROM sel
+), cent AS (
+  SELECT centroid_id, centroid FROM (
+    SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC) - 1
+             AS centroid_id,
+           embedding AS centroid
+    FROM c) WHERE centroid_id < {IVF_FIXED_CENTROIDS}
+), assign AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT c.vec_id, c.embedding, cent.centroid_id,
+           row_number() OVER (PARTITION BY c.vec_id
+                              ORDER BY {d_assign} ASC, cent.centroid_id ASC) AS arn
+    FROM c CROSS JOIN cent) WHERE arn = 1
+), probes AS (
+  SELECT query_id, centroid_id FROM (
+    SELECT q.query_id, cent.centroid_id,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {d_probe} ASC, cent.centroid_id ASC) AS prn
+    FROM q CROSS JOIN cent) WHERE prn <= (SELECT np FROM eff)
+), d AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id, {d_rerank} AS dist
+  FROM probes p
+  JOIN assign a ON a.centroid_id = p.centroid_id
+  JOIN q ON q.query_id = p.query_id
+  WHERE {bucket_a} IN ({buckets})
+), r AS (
+  SELECT query_id, neighbor_id, dist,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, neighbor_id ASC) AS rnk
+  FROM d
+)
+SELECT query_id, neighbor_id, rnk, round(dist, 3) AS dist, 'ann' AS tier,
+       (SELECT np FROM eff) AS nprobe_eff
+FROM r WHERE rnk <= {K}
+"""
+
+
 GRID_FIXED_NPROBES = (1, 2, 4)
 
 
@@ -4358,6 +4463,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q8": _tpch_q8_spark,
     "tpch_q19": _tpch_q19_spark,
     "dedup_ngram_jaccard": _ngram_pairs_spark,
+    "knn_filtered_auto_exact": _knn_auto_exact_spark,
+    "knn_filtered_auto_ann": _knn_auto_ann_spark,
 }
 
 # ROUND-6 ROTATION. The driver verifies the first 50 entries of queries()
@@ -4371,9 +4478,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # n-column Z-order generalization behind zorder_keys; the (doc_id, pos)
 # domain validation behind substr_dedup_remove / line_dedup_corpus; the
 # BPE-apply word memo behind token_fertility; the cluster build shared with
-# the new opt-in Arrow kernel behind semdedup_keep), then (c) core
+# the new opt-in Arrow kernel behind semdedup_keep; the selectivity-routed
+# tier planner behind knn_filtered_auto_exact/_ann), then (c) core
 # r4-vintage fill. After this round every query's latest driver row is r4+
-# and the rotation debt is retired.
+# and the rotation debt is retired (knn_exact and dedup_minhash_lsh, both
+# driver-green r4, yield their fill slots to the two planner queries).
 _R6_PREFIX: list[str] = [
     # (a) r3-vintage
     "tpch_q1",
@@ -4422,10 +4531,10 @@ _R6_PREFIX: list[str] = [
     "line_dedup_corpus",
     "token_fertility",
     "semdedup_keep",
+    "knn_filtered_auto_exact",
+    "knn_filtered_auto_ann",
     # (c) core r4-vintage fill
-    "knn_exact",
     "ann_ivf_fixed",
-    "dedup_minhash_lsh",
     "grid_search_ivf",
     "knn_ivfpq_rerank",
 ]
@@ -4573,6 +4682,14 @@ ORACLES: dict[str, str] = {
     "knn_scalable_filtered": "SELECT query_id, neighbor_id, rnk FROM ("
     + _knn_sql("sqeuclidean", filter_name="high_rated")
     + ")",
+    # tier planner: the exact route's oracle is the filtered exact kNN with
+    # the routing decision pinned as a literal; the ann route's oracle
+    # re-derives the widened nprobe from the exact selectivity in SQL
+    "knn_filtered_auto_exact": "SELECT query_id, neighbor_id, rnk, "
+    "'exact_filtered' AS tier FROM ("
+    + _knn_sql("sqeuclidean", filter_name="mid_rated")
+    + ")",
+    "knn_filtered_auto_ann": _knn_auto_ann_sql(),
     "knn_blockwise": "SELECT query_id, neighbor_id, rnk FROM (" + _knn_sql("sqeuclidean") + ")",
     "embedding_dup_pairs_lsh": _embedding_dups_lsh_sql(),
     # The mock embedder L2-normalizes, so dim and norm are arithmetically
