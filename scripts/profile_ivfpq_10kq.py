@@ -3,7 +3,8 @@
 Splits the search into its three physical stages and times each behind a
 count(), so optimization effort lands where the time actually goes:
 
-  probes : centroid ranking (tiny broadcast join + window)
+  probes : the EXPRESSION path's centroid-ranking job (knn_window), for
+           reference — the Arrow kernel ranks probes driver-side in numpy
   kernel : probe-pruned coded scan + Arrow ADC scoring + per-bucket top-R
            partial emission (_adc_candidates_arrow output, no merge)
   full   : the complete search (adds the window merge + exact rerank join)
@@ -57,7 +58,7 @@ def main() -> None:
 
     top = max(RERANK, K)
     t0 = time.time()
-    cand = idx._adc_candidates_arrow(q, probes, idx.coded, top)
+    cand = idx._adc_candidates_arrow(q, NPROBE, idx.coded, top)
     n_cand = cand.count()
     t_kernel = time.time() - t0
     print(f"kernel (scan+score+partials): {t_kernel:.2f}s  rows={n_cand}")
