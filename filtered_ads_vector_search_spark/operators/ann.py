@@ -45,10 +45,11 @@ _SCORE_MAX_QUERIES = 100_000
 
 
 def _probe_lists_numpy(
-    Q: np.ndarray, cent: np.ndarray, nprobe: int, metric: str
+    Q: np.ndarray, cent: np.ndarray, nprobe: int
 ) -> dict[int, list[int]]:
-    """Per-query top-``nprobe`` centroid ranking, computed driver-side over
-    the already-collected query matrix — bit-identical probe SETS to the
+    """Per-query top-``nprobe`` centroid ranking (sqeuclidean — the only
+    metric the Arrow kernels accept), computed driver-side over the
+    already-collected query matrix — bit-identical probe SETS to the
     knn_window form: the distance is the same element-ascending left fold
     (same IEEE doubles as the 0.0D-seeded ascending aggregate), centroid
     columns are id-ascending, and a STABLE argsort reproduces the
@@ -62,14 +63,9 @@ def _probe_lists_numpy(
     for c0 in range(0, len(Q), 4096):
         Qc = Q[c0 : c0 + 4096]
         D = np.zeros((len(Qc), n_cent), dtype=np.float64)
-        if metric == "inner_product":
-            for el in range(Qc.shape[1]):  # ascending-element left fold
-                D += Qc[:, el, None] * cent[None, :, el]
-            D = -D  # rank descending similarity as ascending distance
-        else:
-            for el in range(Qc.shape[1]):
-                d = Qc[:, el, None] - cent[None, :, el]
-                D += d * d
+        for el in range(Qc.shape[1]):  # ascending-element left fold
+            d = Qc[:, el, None] - cent[None, :, el]
+            D += d * d
         keep = np.argsort(D, axis=1, kind="stable")[:, :t]
         for i in range(len(Qc)):
             qi = c0 + i
@@ -80,7 +76,6 @@ def _probe_lists_numpy(
 
 def _arrow_bucket_topk(
     queries: DataFrame,
-    probes: DataFrame | None,
     corpus: DataFrame,
     id_col: str,
     data_col: str,
@@ -90,14 +85,15 @@ def _arrow_bucket_topk(
     extra: tuple,
     bucket_scorer,
     kernel_name: str,
-    probe_spec: tuple | None = None,
+    probe_spec: tuple,
 ) -> DataFrame:
     """Shared scaffolding of the Arrow scoring kernels (IVF exact /
-    IVFPQ ADC): bounded query+probe collect, broadcast, static bucket
-    pruning, per-bucket neighbor_id pre-sort (the exact (score, id)
-    tie-break via STABLE argsort), 256-query chunking to bound the
-    (q x n) block, and local top-``top`` partial emission for the shared
-    window merge. The kernels differ ONLY in ``bucket_scorer``:
+    IVFPQ ADC): bounded query collect, driver-side probe ranking
+    (``probe_spec`` = id-ordered centroid matrix + nprobe), broadcast,
+    static bucket pruning, per-bucket neighbor_id pre-sort (the exact
+    (score, id) tie-break via STABLE argsort), 256-query chunking to bound
+    the (q x n) block, and local top-``top`` partial emission for the
+    shared window merge. The kernels differ ONLY in ``bucket_scorer``:
 
         bucket_scorer(Q, qsel, bucket_id, data, extra) -> chunk_fn
         chunk_fn(c0, c1) -> (c1-c0, n_bucket_rows) float64 score matrix
@@ -128,22 +124,11 @@ def _arrow_bucket_topk(
             f"{kernel_name}: duplicate query_id rows in the query batch "
             f"({len(qids)} rows, {len(qpos)} distinct ids)"
         )
-    if probe_spec is not None:
-        # (centroid matrix ordered by ascending centroid_id, nprobe, metric):
-        # rank probes driver-side over the Q matrix just collected — same
-        # fold, same tie-break as the knn_window probe job it replaces
-        cent_mat, nprobe_, pmetric = probe_spec
-        bucket_queries = _probe_lists_numpy(Q, cent_mat, nprobe_, pmetric)
-    else:
-        bucket_queries = {}
-        for r in probes.collect():
-            qi = qpos.get(int(r["query_id"]))
-            if qi is None:
-                raise ValueError(
-                    f"{kernel_name}: probe references query_id "
-                    f"{int(r['query_id'])} absent from the query batch"
-                )
-            bucket_queries.setdefault(int(r["partition_id"]), []).append(qi)
+    # (centroid matrix ordered by ascending centroid_id, nprobe): rank
+    # probes driver-side over the Q matrix just collected — same fold,
+    # same tie-break as the knn_window probe job the expression path runs
+    cent_mat, nprobe_ = probe_spec
+    bucket_queries = _probe_lists_numpy(Q, cent_mat, nprobe_)
     bq = {b: np.array(v, dtype=np.int64) for b, v in bucket_queries.items()}
     bc = corpus.sparkSession.sparkContext.broadcast((qids, Q, bq) + extra)
     pruned = corpus.filter(
@@ -657,7 +642,7 @@ class IVFIndex:
             ["_h", F.col("_v").cast("string")],
             train_sample_rows,
         )
-        X = np.array([r["_v"] for r in train.collect()], dtype=np.float64)
+        X = np.array([r["_v"] for r in train], dtype=np.float64)
         if len(X) == 0:
             raise ValueError("cannot build an IVF index over an empty corpus")
         # a high-selectivity filter can leave fewer rows than centroids
@@ -1029,7 +1014,6 @@ class IVFIndex:
             cent[int(r["centroid_id"])] = np.asarray(r["centroid"], dtype=np.float64)
         return _arrow_bucket_topk(
             queries,
-            None,
             corpus,
             id_col=self.id_col,
             data_col=self.vec_col,
@@ -1039,7 +1023,7 @@ class IVFIndex:
             extra=(),
             bucket_scorer=_sqeuclidean_bucket_scorer,
             kernel_name="arrow_score",
-            probe_spec=(cent, nprobe, "sqeuclidean"),
+            probe_spec=(cent, nprobe),
         )
 
     def unpersist(self) -> None:
@@ -1129,7 +1113,7 @@ def plan_filtered_search(
     if widened >= index.n_centroids and can_exact:
         filt = relation.filter(predicate)
         res = knn_scalable(
-            queries.select("query_id", "q_vec"),
+            queries,
             filt,
             k=k,
             metric=metric,

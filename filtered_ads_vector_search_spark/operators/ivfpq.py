@@ -605,7 +605,6 @@ class IVFPQIndex:
         CB = np.ascontiguousarray(self.codebooks, dtype=np.float64)
         return _arrow_bucket_topk(
             queries,
-            None,
             corpus,
             id_col=self.id_col,
             data_col="codes",
@@ -615,7 +614,7 @@ class IVFPQIndex:
             extra=(cent, CB, self.residual),
             bucket_scorer=_adc_bucket_scorer,
             kernel_name="arrow_adc",
-            probe_spec=(cent, nprobe, "sqeuclidean"),
+            probe_spec=(cent, nprobe),
         )
 
     def _finish_from_candidates(

@@ -115,7 +115,11 @@ def pq_train(
         F.col(vec_col).alias("v"),
         F.crc32(F.col(vec_col).cast("string")).alias("h"),
     )
-    rows = bounded_hash_take(src, "h", ["h"], sample_n).collect()
+    # value tie-break after the hash (same discipline as IVFIndex.build):
+    # hash ties at the sample_n boundary would otherwise resolve by
+    # partition arrival order, making the trained codebooks
+    # partition-dependent
+    rows = bounded_hash_take(src, "h", ["h", F.col("v").cast("string")], sample_n)
     X = np.asarray([r["v"] for r in rows], dtype=np.float64)
     dim = X.shape[1]
     if dim % m != 0:

