@@ -50,6 +50,17 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # Keep broadcast autodetection on; dims/queries are small sides.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Input-split sizing for THIS scale tier: bucket-partitioned layouts
+        # now write one compact file per bucket (the right artifact at
+        # 100 TB, where each bucket is GBs and row groups split further),
+        # but at local bench scale a whole 300 MB layout coalesces into ~3
+        # default-128MB splits and a scan loses its parallelism. 16 MB keeps
+        # local[32] saturated on MB-scale buckets; on a real cluster leave
+        # the 128 MB default (override via SPARK_GRAFT_MAX_PARTITION_BYTES).
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", str(16 * 1024 * 1024)),
+        )
         # local mode: driver JVM == the one executor; size the heap well above
         # the working set so benchmark timings measure the plan, not G1 GC.
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
