@@ -36,7 +36,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .topk import Metric, distance_col, knn_window
+from .topk import Metric, _arrow_vectors, _topk_set_mask, distance_col, knn_window
 
 # The Arrow kernels collect the query matrix driver-side and rank probes
 # over it in numpy (the same bounded-collect discipline as knn_scalable's
@@ -140,10 +140,37 @@ def _arrow_bucket_topk(
     )
 
     def score(batches):
+        import pyarrow as pa
+
         payload = bc.value
         qids_, Q_, bq_ = payload[0], payload[1], payload[2]
         extra_ = payload[3:]
-        for pdf in batches:
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            # mapInArrow + flat-buffer reshape: the data column becomes the
+            # (n, w) scoring matrix straight from the Arrow values buffer —
+            # the per-row tolist() this replaces materialized n x w Python
+            # objects per batch and DOMINATED the full-vector kernel at 5M
+            # (primitive upcasts are exact, so the scored doubles are
+            # bit-identical)
+            pids = (
+                batch.column(batch.schema.get_field_index("partition_id"))
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            nids = (
+                batch.column(batch.schema.get_field_index("neighbor_id"))
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            mat = _arrow_vectors(batch, "_data", dtype=data_dtype)
+            # group rows by bucket (stable sort keeps intra-bucket order,
+            # which the per-bucket id argsort below re-orders anyway — same
+            # per-bucket row multiset the pandas groupby produced)
+            g_order = np.argsort(pids, kind="stable")
+            g_pids = pids[g_order]
+            bounds = np.flatnonzero(np.r_[True, g_pids[1:] != g_pids[:-1], True])
             # yield per BUCKET, not per input batch: each yielded frame
             # becomes ONE Arrow IPC batch on the Python->JVM wire, and an
             # unbucketed corpus relation can interleave hundreds of probed
@@ -151,15 +178,17 @@ def _arrow_bucket_topk(
             # single ~1 GB batches (queries x buckets x top rows) that
             # exhausted Arrow's direct-memory pool at 5M x 10k queries. A
             # per-bucket frame is bounded by queries_probing x top rows.
-            for b, grp in pdf.groupby("partition_id"):
-                qsel = bq_.get(int(b))
+            for s0, s1 in zip(bounds[:-1], bounds[1:]):
+                b = int(g_pids[s0])
+                qsel = bq_.get(b)
                 if qsel is None or len(qsel) == 0:
                     continue
-                ids = grp["neighbor_id"].to_numpy(np.int64)
+                sel = g_order[s0:s1]
+                ids = nids[sel]
                 order = np.argsort(ids)  # ascending id => exact tie-break
                 ids = ids[order]
-                data = np.array(grp["_data"].tolist(), dtype=data_dtype)[order]
-                chunk_fn = bucket_scorer(Q_, qsel, int(b), data, extra_)
+                data = mat[sel][order]
+                chunk_fn = bucket_scorer(Q_, qsel, b, data, extra_)
                 n = len(ids)
                 t = min(top, n)
                 out_q: list[np.ndarray] = []
@@ -168,35 +197,56 @@ def _arrow_bucket_topk(
                 for c0 in range(0, len(qsel), 256):  # bound the (q x n) block
                     c1 = min(c0 + 256, len(qsel))
                     sc = chunk_fn(c0, c1)
-                    keep = np.argsort(sc, axis=1, kind="stable")[:, :t]
-                    rows = np.repeat(qsel[c0:c1], t)
-                    out_q.append(qids_[rows])
-                    out_n.append(ids[keep].ravel())
-                    out_d.append(np.take_along_axis(sc, keep, axis=1).ravel())
-                yield pd.DataFrame(
-                    {
-                        "query_id": np.concatenate(out_q),
-                        "neighbor_id": np.concatenate(out_n),
-                        out_col: np.concatenate(out_d),
-                    }
+                    # exact top-t SET selection (O(n) partition + lowest-id
+                    # tie fill — columns are id-ascending) instead of a full
+                    # stable argsort: the shared window merge re-ranks by
+                    # (score, id) globally, so only the SET and its score
+                    # values matter, and those are identical to the argsort
+                    # form's. The row-wise O(n log n) sort dominated the
+                    # kernel at 5M x 10k queries.
+                    rows_i, cols = np.nonzero(_topk_set_mask(sc, t))
+                    out_q.append(qids_[qsel[c0:c1][rows_i]])
+                    out_n.append(ids[cols])
+                    out_d.append(sc[rows_i, cols])
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(np.concatenate(out_q), type=pa.int64()),
+                        pa.array(np.concatenate(out_n), type=pa.int64()),
+                        pa.array(np.concatenate(out_d), type=pa.float64()),
+                    ],
+                    names=["query_id", "neighbor_id", out_col],
                 )
 
-    return pruned.mapInPandas(
+    return pruned.mapInArrow(
         score, f"query_id long, neighbor_id long, {out_col} double"
     )
 
 
 def _sqeuclidean_bucket_scorer(Q, qsel, _b, V, _extra):
     """Element-ascending (x-y)^2 left fold — the same IEEE doubles as the
-    0.0D-seeded ascending aggregate fold of the expression form."""
+    0.0D-seeded ascending aggregate fold of the expression form.
+
+    The fold runs over corpus-column TILES with the bucket matrix
+    pre-transposed: each (q_chunk x tile) temporary is ~8 MB (cache-
+    resident) instead of (q_chunk x |bucket|) per element, which at 5M-row
+    scale generated TBs of allocation traffic across the el-loop. Each
+    sc[i, j] still accumulates elements in ascending order from 0.0 —
+    tiling partitions j, never the fold order — so the scored doubles are
+    bit-identical."""
     d = V.shape[1]
+    VT = np.ascontiguousarray(V.T)  # (d, n): row `el` is contiguous
 
     def chunk(c0, c1):
         Qc = Q[qsel[c0:c1]]
-        sc = np.zeros((len(Qc), V.shape[0]), dtype=np.float64)
-        for el in range(d):  # ascending-element left fold
-            diff = Qc[:, el, None] - V[None, :, el]
-            sc += diff * diff
+        n = VT.shape[1]
+        sc = np.empty((len(Qc), n), dtype=np.float64)
+        for t0 in range(0, n, 4096):
+            t1 = min(t0 + 4096, n)
+            blk = np.zeros((len(Qc), t1 - t0), dtype=np.float64)
+            for el in range(d):  # ascending-element left fold
+                diff = Qc[:, el, None] - VT[el, t0:t1][None, :]
+                blk += diff * diff
+            sc[:, t0:t1] = blk
         return sc
 
     return chunk

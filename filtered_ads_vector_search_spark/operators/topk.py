@@ -240,10 +240,12 @@ def _local_topk_tuples(
     return pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
 
 
-def _arrow_vectors(batch, vec_col: str) -> np.ndarray:
-    """(n, d) float64 matrix from an Arrow list<float> column — flat-buffer
-    reshape, no per-row Python list materialization (the pandas object-array
-    vstack this replaces was the dominant cost of the scan, not the BLAS)."""
+def _arrow_vectors(batch, vec_col: str, dtype=np.float64) -> np.ndarray:
+    """(n, d) matrix of ``dtype`` from an Arrow list<primitive> column —
+    flat-buffer reshape, no per-row Python list materialization (the pandas
+    object-array vstack this replaces was the dominant cost of the scan, not
+    the BLAS). Conversion through the flat values buffer produces the same
+    numbers as the per-row ``tolist()`` form: primitive upcasts are exact."""
     col = batch.column(batch.schema.get_field_index(vec_col))
     if col.null_count:
         raise ValueError(f"{vec_col}: null vectors are not searchable")
@@ -253,7 +255,7 @@ def _arrow_vectors(batch, vec_col: str) -> np.ndarray:
         raise ValueError(f"{vec_col}: ragged vector lengths in one batch")
     vals = col.values.to_numpy(zero_copy_only=False)[offs[0]:offs[-1]]
     return vals.reshape(batch.num_rows, int(widths[0]) if len(widths) else 0).astype(
-        np.float64
+        dtype
     )
 
 

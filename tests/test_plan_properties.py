@@ -153,7 +153,8 @@ def test_hist_quantiles_partial_aggregate_before_exchange(spark):
 def test_ivfpq_arrow_kernel_statically_prunes_and_merges_partials(spark):
     """The EXPLAIN.md claims for the Arrow ADC kernel form: the coded scan
     carries a static partition_id IN (...) filter (pushed to the scan —
-    stronger than dynamic pruning), scoring is ONE MapInPandas node, and
+    stronger than dynamic pruning), scoring is ONE Arrow-batched Python
+    map node (MapInArrow), and
     the merge keeps the Partial WindowGroupLimit before the exchange."""
     from filtered_ads_vector_search_spark.operators.ivfpq import IVFPQIndex
     from filtered_ads_vector_search_spark.plans import (
@@ -166,8 +167,8 @@ def test_ivfpq_arrow_kernel_statically_prunes_and_merges_partials(spark):
     try:
         found = idx.search(q, k=10, nprobe=2, arrow_adc=True)
         plan = physical_plan(found)
-        assert "MapInPandas" in plan, plan[:2000]
-        assert plan.count("MapInPandas") == 1, plan[:2000]
+        assert "MapInArrow" in plan, plan[:2000]
+        assert plan.count("MapInArrow") == 1, plan[:2000]
         assert "partition_id" in plan and " IN " in plan, plan[:2000]
         assert_partial_window_group_limit(found)
     finally:
