@@ -251,6 +251,27 @@ def _sqeuclidean_bucket_scorer(Q, qsel, _b, V, _extra):
 
     return chunk
 
+
+def _sqeuclidean_blas_scorer(Q, qsel, _b, V, _extra):
+    """||q||^2 - 2 q.v + ||v||^2 via one DGEMM — the same stable expansion
+    the exact tier (`topk._np_distances`) has scored with since round 3,
+    ~d times faster than the element fold at 64 dims. The summation order
+    differs from the fold, so doubles agree only to last-ulps — this is the
+    THROUGHPUT form (`arrow_score="blas"`), not the bit-identity form. The
+    top-k SET and ranks still match the expression path unless two DISTINCT
+    vectors land within ~1e-12 relative of a tie; planted exact duplicates
+    tie-break identically by id because identical rows produce identical
+    doubles within one form. The oracle gate compares at 6-decimal rounding,
+    which both expansions satisfy (knn_scalable has shipped on this one
+    against the DuckDB fold oracle for three driver rounds)."""
+    Vn = (V * V).sum(axis=1)
+
+    def chunk(c0, c1):
+        Qc = Q[qsel[c0:c1]]
+        return (Qc * Qc).sum(axis=1)[:, None] - 2.0 * (Qc @ V.T) + Vn[None, :]
+
+    return chunk
+
 __all__ = ["IVFIndex"]
 
 # --- layout sidecars: per-bucket stats + bounded selectivity sample ---------
@@ -943,7 +964,7 @@ class IVFIndex:
         nprobe: int = 8,
         predicate: Column | None = None,
         adaptive_nprobe: bool = False,
-        arrow_score: bool = False,
+        arrow_score: bool | str = False,
     ) -> DataFrame:
         """Filtered approximate top-k. `queries` is (query_id, q_vec);
         `predicate` (over assigned-corpus columns) is applied BEFORE candidate
@@ -953,7 +974,11 @@ class IVFIndex:
         distance fold for the Arrow-batched numpy kernel — bit-identical
         rows (same element-ascending fold, same (dist, id) tie-break), the
         large-query-batch throughput form; see IVFPQIndex.search(arrow_adc)
-        for the shared rationale. The expression path stays the default
+        for the shared rationale. ``arrow_score="blas"`` scores each bucket
+        with one DGEMM instead of the fold (the exact tier's stable
+        expansion): same probe sets, same tie-break, distances equal to
+        last-ulps rather than bit-identical — the fastest batch form (see
+        `_sqeuclidean_blas_scorer`). The expression path stays the default
         (DuckDB-oracle tier, no driver-side query collect).
 
         ``adaptive_nprobe=True`` widens the probe count by 1/selectivity under
@@ -990,6 +1015,11 @@ class IVFIndex:
             corpus = corpus.filter(predicate)
 
         if arrow_score:
+            if arrow_score not in (True, "fold", "blas"):
+                raise ValueError(
+                    f"arrow_score must be False, True/'fold', or 'blas'; "
+                    f"got {arrow_score!r}"
+                )
             if self.metric != "sqeuclidean":
                 raise NotImplementedError(
                     "arrow_score implements the sqeuclidean fold; use the "
@@ -999,7 +1029,9 @@ class IVFIndex:
             # the collected query matrix, _probe_lists_numpy) — same fold +
             # tie-break as the knn_window job the expression path runs, at
             # none of its interpreted-HOF cost on large query batches
-            scored = self._score_candidates_arrow(queries, nprobe, corpus, k)
+            scored = self._score_candidates_arrow(
+                queries, nprobe, corpus, k, blas=(arrow_score == "blas")
+            )
             w = Window.partitionBy("query_id").orderBy(
                 F.col("dist").asc(), F.col("neighbor_id").asc()
             )
@@ -1051,12 +1083,15 @@ class IVFIndex:
         nprobe: int,
         corpus: DataFrame,
         top: int,
+        blas: bool = False,
     ) -> DataFrame:
         """Arrow-batched exact scoring of probed buckets (sqeuclidean) —
         the shared `_arrow_bucket_topk` scaffold with the element-ascending
         (x-y)^2 fold as the bucket scorer; bit-identical rows to the
-        expression form (tests assert it). Probe ranking happens inside the
-        scaffold via ``probe_spec`` (driver-side, same fold/tie-break)."""
+        expression form (tests assert it). ``blas=True`` swaps in the DGEMM
+        expansion (last-ulps-equal distances, same probe sets/tie-break).
+        Probe ranking happens inside the scaffold via ``probe_spec``
+        (driver-side, same fold/tie-break either way)."""
         rows = self.centroids.collect()
         dim = len(rows[0]["centroid"]) if rows else 0
         cent = np.zeros((self.n_centroids, dim), dtype=np.float64)
@@ -1071,7 +1106,7 @@ class IVFIndex:
             top=top,
             out_col="dist",
             extra=(),
-            bucket_scorer=_sqeuclidean_bucket_scorer,
+            bucket_scorer=_sqeuclidean_blas_scorer if blas else _sqeuclidean_bucket_scorer,
             kernel_name="arrow_score",
             probe_spec=(cent, nprobe),
         )
@@ -1101,7 +1136,7 @@ def plan_filtered_search(
     nprobe: int = 8,
     predicate: Column | None = None,
     rerank: int = 0,
-    arrow: bool = False,
+    arrow: bool | str = False,
 ) -> FilteredSearchPlan:
     """Selectivity-routed filtered search — the tier planner.
 

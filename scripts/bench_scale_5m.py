@@ -8,8 +8,10 @@ scale caveat. This script removes it: the SAME corpus size, the SAME query
 batch size, the SAME three filter selectivities, k=10 — CPU Spark vs the
 reference's GPU CAGRA / CPU FAISS HNSW numbers, stated side by side.
 
-Rows (all through the Arrow scoring kernels — the honest throughput forms,
-bit-identical to the oracled expression paths, asserted in tests):
+Rows (all through the Arrow scoring kernels — the honest throughput forms;
+IVF rows use the DGEMM "blas" scorer, same ranked rows as the oracled
+expression path with last-ulps distances, and the ADC rows stay
+bit-identical — both contracts asserted in tests):
   * IVF build (bounded 100k k-means sample + ONE assignment scan) + the
     bucketed codes layout write — the reference's build_time_seconds.
   * 10k-query amortized IVF search QPS, unfiltered + the three reference
@@ -157,9 +159,9 @@ def main() -> None:
 
     qps_row(
         "ivf", None,
-        lambda: loaded.search(q, k=K, nprobe=NPROBE, arrow_score=True),
+        lambda: loaded.search(q, k=K, nprobe=NPROBE, arrow_score="blas"),
         truth,
-        {"n_centroids": IVF_CENTROIDS, "nprobe": NPROBE, "kernel": "arrow"},
+        {"n_centroids": IVF_CENTROIDS, "nprobe": NPROBE, "kernel": "arrow-blas"},
     )
     for fname in BENCH_FILTERS:
         pred = FL.named_filter_predicate(fname)
@@ -167,11 +169,11 @@ def main() -> None:
             "ivf", fname,
             lambda pred=pred: loaded.search(
                 q, k=K, nprobe=NPROBE, predicate=pred,
-                adaptive_nprobe=True, arrow_score=True,
+                adaptive_nprobe=True, arrow_score="blas",
             ),
             truths_f[fname],
             {"n_centroids": IVF_CENTROIDS, "nprobe": NPROBE, "adaptive": True,
-             "kernel": "arrow"},
+             "kernel": "arrow-blas"},
         )
 
     # --- IVFPQ: the codes-only scan tier ---

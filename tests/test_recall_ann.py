@@ -265,6 +265,44 @@ def test_ivf_arrow_score_bit_identical_to_expression_form(spark):
     cos.unpersist()
 
 
+def test_ivf_arrow_blas_scorer_matches_fold_to_ulps(spark):
+    """arrow_score='blas' (the DGEMM throughput scorer) must return the SAME
+    (query_id, neighbor_id, rank) rows as the bit-identity fold form, with
+    distances equal to numerical noise — the contract the exact tier already
+    ships on against the DuckDB fold oracle. Bad mode strings are rejected."""
+    import math
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from filtered_ads_vector_search_spark.operators.ann import IVFIndex
+
+    q, c = _split(spark)
+    idx = IVFIndex.build_fixed(c, n_centroids=8)
+    for kwargs in (
+        dict(k=K, nprobe=4),
+        dict(k=K, nprobe=4, predicate=F.col("vec_id") % 3 != 0),
+    ):
+        fold = {
+            (r.query_id, r.neighbor_id): (r.rank, r.dist)
+            for r in idx.search(q, arrow_score=True, **kwargs).collect()
+        }
+        blas = {
+            (r.query_id, r.neighbor_id): (r.rank, r.dist)
+            for r in idx.search(q, arrow_score="blas", **kwargs).collect()
+        }
+        assert fold.keys() == blas.keys(), kwargs
+        for key, (rank_f, dist_f) in fold.items():
+            rank_b, dist_b = blas[key]
+            assert rank_f == rank_b, (kwargs, key)
+            assert math.isclose(dist_f, dist_b, rel_tol=1e-9, abs_tol=1e-9), (
+                kwargs, key, dist_f, dist_b,
+            )
+    with _pytest.raises(ValueError, match="arrow_score"):
+        idx.search(q, k=K, nprobe=4, arrow_score="vectorized")
+    idx.unpersist()
+
+
 def test_arrow_kernels_empty_queries_return_empty(spark):
     """Both Arrow kernels honor the expression-path contract: an empty
     query batch returns an empty result instead of crashing on the
