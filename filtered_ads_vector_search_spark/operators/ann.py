@@ -582,28 +582,41 @@ def _kmeans_numpy(
     xn = (X * X).sum(axis=1)
 
     def one_run(rng: np.random.RandomState) -> tuple[float, np.ndarray]:
-        # k-means++ seeding
+        # k-means++ seeding. Per-candidate distances use the same
+        # ||x||^2 - 2 x.c + ||c||^2 expansion as the Lloyd step below (one
+        # dot product per point instead of a materialized (n x d) diff —
+        # the seeding loop was most of the fit's wall time at k=512),
+        # clamped at 0 so rounding can't hand rng.choice a negative weight.
         centroids = np.empty((k, X.shape[1]), dtype=np.float64)
+
+        def d2_to(c: np.ndarray) -> np.ndarray:
+            return np.maximum(xn - 2.0 * (X @ c) + c @ c, 0.0)
+
         centroids[0] = X[rng.randint(n)]
-        d2 = ((X - centroids[0]) ** 2).sum(axis=1)
+        d2 = d2_to(centroids[0])
         for j in range(1, k):
             tot = d2.sum()
             if tot <= 0:
                 centroids[j] = X[rng.randint(n)]
             else:
                 centroids[j] = X[rng.choice(n, p=d2 / tot)]
-            d2 = np.minimum(d2, ((X - centroids[j]) ** 2).sum(axis=1))
+            d2 = np.minimum(d2, d2_to(centroids[j]))
         dmin = d2
         for _ in range(max_iter):
             cn = (centroids * centroids).sum(axis=1)
             dist = xn[:, None] - 2.0 * (X @ centroids.T) + cn[None, :]
             assign = np.argmin(dist, axis=1)
             dmin = dist[np.arange(n), assign]
+            # per-cluster means via d weighted bincounts — the k-loop of
+            # boolean masks this replaces swept the sample k times per
+            # Lloyd iteration
+            counts = np.bincount(assign, minlength=k).astype(np.float64)
+            sums = np.empty((k, X.shape[1]), dtype=np.float64)
+            for col in range(X.shape[1]):
+                sums[:, col] = np.bincount(assign, weights=X[:, col], minlength=k)
             new = centroids.copy()  # empty cluster keeps its previous centroid
-            for j in range(k):
-                members = X[assign == j]
-                if len(members):
-                    new[j] = members.mean(axis=0)
+            nonempty = counts > 0
+            new[nonempty] = sums[nonempty] / counts[nonempty, None]
             if np.allclose(new, centroids):
                 break
             centroids = new
@@ -617,20 +630,39 @@ def _kmeans_numpy(
     return best[1]
 
 
-def _assign_udf(centroids: np.ndarray):
-    """Vectorized Arrow-batched assignment: argmin squared distance against
-    the broadcast centroid matrix — one numpy matmul per batch, the single
-    full-corpus pass of the build."""
+def _with_partition_id(df: DataFrame, centroids: np.ndarray, vec_col: str) -> DataFrame:
+    """``df`` + a ``partition_id`` column: nearest-centroid assignment over
+    the broadcast centroid matrix, as ONE mapInArrow pass — the single
+    full-corpus scan of a trained build. argmin of the `cn - 2 V.C`
+    expansion (|v|^2 is constant per row, argmin-safe); np.argmin's
+    first-minimum is the lowest-centroid-id tie-break. The vector column is
+    reshaped straight from the Arrow values buffer instead of a per-row
+    ``tolist()``, which at corpus scale (5M rows) was most of the
+    assignment scan's wall time under the prior pandas_udf form. All other
+    columns pass through untouched (filtered search binds predicates
+    against them)."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
     C = np.ascontiguousarray(centroids, dtype=np.float64)
     cn = (C * C).sum(axis=1)
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField("partition_id", IntegerType())]
+    )
 
-    @F.pandas_udf("int")
-    def assign(vecs: pd.Series) -> pd.Series:
-        V = np.array(vecs.tolist(), dtype=np.float64)
-        d = cn[None, :] - 2.0 * (V @ C.T)  # |v|^2 constant per row: argmin-safe
-        return pd.Series(np.argmin(d, axis=1).astype("int32"))
+    def assign(batches):
+        import pyarrow as pa
 
-    return assign
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            V = _arrow_vectors(batch, vec_col)
+            d = cn[None, :] - 2.0 * (V @ C.T)  # |v|^2 constant per row
+            yield batch.append_column(
+                "partition_id",
+                pa.array(np.argmin(d, axis=1).astype(np.int32), type=pa.int32()),
+            )
+
+    return df.mapInArrow(assign, out_schema)
 
 
 def _assign_udf_exact(centroids: np.ndarray):
@@ -640,7 +672,7 @@ def _assign_udf_exact(centroids: np.ndarray):
     element index per step in ascending order — the same doubles as the
     0.0-seeded element-ascending aggregate fold — and np.argmin's
     first-minimum matches the strict-< keep-lowest-centroid tie-break. No
-    matmul rearrangement (the fast `cn - 2 v.C` form of _assign_udf changes
+    matmul rearrangement (the fast `cn - 2 v.C` form of _with_partition_id changes
     ulps and could flip near-ties, which training-free fixed builds cannot
     tolerate)."""
     C = np.ascontiguousarray(centroids, dtype=np.float64)
@@ -724,12 +756,11 @@ class IVFIndex:
             [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
             "centroid_id int, centroid array<float>",
         )
-        # withColumn, not a narrow select: metadata columns (rating buckets,
-        # categories) must survive into the index artifact so filtered search
-        # predicates bind against it — same contract as build_fixed
-        assigned = corpus.withColumn(
-            "partition_id", _assign_udf(centers)(F.col(vec_col))
-        )
+        # pass-through assignment, not a narrow select: metadata columns
+        # (rating buckets, categories) must survive into the index artifact
+        # so filtered search predicates bind against it — same contract as
+        # build_fixed
+        assigned = _with_partition_id(corpus, centers, vec_col)
         if materialize:
             # materialize: the index artifact. materialize=False leaves the
             # assignment lazy so a composing consumer (IVFPQ) can fuse it
@@ -909,8 +940,8 @@ class IVFIndex:
             )
         # restrict to the layout schema: extra new_rows columns would write
         # wider parquet files whose union with the base fails on load
-        assigned = new_rows.select(*layout_cols).withColumn(
-            "partition_id", _assign_udf(centers)(F.col(vec_col))
+        assigned = _with_partition_id(
+            new_rows.select(*layout_cols), centers, vec_col
         ).persist()
         n = assigned.count()
         try:

@@ -60,7 +60,7 @@ from .pq import (
     Codebooks,
     _validate,
     fixed_codebooks,
-    pq_encode_udf,
+    pq_encode_with_codes_arrow,
     pq_train,
 )
 from .topk import knn_window
@@ -117,37 +117,30 @@ class IVFPQIndex:
         id_col: str,
         vec_col: str,
     ) -> "IVFPQIndex":
-        # carry EVERY corpus column (metadata like rating buckets included)
-        # so filtered search predicates bind against the coded layout; drop
-        # only the vector when the caller asked for a codes-only artifact
-        cols = [
-            F.col(c)
-            for c in ivf.assigned.columns
-            if keep_vectors or c != vec_col
-        ]
-        # Arrow-batched exact encode (pq_encode_udf): bit-identical to the
-        # expression/oracle fold, ~100x the interpreted-HOF throughput on
-        # the one corpus-wide materialization scan
+        # Fused Arrow-batched exact encode (pq_encode_with_codes_arrow):
+        # bit-identical to the expression/oracle fold, ~100x the
+        # interpreted-HOF throughput, and for residual codes it reads the
+        # batch's partition_id against the broadcast centroid matrix —
+        # no centroid join, no per-row list decode — on the one corpus-wide
+        # materialization scan. EVERY corpus column (metadata like rating
+        # buckets included) passes through so filtered search predicates
+        # bind against the coded layout; only the vector is dropped when
+        # the caller asked for a codes-only artifact.
+        centers = None
         if residual:
-            base = ivf.assigned.join(
-                F.broadcast(
-                    ivf.centroids.select(
-                        F.col("centroid_id").alias("partition_id"), "centroid"
-                    )
-                ),
-                "partition_id",
-            )
-            codes = pq_encode_udf(codebooks, residual=True)(
-                F.col(vec_col), F.col("centroid")
-            )
-        else:
-            base = ivf.assigned
-            codes = pq_encode_udf(codebooks)(F.col(vec_col))
+            rows = ivf.centroids.orderBy("centroid_id").collect()
+            centers = np.array([r["centroid"] for r in rows], dtype=np.float64)
         # repartition+sort on the bucket key: co-locate each bucket so the
         # Arrow ADC kernel's per-(batch, bucket) top-R partials actually cap
         # (see IVFIndex.build) — one build-time shuffle of the coded rows
         coded = (
-            base.select(*cols, codes.alias("codes"))
+            pq_encode_with_codes_arrow(
+                ivf.assigned,
+                codebooks,
+                vec_col,
+                centers=centers,
+                drop_vec=not keep_vectors,
+            )
             .repartition(F.col("partition_id"))
             .sortWithinPartitions("partition_id")
             .persist()
@@ -284,7 +277,7 @@ class IVFPQIndex:
         appended."""
         import numpy as np
 
-        from .ann import _assign_udf
+        from .ann import _with_partition_id
 
         idx = IVFPQIndex.load(spark, path)
         vec = vec_col or idx.vec_col
@@ -307,29 +300,18 @@ class IVFPQIndex:
             ],
             dtype=np.float64,
         )
-        assigned = new_rows.withColumn(
-            "partition_id", _assign_udf(centers)(F.col(vec))
+        assigned = _with_partition_id(new_rows, centers, vec)
+        base = pq_encode_with_codes_arrow(
+            assigned,
+            idx.codebooks,
+            vec,
+            centers=centers if idx.residual else None,
         )
-        if idx.residual:
-            base = assigned.join(
-                F.broadcast(
-                    idx.centroids.select(
-                        F.col("centroid_id").alias("partition_id"), "centroid"
-                    )
-                ),
-                "partition_id",
-            )
-            codes = pq_encode_udf(idx.codebooks, residual=True)(
-                F.col(vec), F.col("centroid")
-            )
-        else:
-            base = assigned
-            codes = pq_encode_udf(idx.codebooks)(F.col(vec))
         cols = [
             F.col(vec).alias(idx.vec_col) if c == idx.vec_col else F.col(c)
             for c in layout_cols
         ]
-        out = base.select(*cols, F.col("partition_id"), codes.alias("codes")).persist()
+        out = base.select(*cols, F.col("partition_id"), F.col("codes")).persist()
         n = out.count()
         try:
             frac = _sample_fraction(spark, path)

@@ -48,6 +48,7 @@ __all__ = [
     "pq_train",
     "pq_encode_expr",
     "pq_encode_residual_expr",
+    "pq_encode_with_codes_arrow",
     "pq_encode_sql",
     "pq_adc_search",
     "pq_adc_dist_sql",
@@ -242,6 +243,78 @@ def pq_encode_udf(codebooks: Codebooks, residual: bool = False):
             return _codes(np.array(vecs.tolist(), dtype=np.float64))
 
     return encode
+
+
+def pq_encode_with_codes_arrow(
+    df,
+    codebooks: Codebooks,
+    vec_col: str,
+    centers: np.ndarray | None = None,
+    drop_vec: bool = False,
+):
+    """``df`` + a ``codes array<int>`` column in ONE mapInArrow pass — the
+    corpus-materialization scale path. Same bit-identical per-subspace fold
+    and first-minimum tie-break as `pq_encode_udf` (and the expression /
+    DuckDB twins); only the data movement differs:
+
+    * the vector column is reshaped straight from the Arrow values buffer
+      (no per-row ``tolist()`` — exact, primitive upcasts);
+    * residual encoding (``centers`` given) reads the batch's
+      ``partition_id`` and subtracts the broadcast centroid matrix row,
+      replacing BOTH the broadcast centroid join and the per-row centroid
+      list decode the pandas_udf form paid (x - y is a single IEEE op on
+      the same doubles, so the residual is bit-identical to the joined
+      zip_with form);
+    * codes are emitted as one flat int32 buffer + offsets, not a pandas
+      Series of Python lists.
+
+    ``drop_vec=True`` omits the vector column from the output (codes-only
+    artifact). All other columns pass through untouched."""
+    from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
+
+    from .topk import _arrow_vectors
+
+    CB = np.ascontiguousarray(codebooks, dtype=np.float64)  # (m, n_codes, sd)
+    m, n_codes, sd = CB.shape
+    CT = np.ascontiguousarray(centers, dtype=np.float64) if centers is not None else None
+
+    keep = [f for f in df.schema.fields if not (drop_vec and f.name == vec_col)]
+    out_schema = StructType(
+        keep + [StructField("codes", ArrayType(IntegerType()))]
+    )
+    keep_names = [f.name for f in keep]
+
+    def encode(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            V = _arrow_vectors(batch, vec_col)
+            if CT is not None:
+                pid = (
+                    batch.column(batch.schema.get_field_index("partition_id"))
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                )
+                V = V - CT[pid]
+            n = V.shape[0]
+            S = V.reshape(n, m, sd)
+            # sequential accumulation over the subspace-element axis: the
+            # same left-to-right fold as pq_encode_udf / the SQL twin
+            dist = np.zeros((n, m, n_codes), dtype=np.float64)
+            for i in range(sd):
+                d = S[:, :, None, i] - CB[None, :, :, i]
+                dist += d * d
+            codes = np.argmin(dist, axis=-1).astype(np.int32)  # first minimum
+            arr = pa.ListArray.from_arrays(
+                pa.array(np.arange(0, (n + 1) * m, m, dtype=np.int32)),
+                pa.array(codes.ravel()),
+            )
+            cols = [batch.column(batch.schema.get_field_index(c)) for c in keep_names]
+            yield pa.RecordBatch.from_arrays(cols + [arr], names=keep_names + ["codes"])
+
+    return df.mapInArrow(encode, out_schema)
 
 
 def pq_encode_residual_expr(

@@ -167,8 +167,10 @@ def test_ivfpq_arrow_kernel_statically_prunes_and_merges_partials(spark):
     try:
         found = idx.search(q, k=10, nprobe=2, arrow_adc=True)
         plan = physical_plan(found)
-        assert "MapInArrow" in plan, plan[:2000]
-        assert plan.count("MapInArrow") == 1, plan[:2000]
+        # count the scoring node by its function name: the explain output
+        # also prints the cached build plan under the InMemoryRelation,
+        # which since the fused encode is itself a MapInArrow node
+        assert plan.count("MapInArrow score(") == 1, plan[:2000]
         assert "partition_id" in plan and " IN " in plan, plan[:2000]
         assert_partial_window_group_limit(found)
     finally:

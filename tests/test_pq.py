@@ -157,3 +157,50 @@ def test_pq_encode_udf_matches_expr_bit_exact(spark):
     assert {r["vec_id"]: r["codes"] for r in via_expr_r} == {
         r["vec_id"]: r["codes"] for r in via_udf_r
     }
+
+
+def test_pq_encode_fused_map_arrow_matches_expr_bit_exact(spark):
+    """The fused mapInArrow encode (one pass: flat-buffer decode,
+    partition_id-indexed residual against the broadcast centroid matrix,
+    flat codes emission) must produce EXACTLY the SQL-expression form's
+    codes — absolute and residual — and pass every other column through
+    untouched. This is the same bit-identity contract as pq_encode_udf's;
+    the IVFPQ build path now runs on this kernel."""
+    import numpy as np
+
+    q, c = _split(spark)
+    books = PQ.fixed_codebooks(dim=64, m=4, n_codes=16)
+
+    # absolute codes + pass-through columns (vec dropped on request)
+    via_expr = {
+        r["vec_id"]: r["codes"]
+        for r in c.select(
+            "vec_id", PQ.pq_encode_expr("embedding", books).alias("codes")
+        ).collect()
+    }
+    fused = PQ.pq_encode_with_codes_arrow(c, books, "embedding", drop_vec=True)
+    assert "embedding" not in fused.columns
+    assert {r["vec_id"]: r["codes"] for r in fused.collect()} == via_expr
+
+    # residual codes: centers indexed by a planted partition_id must equal
+    # the joined-centroid-column expression form
+    cents = c.orderBy("vec_id").limit(3).collect()
+    centers = np.array([r["embedding"] for r in cents], dtype=np.float64)
+    tagged = c.withColumn("partition_id", (F.col("vec_id") % 3).cast("int"))
+    cent_df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(centers)],
+        "partition_id int, centroid array<float>",
+    )
+    via_expr_r = {
+        r["vec_id"]: r["codes"]
+        for r in tagged.join(F.broadcast(cent_df), "partition_id")
+        .select(
+            "vec_id",
+            PQ.pq_encode_residual_expr("embedding", "centroid", books).alias("codes"),
+        )
+        .collect()
+    }
+    fused_r = PQ.pq_encode_with_codes_arrow(
+        tagged, books, "embedding", centers=centers
+    )
+    assert {r["vec_id"]: r["codes"] for r in fused_r.collect()} == via_expr_r
