@@ -665,32 +665,49 @@ def _with_partition_id(df: DataFrame, centroids: np.ndarray, vec_col: str) -> Da
     return df.mapInArrow(assign, out_schema)
 
 
-def _assign_udf_exact(centroids: np.ndarray):
-    """Arrow-batched assignment that is BIT-IDENTICAL to the SQL-fold argmin
-    the DuckDB oracles compute (build_fixed's contract): per-element
-    (x - y)*(x - y) is exact in any order, the distance accumulates one
-    element index per step in ascending order — the same doubles as the
-    0.0-seeded element-ascending aggregate fold — and np.argmin's
-    first-minimum matches the strict-< keep-lowest-centroid tie-break. No
-    matmul rearrangement (the fast `cn - 2 v.C` form of _with_partition_id changes
-    ulps and could flip near-ties, which training-free fixed builds cannot
-    tolerate)."""
+def _with_partition_id_exact(
+    df: DataFrame, centroids: np.ndarray, vec_col: str
+) -> DataFrame:
+    """``df`` + ``partition_id`` via an assignment that is BIT-IDENTICAL to
+    the SQL-fold argmin the DuckDB oracles compute (build_fixed's contract):
+    per-element (x - y)*(x - y) is exact in any order, the distance
+    accumulates one element index per step in ascending order — the same
+    doubles as the 0.0-seeded element-ascending aggregate fold — and
+    np.argmin's first-minimum matches the strict-< keep-lowest-centroid
+    tie-break. No matmul rearrangement (the fast `cn - 2 v.C` form of
+    _with_partition_id changes ulps and could flip near-ties, which
+    training-free fixed builds cannot tolerate). Same ONE mapInArrow
+    pass-through shape as _with_partition_id — the flat-buffer decode is
+    exact, so swapping it for the prior per-row ``tolist()`` changes no
+    assignment."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
     C = np.ascontiguousarray(centroids, dtype=np.float64)
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField("partition_id", IntegerType())]
+    )
 
-    @F.pandas_udf("int")
-    def assign(vecs: pd.Series) -> pd.Series:
-        V = np.array(vecs.tolist(), dtype=np.float64)
-        # sequential accumulation over the element axis: identical
-        # left-to-right fold order with only (batch x k) working memory —
-        # a materialized (batch x k x dim) difference cube (or cumsum of
-        # it) peaks at multiple GB per task at real centroid counts
-        dist = np.zeros((V.shape[0], C.shape[0]), dtype=np.float64)
-        for i in range(C.shape[1]):
-            d = V[:, i, None] - C[None, :, i]
-            dist += d * d
-        return pd.Series(np.argmin(dist, axis=1).astype("int32"))
+    def assign(batches):
+        import pyarrow as pa
 
-    return assign
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            V = _arrow_vectors(batch, vec_col)
+            # sequential accumulation over the element axis: identical
+            # left-to-right fold order with only (batch x k) working memory —
+            # a materialized (batch x k x dim) difference cube (or cumsum of
+            # it) peaks at multiple GB per task at real centroid counts
+            dist = np.zeros((V.shape[0], C.shape[0]), dtype=np.float64)
+            for i in range(C.shape[1]):
+                d = V[:, i, None] - C[None, :, i]
+                dist += d * d
+            yield batch.append_column(
+                "partition_id",
+                pa.array(np.argmin(dist, axis=1).astype(np.int32), type=pa.int32()),
+            )
+
+    return df.mapInArrow(assign, out_schema)
 
 
 @dataclass
@@ -807,7 +824,8 @@ class IVFIndex:
         identical — this is the correctness harness for the IVF machinery;
         ``build`` is the quality path.
 
-        Assignment runs as an Arrow-batched exact kernel (_assign_udf_exact)
+        Assignment runs as an Arrow-batched exact kernel
+        (_with_partition_id_exact)
         whose fold order and tie-break are bit-identical to the oracle's SQL
         form (element-ascending squared-difference sum, lowest centroid_id
         on ties) — interpreted HOF expressions cost ~1ms/row for the
@@ -830,9 +848,7 @@ class IVFIndex:
             "centroid_id int, centroid array<float>",
         )
         n = len(centers)
-        assigned = corpus.withColumn(
-            "partition_id", _assign_udf_exact(centers)(F.col(vec_col))
-        )
+        assigned = _with_partition_id_exact(corpus, centers, vec_col)
         if materialize:
             # bucket co-location — see build() for the rationale
             assigned = (

@@ -1674,7 +1674,7 @@ def semdedup_keep(
 def _semdedup_keep_arrow(
     assigned: DataFrame, max_cos_dist: float, shard_rows: int = 32_768
 ) -> DataFrame:
-    """Per-cluster survivors via column-sharded ``applyInPandas`` kernels.
+    """Per-cluster survivors via column-sharded ``applyInArrow`` kernels.
 
     The expression path materializes every within-cluster (id_a < id_b) pair
     and evaluates the cosine HOF fold per row — |cluster|²/2 interpreted
@@ -1710,6 +1710,8 @@ def _semdedup_keep_arrow(
 
     from pyspark.sql import Window
 
+    from .topk import _arrow_vectors  # resolved driver-side, closure-captured
+
     thr = float(max_cos_dist)
     cutoff = thr + 5e-5
     band_eps = 1e-9
@@ -1737,10 +1739,27 @@ def _semdedup_keep_arrow(
 
     lo = cutoff - band_eps
 
-    def keep_fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        cluster = int(pdf["cluster_id"].iloc[0])
-        ids = pdf["id"].to_numpy(np.int64)
-        tgt = pdf["is_target"].to_numpy(dtype=bool)
+    def keep_fn(table):
+        # applyInArrow: the group arrives as ONE pa.Table — ids/flags via
+        # numpy views, the vector column reshaped straight from the Arrow
+        # values buffer (the per-row tolist() of the prior applyInPandas
+        # form materialized |group| x d Python floats per task and was a
+        # large share of the kernel's wall time; the flat-buffer decode is
+        # exact, so scored doubles are unchanged)
+        import pyarrow as pa
+
+        batch = table.combine_chunks().to_batches()[0]
+        cluster = int(batch.column(batch.schema.get_field_index("cluster_id"))[0].as_py())
+        ids = (
+            batch.column(batch.schema.get_field_index("id"))
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        tgt = (
+            batch.column(batch.schema.get_field_index("is_target"))
+            .to_numpy(zero_copy_only=False)
+            .astype(bool)
+        )
         order = np.argsort(ids)  # ascending id == the lower-id keep rule
         ids = ids[order]
         tgt = tgt[order]
@@ -1755,10 +1774,15 @@ def _semdedup_keep_arrow(
             )
         m = n - t0
         if m == 0:
-            return pd.DataFrame(
-                {"id": ids[:0], "cluster_id": np.full(0, cluster, dtype=np.int32)}
+            return pa.table(
+                {
+                    "id": pa.array(ids[:0], type=pa.int64()),
+                    "cluster_id": pa.array(
+                        np.full(0, cluster, dtype=np.int32), type=pa.int32()
+                    ),
+                }
             )
-        Vm = np.array(pdf["v"].tolist(), dtype=np.float64)[order]
+        Vm = _arrow_vectors(batch, "v")[order]
         nrm = np.sqrt(np.einsum("ij,ij->i", Vm, Vm))
         zero = nrm == 0.0
         N = Vm / np.where(zero, 1.0, nrm)[:, None]
@@ -1768,39 +1792,57 @@ def _semdedup_keep_arrow(
             # sides without a per-tile mask pass
             N[zero] = np.nan
         dropped = np.zeros(m, dtype=bool)
-        tri = ~np.tri(chunk, chunk, dtype=bool)  # strict upper: i < j
         for c0 in range(t0, n, chunk):
             c1 = min(c0 + chunk, n)
-            ct = N[c0:c1].T
-            col = dropped[c0 - t0:c1 - t0]  # view — |= writes through
-            # full-valid source tiles strictly below the target chunk
-            for s0 in range(0, c0, src_tile):
-                if col.all():
+            col = dropped[c0 - t0:c1 - t0]  # view — writes through
+            Nt = N[c0:c1]
+            # Source tiles strictly below the target chunk, scored against
+            # the ACTIVE (not-yet-dropped) columns only, with a ramped tile
+            # size: in a dup-heavy cell nearly every target drops on the
+            # first few thousand sources, so a small first tile sheds the
+            # GEMM width before the big tiles run (the full-width first
+            # tile dominated the kernel under the workers' pinned
+            # single-thread BLAS: OMP_NUM_THREADS=1, ~4.5 GFLOP/s). Dropped
+            # columns never rejoin, so the decided pair set is unchanged.
+            s0 = 0
+            step = 2048
+            while s0 < c0:
+                act = np.flatnonzero(~col)
+                if act.size == 0:
                     break
-                s1 = min(s0 + src_tile, c0)
-                D = N[s0:s1] @ ct
-                np.subtract(1.0, D, out=D)  # (i - s0, j - c0) cos_dist
-                col |= (D < lo).any(axis=0)
+                s1 = min(s0 + step, c0)
+                D = N[s0:s1] @ Nt[act].T
+                np.subtract(1.0, D, out=D)  # (i - s0, act_j) cos_dist
+                hit = (D < lo).any(axis=0)
                 band = np.abs(D - cutoff) <= band_eps
                 if band.any():
                     for bi, bj in zip(*np.nonzero(band)):
-                        if not col[bj] and _refine(Vm[s0 + bi], Vm[c0 + bj]):
-                            col[bj] = True
-            # diagonal tile: within-chunk (i < j) pairs
-            D = N[c0:c1] @ ct
-            np.subtract(1.0, D, out=D)
-            v = tri[: c1 - c0, : c1 - c0]
-            col |= ((D < lo) & v).any(axis=0)
-            band = (np.abs(D - cutoff) <= band_eps) & v
-            if band.any():
-                for bi, bj in zip(*np.nonzero(band)):
-                    if not col[bj] and _refine(Vm[c0 + bi], Vm[c0 + bj]):
-                        col[bj] = True
+                        if not hit[bj] and _refine(Vm[s0 + bi], Vm[c0 + act[bj]]):
+                            hit[bj] = True
+                col[act[hit]] = True
+                s0 = s1
+                step = min(step * 4, src_tile)
+            # diagonal tile: within-chunk (i < j) pairs, active columns only
+            act = np.flatnonzero(~col)
+            if act.size:
+                D = Nt @ Nt[act].T
+                np.subtract(1.0, D, out=D)
+                v = np.arange(c1 - c0)[:, None] < act[None, :]  # i < j
+                hit = ((D < lo) & v).any(axis=0)
+                band = (np.abs(D - cutoff) <= band_eps) & v
+                if band.any():
+                    for bi, bj in zip(*np.nonzero(band)):
+                        if not hit[bj] and _refine(Vm[c0 + bi], Vm[c0 + act[bj]]):
+                            hit[bj] = True
+                col[act[hit]] = True
         keep_ids = ids[t0:][~dropped]
-        return pd.DataFrame(
+        return pa.table(
             {
-                "id": keep_ids,
-                "cluster_id": np.full(len(keep_ids), cluster, dtype=np.int32),
+                "id": pa.array(keep_ids, type=pa.int64()),
+                "cluster_id": pa.array(
+                    np.full(len(keep_ids), cluster, dtype=np.int32),
+                    type=pa.int32(),
+                ),
             }
         )
 
@@ -1819,7 +1861,7 @@ def _semdedup_keep_arrow(
         .withColumn("is_target", F.col("shard") == F.col("own_shard"))
         .select("cluster_id", "shard", "id", "v", "is_target")
     )
-    return sharded.groupBy("cluster_id", "shard").applyInPandas(
+    return sharded.groupBy("cluster_id", "shard").applyInArrow(
         keep_fn, schema="id bigint, cluster_id int"
     )
 

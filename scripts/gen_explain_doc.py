@@ -51,7 +51,7 @@ NOTES = {
 - The exact equi-join after the prefilter kills Bloom false positives, so the plan change is invisible in the result (it shares the exact form's oracle); both the bitmap keys and the join use the same 60-bit shingle hash, so the contract is exact even under collisions.
 - The bitmap auto-sizes from the eval shingle count; past 1024 words it ships as ONE Spark broadcast consumed by an Arrow-batched bit test (a single `ArrowEvalPython` filter node) instead of growing the literal expression — still scan-side pruning + a near-empty join.""",
     "IVFPQ search (Arrow ADC kernel form)": """\
-- Same logical search as the expression form (bit-identical rows asserted in tests), different physical scoring: the probed-bucket scan is STATICALLY pruned by an `partition_id IN (...)` `PushedFilters` entry (stronger than the join's dynamic pruning — visible in the scan), and candidates flow into ONE `MapInPandas` node that scores a whole bucket x query-chunk block per numpy op.
+- Same logical search as the expression form (bit-identical rows asserted in tests), different physical scoring: the probed-bucket scan is STATICALLY pruned by an `partition_id IN (...)` `PushedFilters` entry (stronger than the join's dynamic pruning — visible in the scan), and candidates flow into ONE `MapInArrow score(...)` node that reshapes the codes column straight from the Arrow values buffer and scores a whole bucket x query-chunk block per numpy op (the build's fused assign/encode MapInArrow nodes appear only under the cached InMemoryRelation).
 - Per-candidate cost drops from an interpreted m-step HOF fold (~1us x m) to a vectorized LUT gather: measured 45.5s -> 7.2s at 1000 queries x 1M corpus rows, 219 vs 61 q/s at the scale bench.
 - The kernel emits only local top-R partials per (query, chunk); the shared `WindowGroupLimit` merge and the <= R-rows/query exact rerank are identical to the expression form's tail.""",
     "Bounded-state histogram quantiles": """\
