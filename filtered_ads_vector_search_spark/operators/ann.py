@@ -262,7 +262,11 @@ def _sqeuclidean_blas_scorer(Q, qsel, _b, V, _extra):
     tie-break identically by id because identical rows produce identical
     doubles within one form. The oracle gate compares at 6-decimal rounding,
     which both expansions satisfy (knn_scalable has shipped on this one
-    against the DuckDB fold oracle for three driver rounds)."""
+    against the DuckDB fold oracle for three driver rounds). Unlike the
+    fold (elementwise, batch-shape-invariant), DGEMM tiling varies with the
+    matrix shapes, so blas distances can also differ at last-ulps across
+    query-batch compositions (e.g. sharded vs single-shot) — ranks and
+    result sets are unaffected away from exact ties."""
     Vn = (V * V).sum(axis=1)
 
     def chunk(c0, c1):
@@ -1173,6 +1177,44 @@ class FilteredSearchPlan:
     selectivity: float | None   # estimated kept fraction (None: no predicate)
     nprobe_effective: int       # probes the ann tier used / would have used
     result: DataFrame
+
+
+def search_sharded(
+    index,
+    queries: DataFrame,
+    k: int = 10,
+    shard_queries: int = _SCORE_MAX_QUERIES,
+    **search_kwargs,
+) -> DataFrame:
+    """Search driver for query batches past the Arrow kernels' driver-side
+    collect cap (`_SCORE_MAX_QUERIES`): split the query relation into
+    ``ceil(n / shard_queries)`` deterministic hash shards (xxhash64 on
+    query_id — partition-invariant), run one search per shard, and union
+    the results. Each query's top-k is complete within its own shard's job
+    (shards partition QUERIES, never the corpus), so the union IS the full
+    answer — no cross-shard merge. The corpus-side probe scans repeat per
+    shard, which is the honest cost of bounding driver memory; a 100 TB
+    deployment runs query shards as separate jobs anyway. Works for any
+    index whose ``search`` takes (queries, k=..., **kwargs) — IVFIndex
+    (``arrow_score=...``) and IVFPQIndex (``rerank=...``, ``arrow_adc=...``)
+    both qualify."""
+    import math
+
+    n = queries.count()
+    if n <= shard_queries:
+        return index.search(queries, k=k, **search_kwargs)
+    # 10% headroom: hash shards deviate from n/shards by a few hundred rows
+    # at 100k means (binomial sigma ~ sqrt(n/shards)), and a shard landing
+    # over the kernel cap would raise — size for the deviation, not the mean
+    shards = max(2, math.ceil(n / max(1, int(shard_queries * 0.9))))
+    shard_col = F.pmod(F.xxhash64(F.col("query_id")), F.lit(shards))
+    out = None
+    for s in range(shards):
+        part = index.search(
+            queries.filter(shard_col == F.lit(s)), k=k, **search_kwargs
+        )
+        out = part if out is None else out.unionAll(part)
+    return out
 
 
 def plan_filtered_search(

@@ -246,7 +246,12 @@ def _arrow_vectors(batch, vec_col: str, dtype=np.float64) -> np.ndarray:
     object-array vstack this replaces was the dominant cost of the scan, not
     the BLAS). Conversion through the flat values buffer produces the same
     numbers as the per-row ``tolist()`` form: primitive upcasts are exact."""
-    col = batch.column(batch.schema.get_field_index(vec_col))
+    idx = batch.schema.get_field_index(vec_col)
+    if idx < 0:  # get_field_index returns -1, which would silently read
+        raise ValueError(  # the LAST column via negative indexing
+            f"{vec_col}: column not found in batch schema {batch.schema.names}"
+        )
+    col = batch.column(idx)
     if col.null_count:
         raise ValueError(f"{vec_col}: null vectors are not searchable")
     offs = col.offsets.to_numpy()

@@ -303,6 +303,80 @@ def test_ivf_arrow_blas_scorer_matches_fold_to_ulps(spark):
     idx.unpersist()
 
 
+def test_search_sharded_matches_single_shot(spark):
+    """search_sharded must return exactly the single-shot result once the
+    per-shard unions are combined — shards partition queries, never the
+    corpus, so each query's top-k is complete in its own shard's job. Holds
+    for the IVF blas kernel and the IVFPQ ADC kernel alike; at or under the
+    shard size it degrades to one plain search call."""
+    from filtered_ads_vector_search_spark.operators.ann import (
+        IVFIndex,
+        search_sharded,
+    )
+    from filtered_ads_vector_search_spark.operators.ivfpq import IVFPQIndex
+
+    import math
+
+    q, c = _split(spark)
+    ivf = IVFIndex.build_fixed(c, n_centroids=8)
+    # fold kernel: elementwise ops are batch-shape-invariant, so sharding
+    # reproduces the single-shot rows EXACTLY
+    want = sorted(map(tuple, ivf.search(q, k=K, nprobe=4, arrow_score=True).collect()))
+    got = sorted(
+        map(
+            tuple,
+            search_sharded(
+                ivf, q, k=K, shard_queries=7, nprobe=4, arrow_score=True
+            ).collect(),
+        )
+    )
+    assert got == want
+    # passthrough when the batch fits one shard
+    got1 = sorted(
+        map(
+            tuple,
+            search_sharded(
+                ivf, q, k=K, shard_queries=10**6, nprobe=4, arrow_score=True
+            ).collect(),
+        )
+    )
+    assert got1 == want
+    # blas kernel: DGEMM tiling depends on the batch shape, so distances
+    # agree to last-ulps, not bit-for-bit — ranks and the result set must
+    # still match exactly
+    want_b = {
+        (r.query_id, r.neighbor_id): (r.rank, r.dist)
+        for r in ivf.search(q, k=K, nprobe=4, arrow_score="blas").collect()
+    }
+    got_b = {
+        (r.query_id, r.neighbor_id): (r.rank, r.dist)
+        for r in search_sharded(
+            ivf, q, k=K, shard_queries=7, nprobe=4, arrow_score="blas"
+        ).collect()
+    }
+    assert want_b.keys() == got_b.keys()
+    for key, (rank_w, dist_w) in want_b.items():
+        rank_g, dist_g = got_b[key]
+        assert rank_w == rank_g, key
+        assert math.isclose(dist_w, dist_g, rel_tol=1e-9, abs_tol=1e-9), key
+    ivf.unpersist()
+
+    pq = IVFPQIndex.build_fixed(c, n_centroids=8, m=4, n_codes=16)
+    want_pq = sorted(
+        map(tuple, pq.search(q, k=K, nprobe=4, rerank=20, arrow_adc=True).collect())
+    )
+    got_pq = sorted(
+        map(
+            tuple,
+            search_sharded(
+                pq, q, k=K, shard_queries=9, nprobe=4, rerank=20, arrow_adc=True
+            ).collect(),
+        )
+    )
+    assert got_pq == want_pq
+    pq.unpersist()
+
+
 def test_arrow_kernels_empty_queries_return_empty(spark):
     """Both Arrow kernels honor the expression-path contract: an empty
     query batch returns an empty result instead of crashing on the
