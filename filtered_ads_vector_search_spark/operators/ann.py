@@ -607,16 +607,25 @@ def _kmeans_numpy(
         dmin = d2
         for _ in range(max_iter):
             cn = (centroids * centroids).sum(axis=1)
-            dist = xn[:, None] - 2.0 * (X @ centroids.T) + cn[None, :]
-            assign = np.argmin(dist, axis=1)
-            dmin = dist[np.arange(n), assign]
-            # per-cluster means via d weighted bincounts — the k-loop of
-            # boolean masks this replaces swept the sample k times per
-            # Lloyd iteration
+            # assignment: ||x||^2 is constant per row, so argmin only needs
+            # cn - 2 x.c — computed in place on the GEMM output (the
+            # three-temporary broadcast sum this replaces allocated ~600 MB
+            # per iteration at 100k x 256)
+            G = X @ centroids.T
+            G *= -2.0
+            G += cn[None, :]
+            assign = np.argmin(G, axis=1)
+            dmin = xn + G[np.arange(n), assign]
+            # per-cluster means via ONE fused-index bincount over the
+            # flattened sample ((cluster, column) -> k*d bins) — the
+            # per-column bincount loop this replaces was most of the fit's
+            # wall time, and np.add.reduceat is no faster row-wise
+            d_ = X.shape[1]
+            flat_idx = (assign[:, None] * d_ + np.arange(d_)[None, :]).ravel()
+            sums = np.bincount(
+                flat_idx, weights=X.ravel(), minlength=k * d_
+            ).reshape(k, d_)
             counts = np.bincount(assign, minlength=k).astype(np.float64)
-            sums = np.empty((k, X.shape[1]), dtype=np.float64)
-            for col in range(X.shape[1]):
-                sums[:, col] = np.bincount(assign, weights=X[:, col], minlength=k)
             new = centroids.copy()  # empty cluster keeps its previous centroid
             nonempty = counts > 0
             new[nonempty] = sums[nonempty] / counts[nonempty, None]

@@ -129,15 +129,22 @@ def pq_train(
     rng = np.random.RandomState(seed)
     out: Codebooks = []
     for j in range(m):
-        S = X[:, j * sd : (j + 1) * sd]
+        S = np.ascontiguousarray(X[:, j * sd : (j + 1) * sd])
+        sn = (S * S).sum(axis=1)
         cb = S[rng.choice(len(S), size=min(n_codes, len(S)), replace=False)].copy()
+        k = len(cb)
         for _ in range(iters):
-            d2 = ((S[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+            # expansion form + weighted-bincount means: the broadcasted
+            # (n x k x sd) difference cube this replaces allocated ~GBs per
+            # iteration and dominated the fit's wall time
+            d2 = sn[:, None] - 2.0 * (S @ cb.T) + (cb * cb).sum(axis=1)[None, :]
             assign = d2.argmin(axis=1)
-            for c in range(len(cb)):
-                mask = assign == c
-                if mask.any():
-                    cb[c] = S[mask].mean(axis=0)
+            counts = np.bincount(assign, minlength=k).astype(np.float64)
+            sums = np.empty((k, sd), dtype=np.float64)
+            for col in range(sd):
+                sums[:, col] = np.bincount(assign, weights=S[:, col], minlength=k)
+            nonempty = counts > 0
+            cb[nonempty] = sums[nonempty] / counts[nonempty, None]
         out.append([[float(x) for x in row] for row in cb])
     return out
 
