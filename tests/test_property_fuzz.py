@@ -211,3 +211,43 @@ def test_line_dedup_sql_twin_matches_python_reference(docs):
     sql = line_dedup_corpus_sql("SELECT doc_id, text FROM d")
     got = sorted(con.sql(sql).fetchall())
     assert got == _line_dedup_ref(rows)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    n=st.integers(3, 120),
+    q=st.integers(1, 12),
+    d=st.sampled_from([4, 8, 64]),
+    top=st.integers(1, 12),
+    dup_every=st.integers(0, 3),
+)
+def test_blas_scorer_topk_set_matches_fold_fuzz(seed, n, q, d, top, dup_every):
+    """The DGEMM bucket scorer must select the same top-k SET (and agree on
+    distances to numerical noise) as the element-ascending fold scorer for
+    any bucket — including planted exact-duplicate rows, where identical
+    inputs give identical doubles within each form and the lowest-id tie
+    fill must pick the same columns."""
+    from filtered_ads_vector_search_spark.operators.ann import (
+        _sqeuclidean_blas_scorer,
+        _sqeuclidean_bucket_scorer,
+    )
+    from filtered_ads_vector_search_spark.operators.topk import _topk_set_mask
+
+    rng = np.random.RandomState(seed)
+    V = rng.randn(n, d)
+    if dup_every:
+        V[:: dup_every + 1] = V[0]  # exact-duplicate plateau
+    Q = rng.randn(q, d)
+    qsel = np.arange(q)
+    t = min(top, n)
+    sc_fold = _sqeuclidean_bucket_scorer(Q, qsel, 0, V, ())(0, q)
+    sc_blas = _sqeuclidean_blas_scorer(Q, qsel, 0, V, ())(0, q)
+    assert np.allclose(sc_fold, sc_blas, rtol=1e-9, atol=1e-9)
+    m_fold = _topk_set_mask(sc_fold, t)
+    m_blas = _topk_set_mask(sc_blas, t)
+    # identical score plateaus (planted duplicates) tie-break by column in
+    # both forms; away from plateaus, 1e-9-agreeing doubles pick the same
+    # set unless two DISTINCT rows tie to <1e-9 — measure-zero for
+    # continuous draws, and the window merge re-ranks globally anyway
+    assert (m_fold == m_blas).all()
