@@ -11,16 +11,18 @@ mirrors that; these are the principled replacements):
   the DuckDB oracle reproduces the projection bit-for-bit: distances in the
   projected space are hash-checkable, and the JL norm-concentration property
   is MEASURED by an oracled query instead of asserted.
-* ``pca_train`` / ``pca_apply`` — classical PCA: the d x d covariance is one
-  map-combinable aggregate over the corpus (collected: d*(d+1)/2 doubles —
+* ``pca_train`` / ``pca_apply`` — classical PCA: the d x d covariance comes
+  from per-partition Gram partials (one numpy GEMM per Arrow batch — the
+  MLlib covariance pattern; collected: partitions x (d^2 + d) doubles,
   bounded-collect discipline, same as centroid tables), eigendecomposed on
   the driver with numpy, and applied as a literal-matrix expression fully in
   whole-stage codegen. Train state is non-SQL (eigh), so PCA is value-checked
   by variance-ordering and reconstruction/recall properties in pytest — the
   same discipline as trained k-means IVF.
 
-Everything stays JVM-side: projections are nested transform/aggregate
-expressions over array columns; no UDFs, no per-row Python.
+Projections stay JVM-side: nested transform/aggregate expressions over
+array columns, no per-row Python; the one Python surface is the Gram
+partial kernel, Arrow-batched with flat-buffer decode.
 """
 
 from __future__ import annotations
@@ -98,60 +100,69 @@ def pca_train(
 ) -> tuple[list[list[float]], list[float]]:
     """Top-``out_dim`` principal components of the corpus.
 
-    Covariance entries are ONE map-combinable aggregate over the flattened
-    upper-triangle outer products (d*(d+1)/2 values per vector, exploded,
-    groupBy position) — no self-join, no row ids; at most d*(d+1)/2 + d
-    result rows ever reach the driver, never the corpus. The aggregate is
-    linear in corpus size but carries a d(d+1)/2 fan-out per row, so at
-    real scale train on a bounded hash-gated sample (the same discipline as
-    pq_train / the IVF coarse quantizer — scripts/bench_scale.py trains on
-    a 5% gate and applies to the full corpus). Returns (components
-    [out_dim x d, row-major eigenvectors by descending eigenvalue],
-    mean [d]).
+    The covariance is assembled from per-partition Gram partials: each task
+    folds its Arrow batches into ONE d x d matrix (V.T @ V) plus a column
+    sum, and only partitions x (d^2 + d) doubles reach the driver — never
+    the corpus, no self-join, no row ids. Linear in corpus size with no
+    per-row fan-out; still, at real scale train on a bounded hash-gated
+    sample (the same discipline as pq_train / the IVF coarse quantizer —
+    scripts/bench_scale.py trains on a 5% gate and applies to the full
+    corpus). Returns (components [out_dim x d, row-major eigenvectors by
+    descending eigenvalue], mean [d]).
     """
     import numpy as np
 
     first = corpus.select(F.size(vec_col).alias("d")).first()
     if first is None:
         raise ValueError("pca_train: empty corpus")
-    d = first["d"]
-    v = F.col(vec_col).cast("array<double>")
-    # upper-triangle outer products, flattened in a fixed enumeration order
-    # the driver replays below — ONE scan, no self-join, no row ids
-    tri = F.flatten(
-        F.transform(
-            F.sequence(F.lit(1), F.lit(d)),
-            lambda i: F.transform(
-                F.sequence(i, F.lit(d)),
-                lambda j: F.element_at(v, i.cast("int"))
-                * F.element_at(v, j.cast("int")),
-            ),
-        )
-    )
-    prod_rows = (
-        corpus.select(F.posexplode(tri).alias("k", "p"))
-        .groupBy("k")
-        .agg(F.sum("p").alias("sp"), F.count(F.lit(1)).alias("n"))
+    d = int(first["d"])
+
+    from .topk import _arrow_vectors
+
+    def gram(batches):
+        # ONE d x d Gram partial per task (the MLlib covariance pattern):
+        # each batch contributes one numpy GEMM, and only partitions x
+        # (d^2 + d) doubles ever reach the driver — never the corpus. This
+        # replaced a d(d+1)/2-per-row exploded HOF aggregate whose fan-out
+        # (2080 rows per vector at d=64) was the whole stage's wall time.
+        import pyarrow as pa
+
+        G = np.zeros((d, d), dtype=np.float64)
+        s = np.zeros(d, dtype=np.float64)
+        n_rows = 0
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            V = _arrow_vectors(batch, "_v")
+            G += V.T @ V
+            s += V.sum(axis=0)
+            n_rows += V.shape[0]
+        if n_rows:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([G.ravel().tolist()]),
+                    pa.array([s.tolist()]),
+                    pa.array([n_rows], type=pa.int64()),
+                ],
+                names=["g", "s", "n"],
+            )
+
+    partials = (
+        corpus.select(F.col(vec_col).alias("_v"))
+        .mapInArrow(gram, "g array<double>, s array<double>, n long")
         .collect()
     )
-    sum_rows = (
-        corpus.select(F.posexplode(v).alias("i", "x"))
-        .groupBy("i")
-        .agg(F.sum("x").alias("sx"))
-        .collect()
-    )
-    n = prod_rows[0]["n"]
-    pairs = [(i, j) for i in range(d) for j in range(i, d)]
+    if not partials:
+        raise ValueError("pca_train: empty corpus")
+    n = sum(r["n"] for r in partials)
+    P = np.zeros((d, d))
     sx = np.zeros(d)
-    for r in sum_rows:
-        sx[r["i"]] = r["sx"]
+    for r in partials:
+        P += np.asarray(r["g"], dtype=np.float64).reshape(d, d)
+        sx += np.asarray(r["s"], dtype=np.float64)
     mean = sx / n
-    cov = np.zeros((d, d))
-    for r in prod_rows:
-        i, j = pairs[r["k"]]
-        c = r["sp"] / n - mean[i] * mean[j]
-        cov[i, j] = c
-        cov[j, i] = c
+    cov = P / n - np.outer(mean, mean)
+    cov = (cov + cov.T) / 2.0  # exact symmetry for eigh
     vals, vecs = np.linalg.eigh(cov)
     order = np.argsort(vals)[::-1][:out_dim]
     comps = vecs[:, order].T  # out_dim x d
