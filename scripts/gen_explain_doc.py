@@ -39,6 +39,10 @@ NOTES = {
     "As-of join (union-window form)": """\
 - Both sides union into one relation; a single `Exchange hashpartitioning(user_id)` + in-partition sort drive the running `last(..., ignorenulls)` — the exact cost of ONE sort-merge-join shuffle, with no row explosion for wide time gaps.
 - The right row rides along as a struct column, so payload width never multiplies the sort key data.""",
+    "IVF search (Arrow DGEMM kernel form)": """\
+- The probed-bucket scan carries a STATIC `partition_id IN (...)` filter (probe ranking happens driver-side over the collected query matrix — bounded by the kernel's 100k-query cap; `search_sharded` handles larger batches), so pruning is visible in the scan, not deferred to a runtime join.
+- ONE `MapInArrow score(...)` node scores each bucket with a single DGEMM over the flat-buffer-decoded vector matrix (`arrow_score="blas"`; `True` keeps the bit-identity element fold) and emits per-bucket local top-k partials.
+- The shared per-query `WindowGroupLimit` merge re-ranks the partials by (dist, neighbor_id) — the same tail as every other top-k form. 5M x 10k queries: 125 s (HOF expression era) -> 15.3 s on this plan.""",
     "IVFPQ search (residual ADC + exact rerank)": """\
 - The probe list carries one residual LUT per (query, probed bucket) — computed on the broadcast side; the coded corpus enters through ONE `BroadcastHashJoin` on `partition_id` and only ever streams.
 - The ADC score is an m-step `aggregate` of two array lookups inside `WholeStageCodegen` — no Python, no vector bytes in flight; only the ADC top-R shortlist touches full vectors for the exact rerank.
@@ -86,6 +90,9 @@ def main() -> None:
     dfs = {
         "Filtered exact top-k (window form)": TK.knn_window(q, ch, k=10),
         "IVF probe search": idx.search(q, k=10, nprobe=4),
+        "IVF search (Arrow DGEMM kernel form)": idx.search(
+            q, k=10, nprobe=4, arrow_score="blas"
+        ),
         "TPC-H Q5 join tree": registry.QUERIES["tpch_q5"](spark, SF),
         "TPC-H Q6 pushdown": registry.QUERIES["tpch_q6"](spark, SF),
         "LSH bucket search (fused top-k)": _lsh_search(c, q),
