@@ -88,3 +88,35 @@ def test_bm25_empty_queries_and_corpus(spark, tmp_path):
     path = str(tmp_path / "ti")
     TS.write_term_index(docs, path, n_buckets=4)
     assert TS.bm25_search_index(spark, path, empty_q).count() == 0
+
+
+def test_round6_new_surfaces_empty(spark):
+    """Round-6 additions on empty inputs: the sharded driver returns an
+    empty result for an empty query batch (via the kernels' empty-in
+    empty-out contract), the fused encode emits an empty coded relation,
+    and pca_train raises its documented empty-corpus error."""
+    import numpy as np
+    import pytest as _pytest
+
+    from filtered_ads_vector_search_spark.operators import pq as PQ
+    from filtered_ads_vector_search_spark.operators import projection as PJ
+    from filtered_ads_vector_search_spark.operators.ann import (
+        IVFIndex,
+        search_sharded,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idx = IVFIndex.build_fixed(emb, n_centroids=4)
+    empty_q = spark.createDataFrame([], "query_id long, q_vec array<float>")
+    assert (
+        search_sharded(idx, empty_q, k=5, nprobe=2, arrow_score="blas").count() == 0
+    )
+    idx.unpersist()
+
+    books = PQ.fixed_codebooks(dim=64, m=4, n_codes=16)
+    coded = PQ.pq_encode_with_codes_arrow(_empty_emb(spark), books, "embedding")
+    assert coded.count() == 0
+    assert coded.columns == ["vec_id", "embedding", "codes"]
+
+    with _pytest.raises(ValueError, match="empty corpus"):
+        PJ.pca_train(_empty_emb(spark), vec_col="embedding")
