@@ -177,6 +177,12 @@ def _arrow_bucket_topk(
             # single ~1 GB batches (queries x buckets x top rows) that
             # exhausted Arrow's direct-memory pool at 5M x 10k queries. A
             # per-bucket frame is bounded by queries_probing x top rows.
+            # (Measured alternative, rejected: compacting to top-`top` per
+            # (query, task) before emission cuts the wire volume ~3x under
+            # widened probing but runs ~40% SLOWER end to end — the
+            # task-end lexsort stalls the pipeline into the JVM partial
+            # WindowGroupLimit, which absorbs the per-bucket volume while
+            # the Python worker is still scoring.)
             for s0, s1 in zip(bounds[:-1], bounds[1:]):
                 b = int(g_pids[s0])
                 qsel = bq_.get(b)
