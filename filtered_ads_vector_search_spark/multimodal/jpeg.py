@@ -635,7 +635,8 @@ def _parse_segments(raw: bytes):
         while i + 1 < len(raw) and raw[i + 1] == 0xFF:
             i += 1
         marker = raw[i + 1]
-        if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
+        # standalone markers (no length field): SOI, RSTn, TEM (T.81 B.1.1.3)
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
             i += 2
             continue
         if marker == 0xD9:
@@ -963,7 +964,9 @@ def decode_jpeg_pixels(raw: bytes) -> np.ndarray:
         marker = raw[i + 1]
         if marker == 0xD9:
             break
-        if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
+        # standalone markers (no length field): SOI, RSTn, TEM — same set
+        # _parse_segments skips, so the two walks agree on any payload
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
             i += 2
             continue
         length = struct.unpack(">H", raw[i + 2:i + 4])[0]

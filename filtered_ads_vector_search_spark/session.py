@@ -30,6 +30,11 @@ def get_spark(
         master = f"local[{env}]" if env else "local[*]"
     else:
         master = f"local[{cpus}]"
+    # cluster deployments point this factory at yarn/k8s via the env var;
+    # local-bench-only tunings below are gated on the master actually
+    # being local so they never leak onto a real cluster
+    master = os.environ.get("SPARK_GRAFT_MASTER", master)
+    is_local = master.startswith("local")
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
@@ -50,22 +55,31 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # Keep broadcast autodetection on; dims/queries are small sides.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # Input-split sizing for THIS scale tier: bucket-partitioned layouts
-        # now write one compact file per bucket (the right artifact at
-        # 100 TB, where each bucket is GBs and row groups split further),
-        # but at local bench scale a whole 300 MB layout coalesces into ~3
-        # default-128MB splits and a scan loses its parallelism. 16 MB keeps
-        # local[32] saturated on MB-scale buckets; on a real cluster leave
-        # the 128 MB default (override via SPARK_GRAFT_MAX_PARTITION_BYTES).
-        .config(
+        .config("spark.ui.enabled", "false")
+    )
+    if is_local:
+        # LOCAL-ONLY input-split sizing: bucket-partitioned layouts write one
+        # compact file per bucket (the right artifact at 100 TB, where each
+        # bucket is GBs and row groups split further), but at local bench
+        # scale a whole 300 MB layout coalesces into ~3 default-128MB splits
+        # and a scan loses its parallelism. 16 MB keeps local[32] saturated
+        # on MB-scale buckets. Gated on the master being local[*]: a cluster
+        # deployment (SPARK_GRAFT_MASTER=yarn/k8s) keeps Spark's 128 MB
+        # default — 16 MB there would blow up task counts on TB inputs.
+        builder = builder.config(
             "spark.sql.files.maxPartitionBytes",
             os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", str(16 * 1024 * 1024)),
         )
         # local mode: driver JVM == the one executor; size the heap well above
         # the working set so benchmark timings measure the plan, not G1 GC.
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
-        .config("spark.ui.enabled", "false")
-    )
+        builder = builder.config(
+            "spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g")
+        )
+    elif os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES"):
+        builder = builder.config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ["SPARK_GRAFT_MAX_PARTITION_BYTES"],
+        )
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)

@@ -90,6 +90,19 @@ def test_jpeg_tolerates_fill_bytes_before_markers():
     assert (C.decode_jpeg_pixels(padded) == C.decode_jpeg_pixels(raw)).all()
 
 
+def test_jpeg_tolerates_standalone_tem_marker():
+    """TEM (0xFF01) is a standalone marker with no length field (T.81
+    B.1.1.3); a header region carrying one must not be misparsed as a
+    length-prefixed segment — and both parsers (the header-only
+    _parse_segments walk and the decode_jpeg_pixels walk) must agree."""
+    img = _smooth(8)
+    raw = C.encode_jpeg(img, quality=90)
+    i = raw.find(b"\xff\xdb")  # TEM before DQT, in the header region
+    padded = raw[:i] + b"\xff\x01" + raw[i:]
+    assert C.decode_jpeg_meta(padded)["width"] == img.shape[1]
+    assert (C.decode_jpeg_pixels(padded) == C.decode_jpeg_pixels(raw)).all()
+
+
 def test_resize_image_preserves_jpeg_chroma_mode():
     img = _smooth(9)
     for sub in (False, True):
