@@ -46,10 +46,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB oracle SQL for each oracle-checkable query. The only key
-    absent here (ann_ivf) contains trained k-means state — genuinely
-    non-SQL-expressible -> driver records a rows-only check. Its search
-    machinery IS oracle-checked via ann_ivf_fixed, and all three grid
-    driver loops are value-checked end to end over deterministic builds
-    (grid_search_ivf, grid_search_lsh, grid_search_ivfpq)."""
+    """DuckDB oracle SQL for EVERY query — zero rows-only entries. The
+    trained-KMeans tier (ann_ivf) ships a recall-floor contract oracle:
+    the SQL pins the hash-split query set, exactly-k result counts, and a
+    per-query floor_met=TRUE column the Spark side computes against its
+    own exact truth (centroid VALUES stay non-SQL-expressible; the
+    machinery is bit-oracled via ann_ivf_fixed, and all three grid driver
+    loops are value-checked over deterministic builds)."""
     return dict(registry.ORACLES)

@@ -42,6 +42,16 @@ from .topk import Metric, _arrow_vectors, _topk_set_mask, distance_col, knn_wind
 # broadcast queries); above this many queries, shard the batch upstream.
 _SCORE_MAX_QUERIES = 100_000
 
+# Probe-ranking route inside the Arrow kernels: the driver-side numpy
+# ranking allocates a (4096 x n_centroids) float64 chunk — ~3 GB of
+# temporaries at 100k centroids — so above either threshold the kernels
+# rank probes with the SAME expression-path knn_window job the default
+# search runs (distributed; only queries x nprobe id pairs reach the
+# driver). Both paths are the same fold + (dist, centroid_id) tie-break,
+# so probe SETS are identical either way (asserted in test_recall_ann).
+_PROBE_DISTRIBUTED_CENTROIDS = 10_000
+_PROBE_MATRIX_BYTES = 2 << 30  # total Q x C x 8 budget for the driver route
+
 
 def _probe_lists_numpy(
     Q: np.ndarray, cent: np.ndarray, nprobe: int
@@ -70,6 +80,33 @@ def _probe_lists_numpy(
             qi = c0 + i
             for b in keep[i]:
                 bucket_queries.setdefault(int(b), []).append(qi)
+    return bucket_queries
+
+
+def _probe_lists_job(
+    queries: DataFrame, centroids: DataFrame, nprobe: int, qpos: dict[int, int]
+) -> dict[int, list[int]]:
+    """Distributed probe ranking for the Arrow kernels — the expression-path
+    knn_window probe job (broadcast queries x centroid relation -> partial
+    WindowGroupLimit -> top-nprobe per query), collected as id pairs only:
+    queries x nprobe rows reach the driver, never a Q x C matrix. Same
+    sqeuclidean fold and (dist, centroid_id) tie-break as
+    :func:`_probe_lists_numpy`, so the probe SETS are identical; per-bucket
+    query order is ascending query position either way."""
+    rows = knn_window(
+        queries,
+        centroids,
+        k=nprobe,
+        metric="sqeuclidean",
+        id_col="centroid_id",
+        vec_col="centroid",
+    ).select("query_id", "neighbor_id").collect()
+    pairs = sorted(
+        (qpos[int(r["query_id"])], int(r["neighbor_id"])) for r in rows
+    )
+    bucket_queries: dict[int, list[int]] = {}
+    for qi, b in pairs:
+        bucket_queries.setdefault(b, []).append(qi)
     return bucket_queries
 
 
@@ -123,11 +160,22 @@ def _arrow_bucket_topk(
             f"{kernel_name}: duplicate query_id rows in the query batch "
             f"({len(qids)} rows, {len(qpos)} distinct ids)"
         )
-    # (centroid matrix ordered by ascending centroid_id, nprobe): rank
-    # probes driver-side over the Q matrix just collected — same fold,
-    # same tie-break as the knn_window probe job the expression path runs
-    cent_mat, nprobe_ = probe_spec
-    bucket_queries = _probe_lists_numpy(Q, cent_mat, nprobe_)
+    # (centroid matrix ordered by ascending centroid_id, nprobe, centroid
+    # relation): rank probes driver-side over the Q matrix just collected —
+    # same fold, same tie-break as the knn_window probe job the expression
+    # path runs — UNLESS the centroid count (or the Q x C matrix) is past
+    # the driver budget, in which case the ranking runs as that very
+    # knn_window job, distributed (identical probe sets; see
+    # _PROBE_DISTRIBUTED_CENTROIDS)
+    cent_mat, nprobe_, cent_df = probe_spec
+    n_cent = cent_mat.shape[0]
+    if (
+        n_cent > _PROBE_DISTRIBUTED_CENTROIDS
+        or len(Q) * n_cent * 8 > _PROBE_MATRIX_BYTES
+    ):
+        bucket_queries = _probe_lists_job(queries, cent_df, min(nprobe_, n_cent), qpos)
+    else:
+        bucket_queries = _probe_lists_numpy(Q, cent_mat, nprobe_)
     bq = {b: np.array(v, dtype=np.int64) for b, v in bucket_queries.items()}
     bc = corpus.sparkSession.sparkContext.broadcast((qids, Q, bq) + extra)
     pruned = corpus.filter(
@@ -1173,7 +1221,7 @@ class IVFIndex:
             extra=(),
             bucket_scorer=_sqeuclidean_blas_scorer if blas else _sqeuclidean_bucket_scorer,
             kernel_name="arrow_score",
-            probe_spec=(cent, nprobe),
+            probe_spec=(cent, nprobe, self.centroids),
         )
 
     def unpersist(self) -> None:
@@ -1215,9 +1263,16 @@ def search_sharded(
     both qualify."""
     import math
 
-    n = queries.count()
-    if n <= shard_queries:
+    # cap probe, not a full count: limit(cap+1) early-exits the scan as soon
+    # as cap+1 rows exist, so the common under-cap case never pays a full
+    # count job over a (possibly huge) query relation
+    over_cap = (
+        queries.select("query_id").limit(shard_queries + 1).count()
+        > shard_queries
+    )
+    if not over_cap:
         return index.search(queries, k=k, **search_kwargs)
+    n = queries.count()
     # 10% headroom: hash shards deviate from n/shards by a few hundred rows
     # at 100k means (binomial sigma ~ sqrt(n/shards)), and a shard landing
     # over the kernel cap would raise — size for the deviation, not the mean

@@ -596,7 +596,7 @@ class IVFPQIndex:
             extra=(cent, CB, self.residual),
             bucket_scorer=_adc_bucket_scorer,
             kernel_name="arrow_adc",
-            probe_spec=(cent, nprobe),
+            probe_spec=(cent, nprobe, self.centroids),
         )
 
     def _finish_from_candidates(

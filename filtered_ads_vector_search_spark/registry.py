@@ -2593,15 +2593,48 @@ def _knn_fp16_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Per-query recall floor for the trained-KMeans IVF tier: seeds 42/7/123
+# measure min per-query recall 0.3-0.4 at sf0.01 (nprobe 4/16), so 0.2
+# holds with margin under the documented kmeans ulp drift
+# (BENCH_DRIFT.md round-7 addendum) — a floor contract, not an exact value.
+ANN_IVF_RECALL_FLOOR = 0.2
+
+
 def _ann_ivf_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-KMeans IVF tier as a VALUE-ORACLED recall-floor row: the
+    trained centroids are non-SQL-expressible (Lloyd iterations), but the
+    tier's contract IS — every query in the deterministic hash split
+    returns exactly k rows and its recall vs the Spark-computed exact truth
+    clears ANN_IVF_RECALL_FLOOR. The oracle pins that contract per query
+    (query set from the same split SQL, k and the floor as literals), so a
+    probe-ranking or assignment regression flips floor_met and hash-fails.
+    The full search MACHINERY stays bit-oracled via ann_ivf_fixed."""
     from .operators.ann import IVFIndex
 
     emb = _tbl(spark, sf_dir, "embeddings")
     q, c = TK.split_queries(emb)
     idx = IVFIndex.build(c, n_centroids=16, seed=42)
-    out = idx.search(q, k=K, nprobe=4)
-    return out.select(
-        "query_id", "neighbor_id", F.col("rank").alias("rnk"), F.round("dist", 3).alias("dist")
+    found = idx.search(q, k=K, nprobe=4)
+    truth = TK.knn_window(q, c, k=K)
+    hits = (
+        found.join(
+            truth.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
+        )
+        .groupBy("query_id")
+        .agg((F.count("*") / F.lit(K)).alias("recall_q"))
+    )
+    per_q = (
+        found.groupBy("query_id")
+        .agg(F.count("*").alias("n_results"))
+        .join(hits, "query_id", "left")
+        .na.fill({"recall_q": 0.0})
+    )
+    return q.select("query_id").join(per_q, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("n_results"), F.lit(0)).alias("n_results"),
+        (F.coalesce(F.col("recall_q"), F.lit(0.0)) >= F.lit(ANN_IVF_RECALL_FLOOR)).alias(
+            "floor_met"
+        ),
     )
 
 
@@ -4700,10 +4733,15 @@ ORACLES: dict[str, str] = {
 SELECT doc_id, CAST(64 AS INTEGER) AS dim, CAST(1.0 AS DOUBLE) AS norm
 FROM documents WHERE {T.token_count_sql("text")} >= 5
 """,
-    # ann_ivf is the ONLY intentionally-oracle-less query: trained k-means
-    # state is genuinely non-SQL-expressible (rows-only). Its search
-    # machinery is oracle-checked via ann_ivf_fixed, and all three grid
-    # DRIVER loops (IVF, LSH, IVFPQ) are now value-checked end to end over
-    # deterministic builds (grid_search_ivf, grid_search_lsh,
-    # grid_search_ivfpq).
+    # ann_ivf (trained k-means) is value-checked as a recall-floor contract:
+    # the oracle pins the query set (same hash-split SQL), exactly-k result
+    # counts, and a per-query floor_met=TRUE column the Spark side computes
+    # against its own exact truth — non-floor state (the centroids) stays
+    # non-SQL-expressible, but a probe/assignment regression now hash-FAILS
+    # instead of passing rows-only. Search machinery: ann_ivf_fixed; grid
+    # DRIVER loops: grid_search_{ivf,lsh,ivfpq}, all value-checked.
+    "ann_ivf": f"""
+SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS n_results, TRUE AS floor_met
+FROM embeddings WHERE {FL.is_query_sql('vec_id')}
+""",
 }

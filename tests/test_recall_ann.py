@@ -377,6 +377,92 @@ def test_search_sharded_matches_single_shot(spark):
     pq.unpersist()
 
 
+def test_probe_ranking_routes_to_distributed_job(spark, monkeypatch):
+    """Above the centroid (or Q x C byte) threshold the Arrow kernels rank
+    probes with the distributed knn_window job instead of the driver numpy
+    matrix. The probe sets are identical by construction (same fold, same
+    (dist, centroid_id) tie-break), so forcing the route must reproduce the
+    driver path's rows EXACTLY — for the IVF kernel and the IVFPQ ADC
+    kernel alike. The routing thresholds are pinned here."""
+    from filtered_ads_vector_search_spark.operators import ann as A
+    from filtered_ads_vector_search_spark.operators.ivfpq import IVFPQIndex
+
+    assert A._PROBE_DISTRIBUTED_CENTROIDS == 10_000
+    assert A._PROBE_MATRIX_BYTES == 2 << 30
+
+    q, c = _split(spark)
+    ivf = IVFIndex.build_fixed(c, n_centroids=8)
+    pq = IVFPQIndex.build_fixed(c, n_centroids=8, m=4, n_codes=16)
+    want = sorted(
+        map(tuple, ivf.search(q, k=K, nprobe=4, arrow_score=True).collect())
+    )
+    want_pq = sorted(
+        map(tuple, pq.search(q, k=K, nprobe=4, rerank=20, arrow_adc=True).collect())
+    )
+
+    monkeypatch.setattr(A, "_PROBE_DISTRIBUTED_CENTROIDS", 0)
+
+    def _boom(*a, **k):
+        raise AssertionError("driver probe ranking must not run above the threshold")
+
+    monkeypatch.setattr(A, "_probe_lists_numpy", _boom)
+    got = sorted(
+        map(tuple, ivf.search(q, k=K, nprobe=4, arrow_score=True).collect())
+    )
+    assert got == want
+    got_pq = sorted(
+        map(tuple, pq.search(q, k=K, nprobe=4, rerank=20, arrow_adc=True).collect())
+    )
+    assert got_pq == want_pq
+    ivf.unpersist()
+    pq.unpersist()
+
+
+def test_probe_ranking_100k_centroids_no_driver_matrix(spark):
+    """A kernel search over a 100k-centroid layout routes probe ranking
+    through the distributed job (the driver route's 4096 x 100k chunk is
+    ~3 GB of temporaries), and its rows equal the expression path's.
+    Synthetic layout: corpus rows sit at jittered centroid positions so
+    probed buckets are non-empty; IVFIndex is constructed directly — this
+    pins the SEARCH path at extreme centroid counts, not the build."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    n_cent, dim = 100_000, 8
+    cent = rng.normal(size=(n_cent, dim))
+    cent_df = spark.createDataFrame(
+        [(i, [float(x) for x in cent[i]]) for i in range(n_cent)],
+        "centroid_id int, centroid array<float>",
+    )
+    picks = rng.integers(0, n_cent, size=1200)
+    corpus = spark.createDataFrame(
+        [
+            (int(i), int(b),
+             [float(x) for x in cent[b] + 0.01 * rng.normal(size=dim)])
+            for i, b in enumerate(picks)
+        ],
+        "vec_id long, partition_id int, embedding array<float>",
+    ).persist()
+    idx = IVFIndex(
+        centroids=cent_df,
+        assigned=corpus,
+        metric="sqeuclidean",
+        n_centroids=n_cent,
+        build_seconds=0.0,
+    )
+    queries = spark.createDataFrame(
+        [(10**6 + j, [float(x) for x in cent[picks[j]]]) for j in range(25)],
+        "query_id long, q_vec array<float>",
+    )
+    want = sorted(map(tuple, idx.search(queries, k=5, nprobe=4).collect()))
+    assert want  # probed buckets hold the planted rows
+    got = sorted(
+        map(tuple, idx.search(queries, k=5, nprobe=4, arrow_score=True).collect())
+    )
+    assert got == want
+    corpus.unpersist()
+
+
 def test_arrow_kernels_empty_queries_return_empty(spark):
     """Both Arrow kernels honor the expression-path contract: an empty
     query batch returns an empty result instead of crashing on the
