@@ -1,13 +1,13 @@
 """Minimal pure-Python real-media codecs: BMP, PCM WAV, and JPEG.
 
 This makes the real-codec seam in udfs._parse_header exercisable without any
-external image/audio library: BI_RGB 24-bit BMP and RIFF/WAVE PCM s16le mono
-are simple enough to encode/decode with struct + numpy, and JPEG — both
-baseline sequential (SOF0) and progressive (SOF2), together essentially all
-real-world files — is a full pure-NumPy implementation in the sibling
-``jpeg`` module, re-exported here. Remaining compressed codecs (H.264/AAC,
-JPEG arithmetic/hierarchical/lossless) stay behind the NotImplementedError
-seam.
+external image/audio library: BI_RGB 24-bit and 8-bit-palette BMP, and
+RIFF/WAVE PCM s16le mono/stereo, are simple enough to encode/decode with
+struct + numpy, and JPEG — both baseline sequential (SOF0) and progressive
+(SOF2), together essentially all real-world files — is a full pure-NumPy
+implementation in the sibling ``jpeg`` module, re-exported here. Remaining
+compressed codecs (H.264/AAC, JPEG arithmetic/hierarchical/lossless, RLE or
+16/32-bit BMP, non-PCM WAV) stay behind the NotImplementedError seam.
 
 The reference has no media pipeline at all — this is part of the
 beyond-reference training-data-pipeline surface (brief: multimodal columns).
@@ -23,6 +23,7 @@ from .jpeg import decode_jpeg_meta, decode_jpeg_pixels, encode_jpeg
 
 __all__ = [
     "encode_bmp",
+    "encode_bmp_8bit",
     "decode_bmp_meta",
     "decode_bmp_pixels",
     "resize_bmp",
@@ -106,13 +107,41 @@ def encode_bmp(pixels: np.ndarray) -> bytes:
     return bytes(out)
 
 
+def encode_bmp_8bit(indices: np.ndarray, palette: np.ndarray) -> bytes:
+    """(height, width) uint8 palette indices + (n<=256, 3) uint8 RGB palette
+    -> 8-bit BI_RGB BMP bytes (BGRx palette after the info header, bottom-up
+    index rows padded to 4 bytes — the classic paletted layout)."""
+    h, w = indices.shape
+    n_pal = palette.shape[0]
+    assert palette.shape == (n_pal, 3) and n_pal <= 256
+    assert int(indices.max(initial=0)) < n_pal
+    row = ((w + 3) // 4) * 4
+    pal_bytes = np.zeros((n_pal, 4), dtype=np.uint8)
+    pal_bytes[:, :3] = palette[:, ::-1]  # RGB -> BGRx
+    offset = _BMP_HEADER_SIZE + 4 * n_pal
+    size = offset + row * h
+    out = bytearray()
+    out += struct.pack("<2sIHHI", b"BM", size, 0, 0, offset)
+    # biClrUsed (the 9th I-field) carries the palette entry count
+    out += struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 8, 0, row * h, 2835, 2835, n_pal, 0
+    )
+    out += pal_bytes.tobytes()
+    pad = row - w
+    for r in indices[::-1]:  # bottom-up rows
+        out += r.astype(np.uint8).tobytes() + b"\x00" * pad
+    return bytes(out)
+
+
 def decode_bmp_meta(raw: bytes) -> dict:
     magic, size, _, _, offset = struct.unpack("<2sIHHI", raw[:14])
     if magic != b"BM":
         raise ValueError("not a BMP payload")
     hdr_sz, w, h, _planes, bpp = struct.unpack("<IiiHH", raw[14:30])
-    if bpp != 24 or hdr_sz != 40:
-        raise NotImplementedError(f"only BI_RGB 24-bit BMP supported (bpp={bpp})")
+    if bpp not in (8, 24) or hdr_sz != 40:
+        raise NotImplementedError(
+            f"only BI_RGB 24-bit and 8-bit-palette BMP supported (bpp={bpp})"
+        )
     return {
         "media_type": "image",
         "codec": "bmp",
@@ -124,10 +153,22 @@ def decode_bmp_meta(raw: bytes) -> dict:
 
 
 def decode_bmp_pixels(raw: bytes) -> np.ndarray:
-    """BMP bytes -> (height, width, 3) uint8 RGB."""
+    """BMP bytes (24-bit BI_RGB or 8-bit palette) -> (h, w, 3) uint8 RGB."""
     meta = decode_bmp_meta(raw)
     w, h = meta["width"], meta["height"]
+    bpp = struct.unpack("<H", raw[28:30])[0]
     offset = struct.unpack("<I", raw[10:14])[0]
+    if bpp == 8:
+        n_pal = struct.unpack("<I", raw[46:50])[0] or 256
+        pal = (
+            np.frombuffer(raw, dtype=np.uint8, offset=_BMP_HEADER_SIZE,
+                          count=4 * n_pal)
+            .reshape(n_pal, 4)[:, [2, 1, 0]]  # BGRx -> RGB
+        )
+        row = ((w + 3) // 4) * 4
+        idx = np.frombuffer(raw, dtype=np.uint8, offset=offset, count=row * h)
+        idx = idx.reshape(h, row)[:, :w]
+        return pal[idx[::-1]].copy()  # back to top-down, palette-expanded
     row = _row_size(w)
     data = np.frombuffer(raw, dtype=np.uint8, offset=offset, count=row * h)
     rows = data.reshape(h, row)[:, : 3 * w].reshape(h, w, 3)
@@ -148,12 +189,22 @@ def resize_bmp(raw: bytes, width: int, height: int) -> bytes:
 
 
 def encode_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
-    """int16 mono samples -> RIFF/WAVE PCM s16le bytes."""
+    """int16 samples -> RIFF/WAVE PCM s16le bytes. ``samples`` is (n,) for
+    mono or (n, 2) for stereo — C-order tobytes() interleaves L/R frames,
+    which IS the PCM stereo layout."""
+    if samples.ndim == 1:
+        channels = 1
+    elif samples.ndim == 2 and samples.shape[1] in (1, 2):
+        channels = samples.shape[1]
+    else:
+        raise ValueError(f"samples must be (n,) or (n, 1|2); got {samples.shape}")
     data = samples.astype("<i2").tobytes()
+    block_align = 2 * channels
     out = bytearray()
     out += struct.pack("<4sI4s", b"RIFF", 36 + len(data), b"WAVE")
     out += struct.pack(
-        "<4sIHHIIHH", b"fmt ", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16
+        "<4sIHHIIHH", b"fmt ", 16, 1, channels, sample_rate,
+        sample_rate * block_align, block_align, 16,
     )
     out += struct.pack("<4sI", b"data", len(data))
     out += data
@@ -165,21 +216,24 @@ def decode_wav_meta(raw: bytes) -> dict:
         raise ValueError("not a WAV payload")
     fmt_tag, channels, rate = struct.unpack("<HHI", raw[20:28])
     bits = struct.unpack("<H", raw[34:36])[0]
-    if fmt_tag != 1 or channels != 1 or bits != 16:
-        raise NotImplementedError("only PCM s16le mono WAV supported")
+    if fmt_tag != 1 or channels not in (1, 2) or bits != 16:
+        raise NotImplementedError("only PCM s16le mono/stereo WAV supported")
     n_data = struct.unpack("<I", raw[40:44])[0]
-    n_samples = n_data // 2
+    n_frames = n_data // (2 * channels)
     return {
         "media_type": "audio",
         "codec": "pcm_s16le",
         "width": 0,
         "height": 0,
-        "duration_ms": int(n_samples * 1000 // rate),
+        "duration_ms": int(n_frames * 1000 // rate),
         "n_bytes": len(raw),
     }
 
 
 def decode_wav_samples(raw: bytes) -> np.ndarray:
+    """WAV bytes -> int16 samples: (n,) for mono, (n, 2) for stereo."""
     decode_wav_meta(raw)  # validates format
+    channels = struct.unpack("<H", raw[22:24])[0]
     n_data = struct.unpack("<I", raw[40:44])[0]
-    return np.frombuffer(raw, dtype="<i2", offset=_WAV_HEADER_SIZE, count=n_data // 2)
+    flat = np.frombuffer(raw, dtype="<i2", offset=_WAV_HEADER_SIZE, count=n_data // 2)
+    return flat if channels == 1 else flat.reshape(-1, 2)

@@ -104,6 +104,8 @@ def _band(sig: Column, i: int, n_bands: int) -> Column:
 def audio_fingerprint_bits(raw: bytes) -> int:
     """64-bit energy signature of a WAV payload (driver-side twin)."""
     samples = decode_wav_samples(raw).astype(np.float64)
+    if samples.ndim == 2:  # stereo: fingerprint the downmix
+        samples = samples.mean(axis=1)
     n = len(samples)
     if n == 0:
         return 0

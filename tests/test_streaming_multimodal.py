@@ -138,6 +138,24 @@ def test_replay_throughput(spark):
     assert out["p99_s"] >= out["p50_s"]
 
 
+def test_replay_throughput_concurrent(spark):
+    from filtered_ads_vector_search_spark.streaming.replay import (
+        replay_throughput_concurrent,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").limit(100).cache()
+    emb.count()
+    out = replay_throughput_concurrent(
+        spark, lambda: emb.groupBy("label").count(), run_time_s=2.0, workers=2
+    )
+    assert out["workers"] == 2
+    assert out["batches"] >= 2  # both workers complete at least one batch
+    assert out["qps"] > 0
+    assert out["p99_s"] >= out["p50_s"]
+    # completed batches within the window: wall spans to last completion
+    assert out["wall_s"] >= out["window_s"] - 0.1
+
+
 def test_sessionize_batch(spark):
     import datetime as dt
 
@@ -315,6 +333,59 @@ def test_wav_codec_roundtrip():
     meta = C.decode_wav_meta(raw)
     assert meta["duration_ms"] == 125 and meta["media_type"] == "audio"
     np.testing.assert_array_equal(C.decode_wav_samples(raw), samples)
+
+
+def test_bmp_8bit_palette_roundtrip():
+    """8-bit palette BMP: encode->decode expands indices through the BGRx
+    palette back to the exact RGB array (bottom-up rows, 4-byte row padding,
+    biClrUsed honored); decode_image_pixels dispatches it like any BMP."""
+    import numpy as np
+
+    from filtered_ads_vector_search_spark.multimodal import codecs as C
+
+    rng = np.random.default_rng(11)
+    palette = rng.integers(0, 256, size=(17, 3), dtype=np.uint8)
+    idx = rng.integers(0, 17, size=(6, 5), dtype=np.uint8)  # odd width -> padding
+    raw = C.encode_bmp_8bit(idx, palette)
+    assert C.sniff(raw) == "bmp"
+    meta = C.decode_bmp_meta(raw)
+    assert (meta["width"], meta["height"]) == (5, 6)
+    np.testing.assert_array_equal(C.decode_bmp_pixels(raw), palette[idx])
+    np.testing.assert_array_equal(C.decode_image_pixels(raw), palette[idx])
+    # a 256-entry palette exercises the biClrUsed=0-means-256 convention too
+    full = rng.integers(0, 256, size=(256, 3), dtype=np.uint8)
+    idx2 = rng.integers(0, 256, size=(3, 4), dtype=np.uint8)
+    raw2 = C.encode_bmp_8bit(idx2, full)
+    np.testing.assert_array_equal(C.decode_bmp_pixels(raw2), full[idx2])
+
+
+def test_wav_stereo_roundtrip_and_fingerprint_downmix():
+    """16-bit stereo WAV: interleaved L/R frames round-trip as (n, 2);
+    duration counts FRAMES, not flat samples; the audio fingerprint
+    downmixes, so a stereo file whose channels both equal the mono signal
+    fingerprints identically to the mono file."""
+    import numpy as np
+
+    from filtered_ads_vector_search_spark.multimodal import codecs as C
+    from filtered_ads_vector_search_spark.multimodal.phash import (
+        audio_fingerprint_bits,
+    )
+
+    mono = (np.arange(800) * 53 % 4096 - 2048).astype(np.int16)
+    stereo = np.stack([mono, mono], axis=1)
+    raw_m = C.encode_wav(mono, sample_rate=8000)
+    raw_s = C.encode_wav(stereo, sample_rate=8000)
+    assert C.sniff(raw_s) == "wav"
+    meta = C.decode_wav_meta(raw_s)
+    assert meta["duration_ms"] == C.decode_wav_meta(raw_m)["duration_ms"] == 100
+    np.testing.assert_array_equal(C.decode_wav_samples(raw_s), stereo)
+    assert audio_fingerprint_bits(raw_s) == audio_fingerprint_bits(raw_m)
+    # true stereo content round-trips too
+    rng = np.random.default_rng(5)
+    st = rng.integers(-2048, 2048, size=(500, 2)).astype(np.int16)
+    np.testing.assert_array_equal(
+        C.decode_wav_samples(C.encode_wav(st, sample_rate=4000)), st
+    )
 
 
 def test_parse_header_dispatches_real_formats():
