@@ -71,6 +71,8 @@ RERANK = 100
 # property, and one the reference's real review embeddings don't have
 GEN_CENTERS = 65_536
 BENCH_FILTERS = ("low_rated", "high_rated", "mid_rated")
+# saturated-replay window (sec); env-overridable so smoke runs stay short
+REPLAY_WINDOW_S = float(os.environ.get("SPARK_GRAFT_5M_REPLAY", "45"))
 
 
 def main() -> None:
@@ -228,6 +230,223 @@ def main() -> None:
         {"tier": plan.tier, "selectivity": round(plan.selectivity, 5),
          "routing_estimate_seconds": route_sec, "kernel": "arrow"},
     )
+    # the OTHER routing branch at anchor scale: high_rated keeps ~15.6%, so
+    # widening lands at ceil(32/0.156) ~ 206 < 512 buckets — the planner
+    # must STAY on the ann tier at the widened nprobe (both branches now
+    # carry 5M evidence; the tier label below is the planner's decision)
+    high_pred = FL.named_filter_predicate("high_rated")
+    t0 = time.time()
+    plan_h = plan_filtered_search(
+        loaded, q, k=K, nprobe=NPROBE, predicate=high_pred, arrow="blas"
+    )
+    route_sec_h = round(time.time() - t0, 3)
+    # at the anchor settings (512 centroids) ceil(32/0.156) ~ 206 < 512, so
+    # the ann branch MUST be taken; a smoke run with fewer centroids can
+    # legitimately saturate and route exact, so the assert binds only when
+    # widening has room
+    import math as _math
+
+    if plan_h.selectivity and _math.ceil(NPROBE / plan_h.selectivity) < loaded.n_centroids:
+        assert plan_h.tier == "ann", plan_h.tier
+    qps_row(
+        "planner", "high_rated",
+        lambda: plan_h.result,
+        truths_f["high_rated"],
+        {"tier": plan_h.tier, "selectivity": round(plan_h.selectivity, 5),
+         "nprobe_effective": plan_h.nprobe_effective,
+         "routing_estimate_seconds": route_sec_h, "kernel": "arrow-blas"},
+    )
+
+    # --- saturated-replay QPS (reference non_stop_search methodology,
+    # cuvs_bench_grid_search_v3.py:245-308): fixed window, 2 concurrent
+    # 10k-query batches in flight over the arrow-blas search. Comparability
+    # note: BASELINE.md's 35.6k/8.4k q/s rows are GPU-resident CAGRA
+    # batches under the same non-stop loop — the shared methodology is the
+    # window/concurrency shape, not the silicon. ---
+    from filtered_ads_vector_search_spark.streaming.replay import (
+        replay_throughput_concurrent,
+    )
+
+    rep = replay_throughput_concurrent(
+        spark,
+        lambda: loaded.search(q, k=K, nprobe=NPROBE, arrow_score="blas"),
+        run_time_s=REPLAY_WINDOW_S,
+        workers=2,
+        rows_per_batch=N_QUERIES,
+    )
+    timings["qps_replay_all_data_window"] = rep["wall_s"]
+    extras["qps_replay_all_data"] = rep
+    rep_low = replay_throughput_concurrent(
+        spark,
+        lambda: loaded.search(
+            q, k=K, nprobe=NPROBE,
+            predicate=FL.named_filter_predicate("low_rated"),
+            adaptive_nprobe=True, arrow_score="blas",
+        ),
+        run_time_s=REPLAY_WINDOW_S,
+        workers=2,
+        rows_per_batch=N_QUERIES,
+    )
+    timings["qps_replay_low_rated_window"] = rep_low["wall_s"]
+    extras["qps_replay_low_rated"] = rep_low
+
+    # =====================================================================
+    # Best-of-grid at the anchor shape (reference unified_grid_search /
+    # all_runs_summary-2.csv methodology, cuvs_bench_grid_search_v3.py:
+    # 506-743): per-combo recall + amortized QPS on the 1k-truth subsample,
+    # then the family-best configs benched on the FULL 10k batch. The r6
+    # artifact benched IVFPQ at ONE knob point (m=8, n_codes=32 -> recall
+    # 0.81 unfiltered); this sweep hunts the recall knee the way the
+    # reference does — across the codebook budget (n_codes 32 vs 256, m 8
+    # vs 16) and the search knobs (nprobe x rerank).
+    #
+    # mid_rated is excluded from the ANN grid on planner evidence: at 0.77%
+    # selectivity adaptive widening saturates every knob point and the
+    # exact tier IS the best config (recall 1.0, planner_10kq_mid_rated
+    # above) — grid time goes to the filters ANN actually serves.
+    # =====================================================================
+    GRID_FILTERS = (None, "low_rated", "high_rated")
+    grid_rows: list[dict] = []
+    t_grid0 = time.time()
+
+    def grid_row(run: str, fname: str | None, search_fn, truth_df, params: dict):
+        t0 = time.time()
+        found = search_fn().persist()
+        found.count()
+        dt = time.time() - t0
+        rec = float(recall_at_k(found, truth_df, k=K).first()["recall_at_k"])
+        found.unpersist()
+        grid_rows.append(
+            {
+                "run": run,
+                "filter_name": fname or "all_data",
+                "params": params,
+                "recall": rec,
+                "qps_1k": round(N_TRUTH_QUERIES / dt, 2),
+                "search_time_seconds": round(dt, 3),
+            }
+        )
+
+    # IVF family: the one 512c build, nprobe swept (recall saturates at 1.0
+    # quickly on this layout; the sweep records the QPS cost of each point)
+    for np_ in (8, 16, 32):
+        for fname in GRID_FILTERS:
+            pred = FL.named_filter_predicate(fname) if fname else None
+            grid_row(
+                "ivf",
+                fname,
+                lambda pred=pred, np_=np_: loaded.search(
+                    q_truth, k=K, nprobe=np_, predicate=pred,
+                    adaptive_nprobe=pred is not None, arrow_score="blas",
+                ),
+                truth if fname is None else truths_f[fname],
+                {
+                    "n_centroids": IVF_CENTROIDS, "nprobe": np_,
+                    "kernel": "arrow-blas",
+                    **({"adaptive": True} if fname else {}),
+                },
+            )
+
+    def ivfpq_family(idx, m: int, n_codes: int) -> None:
+        for np_ in (16, 32):
+            for rr in (100, 250):
+                for fname in GRID_FILTERS:
+                    pred = FL.named_filter_predicate(fname) if fname else None
+                    grid_row(
+                        "ivfpq",
+                        fname,
+                        lambda pred=pred, np_=np_, rr=rr: idx.search(
+                            q_truth, k=K, nprobe=np_, rerank=rr,
+                            predicate=pred,
+                            adaptive_nprobe=pred is not None, arrow_adc=True,
+                        ),
+                        truth if fname is None else truths_f[fname],
+                        {
+                            "n_centroids": IVF_CENTROIDS, "m": m,
+                            "n_codes": n_codes, "nprobe": np_, "rerank": rr,
+                            "kernel": "arrow",
+                            **({"adaptive": True} if fname else {}),
+                        },
+                    )
+
+    # the r6 knob point first (index already built above) ...
+    ivfpq_family(ivfpq, m=8, n_codes=32)
+    ivfpq.unpersist()
+    # ... then the full-codebook tier. m=16 x n_codes=256 was measured on
+    # the 1M corpus and REJECTED from this grid: 196.5 s build (3.1x the
+    # m=8 n_codes=256 build) and 2x the per-query LUT/ADC cost for recall
+    # already saturated at 1.0 by m=8 — at 5M it would add ~15 min for a
+    # strictly dominated Pareto point.
+    t0 = time.time()
+    best_pq = IVFPQIndex.build(
+        c, n_centroids=IVF_CENTROIDS, m=8, n_codes=256, seed=42
+    )
+    timings["ivfpq_build_512c_m8_nc256_5m"] = round(time.time() - t0, 3)
+    ivfpq_family(best_pq, m=8, n_codes=256)
+    extras["grid_seconds"] = round(time.time() - t_grid0, 3)
+    extras["grid_rows"] = grid_rows
+
+    # the codebook-budget winner (m=8, n_codes=256) benched at the FULL 10k
+    # batch — the claimed recall >= 0.90 QPS points. rerank stays 100 on
+    # filtered rows (widened probing x rerank bounds the merge input; see
+    # the RERANK note above).
+    qps_row(
+        "ivfpq_nc256", None,
+        lambda: best_pq.search(q, k=K, nprobe=NPROBE, rerank=RERANK, arrow_adc=True),
+        truth,
+        {"n_centroids": IVF_CENTROIDS, "m": 8, "n_codes": 256,
+         "nprobe": NPROBE, "rerank": RERANK, "kernel": "arrow"},
+    )
+    for fname in ("low_rated", "high_rated"):
+        pred = FL.named_filter_predicate(fname)
+        qps_row(
+            "ivfpq_nc256", fname,
+            lambda pred=pred: best_pq.search(
+                q, k=K, nprobe=NPROBE, rerank=RERANK, predicate=pred,
+                adaptive_nprobe=True, arrow_adc=True,
+            ),
+            truths_f[fname],
+            {"n_centroids": IVF_CENTROIDS, "m": 8, "n_codes": 256,
+             "nprobe": NPROBE, "rerank": RERANK, "adaptive": True,
+             "kernel": "arrow"},
+        )
+    best_pq.unpersist()
+
+    # best-per-(run, filter) summary CSV in the reference's
+    # all_runs_summary-2.csv schema, written next to the corpus
+    import csv
+
+    summary_path = f"{DATA}/all_runs_summary_5m.csv"
+    grid_minutes = round(extras["grid_seconds"] / 60.0, 3)
+    with open(summary_path, "w", newline="") as fh:
+        w = csv.writer(fh)
+        w.writerow(
+            [
+                "data_size", "run", "filter_name", "run_time_minutes",
+                "best_recall", "best_recall_params", "best_qps",
+                "best_qps_params", "parameters_tested", "output_file",
+            ]
+        )
+        for run_name in ("ivf", "ivfpq"):
+            for fname in GRID_FILTERS:
+                fn = fname or "all_data"
+                rws = [
+                    r for r in grid_rows
+                    if r["run"] == run_name and r["filter_name"] == fn
+                ]
+                if not rws:
+                    continue
+                best_rec = max(rws, key=lambda r: (r["recall"], r["qps_1k"]))
+                best_qps = max(rws, key=lambda r: (r["qps_1k"], r["recall"]))
+                w.writerow(
+                    [
+                        N_VECTORS, run_name, fn, grid_minutes,
+                        best_rec["recall"], str(best_rec["params"]),
+                        best_qps["qps_1k"], str(best_qps["params"]),
+                        len(rws), "SCALE_BENCH_5M.json",
+                    ]
+                )
+    extras["grid_summary_csv"] = summary_path
 
     extras["filtered_rows"] = rows
     # the reference anchor this artifact exists to face (BASELINE.md):
