@@ -2582,6 +2582,24 @@ def _knn_scalable_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "neighbor_id", F.col("rank").alias("rnk"))
 
 
+def _knn_sharded_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded search driver (search_sharded) forced PAST a deliberately
+    tiny query-collect cap: the query batch splits into hash shards, each
+    searched as its own Arrow-kernel job and unioned. Full-probe fixed IVF
+    makes the union equal the exact filtered kNN, so the WHOLE driver loop
+    — cap probe, deterministic shard split, per-shard kernel search, union
+    — is value-checked against the same SQL as the exact tier (reference
+    batch drivers: utils_grid_search.py:586-611)."""
+    from .operators.ann import IVFIndex, search_sharded
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    q, c = TK.split_queries(emb)
+    c = FL.with_rating_bucket(c).filter(FL.named_filter_predicate("high_rated"))
+    idx = IVFIndex.build_fixed(c, n_centroids=4)
+    out = search_sharded(idx, q, k=K, shard_queries=4, nprobe=4, arrow_score=True)
+    return out.select("query_id", "neighbor_id", F.col("rank").alias("rnk"))
+
+
 def _knn_fp16_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _tbl(spark, sf_dir, "embeddings").withColumn(
         "embedding", Q.float16_roundtrip_udf(F.col("embedding"))
@@ -4449,6 +4467,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q9": _tpch_q9_spark,
     "tpch_q11": _tpch_q11_spark,
     "knn_scalable_filtered": _knn_scalable_spark,
+    "knn_sharded": _knn_sharded_spark,
     "knn_blockwise": _knn_blockwise_spark,
     "embed_pipeline": _embed_pipeline_spark,
     "orders_pivot": _orders_pivot_spark,
@@ -4575,6 +4594,77 @@ assert len(_R6_PREFIX) == 50 and len(set(_R6_PREFIX)) == 50
 QUERIES = {
     **{k: QUERIES[k] for k in _R6_PREFIX},
     **{k: v for k, v in QUERIES.items() if k not in _R6_PREFIX},
+}
+
+# Round-7 rotation. Vintages after r6: 50 queries r6-green, 44 r5-green,
+# 43 r4-green (every query r4+; CORRECTNESS_r0{4,5,6}.json). Round 7 leads
+# with (a) queries NEW or code-touched this round — knn_sharded (new:
+# search_sharded driver loop + the Arrow kernel whose probe ranking gained
+# the distributed route), ann_ivf (converted from rows-only to the
+# recall-floor contract oracle), and the five multimodal queries behind the
+# BMP/WAV/JPEG codec changes (8-bit palette, stereo PCM, TEM markers) —
+# then (b) ALL 43 r4-vintage queries (ann_ivf is both), then (c) the
+# longest-stale r5 core-filter row as fill. After this round the oldest
+# vintage anywhere is r5.
+_R7_PREFIX: list[str] = [
+    # (a) new / code-touched in round 7
+    "knn_sharded",
+    "ann_ivf",
+    "multimodal_decode",
+    "multimodal_meta",
+    "multimodal_resize",
+    "multimodal_decode_jpeg",
+    "multimodal_decode_jpeg_prog",
+    # (b) the full r4-vintage set
+    "bm25_search",
+    "cms_heavy_hitters",
+    "collocations_pmi",
+    "curation_pipeline",
+    "decontaminate",
+    "dedup_canonical",
+    "dedup_chunk_pairs",
+    "dedup_components",
+    "dedup_components_star",
+    "dedup_minhash_lsh",
+    "dedup_pagerank",
+    "dedup_simhash_banded",
+    "distinct_tokens_hll",
+    "doc_chunks_cdc",
+    "doc_simhash",
+    "domain_mix_weights",
+    "dsir_resample",
+    "dsir_weights",
+    "embedding_dim_stats",
+    "event_funnel",
+    "event_window_quantiles",
+    "gopher_quality",
+    "grid_metrics_fixed",
+    "grid_search_ivfpq",
+    "hist_quantiles",
+    "hybrid_rrf",
+    "jl_norm_distortion",
+    "knn_exact",
+    "knn_ivfpq_fixed",
+    "knn_jl",
+    "lm_perplexity",
+    "pii_redact",
+    "pii_scan",
+    "repetition_stats",
+    "stratified_sample",
+    "stratified_topn",
+    "substr_dup_stats",
+    "text_stats",
+    "user_retention_cohorts",
+    "value_outliers",
+    "vocab_summary",
+    "vocab_top_terms",
+    # (c) longest-stale r5 fill
+    "knn_filtered_high",
+]
+assert len(_R7_PREFIX) == 50 and len(set(_R7_PREFIX)) == 50
+QUERIES = {
+    **{k: QUERIES[k] for k in _R7_PREFIX},
+    **{k: v for k, v in QUERIES.items() if k not in _R7_PREFIX},
 }
 
 ORACLES: dict[str, str] = {
@@ -4713,6 +4803,11 @@ ORACLES: dict[str, str] = {
     "knn_ivfpq_rerank": _knn_ivfpq_rerank_sql(),
     "grid_search_ivfpq": _grid_search_ivfpq_sql(),
     "knn_scalable_filtered": "SELECT query_id, neighbor_id, rnk FROM ("
+    + _knn_sql("sqeuclidean", filter_name="high_rated")
+    + ")",
+    # sharded driver at full probe == the exact filtered kNN (shards
+    # partition QUERIES, so the union is the complete per-query answer)
+    "knn_sharded": "SELECT query_id, neighbor_id, rnk FROM ("
     + _knn_sql("sqeuclidean", filter_name="high_rated")
     + ")",
     # tier planner: the exact route's oracle is the filtered exact kNN with
