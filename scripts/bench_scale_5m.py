@@ -413,10 +413,14 @@ def main() -> None:
     best_pq.unpersist()
 
     # best-per-(run, filter) summary CSV in the reference's
-    # all_runs_summary-2.csv schema, written next to the corpus
+    # all_runs_summary-2.csv schema — at the repo root next to
+    # SCALE_BENCH_5M.json (the data dir is gitignored; the summary is a
+    # committed artifact)
     import csv
 
-    summary_path = f"{DATA}/all_runs_summary_5m.csv"
+    summary_path = os.environ.get(
+        "SPARK_GRAFT_5M_SUMMARY", "/root/repo/all_runs_summary_5m.csv"
+    )
     grid_minutes = round(extras["grid_seconds"] / 60.0, 3)
     with open(summary_path, "w", newline="") as fh:
         w = csv.writer(fh)
