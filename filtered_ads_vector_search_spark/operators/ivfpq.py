@@ -88,6 +88,73 @@ def _adc_bucket_scorer(Q, qsel, b, codes, extra):
 
     return chunk
 
+
+# one live (query-LUT, codebook-norms) payload per Python worker — the
+# decomposed scorer's T3 is bucket-INDEPENDENT, so every probed bucket in a
+# search reuses it; bounded to a single entry so back-to-back searches can't
+# accumulate (each T3 is n_queries x m x n_codes doubles, ~164 MB at
+# 10k x 8 x 256)
+_DECOMP_CACHE: dict = {}
+
+
+def _adc_bucket_scorer_decomposed(Q, qsel, b, codes, extra):
+    """Residual ADC via the precomputed-term decomposition (the FAISS
+    IVFPQ 'precomputed tables' identity):
+
+        ||(q - c_b)_j - r||^2 = ||q - c_b||^2_j            (T1, per query x bucket)
+                              + (||r||^2 + 2 c_bj . r)      (T2, per bucket — query-free)
+                              - 2 q_j . r                   (T3, per query — bucket-free)
+
+    The fold scorer rebuilds a per-(query, bucket) LUT in an sd-deep loop —
+    at n_codes=256 that LUT build dominated filtered 5M searches (adaptive
+    widening probes ~200+ buckets, each paying qsel x m x n_codes x sd
+    mult-adds). Here T3 is computed ONCE per worker for the whole query
+    matrix (m small DGEMMs, cached across buckets), T2 is one m x n_codes
+    pass per bucket, and the per-bucket LUT is a single add — ~sd x fewer
+    LUT flops. DECLARED THROUGHPUT FORM, same contract class as IVF's
+    arrow_score='blas': same candidate sets and (score, id) ranks up to
+    last-ulp score ties; the bit-oracled fold form stays the default
+    (tests assert rank/set equality and score closeness)."""
+    cent, CB, residual = extra
+    m, nc, sd = CB.shape
+    key = (id(Q), id(CB))
+    cached = _DECOMP_CACHE.get(key)
+    if cached is None:
+        S = Q.reshape(Q.shape[0], m, sd)
+        T3 = np.empty((Q.shape[0], m, nc), dtype=np.float64)
+        for j in range(m):
+            T3[:, j, :] = S[:, j, :] @ (-2.0 * CB[j].T)
+        rnorm = np.einsum("jcs,jcs->jc", CB, CB)
+        _DECOMP_CACHE.clear()
+        _DECOMP_CACHE[key] = (T3, rnorm)
+        cached = (T3, rnorm)
+    T3, rnorm = cached
+    if residual:
+        cb_ = cent[b]
+        T2 = rnorm + 2.0 * np.einsum("js,jcs->jc", cb_.reshape(m, sd), CB)
+        qr = Q[qsel] - cb_[None, :]
+        T1 = np.einsum("qs,qs->q", qr, qr)
+    else:
+        T2 = rnorm
+        T1 = np.einsum("qs,qs->q", Q[qsel], Q[qsel])
+    # T2 is query-free, so it collapses to ONE scalar per candidate row —
+    # never a (qsel, m, nc) LUT materialization (measured 4x on the chunk
+    # stage: the per-chunk T3 slice below is ~0.5 MB and L2-resident,
+    # while a materialized per-bucket LUT is tens of MB re-read per chunk)
+    t2row = T2[0, codes[:, 0]].copy()
+    for j in range(1, m):
+        t2row += T2[j, codes[:, j]]
+
+    def chunk(c0, c1):
+        lc = T3[qsel[c0:c1]]
+        sc = lc[:, 0, codes[:, 0]]
+        for j in range(1, m):
+            sc = sc + lc[:, j, codes[:, j]]
+        return sc + (t2row[None, :] + T1[c0:c1, None])
+
+    return chunk
+
+
 __all__ = ["IVFPQIndex"]
 
 
@@ -401,7 +468,7 @@ class IVFPQIndex:
         rerank: int = 0,
         predicate: Column | None = None,
         adaptive_nprobe: bool = False,
-        arrow_adc: bool = False,
+        arrow_adc: bool | str = False,
     ) -> DataFrame:
         """Filtered approximate top-k over the composed index.
 
@@ -419,14 +486,20 @@ class IVFPQIndex:
         ``predicate`` (over coded-corpus columns) applies BEFORE candidate
         selection — filter-then-top-k, same contract as IVFIndex.search.
 
-        ``arrow_adc=True`` swaps step 3's per-candidate HOF fold for the
-        Arrow-batched numpy kernel (``_adc_candidates_arrow``) — same
-        results (bit-identical fold order, same (dist, id) tie-break),
-        ~5-10x the throughput on large query batches, because HOF
-        expressions run interpreted (~1us/candidate x m) while the kernel
-        scores a whole bucket x query-chunk block per numpy op. The
-        expression path stays the default: it is the DuckDB-oracle tier
-        and has no driver-side query collect."""
+        ``arrow_adc=True`` (or ``'fold'``) swaps step 3's per-candidate HOF
+        fold for the Arrow-batched numpy kernel (``_adc_candidates_arrow``)
+        — same results (bit-identical fold order, same (dist, id)
+        tie-break), ~5-10x the throughput on large query batches, because
+        HOF expressions run interpreted (~1us/candidate x m) while the
+        kernel scores a whole bucket x query-chunk block per numpy op.
+        ``arrow_adc='decomposed'`` further swaps the per-(query, bucket)
+        LUT build for the precomputed-term decomposition — the query LUT is
+        bucket-independent and cached across every probed bucket — the
+        fastest form under wide adaptive probing at large n_codes (same
+        candidate sets/ranks up to last-ulp score ties; see
+        `_adc_bucket_scorer_decomposed`). The expression path stays the
+        default: it is the DuckDB-oracle tier and has no driver-side query
+        collect."""
         if rerank and not self.has_vectors:
             raise ValueError(
                 "rerank requires keep_vectors=True at build time (the coded "
@@ -459,12 +532,20 @@ class IVFPQIndex:
             corpus = corpus.filter(predicate)
 
         if arrow_adc:
+            if arrow_adc not in (True, "fold", "decomposed"):
+                raise ValueError(
+                    f"arrow_adc must be False, True/'fold', or 'decomposed'; "
+                    f"got {arrow_adc!r}"
+                )
             # probe ranking rides INSIDE the kernel (driver-side numpy over
             # the collected query matrix) — same fold + tie-break as the
             # knn_window job below, at none of its interpreted-HOF cost on
             # large query batches
             top = max(rerank, k) if rerank else k
-            cand = self._adc_candidates_arrow(queries, nprobe, corpus, top)
+            cand = self._adc_candidates_arrow(
+                queries, nprobe, corpus, top,
+                decomposed=(arrow_adc == "decomposed"),
+            )
             return self._finish_from_candidates(
                 cand, queries, corpus, k, rerank, joined_vectors=False
             )
@@ -549,6 +630,7 @@ class IVFPQIndex:
         nprobe: int,
         corpus: DataFrame,
         top: int,
+        decomposed: bool = False,
     ) -> DataFrame:
         """Arrow-batched ADC scoring — the large-query-batch throughput form.
 
@@ -594,7 +676,9 @@ class IVFPQIndex:
             top=top,
             out_col="adc_dist",
             extra=(cent, CB, self.residual),
-            bucket_scorer=_adc_bucket_scorer,
+            bucket_scorer=(
+                _adc_bucket_scorer_decomposed if decomposed else _adc_bucket_scorer
+            ),
             kernel_name="arrow_adc",
             probe_spec=(cent, nprobe, self.centroids),
         )

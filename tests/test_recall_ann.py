@@ -377,6 +377,55 @@ def test_search_sharded_matches_single_shot(spark):
     pq.unpersist()
 
 
+def test_ivfpq_decomposed_adc_matches_fold(spark):
+    """arrow_adc='decomposed' (the precomputed-term LUT decomposition) must
+    return the SAME candidate sets and ranks as the bit-oracled fold form,
+    with ADC scores equal to last-ulps — the IVF blas-mode contract class.
+    Holds with and without rerank, filtered and unfiltered, on both build
+    flavors (residual and absolute codes both exercise the identity)."""
+    import math
+
+    from filtered_ads_vector_search_spark.operators.ivfpq import IVFPQIndex
+
+    q, c = _split(spark)
+    for build in (
+        lambda: IVFPQIndex.build_fixed(c, n_centroids=8, m=4, n_codes=16),
+        lambda: IVFPQIndex.build(c, n_centroids=8, m=4, n_codes=16, seed=42),
+        lambda: IVFPQIndex.build_fixed(
+            c, n_centroids=8, m=4, n_codes=16, residual=False
+        ),
+    ):
+        pq = build()
+        for kwargs in (
+            dict(k=K, nprobe=4),
+            dict(k=K, nprobe=4, rerank=20),
+            dict(k=K, nprobe=8, rerank=20,
+                 predicate=F.col("vec_id") % 3 != 0),
+        ):
+            want = {
+                (r.query_id, r.neighbor_id): (r.rank, r.dist)
+                for r in pq.search(q, arrow_adc=True, **kwargs).collect()
+            }
+            got = {
+                (r.query_id, r.neighbor_id): (r.rank, r.dist)
+                for r in pq.search(q, arrow_adc="decomposed", **kwargs).collect()
+            }
+            assert want.keys() == got.keys(), kwargs
+            for key, (rank_w, dist_w) in want.items():
+                rank_g, dist_g = got[key]
+                assert rank_w == rank_g, (kwargs, key)
+                assert math.isclose(dist_w, dist_g, rel_tol=1e-9, abs_tol=1e-9), (
+                    kwargs, key,
+                )
+        pq.unpersist()
+    bad = IVFPQIndex.build_fixed(c, n_centroids=4, m=4, n_codes=16)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        bad.search(q, k=K, nprobe=2, arrow_adc="nope")
+    bad.unpersist()
+
+
 def test_probe_ranking_routes_to_distributed_job(spark, monkeypatch):
     """Above the centroid (or Q x C byte) threshold the Arrow kernels rank
     probes with the distributed knn_window job instead of the driver numpy
