@@ -389,13 +389,19 @@ def main() -> None:
     # the codebook-budget winner (m=8, n_codes=256) benched at the FULL 10k
     # batch — the claimed recall >= 0.90 QPS points. rerank stays 100 on
     # filtered rows (widened probing x rerank bounds the merge input; see
-    # the RERANK note above).
+    # the RERANK note above). These headline rows run the DECOMPOSED ADC
+    # scorer (the declared throughput form — bucket-independent query LUT,
+    # blas-mode contract class; 1.7x the fold on wide filtered probing);
+    # the grid above stays on the bit-oracled fold, and one fold control
+    # row records the delta inside the artifact itself.
     qps_row(
         "ivfpq_nc256", None,
-        lambda: best_pq.search(q, k=K, nprobe=NPROBE, rerank=RERANK, arrow_adc=True),
+        lambda: best_pq.search(
+            q, k=K, nprobe=NPROBE, rerank=RERANK, arrow_adc="decomposed"
+        ),
         truth,
         {"n_centroids": IVF_CENTROIDS, "m": 8, "n_codes": 256,
-         "nprobe": NPROBE, "rerank": RERANK, "kernel": "arrow"},
+         "nprobe": NPROBE, "rerank": RERANK, "kernel": "arrow-decomposed"},
     )
     for fname in ("low_rated", "high_rated"):
         pred = FL.named_filter_predicate(fname)
@@ -403,13 +409,25 @@ def main() -> None:
             "ivfpq_nc256", fname,
             lambda pred=pred: best_pq.search(
                 q, k=K, nprobe=NPROBE, rerank=RERANK, predicate=pred,
-                adaptive_nprobe=True, arrow_adc=True,
+                adaptive_nprobe=True, arrow_adc="decomposed",
             ),
             truths_f[fname],
             {"n_centroids": IVF_CENTROIDS, "m": 8, "n_codes": 256,
              "nprobe": NPROBE, "rerank": RERANK, "adaptive": True,
-             "kernel": "arrow"},
+             "kernel": "arrow-decomposed"},
         )
+    qps_row(
+        "ivfpq_nc256_fold", "high_rated",
+        lambda: best_pq.search(
+            q, k=K, nprobe=NPROBE, rerank=RERANK,
+            predicate=FL.named_filter_predicate("high_rated"),
+            adaptive_nprobe=True, arrow_adc=True,
+        ),
+        truths_f["high_rated"],
+        {"n_centroids": IVF_CENTROIDS, "m": 8, "n_codes": 256,
+         "nprobe": NPROBE, "rerank": RERANK, "adaptive": True,
+         "kernel": "arrow-fold-control"},
+    )
     best_pq.unpersist()
 
     # best-per-(run, filter) summary CSV in the reference's
