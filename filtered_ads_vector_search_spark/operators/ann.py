@@ -311,10 +311,15 @@ def _sqeuclidean_blas_scorer(Q, qsel, _b, V, _extra):
     ~d times faster than the element fold at 64 dims. The summation order
     differs from the fold, so doubles agree only to last-ulps — this is the
     THROUGHPUT form (`arrow_score="blas"`), not the bit-identity form. The
-    top-k SET and ranks still match the expression path unless two DISTINCT
-    vectors land within ~1e-12 relative of a tie; planted exact duplicates
-    tie-break identically by id because identical rows produce identical
-    doubles within one form. The oracle gate compares at 6-decimal rounding,
+    top-k SET and ranks still match the expression path unless two rows
+    land within ~1e-12 relative of a tie — including EXACT-duplicate rows:
+    DGEMM's internal blocking can give identical input columns doubles one
+    ulp apart across a block boundary (observed with n=109 duplicates:
+    two distinct values on the plateau), so which duplicate id represents
+    a plateau in the top-k set may differ from the fold's lowest-id pick;
+    the selected distance MULTISET is unchanged (the rows are the same
+    vector), which is what the fuzz contract asserts. The oracle gate
+    compares at 6-decimal rounding,
     which both expansions satisfy (knn_scalable has shipped on this one
     against the DuckDB fold oracle for three driver rounds). Unlike the
     fold (elementwise, batch-shape-invariant), DGEMM tiling varies with the

@@ -1978,6 +1978,33 @@ def _knn_ivfpq_rerank_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _knn_ivfpq_decomposed_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decomposed-ADC throughput kernel (arrow_adc='decomposed' —
+    bucket-independent precomputed query LUT, operators/ivfpq.py
+    `_adc_bucket_scorer_decomposed`) on the SAME fixed build and knobs as
+    knn_ivfpq_rerank: the exact rerank re-scores the shortlist, so the
+    output is value-checkable against the identical SQL — the oracle pins
+    that the decomposition changes scoring algebra at the ulp level only,
+    never the returned (ids, ranks, distances)."""
+    from .operators.ivfpq import IVFPQIndex
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    q, c = TK.split_queries(emb)
+    idx = IVFPQIndex.build_fixed(
+        c, n_centroids=IVF_FIXED_CENTROIDS, m=_PQ_M, n_codes=_PQ_CODES
+    )
+    out = idx.search(
+        q, k=K, nprobe=_IVFPQ_NPROBE, rerank=_IVFPQ_RERANK,
+        arrow_adc="decomposed",
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").alias("rnk"),
+        F.round("dist", 3).alias("dist"),
+    )
+
+
 def _ivfpq_base_sql() -> str:
     """Shared CTE prefix for the IVFPQ twins: query split, fixed-centroid
     pick + assignment (same arithmetic as grid_metrics_fixed), RESIDUAL PQ
@@ -4381,6 +4408,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "grid_metrics_fixed": _grid_metrics_fixed_spark,
     "knn_ivfpq_fixed": _knn_ivfpq_fixed_spark,
     "knn_ivfpq_rerank": _knn_ivfpq_rerank_spark,
+    "knn_ivfpq_decomposed": _knn_ivfpq_decomposed_spark,
     "grid_search_ivfpq": _grid_search_ivfpq_spark,
     "ann_ivf": _ann_ivf_spark,
     # --- NEW round-4 queries — need first-ever green rows ---
@@ -4603,9 +4631,8 @@ QUERIES = {
 # the distributed route), ann_ivf (converted from rows-only to the
 # recall-floor contract oracle), and the five multimodal queries behind the
 # BMP/WAV/JPEG codec changes (8-bit palette, stereo PCM, TEM markers) —
-# then (b) ALL 43 r4-vintage queries (ann_ivf is both), then (c) the
-# longest-stale r5 core-filter row as fill. After this round the oldest
-# vintage anywhere is r5.
+# then (b) ALL 43 r4-vintage queries (ann_ivf is both). After this
+# round the oldest vintage anywhere is r5.
 _R7_PREFIX: list[str] = [
     # (a) new / code-touched in round 7
     "knn_sharded",
@@ -4615,6 +4642,7 @@ _R7_PREFIX: list[str] = [
     "multimodal_resize",
     "multimodal_decode_jpeg",
     "multimodal_decode_jpeg_prog",
+    "knn_ivfpq_decomposed",
     # (b) the full r4-vintage set
     "bm25_search",
     "cms_heavy_hitters",
@@ -4658,8 +4686,6 @@ _R7_PREFIX: list[str] = [
     "value_outliers",
     "vocab_summary",
     "vocab_top_terms",
-    # (c) longest-stale r5 fill
-    "knn_filtered_high",
 ]
 assert len(_R7_PREFIX) == 50 and len(set(_R7_PREFIX)) == 50
 QUERIES = {
@@ -4801,6 +4827,8 @@ ORACLES: dict[str, str] = {
     "grid_search_ivf": _grid_search_ivf_sql(),
     "knn_ivfpq_fixed": _knn_ivfpq_fixed_sql(),
     "knn_ivfpq_rerank": _knn_ivfpq_rerank_sql(),
+    # decomposed ADC kernel, same fixed build + knobs + exact rerank -> same SQL
+    "knn_ivfpq_decomposed": _knn_ivfpq_rerank_sql(),
     "grid_search_ivfpq": _grid_search_ivfpq_sql(),
     "knn_scalable_filtered": "SELECT query_id, neighbor_id, rnk FROM ("
     + _knn_sql("sqeuclidean", filter_name="high_rated")

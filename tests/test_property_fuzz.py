@@ -223,11 +223,14 @@ def test_line_dedup_sql_twin_matches_python_reference(docs):
     dup_every=st.integers(0, 3),
 )
 def test_blas_scorer_topk_set_matches_fold_fuzz(seed, n, q, d, top, dup_every):
-    """The DGEMM bucket scorer must select the same top-k SET (and agree on
-    distances to numerical noise) as the element-ascending fold scorer for
-    any bucket — including planted exact-duplicate rows, where identical
-    inputs give identical doubles within each form and the lowest-id tie
-    fill must pick the same columns."""
+    """The DGEMM bucket scorer must select a top-k set whose DISTANCE
+    MULTISET matches the element-ascending fold scorer's for any bucket.
+    Column identity is NOT asserted on exact-duplicate plateaus: DGEMM's
+    internal blocking can give identical input columns doubles one ulp
+    apart across a block boundary (hypothesis found n=109, dup_every=1,
+    where the plateau carries two distinct doubles and blas represents it
+    with a different — identical-vector — row id than the fold's lowest-id
+    pick). Away from plateaus the column sets must agree exactly."""
     from filtered_ads_vector_search_spark.operators.ann import (
         _sqeuclidean_blas_scorer,
         _sqeuclidean_bucket_scorer,
@@ -246,8 +249,18 @@ def test_blas_scorer_topk_set_matches_fold_fuzz(seed, n, q, d, top, dup_every):
     assert np.allclose(sc_fold, sc_blas, rtol=1e-9, atol=1e-9)
     m_fold = _topk_set_mask(sc_fold, t)
     m_blas = _topk_set_mask(sc_blas, t)
-    # identical score plateaus (planted duplicates) tie-break by column in
-    # both forms; away from plateaus, 1e-9-agreeing doubles pick the same
-    # set unless two DISTINCT rows tie to <1e-9 — measure-zero for
-    # continuous draws, and the window merge re-ranks globally anyway
-    assert (m_fold == m_blas).all()
+    assert m_fold.sum(axis=1).tolist() == m_blas.sum(axis=1).tolist()
+    for qi in range(q):
+        # same selected-distance multiset (the semantic contract)
+        assert np.allclose(
+            np.sort(sc_fold[qi][m_fold[qi]]),
+            np.sort(sc_blas[qi][m_blas[qi]]),
+            rtol=1e-9, atol=1e-9,
+        ), qi
+        # any column-identity difference must be between rows that are the
+        # same VECTOR (a duplicate plateau) — never two distinct rows
+        diff = np.nonzero(m_fold[qi] != m_blas[qi])[0]
+        for col in diff:
+            twins = np.nonzero((V == V[col]).all(axis=1))[0]
+            assert len(twins) > 1, (qi, col)  # col sits on a plateau
+            assert any(m_fold[qi][c] or m_blas[qi][c] for c in twins if c != col)
