@@ -127,8 +127,13 @@ def main() -> None:
     # (knn_hamming_packed / recall_sq8_vs_fp were trimmed when the round-4
     # text/dedup/sketch surface below was added — they time the same
     # quantized-scan + audited-knn subplans knn_sq8 already covers)
+    # (knn_sharded is NOT benched here: its registry form pins a tiny
+    # shard cap for the oracle — ~50 sequential shard jobs at sf0.1 would
+    # time the cap, not the driver; the honest sharded measurement is
+    # SCALE_BENCH's 150k-query row)
     for name in (
         "knn_ivfpq_rerank",
+        "knn_ivfpq_decomposed",
         "knn_sq8",
         "dedup_exact",
         "dedup_minhash_lsh",
