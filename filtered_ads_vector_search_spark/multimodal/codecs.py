@@ -94,7 +94,8 @@ def encode_bmp(pixels: np.ndarray) -> bytes:
     """(height, width, 3) uint8 RGB -> BI_RGB 24-bit BMP bytes (rows stored
     bottom-up, channels as BGR, rows padded to 4 bytes, per the format)."""
     h, w, c = pixels.shape
-    assert c == 3
+    if c != 3:
+        raise ValueError(f"expected (h, w, 3) RGB pixels, got {pixels.shape}")
     row = _row_size(w)
     size = _BMP_HEADER_SIZE + row * h
     out = bytearray()
@@ -113,8 +114,15 @@ def encode_bmp_8bit(indices: np.ndarray, palette: np.ndarray) -> bytes:
     index rows padded to 4 bytes — the classic paletted layout)."""
     h, w = indices.shape
     n_pal = palette.shape[0]
-    assert palette.shape == (n_pal, 3) and n_pal <= 256
-    assert int(indices.max(initial=0)) < n_pal
+    # explicit raises, not asserts: under `python -O` a stripped assert
+    # would emit a corrupt BMP (indices past biClrUsed) that fails later
+    if palette.ndim != 2 or palette.shape[1] != 3 or n_pal > 256:
+        raise ValueError(f"palette must be (n<=256, 3) uint8 RGB, got {palette.shape}")
+    if int(indices.max(initial=0)) >= n_pal:
+        raise ValueError(
+            f"palette index {int(indices.max(initial=0))} out of range for "
+            f"{n_pal}-entry palette"
+        )
     row = ((w + 3) // 4) * 4
     pal_bytes = np.zeros((n_pal, 4), dtype=np.uint8)
     pal_bytes[:, :3] = palette[:, ::-1]  # RGB -> BGRx

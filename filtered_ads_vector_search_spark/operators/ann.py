@@ -50,7 +50,8 @@ _SCORE_MAX_QUERIES = 100_000
 # driver). Both paths are the same fold + (dist, centroid_id) tie-break,
 # so probe SETS are identical either way (asserted in test_recall_ann).
 _PROBE_DISTRIBUTED_CENTROIDS = 10_000
-_PROBE_MATRIX_BYTES = 2 << 30  # total Q x C x 8 budget for the driver route
+_PROBE_CHUNK_QUERIES = 4096  # _probe_lists_numpy chunk height
+_PROBE_MATRIX_BYTES = 2 << 30  # peak chunk x C x 8 budget for the driver route
 
 
 def _probe_lists_numpy(
@@ -69,8 +70,8 @@ def _probe_lists_numpy(
     n_cent = cent.shape[0]
     t = min(nprobe, n_cent)
     bucket_queries: dict[int, list[int]] = {}
-    for c0 in range(0, len(Q), 4096):
-        Qc = Q[c0 : c0 + 4096]
+    for c0 in range(0, len(Q), _PROBE_CHUNK_QUERIES):
+        Qc = Q[c0 : c0 + _PROBE_CHUNK_QUERIES]
         D = np.zeros((len(Qc), n_cent), dtype=np.float64)
         for el in range(Qc.shape[1]):  # ascending-element left fold
             d = Qc[:, el, None] - cent[None, :, el]
@@ -171,7 +172,7 @@ def _arrow_bucket_topk(
     n_cent = cent_mat.shape[0]
     if (
         n_cent > _PROBE_DISTRIBUTED_CENTROIDS
-        or len(Q) * n_cent * 8 > _PROBE_MATRIX_BYTES
+        or min(len(Q), _PROBE_CHUNK_QUERIES) * n_cent * 8 > _PROBE_MATRIX_BYTES
     ):
         bucket_queries = _probe_lists_job(queries, cent_df, min(nprobe_, n_cent), qpos)
     else:

@@ -117,18 +117,23 @@ def _adc_bucket_scorer_decomposed(Q, qsel, b, codes, extra):
     (tests assert rank/set equality and score closeness)."""
     cent, CB, residual = extra
     m, nc, sd = CB.shape
-    key = (id(Q), id(CB))
-    cached = _DECOMP_CACHE.get(key)
-    if cached is None:
+    # the cache entry holds STRONG references to Q and CB and validates
+    # identity on hit: keying on bare (id(Q), id(CB)) was unsound — CPython
+    # recycles addresses after GC, so a later search's fresh arrays could
+    # alias a dead entry's key and silently score against a stale T3.
+    # Holding the refs pins the ids for the entry's lifetime, making the
+    # `is` check sufficient (same objects -> same T3 by construction).
+    cached = _DECOMP_CACHE.get("entry")
+    if cached is not None and (cached[0] is Q and cached[1] is CB):
+        T3, rnorm = cached[2], cached[3]
+    else:
         S = Q.reshape(Q.shape[0], m, sd)
         T3 = np.empty((Q.shape[0], m, nc), dtype=np.float64)
         for j in range(m):
             T3[:, j, :] = S[:, j, :] @ (-2.0 * CB[j].T)
         rnorm = np.einsum("jcs,jcs->jc", CB, CB)
         _DECOMP_CACHE.clear()
-        _DECOMP_CACHE[key] = (T3, rnorm)
-        cached = (T3, rnorm)
-    T3, rnorm = cached
+        _DECOMP_CACHE["entry"] = (Q, CB, T3, rnorm)
     if residual:
         cb_ = cent[b]
         T2 = rnorm + 2.0 * np.einsum("js,jcs->jc", cb_.reshape(m, sd), CB)
@@ -183,6 +188,7 @@ class IVFPQIndex:
         t0: float,
         id_col: str,
         vec_col: str,
+        encode_mode: str = "fold",
     ) -> "IVFPQIndex":
         # Fused Arrow-batched exact encode (pq_encode_with_codes_arrow):
         # bit-identical to the expression/oracle fold, ~100x the
@@ -207,6 +213,7 @@ class IVFPQIndex:
                 vec_col,
                 centers=centers,
                 drop_vec=not keep_vectors,
+                encode_mode=encode_mode,
             )
             .repartition(F.col("partition_id"))
             .sortWithinPartitions("partition_id")
@@ -240,12 +247,14 @@ class IVFPQIndex:
         residual: bool = True,
         id_col: str = "vec_id",
         vec_col: str = "embedding",
+        encode_mode: str = "fold",
     ) -> "IVFPQIndex":
         """Deterministic composed index: hash-picked coarse centroids
         (IVFIndex.build_fixed) + arithmetic codebooks (pq.fixed_codebooks).
         Every stage — centroid pick, bucket assignment, residual code
         assignment, probe ranking, ADC scoring, rerank — is reproducible in
-        SQL."""
+        SQL. ``encode_mode='blas'`` swaps the code-assignment kernel for the
+        declared-throughput DGEMM form (see pq_encode_with_codes_arrow)."""
         t0 = time.time()
         ivf = IVFIndex.build_fixed(
             corpus, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col,
@@ -253,7 +262,7 @@ class IVFPQIndex:
         )
         books = fixed_codebooks(dim=dim, m=m, n_codes=n_codes)
         return IVFPQIndex._from_ivf(
-            ivf, books, keep_vectors, residual, t0, id_col, vec_col
+            ivf, books, keep_vectors, residual, t0, id_col, vec_col, encode_mode
         )
 
     @staticmethod
@@ -267,11 +276,16 @@ class IVFPQIndex:
         residual: bool = True,
         id_col: str = "vec_id",
         vec_col: str = "embedding",
+        encode_mode: str = "fold",
     ) -> "IVFPQIndex":
         """Quality tier: trained KMeans coarse quantizer + per-subspace
         Lloyd's codebooks. With ``residual=True`` the codebooks are fitted on
         a (bounded, deterministic) sample of RESIDUALS — the distribution the
-        codes will actually quantize."""
+        codes will actually quantize. ``encode_mode='blas'`` swaps the
+        code-assignment kernel for the declared-throughput DGEMM form (see
+        pq_encode_with_codes_arrow) — reconstruction-distance-equal codes,
+        ~sd x fewer argmin flops at wide codebooks (the n_codes=256 5M build
+        bottleneck)."""
         # materialize=True here (unlike build_fixed): the persisted assignment
         # feeds BOTH the residual-sample training scan and the coded
         # materialization — caching one assign pass beats recomputing it twice
@@ -297,7 +311,7 @@ class IVFPQIndex:
         else:
             books = pq_train(corpus, vec_col=vec_col, m=m, n_codes=n_codes, seed=seed)
         return IVFPQIndex._from_ivf(
-            ivf, books, keep_vectors, residual, t0, id_col, vec_col
+            ivf, books, keep_vectors, residual, t0, id_col, vec_col, encode_mode
         )
 
     def write_bucketed(self, path: str) -> None:

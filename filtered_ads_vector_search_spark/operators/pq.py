@@ -258,6 +258,7 @@ def pq_encode_with_codes_arrow(
     vec_col: str,
     centers: np.ndarray | None = None,
     drop_vec: bool = False,
+    encode_mode: str = "fold",
 ):
     """``df`` + a ``codes array<int>`` column in ONE mapInArrow pass — the
     corpus-materialization scale path. Same bit-identical per-subspace fold
@@ -276,13 +277,35 @@ def pq_encode_with_codes_arrow(
       Series of Python lists.
 
     ``drop_vec=True`` omits the vector column from the output (codes-only
-    artifact). All other columns pass through untouched."""
+    artifact). All other columns pass through untouched.
+
+    ``encode_mode`` picks the per-subspace argmin kernel:
+
+    * ``"fold"`` (default, the oracle tier) — the bit-exact elementwise
+      left fold above: an sd-deep loop accumulating ``(x-c)^2`` per code,
+      the same IEEE doubles as the SQL/DuckDB twins. At n_codes=256 this
+      256-way elementwise argmin dominated the 5M build (141 s vs the
+      reference's worst 59 s build).
+    * ``"blas"`` — DECLARED THROUGHPUT FORM, the encode-side twin of the
+      search kernels' ``arrow_score='blas'`` / ``arrow_adc='decomposed'``
+      contract class: per subspace, ``argmin_c(||c||^2 - 2 r.c)`` as ONE
+      DGEMM over the batch (the additive ``||r||^2`` term is code-free so
+      it never changes the argmin). Distances differ from the fold at
+      last-ulp, so a tie at the fold's minimum may pick a different (but
+      reconstruction-distance-EQUAL) code — tests assert per-(row,
+      subspace) reconstruction-distance equality, the scorer discipline.
+      ``np.argmin`` keeps the fold's first-minimum tie-break."""
     from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
 
     from .topk import _arrow_vectors
 
+    if encode_mode not in ("fold", "blas"):
+        raise ValueError(f"encode_mode must be 'fold' or 'blas', got {encode_mode!r}")
     CB = np.ascontiguousarray(codebooks, dtype=np.float64)  # (m, n_codes, sd)
     m, n_codes, sd = CB.shape
+    # (m, n_codes) per-code squared norms for the blas form; tiny, computed
+    # once on the driver and shipped in the closure
+    CNORM = np.einsum("jcs,jcs->jc", CB, CB) if encode_mode == "blas" else None
     CT = np.ascontiguousarray(centers, dtype=np.float64) if centers is not None else None
 
     keep = [f for f in df.schema.fields if not (drop_vec and f.name == vec_col)]
@@ -307,13 +330,23 @@ def pq_encode_with_codes_arrow(
                 V = V - CT[pid]
             n = V.shape[0]
             S = V.reshape(n, m, sd)
-            # sequential accumulation over the subspace-element axis: the
-            # same left-to-right fold as pq_encode_udf / the SQL twin
-            dist = np.zeros((n, m, n_codes), dtype=np.float64)
-            for i in range(sd):
-                d = S[:, :, None, i] - CB[None, :, :, i]
-                dist += d * d
-            codes = np.argmin(dist, axis=-1).astype(np.int32)  # first minimum
+            if CNORM is not None:
+                # blas form: one (n x sd)@(sd x n_codes) DGEMM per subspace;
+                # peak temporary is one (n, n_codes) float64 slab (~20 MB at
+                # the 10k Arrow batch ceiling x 256 codes), not the fold's
+                # (n, m, n_codes) cube
+                codes = np.empty((n, m), dtype=np.int32)
+                for j in range(m):
+                    G = S[:, j, :] @ CB[j].T
+                    codes[:, j] = np.argmin(CNORM[j][None, :] - 2.0 * G, axis=1)
+            else:
+                # sequential accumulation over the subspace-element axis: the
+                # same left-to-right fold as pq_encode_udf / the SQL twin
+                dist = np.zeros((n, m, n_codes), dtype=np.float64)
+                for i in range(sd):
+                    d = S[:, :, None, i] - CB[None, :, :, i]
+                    dist += d * d
+                codes = np.argmin(dist, axis=-1).astype(np.int32)  # first minimum
             arr = pa.ListArray.from_arrays(
                 pa.array(np.arange(0, (n + 1) * m, m, dtype=np.int32)),
                 pa.array(codes.ravel()),

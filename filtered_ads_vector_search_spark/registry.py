@@ -1935,6 +1935,54 @@ def _pq_codes_sql() -> str:
     return f"SELECT vec_id, {cols} FROM embeddings"
 
 
+def _pq_codes_blas_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The declared-throughput PQ encode (encode_mode='blas': one DGEMM per
+    subspace computing argmin(||c||^2 - 2 r.c), operators/pq.py) under its
+    CONTRACT oracle: the chosen codes' RECONSTRUCTION DISTANCE must equal
+    the bit-exact fold encoder's per row — DGEMM distances sit last-ulps
+    off the fold's, so a tie at the minimum may pick a different (but
+    reconstruction-distance-equal) code, which is why the oracle compares
+    distances, not code values (the same contract class as ann_ivf's
+    recall floor and the blas/decomposed search scorers). Spark emits each
+    row's blas-code reconstruction distance via the exact element-ascending
+    fold; DuckDB computes the fold encoder's codes and THEIR reconstruction
+    distance — equal iff blas always lands on an argmin."""
+    from .operators import pq as PQ
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    books = _pq_books()
+    coded = PQ.pq_encode_with_codes_arrow(emb, books, "embedding", encode_mode="blas")
+    # per-subspace element-ascending folds summed left-to-right across
+    # subspaces — the SAME association as the DuckDB twin's
+    # pq_adc_dist_sql chain, so equal codes give identical doubles
+    m, n_codes, sd = len(books), len(books[0]), len(books[0][0])
+    cb = PQ._cb_spark_literal(books)
+    subs = [
+        f"(aggregate(zip_with(slice(cast(embedding as array<double>), "
+        f"{j * sd + 1}, {sd}), {cb}[{j}][codes[{j}]], "
+        "(x, y) -> (x - y) * (x - y)), 0.0D, (acc, z) -> acc + z))"
+        for j in range(m)
+    ]
+    return coded.select(
+        "vec_id", F.round(F.expr(" + ".join(subs)), 3).alias("recon_dist")
+    )
+
+
+def _pq_codes_blas_sql() -> str:
+    from .operators import pq as PQ
+
+    books = _pq_books()
+    return f"""
+WITH c AS (
+  SELECT vec_id, embedding, {PQ.pq_encode_sql('embedding', books)} AS codes
+  FROM embeddings
+)
+SELECT vec_id,
+       round({PQ.pq_adc_dist_sql('embedding', 'codes', books)}, 3) AS recon_dist
+FROM c
+"""
+
+
 _IVFPQ_NPROBE, _IVFPQ_RERANK = 4, 30
 
 
@@ -4489,6 +4537,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_fp16": _knn_fp16_spark,
     "knn_pq_adc": _knn_pq_adc_spark,
     "pq_codes": _pq_codes_spark,
+    "pq_codes_blas": _pq_codes_blas_spark,
     "ann_lsh": _ann_lsh_spark,
     "tpch_q12": _tpch_q12_spark,
     "tpch_q21": _tpch_q21_spark,
@@ -4693,6 +4742,79 @@ QUERIES = {
     **{k: v for k, v in QUERIES.items() if k not in _R7_PREFIX},
 }
 
+# Round-8 rotation. Vintages after r7: 50 r7-green, 48 r6-green, 41
+# r5-green (CORRECTNESS_r0{5,6,7}.json) — the r5 cohort is the oldest
+# evidence left. Round 8 leads with (a) queries NEW or code-touched this
+# round — pq_codes_blas (new: the declared-throughput DGEMM encode's
+# reconstruction-distance contract oracle), knn_ivfpq_decomposed (the
+# _DECOMP_CACHE identity-validated keying fix), ann_ivf + knn_sharded (the
+# probe-budget chunk-size fix in ann.py), the three BMP/WAV multimodal
+# queries (codecs.py assert->raise hardening), and knn_ivfpq_fixed /
+# knn_ivfpq_rerank (the encode_mode plumbing through ivfpq builds) — then
+# (b) ALL 41 r5-vintage queries. 9 + 41 = 50; after this round no query's
+# latest driver-green is older than r6. (grid_search_ivfpq and the two
+# knn_filtered_auto_* queries were also behind touched files but are
+# r7-green and yield their slots to the older cohort.)
+_R8_PREFIX: list[str] = [
+    # (a) new / code-touched in round 8
+    "pq_codes_blas",
+    "knn_ivfpq_decomposed",
+    "ann_ivf",
+    "knn_sharded",
+    "multimodal_decode",
+    "multimodal_meta",
+    "multimodal_resize",
+    "knn_ivfpq_fixed",
+    "knn_ivfpq_rerank",
+    # (b) the full r5-vintage set
+    "ann_lsh",
+    "best_order_per_priority",
+    "decontaminate_bloom",
+    "dedup_exact",
+    "doc_fingerprint",
+    "embed_pipeline",
+    "embedding_dup_pairs",
+    "embedding_dup_pairs_lsh",
+    "filter_selectivity",
+    "frame_sample_counts",
+    "grid_params",
+    "knn_blockwise",
+    "knn_cosine",
+    "knn_filtered_high",
+    "knn_filtered_low",
+    "knn_filtered_mid",
+    "knn_fp16",
+    "knn_hamming",
+    "knn_hamming_packed",
+    "knn_inner_product",
+    "knn_pq_adc",
+    "knn_sq8",
+    "knn_sq8_filtered_high",
+    "lang_id",
+    "latency_percentiles",
+    "latency_percentiles_v2",
+    "min_token_filter",
+    "orders_pivot",
+    "pq_codes",
+    "rating_histogram",
+    "recall_curve_sq8",
+    "recall_sq8_vs_fp",
+    "semdedup_pairs",
+    "sq8_train_bounds",
+    "token_counts",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q20",
+    "tpch_q21",
+    "tpch_q9",
+    "vector_norms",
+]
+assert len(_R8_PREFIX) == 50 and len(set(_R8_PREFIX)) == 50
+QUERIES = {
+    **{k: QUERIES[k] for k in _R8_PREFIX},
+    **{k: v for k, v in QUERIES.items() if k not in _R8_PREFIX},
+}
+
 ORACLES: dict[str, str] = {
     "knn_exact": _knn_sql("sqeuclidean"),
     "knn_filtered_high": _knn_sql("sqeuclidean", filter_name="high_rated"),
@@ -4824,6 +4946,7 @@ ORACLES: dict[str, str] = {
     "tpch_q20": _tpch_q20_sql(),
     "knn_pq_adc": _knn_pq_adc_sql(),
     "pq_codes": _pq_codes_sql(),
+    "pq_codes_blas": _pq_codes_blas_sql(),
     "grid_search_ivf": _grid_search_ivf_sql(),
     "knn_ivfpq_fixed": _knn_ivfpq_fixed_sql(),
     "knn_ivfpq_rerank": _knn_ivfpq_rerank_sql(),

@@ -83,6 +83,7 @@ def replay_throughput_concurrent(
     qps, p50_s, p99_s}."""
     latencies: list[float] = []
     rows_total = 0
+    errors: list[BaseException] = []
     lock = threading.Lock()
     t_start = time.time()
 
@@ -90,7 +91,12 @@ def replay_throughput_concurrent(
         nonlocal rows_total
         while time.time() - t_start < run_time_s:
             t0 = time.time()
-            n = search_fn().count()
+            try:
+                n = search_fn().count()
+            except BaseException as exc:  # noqa: BLE001 — re-raised after join
+                with lock:
+                    errors.append(exc)
+                return
             dt = time.time() - t0
             with lock:
                 latencies.append(dt)
@@ -102,6 +108,12 @@ def replay_throughput_concurrent(
     for t in threads:
         t.join()
     wall = time.time() - t_start
+    if errors:
+        # a silently-dead worker would publish an understated-QPS artifact
+        # row; surface the first failure instead (bench-integrity contract)
+        raise RuntimeError(
+            f"replay worker(s) failed ({len(errors)} of {workers})"
+        ) from errors[0]
     lat = sorted(latencies)
 
     def pct(p: float) -> float:

@@ -204,3 +204,147 @@ def test_pq_encode_fused_map_arrow_matches_expr_bit_exact(spark):
         tagged, books, "embedding", centers=centers
     )
     assert {r["vec_id"]: r["codes"] for r in fused_r.collect()} == via_expr_r
+
+
+def _decomp_payload(rng, nq=6, m=4, nc=16, sd=4, n_cent=3, n_rows=20):
+    dim = m * sd
+    Q = rng.standard_normal((nq, dim))
+    CB = rng.standard_normal((m, nc, sd))
+    cent = rng.standard_normal((n_cent, dim))
+    codes = rng.integers(0, nc, size=(n_rows, m)).astype(np.int64)
+    return Q, CB, cent, codes
+
+
+def test_decomposed_adc_cache_no_stale_reuse_across_interleaved_searches():
+    """The per-worker _DECOMP_CACHE must never serve a stale T3: interleave
+    two independent (Q, CB) payloads back-to-back in one process — the
+    back-to-back/concurrent serving loop the decomposed mode is benched
+    for — and assert every call matches the fold scorer. Also plant a
+    poisoned cache entry holding WRONG precomputed terms for alien arrays
+    and assert a fresh search ignores it (the identity validation), the
+    failure mode the old bare-id keying allowed after address recycling."""
+    import math
+
+    from filtered_ads_vector_search_spark.operators import ivfpq as IQ
+
+    rng = np.random.default_rng(7)
+    payloads = [_decomp_payload(rng), _decomp_payload(rng)]
+    IQ._DECOMP_CACHE.clear()
+    for trial in range(2):  # second pass re-enters each payload after eviction
+        for Q, CB, cent, codes in payloads:
+            qsel = np.arange(Q.shape[0])
+            for b in range(cent.shape[0]):
+                extra = (cent, CB, True)
+                want = IQ._adc_bucket_scorer(Q, qsel, b, codes, extra)(0, len(qsel))
+                got = IQ._adc_bucket_scorer_decomposed(Q, qsel, b, codes, extra)(
+                    0, len(qsel)
+                )
+                assert np.allclose(want, got, rtol=1e-9, atol=1e-9), (trial, b)
+
+    # poisoned entry: stale terms under the cache key, alien array identities
+    Q, CB, cent, codes = payloads[0]
+    qsel = np.arange(Q.shape[0])
+    m, nc, _ = CB.shape
+    IQ._DECOMP_CACHE.clear()
+    IQ._DECOMP_CACHE["entry"] = (
+        np.zeros_like(Q),                       # not-our-Q: identity check must miss
+        np.zeros_like(CB),
+        np.full((Q.shape[0], m, nc), 1e9),       # garbage T3
+        np.full((m, nc), -1e9),                  # garbage rnorm
+    )
+    want = IQ._adc_bucket_scorer(Q, qsel, 0, codes, (cent, CB, True))(0, len(qsel))
+    got = IQ._adc_bucket_scorer_decomposed(Q, qsel, 0, codes, (cent, CB, True))(
+        0, len(qsel)
+    )
+    assert np.allclose(want, got, rtol=1e-9, atol=1e-9)
+    assert not any(math.isclose(x, 1e9, rel_tol=0.5) for x in np.ravel(got)[:4])
+    # the hit path: same objects again -> served from cache, still correct
+    got2 = IQ._adc_bucket_scorer_decomposed(Q, qsel, 0, codes, (cent, CB, True))(
+        0, len(qsel)
+    )
+    assert np.array_equal(got, got2)
+    entry = IQ._DECOMP_CACHE["entry"]
+    assert entry[0] is Q and entry[1] is CB  # strong refs pin identity
+    IQ._DECOMP_CACHE.clear()
+
+
+def test_pq_encode_blas_mode_reconstruction_distance_equal(spark):
+    """encode_mode='blas' (the declared-throughput DGEMM argmin) must pick
+    codes whose RECONSTRUCTION DISTANCE equals the fold form's per (row,
+    subspace) — the scorer-tier discipline: DGEMM distances sit last-ulps
+    off the fold's, so a tie at the minimum may legitimately pick a
+    different code, but never a worse one. Absolute and residual paths."""
+    import math
+
+    q, c = _split(spark)
+    books = PQ.fixed_codebooks(dim=64, m=4, n_codes=16)
+    CB = np.ascontiguousarray(books, dtype=np.float64)
+    m, nc, sd = CB.shape
+
+    cents = c.orderBy("vec_id").limit(3).collect()
+    centers = np.array([r["embedding"] for r in cents], dtype=np.float64)
+    tagged = c.withColumn("partition_id", (F.col("vec_id") % 3).cast("int"))
+
+    for kwargs in (dict(), dict(centers=centers)):
+        src = tagged if "centers" in kwargs else c
+        fold = {
+            r["vec_id"]: (r["codes"], r["embedding"])
+            for r in PQ.pq_encode_with_codes_arrow(
+                src, books, "embedding", **kwargs
+            ).collect()
+        }
+        blas = {
+            r["vec_id"]: r["codes"]
+            for r in PQ.pq_encode_with_codes_arrow(
+                src, books, "embedding", encode_mode="blas", **kwargs
+            ).collect()
+        }
+        assert fold.keys() == blas.keys()
+        pid = {r["vec_id"]: r["partition_id"] for r in src.select(
+            "vec_id", "partition_id").collect()} if "centers" in kwargs else None
+        n_diff = 0
+        for vid, (codes_f, emb) in fold.items():
+            v = np.array(emb, dtype=np.float64)
+            if pid is not None:
+                v = v - centers[pid[vid]]
+            S = v.reshape(m, sd)
+            for j in range(m):
+                cf, cb = codes_f[j], blas[vid][j]
+                if cf == cb:
+                    continue
+                n_diff += 1
+                df_ = float(((S[j] - CB[j][cf]) ** 2).sum())
+                db_ = float(((S[j] - CB[j][cb]) ** 2).sum())
+                assert math.isclose(df_, db_, rel_tol=1e-9, abs_tol=1e-12), (
+                    vid, j, cf, cb, df_, db_,
+                )
+        # the two kernels should agree on virtually every non-tied argmin
+        assert n_diff <= 0.01 * len(fold) * m, n_diff
+
+    with pytest.raises(ValueError):
+        PQ.pq_encode_with_codes_arrow(c, books, "embedding", encode_mode="nope")
+
+
+def test_ivfpq_build_blas_encode_mode_search_parity(spark):
+    """An index built with encode_mode='blas' must search to the SAME
+    (query, neighbor) sets and ranks as the fold-built index whenever the
+    codes agree (reconstruction-tied rows may differ; the code-level test
+    above pins those to equal distance). On this corpus the codes agree
+    everywhere, so the search outputs are asserted identical."""
+    from filtered_ads_vector_search_spark.operators.ivfpq import IVFPQIndex
+
+    q, c = _split(spark)
+    fold_ix = IVFPQIndex.build_fixed(c, n_centroids=8, m=4, n_codes=16)
+    blas_ix = IVFPQIndex.build_fixed(
+        c, n_centroids=8, m=4, n_codes=16, encode_mode="blas"
+    )
+    codes_f = {r["vec_id"]: r["codes"] for r in fold_ix.coded.collect()}
+    codes_b = {r["vec_id"]: r["codes"] for r in blas_ix.coded.collect()}
+    if codes_f == codes_b:
+        want = sorted(map(tuple, fold_ix.search(
+            q, k=5, nprobe=4, rerank=20, arrow_adc=True).collect()))
+        got = sorted(map(tuple, blas_ix.search(
+            q, k=5, nprobe=4, rerank=20, arrow_adc=True).collect()))
+        assert want == got
+    fold_ix.unpersist()
+    blas_ix.unpersist()
