@@ -1,13 +1,14 @@
 """Minimal pure-Python real-media codecs: BMP, PCM WAV, and JPEG.
 
 This makes the real-codec seam in udfs._parse_header exercisable without any
-external image/audio library: BI_RGB 24-bit and 8-bit-palette BMP, and
-RIFF/WAVE PCM s16le mono/stereo, are simple enough to encode/decode with
-struct + numpy, and JPEG — both baseline sequential (SOF0) and progressive
-(SOF2), together essentially all real-world files — is a full pure-NumPy
-implementation in the sibling ``jpeg`` module, re-exported here. Remaining
-compressed codecs (H.264/AAC, JPEG arithmetic/hierarchical/lossless, RLE or
-16/32-bit BMP, non-PCM WAV) stay behind the NotImplementedError seam.
+external image/audio library: BI_RGB 8-bit-palette, 24-bit, and 32-bit BGRA
+BMP, and RIFF/WAVE PCM s16le + G.711 mu-law mono/stereo, are simple enough
+to encode/decode with struct + numpy, and JPEG — both baseline sequential
+(SOF0) and progressive (SOF2), together essentially all real-world files —
+is a full pure-NumPy implementation in the sibling ``jpeg`` module,
+re-exported here. Remaining compressed codecs (H.264/AAC, JPEG
+arithmetic/hierarchical/lossless, RLE or 16-bit BMP, A-law/ADPCM WAV) stay
+behind the NotImplementedError seam.
 
 The reference has no media pipeline at all — this is part of the
 beyond-reference training-data-pipeline surface (brief: multimodal columns).
@@ -24,10 +25,14 @@ from .jpeg import decode_jpeg_meta, decode_jpeg_pixels, encode_jpeg
 __all__ = [
     "encode_bmp",
     "encode_bmp_8bit",
+    "encode_bmp_32bit",
     "decode_bmp_meta",
     "decode_bmp_pixels",
     "resize_bmp",
     "encode_wav",
+    "encode_wav_mulaw",
+    "mulaw_encode",
+    "mulaw_decode",
     "decode_wav_meta",
     "decode_wav_samples",
     "encode_jpeg",
@@ -141,14 +146,36 @@ def encode_bmp_8bit(indices: np.ndarray, palette: np.ndarray) -> bytes:
     return bytes(out)
 
 
+def encode_bmp_32bit(pixels: np.ndarray, alpha: np.ndarray | None = None) -> bytes:
+    """(height, width, 3) uint8 RGB (+ optional (h, w) alpha) -> 32-bit
+    BI_RGB BMP bytes (BGRA byte order, bottom-up rows; 4 bytes/pixel means
+    rows are always 4-byte aligned, no padding). The classic X8R8G8B8 /
+    A8R8G8B8 layout screenshots and editors emit."""
+    h, w, c = pixels.shape
+    if c != 3:
+        raise ValueError(f"expected (h, w, 3) RGB pixels, got {pixels.shape}")
+    if alpha is not None and alpha.shape != (h, w):
+        raise ValueError(f"alpha must be (h, w), got {alpha.shape}")
+    bgra = np.empty((h, w, 4), dtype=np.uint8)
+    bgra[:, :, :3] = pixels[:, :, ::-1]
+    bgra[:, :, 3] = alpha if alpha is not None else 0
+    size = _BMP_HEADER_SIZE + 4 * w * h
+    out = bytearray()
+    out += struct.pack("<2sIHHI", b"BM", size, 0, 0, _BMP_HEADER_SIZE)
+    out += struct.pack("<IiiHHIIiiII", 40, w, h, 1, 32, 0, 4 * w * h, 2835, 2835, 0, 0)
+    out += bgra[::-1].tobytes()  # bottom-up rows
+    return bytes(out)
+
+
 def decode_bmp_meta(raw: bytes) -> dict:
     magic, size, _, _, offset = struct.unpack("<2sIHHI", raw[:14])
     if magic != b"BM":
         raise ValueError("not a BMP payload")
     hdr_sz, w, h, _planes, bpp = struct.unpack("<IiiHH", raw[14:30])
-    if bpp not in (8, 24) or hdr_sz != 40:
+    if bpp not in (8, 24, 32) or hdr_sz != 40:
         raise NotImplementedError(
-            f"only BI_RGB 24-bit and 8-bit-palette BMP supported (bpp={bpp})"
+            f"only BI_RGB 8-bit-palette, 24-bit, and 32-bit BGRA BMP "
+            f"supported (bpp={bpp})"
         )
     return {
         "media_type": "image",
@@ -161,11 +188,17 @@ def decode_bmp_meta(raw: bytes) -> dict:
 
 
 def decode_bmp_pixels(raw: bytes) -> np.ndarray:
-    """BMP bytes (24-bit BI_RGB or 8-bit palette) -> (h, w, 3) uint8 RGB."""
+    """BMP bytes (8-bit palette, 24-bit BI_RGB, or 32-bit BGRA) ->
+    (h, w, 3) uint8 RGB (the alpha byte of 32-bit payloads is dropped —
+    BI_RGB declares it unused)."""
     meta = decode_bmp_meta(raw)
     w, h = meta["width"], meta["height"]
     bpp = struct.unpack("<H", raw[28:30])[0]
     offset = struct.unpack("<I", raw[10:14])[0]
+    if bpp == 32:
+        data = np.frombuffer(raw, dtype=np.uint8, offset=offset, count=4 * w * h)
+        rows = data.reshape(h, w, 4)[:, :, 2::-1]  # BGRA -> RGB, alpha dropped
+        return rows[::-1].copy()  # back to top-down
     if bpp == 8:
         n_pal = struct.unpack("<I", raw[46:50])[0] or 256
         pal = (
@@ -219,18 +252,81 @@ def encode_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
     return bytes(out)
 
 
+# G.711 mu-law (ITU-T G.711, WAVE_FORMAT_MULAW=7): 8-bit companded
+# telephony audio — the narrowest real-world non-s16le WAV layout. The
+# transform is table-driven both ways (256-entry decode table, 16-bit
+# segment encode), bias 0x84, as in the ITU reference implementation.
+_MULAW_BIAS = 0x84
+_MULAW_CLIP = 32635
+
+
+def _mulaw_decode_table() -> np.ndarray:
+    u = np.arange(256, dtype=np.uint8)
+    v = (~u).astype(np.uint8)
+    sign = v & 0x80
+    exp = (v >> 4) & 0x07
+    mant = v.astype(np.int32) & 0x0F
+    mag = (((mant << 3) + _MULAW_BIAS) << exp) - _MULAW_BIAS
+    return np.where(sign != 0, -mag, mag).astype(np.int16)
+
+
+_MULAW_TABLE = _mulaw_decode_table()
+
+
+def mulaw_encode(samples: np.ndarray) -> np.ndarray:
+    """int16 linear PCM -> uint8 G.711 mu-law codes."""
+    x = samples.astype(np.int32)
+    sign = np.where(x < 0, 0x80, 0).astype(np.int32)
+    mag = np.minimum(np.abs(x), _MULAW_CLIP) + _MULAW_BIAS
+    # exponent = MSB position above bit 7 (segment number 0..7)
+    exp = (np.floor(np.log2(mag)).astype(np.int32) - 7).clip(0, 7)
+    mant = (mag >> (exp + 3)) & 0x0F
+    return (~(sign | (exp << 4) | mant)).astype(np.uint8)
+
+
+def mulaw_decode(codes: np.ndarray) -> np.ndarray:
+    """uint8 G.711 mu-law codes -> int16 linear PCM."""
+    return _MULAW_TABLE[np.asarray(codes, dtype=np.uint8)]
+
+
+def encode_wav_mulaw(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """int16 samples -> RIFF/WAVE G.711 mu-law bytes ((n,) mono or (n, 2)
+    stereo, same shape contract as encode_wav); each sample companded to
+    one byte."""
+    if samples.ndim == 1:
+        channels = 1
+    elif samples.ndim == 2 and samples.shape[1] in (1, 2):
+        channels = samples.shape[1]
+    else:
+        raise ValueError(f"samples must be (n,) or (n, 1|2); got {samples.shape}")
+    data = mulaw_encode(samples).tobytes()  # C-order interleaves frames
+    out = bytearray()
+    out += struct.pack("<4sI4s", b"RIFF", 36 + len(data), b"WAVE")
+    out += struct.pack(
+        "<4sIHHIIHH", b"fmt ", 16, 7, channels, sample_rate,
+        sample_rate * channels, channels, 8,
+    )
+    out += struct.pack("<4sI", b"data", len(data))
+    out += data
+    return bytes(out)
+
+
 def decode_wav_meta(raw: bytes) -> dict:
     if raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
         raise ValueError("not a WAV payload")
     fmt_tag, channels, rate = struct.unpack("<HHI", raw[20:28])
     bits = struct.unpack("<H", raw[34:36])[0]
-    if fmt_tag != 1 or channels not in (1, 2) or bits != 16:
-        raise NotImplementedError("only PCM s16le mono/stereo WAV supported")
+    if channels not in (1, 2) or (fmt_tag, bits) not in ((1, 16), (7, 8)):
+        raise NotImplementedError(
+            "only PCM s16le and G.711 mu-law mono/stereo WAV supported "
+            f"(fmt_tag={fmt_tag}, bits={bits})"
+        )
     n_data = struct.unpack("<I", raw[40:44])[0]
-    n_frames = n_data // (2 * channels)
+    bytes_per_sample = bits // 8
+    n_frames = n_data // (bytes_per_sample * channels)
     return {
         "media_type": "audio",
-        "codec": "pcm_s16le",
+        "codec": "pcm_s16le" if fmt_tag == 1 else "pcm_mulaw",
         "width": 0,
         "height": 0,
         "duration_ms": int(n_frames * 1000 // rate),
@@ -239,9 +335,16 @@ def decode_wav_meta(raw: bytes) -> dict:
 
 
 def decode_wav_samples(raw: bytes) -> np.ndarray:
-    """WAV bytes -> int16 samples: (n,) for mono, (n, 2) for stereo."""
-    decode_wav_meta(raw)  # validates format
+    """WAV bytes -> int16 samples: (n,) for mono, (n, 2) for stereo.
+    Mu-law payloads are expanded to linear int16 through the G.711 table."""
+    meta = decode_wav_meta(raw)  # validates format
     channels = struct.unpack("<H", raw[22:24])[0]
     n_data = struct.unpack("<I", raw[40:44])[0]
-    flat = np.frombuffer(raw, dtype="<i2", offset=_WAV_HEADER_SIZE, count=n_data // 2)
+    if meta["codec"] == "pcm_mulaw":
+        codes = np.frombuffer(raw, dtype=np.uint8, offset=_WAV_HEADER_SIZE,
+                              count=n_data)
+        flat = mulaw_decode(codes)
+    else:
+        flat = np.frombuffer(raw, dtype="<i2", offset=_WAV_HEADER_SIZE,
+                             count=n_data // 2)
     return flat if channels == 1 else flat.reshape(-1, 2)

@@ -581,3 +581,73 @@ def test_maintain_index_stream_bm25(spark, tmp_path):
     )
     top = TS.bm25_search_index(spark, layout, qs, k=1).collect()
     assert top and top[0]["doc_id"] == 9_000_000
+
+
+def test_bmp_32bit_bgra_roundtrip_and_phash_stability():
+    """32-bit BGRA BMP: encode->decode returns the exact RGB array (alpha
+    dropped — BI_RGB declares the 4th byte unused), resize dispatches
+    through the shared nearest-neighbor path, and the perceptual hash of a
+    32-bit payload equals the 24-bit payload of the same pixels (phash is
+    defined over decoded pixels, not the container)."""
+    import numpy as np
+
+    from filtered_ads_vector_search_spark.multimodal import codecs as C
+    from filtered_ads_vector_search_spark.multimodal.phash import ahash_bits
+
+    rng = np.random.default_rng(13)
+    px = rng.integers(0, 256, size=(6, 5, 3), dtype=np.uint8)  # odd width
+    alpha = rng.integers(0, 256, size=(6, 5), dtype=np.uint8)
+    raw = C.encode_bmp_32bit(px, alpha)
+    assert C.sniff(raw) == "bmp"
+    meta = C.decode_bmp_meta(raw)
+    assert (meta["width"], meta["height"], meta["n_bytes"]) == (5, 6, len(raw))
+    np.testing.assert_array_equal(C.decode_bmp_pixels(raw), px)
+    np.testing.assert_array_equal(C.decode_image_pixels(raw), px)
+    # no-alpha form and phash container-invariance
+    raw_na = C.encode_bmp_32bit(px)
+    np.testing.assert_array_equal(C.decode_bmp_pixels(raw_na), px)
+    assert ahash_bits(raw) == ahash_bits(C.encode_bmp(px))
+    # resize goes through the same nn path as the 24-bit form
+    out = C.decode_bmp_pixels(C.resize_image(raw, 3, 4))
+    ys = (np.arange(4) * 6 // 4).clip(0, 5)
+    xs = (np.arange(3) * 5 // 3).clip(0, 4)
+    np.testing.assert_array_equal(out, px[ys][:, xs])
+
+
+def test_wav_mulaw_roundtrip_and_codec_law():
+    """G.711 mu-law WAV: (a) encode(decode(code)) == code for all 255
+    canonical codes (0x7F and 0xFF both decode to 0, which re-encodes to
+    the canonical 0xFF), (b) decode(encode(x)) stays within the segment's
+    quantization step of x, (c) the WAV container round-trips mono and
+    stereo with fmt_tag=7/bits=8 and frame-counted duration."""
+    import numpy as np
+
+    from filtered_ads_vector_search_spark.multimodal import codecs as C
+
+    codes = np.arange(256, dtype=np.uint8)
+    rt = C.mulaw_encode(C.mulaw_decode(codes))
+    keep = codes != 0x7F  # negative zero collapses onto positive zero
+    np.testing.assert_array_equal(rt[keep], codes[keep])
+    assert rt[0x7F] == 0xFF
+
+    x = (np.arange(-32000, 32001, 257)).astype(np.int16)
+    err = np.abs(C.mulaw_decode(C.mulaw_encode(x)).astype(np.int32) - x)
+    # max quantization step at the top segment is 8 << 7 = 1024; half-step
+    # either side plus the clip region bound the error
+    assert int(err.max()) <= 1024, int(err.max())
+    small = (np.arange(-100, 101)).astype(np.int16)
+    err_s = np.abs(C.mulaw_decode(C.mulaw_encode(small)).astype(np.int32) - small)
+    assert int(err_s.max()) <= 4, int(err_s.max())
+
+    mono = (np.arange(800) * 53 % 4096 - 2048).astype(np.int16)
+    raw = C.encode_wav_mulaw(mono, sample_rate=8000)
+    assert C.sniff(raw) == "wav"
+    meta = C.decode_wav_meta(raw)
+    assert meta["codec"] == "pcm_mulaw" and meta["duration_ms"] == 100
+    got = C.decode_wav_samples(raw)
+    assert got.shape == mono.shape
+    np.testing.assert_array_equal(got, C.mulaw_decode(C.mulaw_encode(mono)))
+    st = np.stack([mono, -mono], axis=1).astype(np.int16)
+    raw_s = C.encode_wav_mulaw(st, sample_rate=8000)
+    assert C.decode_wav_meta(raw_s)["duration_ms"] == 100
+    assert C.decode_wav_samples(raw_s).shape == (800, 2)
