@@ -127,26 +127,45 @@ def pq_train(
         raise ValueError(f"dim {dim} not divisible by m {m}")
     sd = dim // m
     rng = np.random.RandomState(seed)
-    out: Codebooks = []
+    # init draws stay SEQUENTIAL in subspace order (one shared rng stream —
+    # reordering them would change the trained artifact); the Lloyd fits
+    # below are rng-free and independent per subspace, so they run on
+    # driver threads — bit-identical codebooks, ~m x less wall (the m=8
+    # nc=256 fit was 18 s of the 5M IVFPQ build)
+    inits: list[tuple[np.ndarray, np.ndarray]] = []
     for j in range(m):
         S = np.ascontiguousarray(X[:, j * sd : (j + 1) * sd])
-        sn = (S * S).sum(axis=1)
         cb = S[rng.choice(len(S), size=min(n_codes, len(S)), replace=False)].copy()
+        inits.append((S, cb))
+
+    def _fit(S: np.ndarray, cb: np.ndarray) -> np.ndarray:
         k = len(cb)
         for _ in range(iters):
-            # expansion form + weighted-bincount means: the broadcasted
-            # (n x k x sd) difference cube this replaces allocated ~GBs per
-            # iteration and dominated the fit's wall time
-            d2 = sn[:, None] - 2.0 * (S @ cb.T) + (cb * cb).sum(axis=1)[None, :]
-            assign = d2.argmin(axis=1)
+            # assignment: ||x||^2 is row-constant, so argmin only needs
+            # cn - 2 x.c, computed IN PLACE on the GEMM output (the same
+            # expansion the coarse _kmeans_numpy uses) — the materialized
+            # (n x k) d2 with the sn term this replaces moved ~2x the
+            # memory per iteration, and the fit is bandwidth-bound;
+            # per-cluster means via ONE fused-index bincount over the
+            # flattened sample, replacing the per-column bincount loop
+            G = S @ cb.T
+            G *= -2.0
+            G += (cb * cb).sum(axis=1)[None, :]
+            assign = np.argmin(G, axis=1)
             counts = np.bincount(assign, minlength=k).astype(np.float64)
-            sums = np.empty((k, sd), dtype=np.float64)
-            for col in range(sd):
-                sums[:, col] = np.bincount(assign, weights=S[:, col], minlength=k)
+            flat_idx = (assign[:, None] * sd + np.arange(sd)[None, :]).ravel()
+            sums = np.bincount(
+                flat_idx, weights=S.ravel(), minlength=k * sd
+            ).reshape(k, sd)
             nonempty = counts > 0
             cb[nonempty] = sums[nonempty] / counts[nonempty, None]
-        out.append([[float(x) for x in row] for row in cb])
-    return out
+        return cb
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=m) as ex:
+        fitted = list(ex.map(lambda t: _fit(*t), inits))
+    return [[[float(x) for x in row] for row in cb] for cb in fitted]
 
 
 def _cb_spark_literal(codebooks: Codebooks) -> str:
