@@ -37,6 +37,8 @@ tier, pytest-verified recall floors).
 
 from __future__ import annotations
 
+import itertools
+import os
 import time
 from dataclasses import dataclass
 
@@ -70,7 +72,7 @@ def _adc_bucket_scorer(Q, qsel, b, codes, extra):
     elements in ascending order from 0.0 and ADC sums LUT cells in
     ascending j — the same IEEE doubles as the 0.0D-seeded ascending
     aggregate folds of the expression form."""
-    cent, CB, residual = extra
+    cent, CB, residual = extra[:3]
     m, nc, sd = CB.shape
     qr = Q[qsel] - cent[b][None, :] if residual else Q[qsel]
     S = qr.reshape(len(qsel), m, sd)
@@ -90,11 +92,20 @@ def _adc_bucket_scorer(Q, qsel, b, codes, extra):
 
 
 # one live (query-LUT, codebook-norms) payload per Python worker — the
-# decomposed scorer's T3 is bucket-INDEPENDENT, so every probed bucket in a
-# search reuses it; bounded to a single entry so back-to-back searches can't
-# accumulate (each T3 is n_queries x m x n_codes doubles, ~164 MB at
-# 10k x 8 x 256)
+# decomposed scorer's T3 is bucket-INDEPENDENT, so every probed bucket (and
+# every TASK of the same search in a reused worker) reuses it; bounded to a
+# single entry so back-to-back searches can't accumulate (each T3 is
+# n_queries x m x n_codes doubles, ~164 MB at 10k x 8 x 256). Keyed on the
+# SEARCH TOKEN stamped into the broadcast payload at plan time
+# (_adc_candidates_arrow): the token identifies one (Q, CB) payload by
+# construction, so a hit is content-true even when pyspark hands each task
+# a freshly-deserialized array object — the earlier id()-pair key relied on
+# allocator address reuse for its cross-task hits (and could in principle
+# alias a *different* payload after GC), while a bare object-identity check
+# (round-8 first fix) missed every cross-task reuse and rebuilt T3 per
+# task, a measured ~1.4x slowdown on the 5M nc=256 headline rows.
 _DECOMP_CACHE: dict = {}
+_DECOMP_TOKENS = itertools.count()
 
 
 def _adc_bucket_scorer_decomposed(Q, qsel, b, codes, extra):
@@ -115,25 +126,24 @@ def _adc_bucket_scorer_decomposed(Q, qsel, b, codes, extra):
     arrow_score='blas': same candidate sets and (score, id) ranks up to
     last-ulp score ties; the bit-oracled fold form stays the default
     (tests assert rank/set equality and score closeness)."""
-    cent, CB, residual = extra
+    cent, CB, residual = extra[:3]
+    # search token stamped at plan time; absent only when a caller invokes
+    # the scorer directly with a bare 3-tuple (tests/ad-hoc) — then every
+    # call recomputes, which is correct just not cached
+    token = extra[3] if len(extra) > 3 else None
     m, nc, sd = CB.shape
-    # the cache entry holds STRONG references to Q and CB and validates
-    # identity on hit: keying on bare (id(Q), id(CB)) was unsound — CPython
-    # recycles addresses after GC, so a later search's fresh arrays could
-    # alias a dead entry's key and silently score against a stale T3.
-    # Holding the refs pins the ids for the entry's lifetime, making the
-    # `is` check sufficient (same objects -> same T3 by construction).
-    cached = _DECOMP_CACHE.get("entry")
-    if cached is not None and (cached[0] is Q and cached[1] is CB):
-        T3, rnorm = cached[2], cached[3]
+    cached = _DECOMP_CACHE.get(token) if token is not None else None
+    if cached is not None:
+        T3, rnorm = cached
     else:
         S = Q.reshape(Q.shape[0], m, sd)
         T3 = np.empty((Q.shape[0], m, nc), dtype=np.float64)
         for j in range(m):
             T3[:, j, :] = S[:, j, :] @ (-2.0 * CB[j].T)
         rnorm = np.einsum("jcs,jcs->jc", CB, CB)
-        _DECOMP_CACHE.clear()
-        _DECOMP_CACHE["entry"] = (Q, CB, T3, rnorm)
+        if token is not None:
+            _DECOMP_CACHE.clear()
+            _DECOMP_CACHE[token] = (T3, rnorm)
     if residual:
         cb_ = cent[b]
         T2 = rnorm + 2.0 * np.einsum("js,jcs->jc", cb_.reshape(m, sd), CB)
@@ -689,7 +699,11 @@ class IVFPQIndex:
             data_dtype="int64",
             top=top,
             out_col="adc_dist",
-            extra=(cent, CB, self.residual),
+            # the pid:counter token uniquely names THIS search's broadcast
+            # payload — the decomposed scorer's per-worker T3 cache keys on
+            # it (content-true across tasks; see _DECOMP_CACHE)
+            extra=(cent, CB, self.residual,
+                   f"{os.getpid()}:{next(_DECOMP_TOKENS)}"),
             bucket_scorer=(
                 _adc_bucket_scorer_decomposed if decomposed else _adc_bucket_scorer
             ),

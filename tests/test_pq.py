@@ -216,56 +216,69 @@ def _decomp_payload(rng, nq=6, m=4, nc=16, sd=4, n_cent=3, n_rows=20):
 
 
 def test_decomposed_adc_cache_no_stale_reuse_across_interleaved_searches():
-    """The per-worker _DECOMP_CACHE must never serve a stale T3: interleave
-    two independent (Q, CB) payloads back-to-back in one process — the
-    back-to-back/concurrent serving loop the decomposed mode is benched
-    for — and assert every call matches the fold scorer. Also plant a
-    poisoned cache entry holding WRONG precomputed terms for alien arrays
-    and assert a fresh search ignores it (the identity validation), the
-    failure mode the old bare-id keying allowed after address recycling."""
-    import math
-
+    """The per-worker _DECOMP_CACHE must never serve a stale T3. The cache
+    keys on the SEARCH TOKEN stamped into the broadcast payload — content-
+    true by construction (one token names one (Q, CB) payload), unlike the
+    original id()-pair key that depended on allocator address reuse.
+    Interleave two independent payloads under distinct tokens — the
+    back-to-back serving loop the decomposed mode is benched for — and
+    assert every call matches the fold scorer; then pin the hit/eviction
+    semantics: same token is served from cache, a new token evicts (single
+    entry), and a token-less bare extra recomputes without caching."""
     from filtered_ads_vector_search_spark.operators import ivfpq as IQ
 
     rng = np.random.default_rng(7)
-    payloads = [_decomp_payload(rng), _decomp_payload(rng)]
+    payloads = [
+        _decomp_payload(rng) + (f"tok{i}",) for i in range(2)
+    ]
     IQ._DECOMP_CACHE.clear()
     for trial in range(2):  # second pass re-enters each payload after eviction
-        for Q, CB, cent, codes in payloads:
+        for Q, CB, cent, codes, tok in payloads:
             qsel = np.arange(Q.shape[0])
             for b in range(cent.shape[0]):
-                extra = (cent, CB, True)
-                want = IQ._adc_bucket_scorer(Q, qsel, b, codes, extra)(0, len(qsel))
-                got = IQ._adc_bucket_scorer_decomposed(Q, qsel, b, codes, extra)(
-                    0, len(qsel)
-                )
+                want = IQ._adc_bucket_scorer(
+                    Q, qsel, b, codes, (cent, CB, True)
+                )(0, len(qsel))
+                got = IQ._adc_bucket_scorer_decomposed(
+                    Q, qsel, b, codes, (cent, CB, True, tok)
+                )(0, len(qsel))
                 assert np.allclose(want, got, rtol=1e-9, atol=1e-9), (trial, b)
+                # single-entry cache now holds exactly this search's token
+                assert list(IQ._DECOMP_CACHE) == [tok]
 
-    # poisoned entry: stale terms under the cache key, alien array identities
-    Q, CB, cent, codes = payloads[0]
+    # a token HIT is served from the cached terms: poison the cached rnorm
+    # and observe the poisoned value flow through (proving the hit), then
+    # evict via a fresh token and observe correctness restored
+    Q, CB, cent, codes, tok = payloads[0]
     qsel = np.arange(Q.shape[0])
-    m, nc, _ = CB.shape
     IQ._DECOMP_CACHE.clear()
-    IQ._DECOMP_CACHE["entry"] = (
-        np.zeros_like(Q),                       # not-our-Q: identity check must miss
-        np.zeros_like(CB),
-        np.full((Q.shape[0], m, nc), 1e9),       # garbage T3
-        np.full((m, nc), -1e9),                  # garbage rnorm
-    )
-    want = IQ._adc_bucket_scorer(Q, qsel, 0, codes, (cent, CB, True))(0, len(qsel))
-    got = IQ._adc_bucket_scorer_decomposed(Q, qsel, 0, codes, (cent, CB, True))(
-        0, len(qsel)
-    )
-    assert np.allclose(want, got, rtol=1e-9, atol=1e-9)
-    assert not any(math.isclose(x, 1e9, rel_tol=0.5) for x in np.ravel(got)[:4])
-    # the hit path: same objects again -> served from cache, still correct
-    got2 = IQ._adc_bucket_scorer_decomposed(Q, qsel, 0, codes, (cent, CB, True))(
-        0, len(qsel)
-    )
-    assert np.array_equal(got, got2)
-    entry = IQ._DECOMP_CACHE["entry"]
-    assert entry[0] is Q and entry[1] is CB  # strong refs pin identity
+    clean = IQ._adc_bucket_scorer_decomposed(
+        Q, qsel, 0, codes, (cent, CB, True, "tokA")
+    )(0, len(qsel))
+    T3, rnorm = IQ._DECOMP_CACHE["tokA"]
+    IQ._DECOMP_CACHE["tokA"] = (T3, rnorm + 1.0)  # poison
+    poisoned = IQ._adc_bucket_scorer_decomposed(
+        Q, qsel, 0, codes, (cent, CB, True, "tokA")
+    )(0, len(qsel))
+    assert not np.allclose(clean, poisoned)  # cache hit actually happened
+    fresh = IQ._adc_bucket_scorer_decomposed(
+        Q, qsel, 0, codes, (cent, CB, True, "tokB")
+    )(0, len(qsel))
+    assert np.allclose(clean, fresh, rtol=1e-12, atol=1e-12)
+    assert list(IQ._DECOMP_CACHE) == ["tokB"]  # old entry evicted
+
+    # bare 3-tuple extra (no token): recomputes, never caches
     IQ._DECOMP_CACHE.clear()
+    bare = IQ._adc_bucket_scorer_decomposed(
+        Q, qsel, 0, codes, (cent, CB, True)
+    )(0, len(qsel))
+    assert np.allclose(clean, bare, rtol=1e-12, atol=1e-12)
+    assert IQ._DECOMP_CACHE == {}
+
+    # plan-time tokens are unique per search
+    t1 = f"x:{next(IQ._DECOMP_TOKENS)}"
+    t2 = f"x:{next(IQ._DECOMP_TOKENS)}"
+    assert t1 != t2
 
 
 def test_pq_encode_blas_mode_reconstruction_distance_equal(spark):
