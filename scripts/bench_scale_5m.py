@@ -131,7 +131,10 @@ def main() -> None:
 
     rows: list[dict] = []
 
-    def qps_row(run: str, fname: str | None, search_fn, truth_df, params: dict):
+    def qps_row(
+        run: str, fname: str | None, search_fn, truth_df, params: dict,
+        resample: int = 1,
+    ):
         # persist so the recall join reuses the materialized result instead
         # of re-running the (minutes-scale) search; the timed count includes
         # the cache write, a honest part of any batch job that consumes its
@@ -139,13 +142,25 @@ def main() -> None:
         # do real work eagerly at DataFrame-construction time (query-matrix
         # collect, centroid collect, driver-side probe ranking, broadcast)
         # and excluding it would overstate QPS — and disagree with
-        # bench_scale.py's 1M rows, which time the whole call
-        t0 = time.time()
-        found = search_fn().persist()
-        found.count()
-        dt = time.time() - t0
-        rec = float(recall_at_k(found, truth_df, k=K).first()["recall_at_k"])
-        found.unpersist()
+        # bench_scale.py's 1M rows, which time the whole call.
+        # ``resample`` > 1 records MIN-of-N for PURE re-runnable searches
+        # (each shot is a fresh job; results are unpersisted between shots)
+        # — the bench_scale.py discipline, applied here to the headline
+        # nc=256 rows whose 164 MB per-worker query LUTs make them the most
+        # sensitive to host memory-bandwidth noise (BENCH_DRIFT round-8 A/B).
+        dt = float("inf")
+        samples = []
+        rec = None
+        for shot in range(max(1, resample)):
+            t0 = time.time()
+            found = search_fn().persist()
+            found.count()
+            shot_dt = time.time() - t0
+            samples.append(round(shot_dt, 3))
+            if rec is None:
+                rec = float(recall_at_k(found, truth_df, k=K).first()["recall_at_k"])
+            found.unpersist()
+            dt = min(dt, shot_dt)
         key = f"{run}_10kq_{fname or 'all_data'}"
         timings[key] = round(dt, 3)
         rows.append(
@@ -156,6 +171,7 @@ def main() -> None:
                 "recall": rec,
                 "qps": round(N_QUERIES / dt, 2),
                 "search_time_seconds": round(dt, 3),
+                **({"samples": samples} if resample > 1 else {}),
             }
         )
 
@@ -461,6 +477,7 @@ def main() -> None:
         truth,
         {"n_centroids": IVF_CENTROIDS, "m": 8, "n_codes": 256,
          "nprobe": NPROBE, "rerank": RERANK, "kernel": "arrow-decomposed"},
+        resample=2,
     )
     for fname in ("low_rated", "high_rated"):
         pred = FL.named_filter_predicate(fname)
@@ -474,6 +491,7 @@ def main() -> None:
             {"n_centroids": IVF_CENTROIDS, "m": 8, "n_codes": 256,
              "nprobe": NPROBE, "rerank": RERANK, "adaptive": True,
              "kernel": "arrow-decomposed"},
+            resample=2,
         )
     qps_row(
         "ivfpq_nc256_fold", "high_rated",
@@ -486,6 +504,7 @@ def main() -> None:
         {"n_centroids": IVF_CENTROIDS, "m": 8, "n_codes": 256,
          "nprobe": NPROBE, "rerank": RERANK, "adaptive": True,
          "kernel": "arrow-fold-control", "control": True},
+        resample=2,
     )
     best_pq.unpersist()
 
