@@ -134,6 +134,7 @@ def main() -> None:
     for name in (
         "knn_ivfpq_rerank",
         "knn_ivfpq_decomposed",
+        "pq_codes_blas",
         "knn_sq8",
         "dedup_exact",
         "dedup_minhash_lsh",

@@ -438,6 +438,11 @@ def test_probe_ranking_routes_to_distributed_job(spark, monkeypatch):
 
     assert A._PROBE_DISTRIBUTED_CENTROIDS == 10_000
     assert A._PROBE_MATRIX_BYTES == 2 << 30
+    # the byte budget is computed against the CHUNKED peak temporary
+    # (min(len(Q), _PROBE_CHUNK_QUERIES) x n_cent x 8): a bare len(Q)
+    # product mis-routed large-batch/modest-centroid searches to the far
+    # slower distributed job (round-7 ADVICE)
+    assert A._PROBE_CHUNK_QUERIES == 4096
 
     q, c = _split(spark)
     ivf = IVFIndex.build_fixed(c, n_centroids=8)
