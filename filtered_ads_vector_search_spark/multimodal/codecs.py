@@ -2,12 +2,12 @@
 
 This makes the real-codec seam in udfs._parse_header exercisable without any
 external image/audio library: BI_RGB 8-bit-palette, 24-bit, and 32-bit BGRA
-BMP, and RIFF/WAVE PCM s16le + G.711 mu-law mono/stereo, are simple enough
+BMP, and RIFF/WAVE PCM s16le + G.711 A-law/mu-law mono/stereo, are simple enough
 to encode/decode with struct + numpy, and JPEG — both baseline sequential
 (SOF0) and progressive (SOF2), together essentially all real-world files —
 is a full pure-NumPy implementation in the sibling ``jpeg`` module,
 re-exported here. Remaining compressed codecs (H.264/AAC, JPEG
-arithmetic/hierarchical/lossless, RLE or 16-bit BMP, A-law/ADPCM WAV) stay
+arithmetic/hierarchical/lossless, RLE or 16-bit BMP, ADPCM WAV) stay
 behind the NotImplementedError seam.
 
 The reference has no media pipeline at all — this is part of the
@@ -31,8 +31,11 @@ __all__ = [
     "resize_bmp",
     "encode_wav",
     "encode_wav_mulaw",
+    "encode_wav_alaw",
     "mulaw_encode",
     "mulaw_decode",
+    "alaw_encode",
+    "alaw_decode",
     "decode_wav_meta",
     "decode_wav_samples",
     "encode_jpeg",
@@ -289,6 +292,40 @@ def mulaw_decode(codes: np.ndarray) -> np.ndarray:
     return _MULAW_TABLE[np.asarray(codes, dtype=np.uint8)]
 
 
+def _alaw_decode_table() -> np.ndarray:
+    # ITU-T G.711 A-law expansion (the classic public-domain alaw2linear):
+    # invert the 0x55 toggle, then reconstruct the 13-bit-segment magnitude
+    # at 16-bit scale
+    a = np.arange(256, dtype=np.int32) ^ 0x55
+    t = (a & 0x0F) << 4
+    seg = (a & 0x70) >> 4
+    t = np.where(seg == 0, t + 8, np.where(seg == 1, t + 0x108,
+                 (t + 0x108) << np.maximum(seg - 1, 0)))
+    return np.where((a & 0x80) != 0, t, -t).astype(np.int16)
+
+
+_ALAW_TABLE = _alaw_decode_table()
+_ALAW_SEG_END = np.array([0x1F, 0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF],
+                         dtype=np.int32)
+
+
+def alaw_encode(samples: np.ndarray) -> np.ndarray:
+    """int16 linear PCM -> uint8 G.711 A-law codes."""
+    x = samples.astype(np.int32) >> 3  # 13-bit domain, per the spec
+    mask = np.where(x >= 0, 0xD5, 0x55)
+    mag = np.where(x >= 0, x, -x - 1)
+    seg = np.searchsorted(_ALAW_SEG_END, mag, side="left").astype(np.int32)
+    shift = np.where(seg < 2, 1, seg)
+    aval = (np.minimum(seg, 7) << 4) | ((mag >> shift) & 0x0F)
+    aval = np.where(seg >= 8, 0x7F, aval)
+    return (aval ^ mask).astype(np.uint8)
+
+
+def alaw_decode(codes: np.ndarray) -> np.ndarray:
+    """uint8 G.711 A-law codes -> int16 linear PCM."""
+    return _ALAW_TABLE[np.asarray(codes, dtype=np.uint8)]
+
+
 def encode_wav_mulaw(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
     """int16 samples -> RIFF/WAVE G.711 mu-law bytes ((n,) mono or (n, 2)
     stereo, same shape contract as encode_wav); each sample companded to
@@ -311,14 +348,40 @@ def encode_wav_mulaw(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
     return bytes(out)
 
 
+def encode_wav_alaw(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """int16 samples -> RIFF/WAVE G.711 A-law bytes (WAVE_FORMAT_ALAW=6) —
+    same shape contract as encode_wav/encode_wav_mulaw."""
+    if samples.ndim == 1:
+        channels = 1
+    elif samples.ndim == 2 and samples.shape[1] in (1, 2):
+        channels = samples.shape[1]
+    else:
+        raise ValueError(f"samples must be (n,) or (n, 1|2); got {samples.shape}")
+    data = alaw_encode(samples).tobytes()
+    out = bytearray()
+    out += struct.pack("<4sI4s", b"RIFF", 36 + len(data), b"WAVE")
+    out += struct.pack(
+        "<4sIHHIIHH", b"fmt ", 16, 6, channels, sample_rate,
+        sample_rate * channels, channels, 8,
+    )
+    out += struct.pack("<4sI", b"data", len(data))
+    out += data
+    return bytes(out)
+
+
+_WAV_CODECS = {1: "pcm_s16le", 6: "pcm_alaw", 7: "pcm_mulaw"}
+
+
 def decode_wav_meta(raw: bytes) -> dict:
     if raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
         raise ValueError("not a WAV payload")
     fmt_tag, channels, rate = struct.unpack("<HHI", raw[20:28])
     bits = struct.unpack("<H", raw[34:36])[0]
-    if channels not in (1, 2) or (fmt_tag, bits) not in ((1, 16), (7, 8)):
+    if channels not in (1, 2) or (fmt_tag, bits) not in (
+        (1, 16), (6, 8), (7, 8)
+    ):
         raise NotImplementedError(
-            "only PCM s16le and G.711 mu-law mono/stereo WAV supported "
+            "only PCM s16le and G.711 A-law/mu-law mono/stereo WAV supported "
             f"(fmt_tag={fmt_tag}, bits={bits})"
         )
     n_data = struct.unpack("<I", raw[40:44])[0]
@@ -326,7 +389,7 @@ def decode_wav_meta(raw: bytes) -> dict:
     n_frames = n_data // (bytes_per_sample * channels)
     return {
         "media_type": "audio",
-        "codec": "pcm_s16le" if fmt_tag == 1 else "pcm_mulaw",
+        "codec": _WAV_CODECS[fmt_tag],
         "width": 0,
         "height": 0,
         "duration_ms": int(n_frames * 1000 // rate),
@@ -336,14 +399,15 @@ def decode_wav_meta(raw: bytes) -> dict:
 
 def decode_wav_samples(raw: bytes) -> np.ndarray:
     """WAV bytes -> int16 samples: (n,) for mono, (n, 2) for stereo.
-    Mu-law payloads are expanded to linear int16 through the G.711 table."""
+    A-law/mu-law payloads are expanded to linear int16 through the G.711
+    tables."""
     meta = decode_wav_meta(raw)  # validates format
     channels = struct.unpack("<H", raw[22:24])[0]
     n_data = struct.unpack("<I", raw[40:44])[0]
-    if meta["codec"] == "pcm_mulaw":
+    if meta["codec"] in ("pcm_mulaw", "pcm_alaw"):
         codes = np.frombuffer(raw, dtype=np.uint8, offset=_WAV_HEADER_SIZE,
                               count=n_data)
-        flat = mulaw_decode(codes)
+        flat = mulaw_decode(codes) if meta["codec"] == "pcm_mulaw" else alaw_decode(codes)
     else:
         flat = np.frombuffer(raw, dtype="<i2", offset=_WAV_HEADER_SIZE,
                              count=n_data // 2)

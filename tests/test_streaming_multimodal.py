@@ -651,3 +651,48 @@ def test_wav_mulaw_roundtrip_and_codec_law():
     raw_s = C.encode_wav_mulaw(st, sample_rate=8000)
     assert C.decode_wav_meta(raw_s)["duration_ms"] == 100
     assert C.decode_wav_samples(raw_s).shape == (800, 2)
+
+
+def test_wav_alaw_roundtrip_and_codec_law():
+    """G.711 A-law WAV (WAVE_FORMAT_ALAW=6): encode(decode(code)) == code
+    for ALL 256 codes (A-law has no negative-zero collapse), companding
+    error is bounded by the segment step (>=8 everywhere — the 13-bit
+    domain's >>3), and the container round-trips mono/stereo with
+    frame-counted duration."""
+    import numpy as np
+
+    from filtered_ads_vector_search_spark.multimodal import codecs as C
+
+    codes = np.arange(256, dtype=np.uint8)
+    np.testing.assert_array_equal(C.alaw_encode(C.alaw_decode(codes)), codes)
+
+    x = np.arange(-32768, 32768, 97).astype(np.int16)
+    err = np.abs(C.alaw_decode(C.alaw_encode(x)).astype(np.int32) - x)
+    assert int(err.max()) <= 512, int(err.max())
+    small = np.arange(-100, 101).astype(np.int16)
+    err_s = np.abs(C.alaw_decode(C.alaw_encode(small)).astype(np.int32) - small)
+    assert int(err_s.max()) <= 8, int(err_s.max())
+    # companding is idempotent on decoded signals
+    y = C.alaw_decode(C.alaw_encode(x))
+    np.testing.assert_array_equal(C.alaw_decode(C.alaw_encode(y)), y)
+
+    mono = (np.arange(800) * 53 % 4096 - 2048).astype(np.int16)
+    raw = C.encode_wav_alaw(mono, sample_rate=8000)
+    assert C.sniff(raw) == "wav"
+    meta = C.decode_wav_meta(raw)
+    assert meta["codec"] == "pcm_alaw" and meta["duration_ms"] == 100
+    np.testing.assert_array_equal(
+        C.decode_wav_samples(raw), C.alaw_decode(C.alaw_encode(mono))
+    )
+    st = np.stack([mono, -mono], axis=1).astype(np.int16)
+    raw_s = C.encode_wav_alaw(st, sample_rate=8000)
+    assert C.decode_wav_meta(raw_s)["duration_ms"] == 100
+    assert C.decode_wav_samples(raw_s).shape == (800, 2)
+    # an unsupported fmt_tag still raises at the seam
+    import pytest
+    import struct as _struct
+
+    bad = bytearray(raw)
+    bad[20:22] = _struct.pack("<H", 2)  # ADPCM
+    with pytest.raises(NotImplementedError):
+        C.decode_wav_meta(bytes(bad))
