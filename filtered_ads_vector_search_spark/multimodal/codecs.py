@@ -1,13 +1,13 @@
 """Minimal pure-Python real-media codecs: BMP, PCM WAV, and JPEG.
 
 This makes the real-codec seam in udfs._parse_header exercisable without any
-external image/audio library: BI_RGB 8-bit-palette, 24-bit, and 32-bit BGRA
+external image/audio library: BI_RGB 8-bit-palette, 16-bit RGB555, 24-bit, and 32-bit BGRA
 BMP, and RIFF/WAVE PCM s16le + G.711 A-law/mu-law mono/stereo, are simple enough
 to encode/decode with struct + numpy, and JPEG — both baseline sequential
 (SOF0) and progressive (SOF2), together essentially all real-world files —
 is a full pure-NumPy implementation in the sibling ``jpeg`` module,
 re-exported here. Remaining compressed codecs (H.264/AAC, JPEG
-arithmetic/hierarchical/lossless, RLE or 16-bit BMP, ADPCM WAV) stay
+arithmetic/hierarchical/lossless, RLE/BI_BITFIELDS BMP, ADPCM WAV) stay
 behind the NotImplementedError seam.
 
 The reference has no media pipeline at all — this is part of the
@@ -25,6 +25,7 @@ from .jpeg import decode_jpeg_meta, decode_jpeg_pixels, encode_jpeg
 __all__ = [
     "encode_bmp",
     "encode_bmp_8bit",
+    "encode_bmp_16bit",
     "encode_bmp_32bit",
     "decode_bmp_meta",
     "decode_bmp_pixels",
@@ -170,15 +171,37 @@ def encode_bmp_32bit(pixels: np.ndarray, alpha: np.ndarray | None = None) -> byt
     return bytes(out)
 
 
+def encode_bmp_16bit(pixels: np.ndarray) -> bytes:
+    """(height, width, 3) uint8 RGB -> 16-bit BI_RGB BMP bytes (RGB555 —
+    the bpp=16 default when no BI_BITFIELDS masks are present; rows of
+    little-endian uint16 padded to 4 bytes, bottom-up). Channels quantize
+    to their top 5 bits."""
+    h, w, c = pixels.shape
+    if c != 3:
+        raise ValueError(f"expected (h, w, 3) RGB pixels, got {pixels.shape}")
+    p16 = pixels.astype(np.uint16) >> 3
+    packed = (p16[:, :, 0] << 10) | (p16[:, :, 1] << 5) | p16[:, :, 2]
+    row = ((2 * w + 3) // 4) * 4
+    size = _BMP_HEADER_SIZE + row * h
+    out = bytearray()
+    out += struct.pack("<2sIHHI", b"BM", size, 0, 0, _BMP_HEADER_SIZE)
+    out += struct.pack("<IiiHHIIiiII", 40, w, h, 1, 16, 0, row * h, 2835, 2835, 0, 0)
+    pad = row - 2 * w
+    for r in packed[::-1]:  # bottom-up rows
+        out += r.astype("<u2").tobytes() + b"\x00" * pad
+    return bytes(out)
+
+
 def decode_bmp_meta(raw: bytes) -> dict:
     magic, size, _, _, offset = struct.unpack("<2sIHHI", raw[:14])
     if magic != b"BM":
         raise ValueError("not a BMP payload")
     hdr_sz, w, h, _planes, bpp = struct.unpack("<IiiHH", raw[14:30])
-    if bpp not in (8, 24, 32) or hdr_sz != 40:
+    compression = struct.unpack("<I", raw[30:34])[0]
+    if bpp not in (8, 16, 24, 32) or hdr_sz != 40 or compression != 0:
         raise NotImplementedError(
-            f"only BI_RGB 8-bit-palette, 24-bit, and 32-bit BGRA BMP "
-            f"supported (bpp={bpp})"
+            f"only BI_RGB 8-bit-palette, 16-bit RGB555, 24-bit, and 32-bit "
+            f"BGRA BMP supported (bpp={bpp}, compression={compression})"
         )
     return {
         "media_type": "image",
@@ -191,9 +214,10 @@ def decode_bmp_meta(raw: bytes) -> dict:
 
 
 def decode_bmp_pixels(raw: bytes) -> np.ndarray:
-    """BMP bytes (8-bit palette, 24-bit BI_RGB, or 32-bit BGRA) ->
-    (h, w, 3) uint8 RGB (the alpha byte of 32-bit payloads is dropped —
-    BI_RGB declares it unused)."""
+    """BMP bytes (8-bit palette, 16-bit RGB555, 24-bit BI_RGB, or 32-bit
+    BGRA) -> (h, w, 3) uint8 RGB (the alpha byte of 32-bit payloads is
+    dropped — BI_RGB declares it unused; 5-bit channels expand by top-bit
+    replication)."""
     meta = decode_bmp_meta(raw)
     w, h = meta["width"], meta["height"]
     bpp = struct.unpack("<H", raw[28:30])[0]
@@ -202,6 +226,17 @@ def decode_bmp_pixels(raw: bytes) -> np.ndarray:
         data = np.frombuffer(raw, dtype=np.uint8, offset=offset, count=4 * w * h)
         rows = data.reshape(h, w, 4)[:, :, 2::-1]  # BGRA -> RGB, alpha dropped
         return rows[::-1].copy()  # back to top-down
+    if bpp == 16:
+        row = ((2 * w + 3) // 4) * 4
+        data = np.frombuffer(raw, dtype=np.uint8, offset=offset, count=row * h)
+        packed = data.reshape(h, row)[:, : 2 * w].view("<u2").reshape(h, w)
+        out = np.empty((h, w, 3), dtype=np.uint8)
+        for ch, shift in enumerate((10, 5, 0)):  # RGB555
+            v = (packed >> shift) & 0x1F
+            # 5->8 bit expansion replicating the top bits (the standard
+            # round-trip-exact expansion: (expand(v) >> 3) == v)
+            out[:, :, ch] = ((v << 3) | (v >> 2)).astype(np.uint8)
+        return out[::-1].copy()  # back to top-down
     if bpp == 8:
         n_pal = struct.unpack("<I", raw[46:50])[0] or 256
         pal = (

@@ -696,3 +696,38 @@ def test_wav_alaw_roundtrip_and_codec_law():
     bad[20:22] = _struct.pack("<H", 2)  # ADPCM
     with pytest.raises(NotImplementedError):
         C.decode_wav_meta(bytes(bad))
+
+
+def test_bmp_16bit_rgb555_roundtrip():
+    """16-bit RGB555 BMP: code-level roundtrip is EXACT (the top-bit-
+    replicating 5->8 expansion inverts the >>3 quantization), decode of an
+    encode equals the independently computed quantized pixels, and resize
+    dispatches through the shared path. A BI_BITFIELDS payload still raises
+    at the seam."""
+    import numpy as np
+    import pytest
+    import struct as _struct
+
+    from filtered_ads_vector_search_spark.multimodal import codecs as C
+
+    rng = np.random.default_rng(17)
+    px = rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)  # odd width -> pad
+    raw = C.encode_bmp_16bit(px)
+    assert C.sniff(raw) == "bmp"
+    meta = C.decode_bmp_meta(raw)
+    assert (meta["width"], meta["height"], meta["n_bytes"]) == (7, 5, len(raw))
+    v5 = px >> 3
+    expect = ((v5 << 3) | (v5 >> 2)).astype(np.uint8)
+    got = C.decode_bmp_pixels(raw)
+    np.testing.assert_array_equal(got, expect)
+    # re-encoding the decoded pixels reproduces the file byte-for-byte
+    assert C.encode_bmp_16bit(got) == raw
+    out = C.decode_bmp_pixels(C.resize_image(raw, 3, 2))
+    ys = (np.arange(2) * 5 // 2).clip(0, 4)
+    xs = (np.arange(3) * 7 // 3).clip(0, 6)
+    np.testing.assert_array_equal(out, expect[ys][:, xs])
+
+    bad = bytearray(raw)
+    bad[30:34] = _struct.pack("<I", 3)  # BI_BITFIELDS
+    with pytest.raises(NotImplementedError):
+        C.decode_bmp_meta(bytes(bad))
