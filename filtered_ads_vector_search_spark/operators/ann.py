@@ -51,7 +51,12 @@ _SCORE_MAX_QUERIES = 100_000
 # so probe SETS are identical either way (asserted in test_recall_ann).
 _PROBE_DISTRIBUTED_CENTROIDS = 10_000
 _PROBE_CHUNK_QUERIES = 4096  # _probe_lists_numpy chunk height
-_PROBE_MATRIX_BYTES = 2 << 30  # peak chunk x C x 8 budget for the driver route
+# TOTAL Q x C x 8 work budget for the driver route. Memory stays
+# chunk-bounded regardless (the numpy ranking walks 4096-query chunks),
+# but the driver fold is single-threaded and linear in len(Q) x n_cent,
+# so past this product the ranking runs as the distributed knn_window
+# probe job instead (identical probe sets either way).
+_PROBE_MATRIX_BYTES = 2 << 30
 
 
 def _probe_lists_numpy(
@@ -172,7 +177,7 @@ def _arrow_bucket_topk(
     n_cent = cent_mat.shape[0]
     if (
         n_cent > _PROBE_DISTRIBUTED_CENTROIDS
-        or min(len(Q), _PROBE_CHUNK_QUERIES) * n_cent * 8 > _PROBE_MATRIX_BYTES
+        or len(Q) * n_cent * 8 > _PROBE_MATRIX_BYTES
     ):
         bucket_queries = _probe_lists_job(queries, cent_df, min(nprobe_, n_cent), qpos)
     else:
@@ -700,10 +705,18 @@ def _kmeans_numpy(
     # fit is bit-identical to the sequential loop — same runs, same
     # first-strictly-smaller-inertia winner (min over (inertia, r)) — at
     # ~n_init x less wall (the 512c coarse fit was 33 s of the 5M build).
+    # Concurrency is MEMORY-capped, not n_runs-capped: each live restart
+    # holds an (n x k) float64 GEMM output plus ~2x temporaries (~400 MB at
+    # 100k x 512), so all-restarts-at-once multiplies driver peak by n_init
+    # and oversubscribes BLAS threads; bound the concurrent set to a ~2 GiB
+    # budget (the winner selection is order-independent, so the cap changes
+    # wall time only, never the trained artifact).
     from concurrent.futures import ThreadPoolExecutor
 
     n_runs = max(1, n_init)
-    with ThreadPoolExecutor(max_workers=n_runs) as ex:
+    per_run_bytes = X.shape[0] * k * 8 * 2  # G + assignment temporaries
+    workers = max(1, min(n_runs, (2 << 30) // max(1, per_run_bytes)))
+    with ThreadPoolExecutor(max_workers=workers) as ex:
         runs = list(
             ex.map(
                 lambda r: one_run(np.random.RandomState(seed + 1000003 * r)),

@@ -40,6 +40,7 @@ from __future__ import annotations
 import itertools
 import os
 import time
+from collections import OrderedDict
 from dataclasses import dataclass
 
 import numpy as np
@@ -91,20 +92,25 @@ def _adc_bucket_scorer(Q, qsel, b, codes, extra):
     return chunk
 
 
-# one live (query-LUT, codebook-norms) payload per Python worker — the
-# decomposed scorer's T3 is bucket-INDEPENDENT, so every probed bucket (and
-# every TASK of the same search in a reused worker) reuses it; bounded to a
-# single entry so back-to-back searches can't accumulate (each T3 is
-# n_queries x m x n_codes doubles, ~164 MB at 10k x 8 x 256). Keyed on the
-# SEARCH TOKEN stamped into the broadcast payload at plan time
-# (_adc_candidates_arrow): the token identifies one (Q, CB) payload by
-# construction, so a hit is content-true even when pyspark hands each task
-# a freshly-deserialized array object — the earlier id()-pair key relied on
-# allocator address reuse for its cross-task hits (and could in principle
-# alias a *different* payload after GC), while a bare object-identity check
-# (round-8 first fix) missed every cross-task reuse and rebuilt T3 per
-# task, a measured ~1.4x slowdown on the 5M nc=256 headline rows.
-_DECOMP_CACHE: dict = {}
+# (query-LUT, codebook-norms) payloads per Python worker — the decomposed
+# scorer's T3 is bucket-INDEPENDENT, so every probed bucket (and every TASK
+# of the same search in a reused worker) reuses it. Bounded as a TWO-entry
+# token-keyed LRU: a single-entry clear() thrashed when two DISTINCT
+# concurrent searches interleaved tasks in one reused worker (the replay
+# harness runs mixed workloads) — each search evicted the other per bucket.
+# Two entries cover that interleave while capping worker residency at
+# ~330 MB worst case (each T3 is n_queries x m x n_codes doubles, ~164 MB
+# at 10k x 8 x 256). Keyed on the SEARCH TOKEN stamped into the broadcast
+# payload at plan time (_adc_candidates_arrow): the token identifies one
+# (Q, CB) payload by construction, so a hit is content-true even when
+# pyspark hands each task a freshly-deserialized array object — the earlier
+# id()-pair key relied on allocator address reuse for its cross-task hits
+# (and could in principle alias a *different* payload after GC), while a
+# bare object-identity check (round-8 first fix) missed every cross-task
+# reuse and rebuilt T3 per task, a measured ~1.4x slowdown on the 5M
+# nc=256 headline rows.
+_DECOMP_CACHE: OrderedDict = OrderedDict()
+_DECOMP_CACHE_MAX = 2
 _DECOMP_TOKENS = itertools.count()
 
 
@@ -134,6 +140,7 @@ def _adc_bucket_scorer_decomposed(Q, qsel, b, codes, extra):
     m, nc, sd = CB.shape
     cached = _DECOMP_CACHE.get(token) if token is not None else None
     if cached is not None:
+        _DECOMP_CACHE.move_to_end(token)  # LRU touch
         T3, rnorm = cached
     else:
         S = Q.reshape(Q.shape[0], m, sd)
@@ -142,7 +149,8 @@ def _adc_bucket_scorer_decomposed(Q, qsel, b, codes, extra):
             T3[:, j, :] = S[:, j, :] @ (-2.0 * CB[j].T)
         rnorm = np.einsum("jcs,jcs->jc", CB, CB)
         if token is not None:
-            _DECOMP_CACHE.clear()
+            while len(_DECOMP_CACHE) >= _DECOMP_CACHE_MAX:
+                _DECOMP_CACHE.popitem(last=False)  # evict least-recent
             _DECOMP_CACHE[token] = (T3, rnorm)
     if residual:
         cb_ = cent[b]

@@ -130,8 +130,14 @@ def pq_train(
     # init draws stay SEQUENTIAL in subspace order (one shared rng stream —
     # reordering them would change the trained artifact); the Lloyd fits
     # below are rng-free and independent per subspace, so they run on
-    # driver threads — bit-identical codebooks, ~m x less wall (the m=8
-    # nc=256 fit was 18 s of the 5M IVFPQ build)
+    # driver threads, ~m x less wall (the m=8 nc=256 fit was 18 s of the
+    # 5M IVFPQ build). THREADING is bit-identical to the sequential loop;
+    # the in-place `cn - 2 x.c` assignment kernel below is NOT bit-identical
+    # to the materialized ||x||^2 - 2x.c + ||c||^2 form it replaced —
+    # dropping the row-constant ||x||^2 term changes per-entry rounding, so
+    # float-TIED argmins can flip and trained codebooks can drift at ulp
+    # ties across versions (recall contracts compare floors, not artifacts;
+    # see BENCH_DRIFT round-7 addendum)
     inits: list[tuple[np.ndarray, np.ndarray]] = []
     for j in range(m):
         S = np.ascontiguousarray(X[:, j * sd : (j + 1) * sd])

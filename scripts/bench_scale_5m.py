@@ -317,8 +317,14 @@ def main() -> None:
     curve_window = float(os.environ.get("SPARK_GRAFT_5M_CURVE_WINDOW", "20"))
     batch_curve: list[dict] = []
     for bs in (256, 1_000, 10_000):
-        q_bs = q.filter(F.col("query_id") < bs) if bs < N_QUERIES else q
-        q_bs.count()  # materialize the cached subset outside the window
+        # persist the subset itself (a bare .count() on the filtered child
+        # would materialize only the cached PARENT, leaving the filter to
+        # re-run inside every timed batch), then count to materialize the
+        # subset cache outside the window
+        q_bs = (
+            q.filter(F.col("query_id") < bs).persist() if bs < N_QUERIES else q
+        )
+        q_bs.count()
         for workers in (2, 4, 8):
             pt = replay_throughput_concurrent(
                 spark,
@@ -330,6 +336,8 @@ def main() -> None:
                 rows_per_batch=min(bs, N_QUERIES),
             )
             batch_curve.append({"batch": min(bs, N_QUERIES), **pt})
+        if bs < N_QUERIES:
+            q_bs.unpersist()
     extras["qps_batch_curve"] = batch_curve
     extras["qps_amortization_ceiling"] = max(p["qps"] for p in batch_curve)
 

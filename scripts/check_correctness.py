@@ -41,6 +41,8 @@ def norm_rows(cols, rows):
 qs = entrymod.queries()
 oracles = entrymod.oracle_sql()
 failures, passes, rows_only = [], [], []
+per_query_s: dict[str, float] = {}
+t_all0 = time.time()
 for name, fn in qs.items():
     if ONLY and name not in ONLY:
         continue
@@ -52,10 +54,12 @@ for name, fn in qs.items():
     except Exception as ex:
         failures.append((name, f"SPARK ERROR: {ex}"))
         print(f"FAIL {name}: spark error: {str(ex)[:300]}")
+        per_query_s[name] = time.time() - t0
         continue
     if name not in oracles:
         rows_only.append((name, len(srows)))
         print(f"rows {name}: {len(srows)} rows (no oracle) [{time.time()-t0:.1f}s]")
+        per_query_s[name] = time.time() - t0
         continue
     try:
         rel = con.sql(oracles[name])
@@ -64,27 +68,40 @@ for name, fn in qs.items():
     except Exception as ex:
         failures.append((name, f"DUCKDB ERROR: {ex}"))
         print(f"FAIL {name}: duckdb error: {str(ex)[:300]}")
+        per_query_s[name] = time.time() - t0
         continue
     sc = sorted(c.lower() for c in scols)
     dc = sorted(dcols)
     if sc != dc:
         failures.append((name, f"columns {sc} vs {dc}"))
         print(f"FAIL {name}: columns {sc} vs {dc}")
+        per_query_s[name] = time.time() - t0
         continue
     sn = norm_rows([c.lower() for c in scols], srows)
     dn = norm_rows(dcols, drows)
     if len(sn) != len(dn):
         failures.append((name, f"rowcount {len(sn)} vs {len(dn)}"))
         print(f"FAIL {name}: rowcount {len(sn)} vs {len(dn)}")
+        per_query_s[name] = time.time() - t0
         continue
     if sn != dn:
         diff = next((i, a, b) for i, (a, b) in enumerate(zip(sn, dn)) if a != b)
         failures.append((name, f"values differ at {diff[0]}: {diff[1]} vs {diff[2]}"))
         print(f"FAIL {name}: first diff row {diff[0]}:\n  spark {diff[1]}\n  duck  {diff[2]}")
+        per_query_s[name] = time.time() - t0
         continue
     passes.append((name, len(sn)))
     print(f"ok   {name}: {len(sn)} rows match [{time.time()-t0:.1f}s]")
+    per_query_s[name] = time.time() - t0
 
+# time-budget report (VERDICT r8 item 7): the full run grows each round —
+# surface where the wall goes so growth stays visible before it hurts the
+# verify gate.
+print()
+slow = sorted(per_query_s.items(), key=lambda kv: -kv[1])[:10]
+print(f"wall {time.time()-t_all0:.1f}s over {len(per_query_s)} queries; top-10 slowest:")
+for n, dt in slow:
+    print(f"  {dt:6.1f}s  {n}")
 print()
 print(f"PASS {len(passes)}  ROWS-ONLY {len(rows_only)}  FAIL {len(failures)}")
 for n, why in failures:

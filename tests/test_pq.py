@@ -223,8 +223,11 @@ def test_decomposed_adc_cache_no_stale_reuse_across_interleaved_searches():
     Interleave two independent payloads under distinct tokens — the
     back-to-back serving loop the decomposed mode is benched for — and
     assert every call matches the fold scorer; then pin the hit/eviction
-    semantics: same token is served from cache, a new token evicts (single
-    entry), and a token-less bare extra recomputes without caching."""
+    semantics: same token is served from cache, the cache is a TWO-entry
+    token-keyed LRU (two interleaved searches BOTH keep their hits — the
+    single-entry clear() this replaces thrashed per bucket), a third token
+    evicts the least-recent, and a token-less bare extra recomputes
+    without caching."""
     from filtered_ads_vector_search_spark.operators import ivfpq as IQ
 
     rng = np.random.default_rng(7)
@@ -232,10 +235,12 @@ def test_decomposed_adc_cache_no_stale_reuse_across_interleaved_searches():
         _decomp_payload(rng) + (f"tok{i}",) for i in range(2)
     ]
     IQ._DECOMP_CACHE.clear()
-    for trial in range(2):  # second pass re-enters each payload after eviction
-        for Q, CB, cent, codes, tok in payloads:
-            qsel = np.arange(Q.shape[0])
-            for b in range(cent.shape[0]):
+    # task-interleaved order (A, B, A, B, ...): the mixed-workload replay
+    # pattern — both searches must keep cache hits, never growing past 2
+    for trial in range(2):
+        for b in range(payloads[0][2].shape[0]):
+            for Q, CB, cent, codes, tok in payloads:
+                qsel = np.arange(Q.shape[0])
                 want = IQ._adc_bucket_scorer(
                     Q, qsel, b, codes, (cent, CB, True)
                 )(0, len(qsel))
@@ -243,29 +248,45 @@ def test_decomposed_adc_cache_no_stale_reuse_across_interleaved_searches():
                     Q, qsel, b, codes, (cent, CB, True, tok)
                 )(0, len(qsel))
                 assert np.allclose(want, got, rtol=1e-9, atol=1e-9), (trial, b)
-                # single-entry cache now holds exactly this search's token
-                assert list(IQ._DECOMP_CACHE) == [tok]
+                assert len(IQ._DECOMP_CACHE) <= IQ._DECOMP_CACHE_MAX
+        # after the first (b=0, tok0) MISS filled the cache, every later
+        # call in the interleave is a HIT: both tokens stay resident
+        assert set(IQ._DECOMP_CACHE) == {"tok0", "tok1"}
 
-    # a token HIT is served from the cached terms: poison the cached rnorm
-    # and observe the poisoned value flow through (proving the hit), then
-    # evict via a fresh token and observe correctness restored
+    # a token HIT is served from the cached terms: poison BOTH resident
+    # entries' rnorm and observe the poisoned values flow through on an
+    # A,B interleave (proving each search kept its own hit — the thrash
+    # the single-entry clear() had), then evict the least-recent with a
+    # THIRD token and observe correctness restored
     Q, CB, cent, codes, tok = payloads[0]
     qsel = np.arange(Q.shape[0])
     IQ._DECOMP_CACHE.clear()
     clean = IQ._adc_bucket_scorer_decomposed(
         Q, qsel, 0, codes, (cent, CB, True, "tokA")
     )(0, len(qsel))
-    T3, rnorm = IQ._DECOMP_CACHE["tokA"]
-    IQ._DECOMP_CACHE["tokA"] = (T3, rnorm + 1.0)  # poison
+    Qb, CBb, centb, codesb, _ = payloads[1]
+    qselb = np.arange(Qb.shape[0])
+    cleanb = IQ._adc_bucket_scorer_decomposed(
+        Qb, qselb, 0, codesb, (centb, CBb, True, "tokB2")
+    )(0, len(qselb))
+    for t in ("tokA", "tokB2"):
+        T3, rnorm = IQ._DECOMP_CACHE[t]
+        IQ._DECOMP_CACHE[t] = (T3, rnorm + 1.0)  # poison
     poisoned = IQ._adc_bucket_scorer_decomposed(
         Q, qsel, 0, codes, (cent, CB, True, "tokA")
     )(0, len(qsel))
-    assert not np.allclose(clean, poisoned)  # cache hit actually happened
+    poisonedb = IQ._adc_bucket_scorer_decomposed(
+        Qb, qselb, 0, codesb, (centb, CBb, True, "tokB2")
+    )(0, len(qselb))
+    assert not np.allclose(clean, poisoned)  # tokA hit actually happened
+    assert not np.allclose(cleanb, poisonedb)  # tokB2 hit survived tokA's
+    # third token evicts the least-recently-used (tokA, touched before
+    # tokB2's last hit) and recomputes cleanly
     fresh = IQ._adc_bucket_scorer_decomposed(
-        Q, qsel, 0, codes, (cent, CB, True, "tokB")
+        Q, qsel, 0, codes, (cent, CB, True, "tokC")
     )(0, len(qsel))
     assert np.allclose(clean, fresh, rtol=1e-12, atol=1e-12)
-    assert list(IQ._DECOMP_CACHE) == ["tokB"]  # old entry evicted
+    assert list(IQ._DECOMP_CACHE) == ["tokB2", "tokC"]  # LRU order, tokA out
 
     # bare 3-tuple extra (no token): recomputes, never caches
     IQ._DECOMP_CACHE.clear()

@@ -438,10 +438,15 @@ def test_probe_ranking_routes_to_distributed_job(spark, monkeypatch):
 
     assert A._PROBE_DISTRIBUTED_CENTROIDS == 10_000
     assert A._PROBE_MATRIX_BYTES == 2 << 30
-    # the byte budget is computed against the CHUNKED peak temporary
-    # (min(len(Q), _PROBE_CHUNK_QUERIES) x n_cent x 8): a bare len(Q)
-    # product mis-routed large-batch/modest-centroid searches to the far
-    # slower distributed job (round-7 ADVICE)
+    # the byte budget is the TOTAL len(Q) x n_cent x 8 product — a WORK
+    # proxy, not a memory bound (memory is chunk-bounded by
+    # _PROBE_CHUNK_QUERIES regardless). The round-8 chunked form
+    # (min(len(Q), 4096) x n_cent x 8) was dead code below the centroid
+    # threshold (worst case 327 MB < 2 GiB), silently removing the
+    # large-batch escape hatch to the distributed job (round-8 ADVICE);
+    # with _SCORE_MAX_QUERIES = 100k the total form only fires past
+    # ~26.8k queries x 10k centroids, where the single-threaded driver
+    # fold costs tens of seconds and the knn_window job wins.
     assert A._PROBE_CHUNK_QUERIES == 4096
 
     q, c = _split(spark)
