@@ -18,6 +18,7 @@ from .columns import (
     real_jpeg_payload,
     with_real_jpeg,
     with_real_media,
+    with_real_media_565,
     with_synthetic_media,
 )
 from .udfs import (
@@ -34,6 +35,7 @@ __all__ = [
     "real_jpeg_payload",
     "with_real_jpeg",
     "with_real_media",
+    "with_real_media_565",
     "with_synthetic_media",
     "content_stats",
     "decode_media_meta",

@@ -2,13 +2,14 @@
 
 This makes the real-codec seam in udfs._parse_header exercisable without any
 external image/audio library: BI_RGB 8-bit-palette, 16-bit RGB555, 24-bit, and 32-bit BGRA
-BMP, and RIFF/WAVE PCM s16le + G.711 A-law/mu-law mono/stereo, are simple enough
-to encode/decode with struct + numpy, and JPEG — both baseline sequential
-(SOF0) and progressive (SOF2), together essentially all real-world files —
-is a full pure-NumPy implementation in the sibling ``jpeg`` module,
-re-exported here. Remaining compressed codecs (H.264/AAC, JPEG
-arithmetic/hierarchical/lossless, RLE/BI_BITFIELDS BMP, ADPCM WAV) stay
-behind the NotImplementedError seam.
+BMP plus 16/32-bit BI_BITFIELDS (contiguous masks, e.g. RGB565), and
+RIFF/WAVE PCM s16le + G.711 A-law/mu-law + IMA ADPCM mono/stereo, are simple
+enough to encode/decode with struct + numpy, and JPEG — both baseline
+sequential (SOF0) and progressive (SOF2), together essentially all
+real-world files — is a full pure-NumPy implementation in the sibling
+``jpeg`` module, re-exported here. Remaining compressed codecs (H.264/AAC,
+JPEG arithmetic/hierarchical/lossless, RLE BMP, MS-ADPCM WAV) stay behind
+the NotImplementedError seam.
 
 The reference has no media pipeline at all — this is part of the
 beyond-reference training-data-pipeline surface (brief: multimodal columns).
@@ -27,12 +28,14 @@ __all__ = [
     "encode_bmp_8bit",
     "encode_bmp_16bit",
     "encode_bmp_32bit",
+    "encode_bmp_565",
     "decode_bmp_meta",
     "decode_bmp_pixels",
     "resize_bmp",
     "encode_wav",
     "encode_wav_mulaw",
     "encode_wav_alaw",
+    "encode_wav_ima_adpcm",
     "mulaw_encode",
     "mulaw_decode",
     "alaw_encode",
@@ -192,16 +195,43 @@ def encode_bmp_16bit(pixels: np.ndarray) -> bytes:
     return bytes(out)
 
 
+def encode_bmp_565(pixels: np.ndarray) -> bytes:
+    """(height, width, 3) uint8 RGB -> 16-bit BI_BITFIELDS RGB565 BMP bytes
+    — the dominant real-world 16-bit layout (masks F800/07E0/001F written
+    after the 40-byte info header, per the BITMAPINFOHEADER spec). R/B
+    quantize to their top 5 bits, G to its top 6."""
+    h, w, c = pixels.shape
+    if c != 3:
+        raise ValueError(f"expected (h, w, 3) RGB pixels, got {pixels.shape}")
+    p = pixels.astype(np.uint16)
+    packed = ((p[:, :, 0] >> 3) << 11) | ((p[:, :, 1] >> 2) << 5) | (p[:, :, 2] >> 3)
+    row = ((2 * w + 3) // 4) * 4
+    data_off = _BMP_HEADER_SIZE + 12  # three DWORD masks follow the header
+    size = data_off + row * h
+    out = bytearray()
+    out += struct.pack("<2sIHHI", b"BM", size, 0, 0, data_off)
+    out += struct.pack("<IiiHHIIiiII", 40, w, h, 1, 16, 3, row * h, 2835, 2835, 0, 0)
+    out += struct.pack("<III", 0xF800, 0x07E0, 0x001F)
+    pad = row - 2 * w
+    for r in packed[::-1]:  # bottom-up rows
+        out += r.astype("<u2").tobytes() + b"\x00" * pad
+    return bytes(out)
+
+
 def decode_bmp_meta(raw: bytes) -> dict:
     magic, size, _, _, offset = struct.unpack("<2sIHHI", raw[:14])
     if magic != b"BM":
         raise ValueError("not a BMP payload")
     hdr_sz, w, h, _planes, bpp = struct.unpack("<IiiHH", raw[14:30])
     compression = struct.unpack("<I", raw[30:34])[0]
-    if bpp not in (8, 16, 24, 32) or hdr_sz != 40 or compression != 0:
+    supported = (bpp in (8, 16, 24, 32) and compression == 0) or (
+        bpp in (16, 32) and compression == 3  # BI_BITFIELDS, masked
+    )
+    if not supported or hdr_sz != 40:
         raise NotImplementedError(
             f"only BI_RGB 8-bit-palette, 16-bit RGB555, 24-bit, and 32-bit "
-            f"BGRA BMP supported (bpp={bpp}, compression={compression})"
+            f"BGRA BMP plus 16/32-bit BI_BITFIELDS supported "
+            f"(bpp={bpp}, compression={compression}; RLE still out of scope)"
         )
     return {
         "media_type": "image",
@@ -213,15 +243,60 @@ def decode_bmp_meta(raw: bytes) -> dict:
     }
 
 
+def _expand_channel_to_8(v: np.ndarray, width: int) -> np.ndarray:
+    """n-bit channel value -> 8-bit by top-bit replication (the standard
+    round-trip-exact expansion: quantizing the result back recovers v).
+    For width 5 this is exactly the (v << 3) | (v >> 2) RGB555 expansion."""
+    if width == 0:
+        return np.zeros_like(v, dtype=np.uint8)
+    if width >= 8:
+        return (v >> (width - 8)).astype(np.uint8)
+    res = v.astype(np.uint32) << (8 - width)
+    shift = width
+    while shift < 8:
+        res |= res >> shift
+        shift += width
+    return res.astype(np.uint8)
+
+
+def _mask_layout(mask: int) -> tuple[int, int]:
+    """(shift, bit-width) of a contiguous BI_BITFIELDS channel mask."""
+    if mask == 0:
+        return 0, 0
+    shift = (mask & -mask).bit_length() - 1
+    width = (mask >> shift).bit_length()
+    if (mask >> shift) != (1 << width) - 1:
+        raise NotImplementedError(
+            f"non-contiguous BI_BITFIELDS channel mask 0x{mask:x}"
+        )
+    return shift, width
+
+
 def decode_bmp_pixels(raw: bytes) -> np.ndarray:
-    """BMP bytes (8-bit palette, 16-bit RGB555, 24-bit BI_RGB, or 32-bit
-    BGRA) -> (h, w, 3) uint8 RGB (the alpha byte of 32-bit payloads is
-    dropped — BI_RGB declares it unused; 5-bit channels expand by top-bit
-    replication)."""
+    """BMP bytes (8-bit palette, 16-bit RGB555, 24-bit BI_RGB, 32-bit BGRA,
+    or 16/32-bit BI_BITFIELDS with contiguous masks) -> (h, w, 3) uint8 RGB
+    (alpha is dropped — BI_RGB declares it unused and the masked form's
+    alpha never reaches the RGB output; sub-8-bit channels expand by
+    top-bit replication)."""
     meta = decode_bmp_meta(raw)
     w, h = meta["width"], meta["height"]
     bpp = struct.unpack("<H", raw[28:30])[0]
     offset = struct.unpack("<I", raw[10:14])[0]
+    compression = struct.unpack("<I", raw[30:34])[0]
+    if compression == 3:  # BI_BITFIELDS: masks follow the 40-byte header
+        masks = struct.unpack("<III", raw[54:66])
+        unit = bpp // 8
+        row = ((unit * w + 3) // 4) * 4
+        data = np.frombuffer(raw, dtype=np.uint8, offset=offset, count=row * h)
+        dt = "<u2" if bpp == 16 else "<u4"
+        packed = data.reshape(h, row)[:, : unit * w].copy().view(dt).reshape(h, w)
+        out = np.empty((h, w, 3), dtype=np.uint8)
+        for ch, m in enumerate(masks):
+            shift, width = _mask_layout(m)
+            out[:, :, ch] = _expand_channel_to_8(
+                (packed >> shift) & ((1 << max(width, 1)) - 1), width
+            )
+        return out[::-1].copy()  # back to top-down
     if bpp == 32:
         data = np.frombuffer(raw, dtype=np.uint8, offset=offset, count=4 * w * h)
         rows = data.reshape(h, w, 4)[:, :, 2::-1]  # BGRA -> RGB, alpha dropped
@@ -404,24 +479,200 @@ def encode_wav_alaw(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
     return bytes(out)
 
 
-_WAV_CODECS = {1: "pcm_s16le", 6: "pcm_alaw", 7: "pcm_mulaw"}
+# IMA (DVI4) ADPCM — WAVE_FORMAT_IMA_ADPCM (0x11): 4-bit differential
+# companding over the standard 89-entry step table, the widest-deployed
+# compressed WAV layout (IMA ADPCM spec / Microsoft WAVE documentation).
+# Block-structured: per channel a 4-byte state header (int16 predictor =
+# the block's first sample, uint8 step index, reserved), then 4-bit codes
+# packed low-nibble-first, stereo interleaved in 4-byte groups per channel.
+_IMA_STEP_TABLE = np.array(
+    [7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+     41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+     190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+     724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+     2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+     6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+     16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767],
+    dtype=np.int32,
+)
+_IMA_INDEX_TABLE = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int32)
+
+
+def _ima_encode_channel(
+    ch_samples: np.ndarray, spb: int
+) -> list[tuple[int, int, bytes]]:
+    """One channel -> [(predictor, step_index, code_bytes)] per block.
+    The block's first sample goes verbatim into the header; the remaining
+    spb-1 samples become one nibble each (low nibble first). The step
+    index carries across blocks; a final partial block is padded by
+    repeating the last sample (the fact chunk records the true count)."""
+    steps, idxt = _IMA_STEP_TABLE, _IMA_INDEX_TABLE
+    x = ch_samples.astype(np.int64).tolist()
+    if len(x) % spb:
+        x = x + [x[-1]] * (spb - len(x) % spb)
+    index = 0
+    blocks: list[tuple[int, int, bytes]] = []
+    for b0 in range(0, len(x), spb):
+        pred = int(x[b0])
+        hdr = (pred, index)
+        nibbles = []
+        for s in x[b0 + 1 : b0 + spb]:
+            step = int(steps[index])
+            diff = int(s) - pred
+            n = 0
+            if diff < 0:
+                n = 8
+                diff = -diff
+            if diff >= step:
+                n |= 4
+                diff -= step
+            if diff >= step >> 1:
+                n |= 2
+                diff -= step >> 1
+            if diff >= step >> 2:
+                n |= 1
+            delta = step >> 3
+            if n & 4:
+                delta += step
+            if n & 2:
+                delta += step >> 1
+            if n & 1:
+                delta += step >> 2
+            pred = pred - delta if n & 8 else pred + delta
+            pred = max(-32768, min(32767, pred))
+            index = max(0, min(88, index + int(idxt[n & 7])))
+            nibbles.append(n)
+        data = bytearray()
+        for i in range(0, len(nibbles), 2):
+            lo = nibbles[i]
+            hi = nibbles[i + 1] if i + 1 < len(nibbles) else 0
+            data.append(lo | (hi << 4))
+        blocks.append((hdr[0], hdr[1], bytes(data)))
+    return blocks
+
+
+def _ima_decode_channel_block(
+    pred: int, index: int, data: bytes, n_nibbles: int
+) -> np.ndarray:
+    """One channel-block's code bytes -> int16 samples (header sample
+    first, then one per nibble, low nibble first)."""
+    steps, idxt = _IMA_STEP_TABLE, _IMA_INDEX_TABLE
+    out = np.empty(n_nibbles + 1, dtype=np.int16)
+    out[0] = pred
+    k = 1
+    for byte in data:
+        for n in (byte & 0x0F, byte >> 4):
+            if k > n_nibbles:
+                break
+            step = int(steps[index])
+            delta = step >> 3
+            if n & 4:
+                delta += step
+            if n & 2:
+                delta += step >> 1
+            if n & 1:
+                delta += step >> 2
+            pred = pred - delta if n & 8 else pred + delta
+            pred = max(-32768, min(32767, pred))
+            index = max(0, min(88, index + int(idxt[n & 7])))
+            out[k] = pred
+            k += 1
+    return out
+
+
+def encode_wav_ima_adpcm(
+    samples: np.ndarray, sample_rate: int = 8000, block_align: int | None = None
+) -> bytes:
+    """int16 samples -> RIFF/WAVE IMA ADPCM bytes ((n,) mono or (n, 2)
+    stereo, same shape contract as encode_wav). Container: 20-byte fmt
+    chunk (cbSize=2 + samplesPerBlock) + fact chunk (true frame count —
+    required for compressed WAV) + block-aligned data, final block padded
+    by repeating the last sample."""
+    if samples.ndim == 1:
+        channels = 1
+        chans = [samples]
+    elif samples.ndim == 2 and samples.shape[1] in (1, 2):
+        channels = samples.shape[1]
+        chans = [samples[:, j] for j in range(channels)]
+    else:
+        raise ValueError(f"samples must be (n,) or (n, 1|2); got {samples.shape}")
+    n_frames = len(samples)
+    if n_frames == 0:
+        raise ValueError("IMA ADPCM needs at least one sample")
+    block_align = block_align or 256 * channels
+    spb = (block_align - 4 * channels) * 2 // channels + 1
+    per_ch = [_ima_encode_channel(c, spb) for c in chans]
+    data = bytearray()
+    for bi in range(len(per_ch[0])):
+        for blocks in per_ch:  # per-channel 4-byte state headers
+            pred, index, _ = blocks[bi]
+            data += struct.pack("<hBB", pred, index, 0)
+        if channels == 1:
+            data += per_ch[0][bi][2]
+        else:  # interleave 4-byte (8-nibble) groups L, R, L, R, ...
+            l, r = per_ch[0][bi][2], per_ch[1][bi][2]
+            for g in range(0, len(l), 4):
+                data += l[g : g + 4] + r[g : g + 4]
+    avg_bps = sample_rate * block_align // spb
+    out = bytearray()
+    out += struct.pack("<4sI4s", b"RIFF", 4 + 28 + 12 + 8 + len(data), b"WAVE")
+    out += struct.pack(
+        "<4sIHHIIHHHH", b"fmt ", 20, 0x11, channels, sample_rate,
+        avg_bps, block_align, 4, 2, spb,
+    )
+    out += struct.pack("<4sII", b"fact", 4, n_frames)
+    out += struct.pack("<4sI", b"data", len(data))
+    out += data
+    return bytes(out)
+
+
+_WAV_CODECS = {1: "pcm_s16le", 6: "pcm_alaw", 7: "pcm_mulaw", 0x11: "adpcm_ima_wav"}
+
+
+def _wav_chunks(raw: bytes) -> dict[bytes, tuple[int, int]]:
+    """RIFF chunk walk -> {chunk_id: (payload_offset, size)} (first
+    occurrence wins; odd-sized chunks are pad-aligned per the RIFF spec).
+    The fixed 44-byte header the plain encoders write is just the
+    fmt-then-data special case of this."""
+    if raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    chunks: dict[bytes, tuple[int, int]] = {}
+    pos = 12
+    while pos + 8 <= len(raw):
+        cid = raw[pos : pos + 4]
+        sz = struct.unpack("<I", raw[pos + 4 : pos + 8])[0]
+        chunks.setdefault(cid, (pos + 8, sz))
+        pos += 8 + sz + (sz & 1)
+    return chunks
 
 
 def decode_wav_meta(raw: bytes) -> dict:
-    if raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
-        raise ValueError("not a WAV payload")
-    fmt_tag, channels, rate = struct.unpack("<HHI", raw[20:28])
-    bits = struct.unpack("<H", raw[34:36])[0]
+    chunks = _wav_chunks(raw)
+    if b"fmt " not in chunks or b"data" not in chunks:
+        raise ValueError("WAV payload missing fmt/data chunk")
+    f0, fsz = chunks[b"fmt "]
+    fmt_tag, channels, rate = struct.unpack("<HHI", raw[f0 : f0 + 8])
+    block_align, bits = struct.unpack("<HH", raw[f0 + 12 : f0 + 16])
     if channels not in (1, 2) or (fmt_tag, bits) not in (
-        (1, 16), (6, 8), (7, 8)
+        (1, 16), (6, 8), (7, 8), (0x11, 4)
     ):
         raise NotImplementedError(
-            "only PCM s16le and G.711 A-law/mu-law mono/stereo WAV supported "
-            f"(fmt_tag={fmt_tag}, bits={bits})"
+            "only PCM s16le, G.711 A-law/mu-law, and IMA ADPCM mono/stereo "
+            f"WAV supported (fmt_tag={fmt_tag}, bits={bits}; MS-ADPCM still "
+            "out of scope)"
         )
-    n_data = struct.unpack("<I", raw[40:44])[0]
-    bytes_per_sample = bits // 8
-    n_frames = n_data // (bytes_per_sample * channels)
+    n_data = chunks[b"data"][1]
+    if fmt_tag == 0x11:
+        # frame count from the fact chunk (authoritative for compressed
+        # WAV); fall back to full decoded blocks when absent
+        spb = struct.unpack("<H", raw[f0 + 18 : f0 + 20])[0]
+        if b"fact" in chunks:
+            o, _ = chunks[b"fact"]
+            n_frames = struct.unpack("<I", raw[o : o + 4])[0]
+        else:
+            n_frames = (n_data // block_align) * spb
+    else:
+        n_frames = n_data // ((bits // 8) * channels)
     return {
         "media_type": "audio",
         "codec": _WAV_CODECS[fmt_tag],
@@ -435,15 +686,48 @@ def decode_wav_meta(raw: bytes) -> dict:
 def decode_wav_samples(raw: bytes) -> np.ndarray:
     """WAV bytes -> int16 samples: (n,) for mono, (n, 2) for stereo.
     A-law/mu-law payloads are expanded to linear int16 through the G.711
-    tables."""
+    tables; IMA ADPCM blocks are reconstructed through the step-table
+    recurrence and truncated to the fact chunk's frame count."""
     meta = decode_wav_meta(raw)  # validates format
-    channels = struct.unpack("<H", raw[22:24])[0]
-    n_data = struct.unpack("<I", raw[40:44])[0]
+    chunks = _wav_chunks(raw)
+    f0, _ = chunks[b"fmt "]
+    channels = struct.unpack("<H", raw[f0 + 2 : f0 + 4])[0]
+    d0, n_data = chunks[b"data"]
+    if meta["codec"] == "adpcm_ima_wav":
+        block_align = struct.unpack("<H", raw[f0 + 12 : f0 + 14])[0]
+        spb = struct.unpack("<H", raw[f0 + 18 : f0 + 20])[0]
+        if b"fact" in chunks:
+            o, _ = chunks[b"fact"]
+            n_frames = struct.unpack("<I", raw[o : o + 4])[0]
+        else:
+            n_frames = (n_data // block_align) * spb
+        per_ch: list[list[np.ndarray]] = [[] for _ in range(channels)]
+        for b0 in range(d0, d0 + n_data, block_align):
+            states = []
+            pos = b0
+            for _ in range(channels):
+                pred, index, _r = struct.unpack("<hBB", raw[pos : pos + 4])
+                states.append((pred, index))
+                pos += 4
+            body = raw[pos : b0 + block_align]
+            if channels == 1:
+                ch_bytes = [body]
+            else:  # de-interleave the 4-byte groups
+                ch_bytes = [bytearray(), bytearray()]
+                for g in range(0, len(body), 8):
+                    ch_bytes[0] += body[g : g + 4]
+                    ch_bytes[1] += body[g + 4 : g + 8]
+            for j in range(channels):
+                per_ch[j].append(
+                    _ima_decode_channel_block(
+                        states[j][0], states[j][1], bytes(ch_bytes[j]), spb - 1
+                    )
+                )
+        full = [np.concatenate(bl)[:n_frames] for bl in per_ch]
+        return full[0] if channels == 1 else np.stack(full, axis=1)
     if meta["codec"] in ("pcm_mulaw", "pcm_alaw"):
-        codes = np.frombuffer(raw, dtype=np.uint8, offset=_WAV_HEADER_SIZE,
-                              count=n_data)
+        codes = np.frombuffer(raw, dtype=np.uint8, offset=d0, count=n_data)
         flat = mulaw_decode(codes) if meta["codec"] == "pcm_mulaw" else alaw_decode(codes)
     else:
-        flat = np.frombuffer(raw, dtype="<i2", offset=_WAV_HEADER_SIZE,
-                             count=n_data // 2)
+        flat = np.frombuffer(raw, dtype="<i2", offset=d0, count=n_data // 2)
     return flat if channels == 1 else flat.reshape(-1, 2)

@@ -81,6 +81,31 @@ def with_real_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.withColumn("payload", gen(F.col(id_col)))
 
 
+def real_payload_565(doc_id: int) -> bytes:
+    """Deterministic 16-bit BI_BITFIELDS RGB565 BMP payload of the SAME
+    arithmetic pixels real_payload uses for its even-id BMPs — 565
+    quantization is a pure per-channel arithmetic map (R/B: top 5 bits
+    expanded (v<<3)|(v>>2); G: top 6 expanded (v<<2)|(v>>4)), so a SQL
+    oracle can recompute the decoded content sum exactly."""
+    import numpy as np
+
+    from . import codecs as C
+
+    w, h = 4 + doc_id % 5, 3 + doc_id % 4
+    y, x, c = np.ogrid[0:h, 0:w, 0:3]
+    px = (doc_id * 7 + y * 31 + x * 13 + c * 5) % 256
+    return C.encode_bmp_565(px.astype(np.uint8))
+
+
+def with_real_media_565(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach the deterministic RGB565 BI_BITFIELDS BMP payload column."""
+    @F.pandas_udf(T.BinaryType())
+    def gen(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda i: real_payload_565(int(i)))
+
+    return df.withColumn("payload", gen(F.col(id_col)))
+
+
 def jpeg_source_pixels(doc_id: int):
     """The arithmetic source image the deterministic JPEG payload encodes:
     a smooth gradient pixel(y, x, c) = (doc_id * 7) % 96 + y*2 + x*2 + c*2

@@ -3547,6 +3547,58 @@ FROM documents
 """
 
 
+def _multimodal_decode_bmp565_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-format 16-bit BI_BITFIELDS RGB565 BMP decode (round-9 codec
+    lift): the arithmetic pixels real_payload uses are encoded through
+    encode_bmp_565 (masks F800/07E0/001F after the info header), decoded
+    back — header fields AND the full content checksum — by the same
+    mapInPandas path as multimodal_decode. 565 quantization is a pure
+    per-channel arithmetic map, so the oracle recomputes every field
+    including content_sum from doc_id alone: one wrong byte in the masked
+    encode->decode round trip fails the hash."""
+    from .multimodal import content_stats, decode_media_meta, with_real_media_565
+
+    docs = _tbl(spark, sf_dir, "documents").select("doc_id")
+    decoded = decode_media_meta(with_real_media_565(docs))
+    return content_stats(decoded).select(
+        "doc_id",
+        "media_type",
+        "codec",
+        "width",
+        "height",
+        "n_bytes",
+        "content_sum",
+    )
+
+
+def _multimodal_decode_bmp565_sql() -> str:
+    w, h = "(4 + doc_id % 5)", "(3 + doc_id % 4)"
+    # p = source pixel; channel c quantizes to its top 5 (R/B) or 6 (G)
+    # bits and expands by top-bit replication: v*8 + v//4 (5-bit) or
+    # v*4 + v//16 (6-bit) — OR-free forms exact because the replicated
+    # low bits never collide with the shifted value
+    p = (
+        f"((doc_id * 7 + (i // ({w} * 3)) * 31 "
+        f"+ ((i % ({w} * 3)) // 3) * 13 + (i % 3) * 5) % 256)"
+    )
+    pix = (
+        f"list_sum(list_transform(range(0, {h} * {w} * 3), "
+        f"i -> CASE WHEN i % 3 = 1 "
+        f"THEN ({p} // 4) * 4 + ({p} // 4) // 16 "
+        f"ELSE ({p} // 8) * 8 + ({p} // 8) // 4 END))"
+    )
+    return f"""
+SELECT doc_id,
+       'image' AS media_type,
+       'bmp' AS codec,
+       CAST({w} AS INT) AS width,
+       CAST({h} AS INT) AS height,
+       CAST(66 + ((2 * {w} + 3) // 4 * 4) * {h} AS BIGINT) AS n_bytes,
+       CAST({pix} AS BIGINT) AS content_sum
+FROM documents
+"""
+
+
 def _multimodal_decode_jpeg_spark(
     spark: SparkSession, sf_dir: str, progressive: bool = False
 ) -> DataFrame:
@@ -4530,6 +4582,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_resize": _multimodal_resize_spark,
     "frame_sample_counts": _frame_counts_spark,
     "multimodal_decode": _multimodal_decode_spark,
+    "multimodal_decode_bmp565": _multimodal_decode_bmp565_spark,
     "multimodal_decode_jpeg": _multimodal_decode_jpeg_spark,
     "multimodal_decode_jpeg_prog": _multimodal_decode_jpeg_prog_spark,
     "knn_sq8": lambda s, d: _knn_spark(s, d, "sqeuclidean", quant="sq8"),
@@ -4815,6 +4868,75 @@ QUERIES = {
     **{k: v for k, v in QUERIES.items() if k not in _R8_PREFIX},
 }
 
+# Round-9 rotation. Vintages after r8: 50 r8-green, 43 r7-green, 47
+# r6-green (CORRECTNESS_r0{6,7,8}.json) — the r6 cohort is the oldest
+# evidence left. Round 9 leads with (a) queries NEW or code-touched this
+# round — multimodal_decode_bmp565 (new: the BI_BITFIELDS RGB565 decode
+# with a full arithmetic content-sum oracle), knn_ivfpq_decomposed (the
+# _DECOMP_CACHE 2-entry token-LRU), and ann_ivf (the probe-routing
+# total-work escape hatch + memory-capped k-means restart concurrency in
+# ann.py) — then (b) ALL 47 r6-vintage queries. 3 + 47 = 50; after this
+# round no query's latest driver-green is older than r7.
+_R9_PREFIX: list[str] = [
+    # (a) new / code-touched in round 9
+    "multimodal_decode_bmp565",
+    "knn_ivfpq_decomposed",
+    "ann_ivf",
+    # (b) the full r6-vintage set
+    "ann_ivf_fixed",
+    "customer_setops",
+    "dedup_ngram_jaccard",
+    "doc_chunks",
+    "doc_clean",
+    "event_attribution",
+    "event_error_context",
+    "event_lag_stats",
+    "event_sliding_windows",
+    "event_window_stats",
+    "grid_metrics_lsh_fixed",
+    "grid_search_ivf",
+    "grid_search_lsh",
+    "knn_filtered_auto_ann",
+    "knn_filtered_auto_exact",
+    "knn_scalable_filtered",
+    "line_dedup_corpus",
+    "lineitem_rollup",
+    "pack_assignments",
+    "pareto_frontier_suppliers",
+    "purchase_attribution_pairs",
+    "qps_windows",
+    "quality_brackets",
+    "semdedup_keep",
+    "substr_dedup_remove",
+    "token_fertility",
+    "tpch_q1",
+    "tpch_q10",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q18",
+    "tpch_q19",
+    "tpch_q1_sql_api",
+    "tpch_q2",
+    "tpch_q22",
+    "tpch_q3",
+    "tpch_q4",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q7",
+    "tpch_q8",
+    "user_sessions",
+    "user_sessions_native",
+    "zorder_keys",
+]
+assert len(_R9_PREFIX) == 50 and len(set(_R9_PREFIX)) == 50
+QUERIES = {
+    **{k: QUERIES[k] for k in _R9_PREFIX},
+    **{k: v for k, v in QUERIES.items() if k not in _R9_PREFIX},
+}
+
 ORACLES: dict[str, str] = {
     "knn_exact": _knn_sql("sqeuclidean"),
     "knn_filtered_high": _knn_sql("sqeuclidean", filter_name="high_rated"),
@@ -4938,6 +5060,7 @@ ORACLES: dict[str, str] = {
     "grid_metrics_lsh_fixed": _grid_metrics_lsh_fixed_sql(),
     "grid_search_lsh": _grid_search_lsh_sql(),
     "multimodal_decode": _multimodal_decode_sql(),
+    "multimodal_decode_bmp565": _multimodal_decode_bmp565_sql(),
     "multimodal_decode_jpeg": _multimodal_decode_jpeg_sql(),
     "multimodal_decode_jpeg_prog": _multimodal_decode_jpeg_sql(),
     "tpch_q21": _tpch_q21_sql(),

@@ -1,0 +1,207 @@
+"""768-d vector tier stress bench (VERDICT r8 item 5).
+
+Every scale anchor so far is 64-d — the reference's own corpus shape
+(gen_scale_data.py DIM). Real LLM-pipeline embeddings are 384-1024-d,
+which moves every kernel from L2-resident to memory-bandwidth-bound:
+the per-bucket scoring matrix is 12x wider, the broadcast query matrix
+is 12x larger, and the coarse-assignment scan streams 12x the bytes.
+This script generates a 1M x 768d clustered corpus with the SAME
+deterministic generator (so IVF pruning has the same cluster signal),
+runs the IVF and IVFPQ tiers end-to-end at that width, and publishes
+build/search/recall rows into SCALE_BENCH.json extras["dim768"].
+
+Acceptance bar: recall floors match the 64-d contracts — unfiltered
+IVF recall at the widest benched nprobe >= 0.95, high_rated filtered
+(adaptive) >= the 0.80 mid_rated floor bench_scale.py enforces, IVFPQ
+rerank recall >= 0.95.
+
+Knobs (smoke first on a small corpus, per BENCH_DRIFT discipline):
+  SPARK_GRAFT_768_DIR  (default /root/repo/scale_data_768d)
+  SPARK_GRAFT_768_N    (default 1_000_000)
+  SPARK_GRAFT_768_Q    (default 1_000)
+
+Usage: python scripts/bench_scale_768d.py   (run EXCLUSIVELY — no
+concurrent CPU-heavy work; see memory/bench pitfalls.)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from filtered_ads_vector_search_spark.operators import filters as FL
+from filtered_ads_vector_search_spark.operators import topk as TK
+from filtered_ads_vector_search_spark.operators.ann import IVFIndex
+from filtered_ads_vector_search_spark.operators.ivfpq import IVFPQIndex
+from filtered_ads_vector_search_spark.operators.recall import recall_at_k
+from filtered_ads_vector_search_spark.session import get_spark
+
+DATA = os.environ.get("SPARK_GRAFT_768_DIR", "/root/repo/scale_data_768d")
+N = int(os.environ.get("SPARK_GRAFT_768_N", "1000000"))
+NQ = int(os.environ.get("SPARK_GRAFT_768_Q", "1000"))
+DIM = 768
+IVF_CENTROIDS = 512
+IVF_NPROBES = (16, 32)
+PQ_M, PQ_CODES, PQ_RERANK = 16, 256, 100
+K = 10
+FLOOR_UNFILTERED = 0.95
+FLOOR_FILTERED = 0.80  # the 64-d mid_rated acceptance bar
+FLOOR_IVFPQ = 0.95
+
+
+def main() -> None:
+    spark = get_spark(app_name="favs-bench-768d")
+    spark.sparkContext.setLogLevel("ERROR")
+    timings: dict[str, float] = {}
+    extras: dict = {"dim": DIM, "n_vectors": N, "n_queries": NQ}
+    samples: dict[str, list[float]] = {}
+
+    def timed(name: str, fn, resample: int = 1):
+        # min-of-N for PURE re-runnable searches only (BENCH_DRIFT);
+        # builds/writes stay single-shot
+        times = []
+        out = None
+        for _ in range(resample):
+            t0 = time.time()
+            out = fn()
+            times.append(time.time() - t0)
+        timings[name] = round(min(times), 3)
+        if resample > 1:
+            samples[name] = [round(t, 3) for t in times]
+        return out
+
+    # deterministic corpus (same generator as the 64-d anchors, wider rows)
+    if not os.path.exists(f"{DATA}/vectors.parquet/_SUCCESS"):
+        from gen_scale_data import gen_vectors
+
+        t0 = time.time()
+        gen_vectors(spark, N, DATA, dim=DIM)
+        extras["gen_seconds"] = round(time.time() - t0, 1)
+
+    warm = spark.range(256).withColumn("g", F.col("id") % 8)
+    warm.groupBy("g").count().count()
+    warm.mapInPandas(lambda it: it, schema="id long, g long").count()
+
+    emb = spark.read.parquet(f"{DATA}/vectors.parquet")
+    q = (
+        emb.filter(F.col("vec_id") < NQ)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec"))
+        .cache()
+    )
+    c = FL.with_rating_bucket(emb.filter(F.col("vec_id") >= NQ)).cache()
+    q.count(), c.count()
+
+    # exact truth (the oracle tier): unfiltered + high_rated
+    truth = timed(
+        f"truth_exact_{NQ}q",
+        lambda: TK.knn_scalable(q, c, k=K).cache(),
+    )
+    truth.count()
+    pred_high = FL.named_filter_predicate("high_rated")
+    truth_high = TK.knn_scalable(q, c.filter(pred_high), k=K).cache()
+    truth_high.count()
+
+    # --- IVF tier ---
+    idx = timed(
+        f"ivf_build_{IVF_CENTROIDS}c",
+        lambda: IVFIndex.build(c, n_centroids=IVF_CENTROIDS, seed=42),
+    )
+    layout = f"{DATA}/ivf_index"
+    timed("ivf_write_bucketed", lambda: idx.write_bucketed(layout))
+    idx.unpersist()
+    loaded = IVFIndex.load(spark, layout)
+    for nprobe in IVF_NPROBES:
+        found = loaded.search(q, k=K, nprobe=nprobe, arrow_score="blas")
+        timed(
+            f"ivf_search_np{nprobe}_{NQ}q",
+            lambda f=found, np_=nprobe: loaded.search(
+                q, k=K, nprobe=np_, arrow_score="blas"
+            ).count(),
+            resample=3,
+        )
+        extras[f"ivf_recall_np{nprobe}"] = float(
+            recall_at_k(found, truth, k=K).first()["recall_at_k"]
+        )
+    found_h = loaded.search(
+        q, k=K, nprobe=IVF_NPROBES[0], predicate=pred_high,
+        adaptive_nprobe=True, arrow_score="blas",
+    )
+    timed(
+        f"ivf_search_high_adaptive_{NQ}q",
+        lambda: loaded.search(
+            q, k=K, nprobe=IVF_NPROBES[0], predicate=pred_high,
+            adaptive_nprobe=True, arrow_score="blas",
+        ).count(),
+        resample=3,
+    )
+    extras["ivf_recall_high_adaptive"] = float(
+        recall_at_k(found_h, truth_high, k=K).first()["recall_at_k"]
+    )
+
+    # --- IVFPQ tier (BLAS encode — the wide-codebook build path) ---
+    pq = timed(
+        f"ivfpq_build_m{PQ_M}_nc{PQ_CODES}",
+        lambda: IVFPQIndex.build(
+            c, n_centroids=IVF_CENTROIDS, m=PQ_M, n_codes=PQ_CODES,
+            seed=42, encode_mode="blas",
+        ),
+    )
+    found_pq = pq.search(
+        q, k=K, nprobe=IVF_NPROBES[1], rerank=PQ_RERANK, arrow_adc="decomposed"
+    )
+    timed(
+        f"ivfpq_search_rr{PQ_RERANK}_{NQ}q",
+        lambda: pq.search(
+            q, k=K, nprobe=IVF_NPROBES[1], rerank=PQ_RERANK,
+            arrow_adc="decomposed",
+        ).count(),
+        resample=3,
+    )
+    extras[f"ivfpq_recall_rr{PQ_RERANK}"] = float(
+        recall_at_k(found_pq, truth, k=K).first()["recall_at_k"]
+    )
+    pq.unpersist()
+
+    # recall-floor contracts (the 64-d acceptance bars, unchanged at 768-d)
+    extras["floors"] = {
+        "unfiltered": FLOOR_UNFILTERED,
+        "filtered": FLOOR_FILTERED,
+        "ivfpq_rerank": FLOOR_IVFPQ,
+    }
+    wide_np = IVF_NPROBES[-1]
+    assert extras[f"ivf_recall_np{wide_np}"] >= FLOOR_UNFILTERED, extras
+    assert extras["ivf_recall_high_adaptive"] >= FLOOR_FILTERED, extras
+    assert extras[f"ivfpq_recall_rr{PQ_RERANK}"] >= FLOOR_IVFPQ, extras
+    extras["samples"] = samples
+
+    result = {
+        "metric": "scale_bench_768d",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "timings": timings,
+        "extras": extras,
+    }
+    print(json.dumps(result))
+    # publish into the main scale artifact's extras (read-modify-write)
+    sb_path = "/root/repo/SCALE_BENCH.json"
+    if os.path.exists(sb_path):
+        with open(sb_path) as f:
+            sb = json.load(f)
+        sb.setdefault("extras", {})["dim768"] = {
+            "timings": timings, **extras
+        }
+        with open(sb_path, "w") as f:
+            json.dump(sb, f)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

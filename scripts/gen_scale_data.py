@@ -30,9 +30,11 @@ VOCAB = 2000
 DOC_WORDS = 30
 
 
-def gen_vectors(spark, n: int, out: str, n_clusters: int = N_CLUSTERS) -> None:
+def gen_vectors(
+    spark, n: int, out: str, n_clusters: int = N_CLUSTERS, dim: int = DIM
+) -> None:
     def gen(batches):
-        j = np.arange(DIM, dtype=np.uint64)
+        j = np.arange(dim, dtype=np.uint64)
         for pdf in batches:
             ids = pdf["id"].to_numpy().astype(np.uint64)
             c = ids % n_clusters

@@ -702,8 +702,8 @@ def test_bmp_16bit_rgb555_roundtrip():
     """16-bit RGB555 BMP: code-level roundtrip is EXACT (the top-bit-
     replicating 5->8 expansion inverts the >>3 quantization), decode of an
     encode equals the independently computed quantized pixels, and resize
-    dispatches through the shared path. A BI_BITFIELDS payload still raises
-    at the seam."""
+    dispatches through the shared path. An RLE payload still raises at the
+    seam (BI_BITFIELDS graduated to a supported mode in round 9)."""
     import numpy as np
     import pytest
     import struct as _struct
@@ -728,6 +728,133 @@ def test_bmp_16bit_rgb555_roundtrip():
     np.testing.assert_array_equal(out, expect[ys][:, xs])
 
     bad = bytearray(raw)
-    bad[30:34] = _struct.pack("<I", 3)  # BI_BITFIELDS
+    bad[30:34] = _struct.pack("<I", 1)  # BI_RLE8
     with pytest.raises(NotImplementedError):
         C.decode_bmp_meta(bytes(bad))
+
+
+def test_bmp_565_bitfields_roundtrip_and_phash_stability():
+    """16-bit BI_BITFIELDS RGB565 BMP (compression=3, masks F800/07E0/001F
+    after the info header — the dominant real-world 16-bit layout): decode
+    of an encode equals the independently computed 5/6/5 quantize-then-
+    replicate pixels, re-encoding the decoded pixels reproduces the file
+    byte-for-byte, 32-bit BI_BITFIELDS with byte-aligned masks decodes
+    exactly, the perceptual hash is container-invariant on smooth images,
+    and non-contiguous masks / RLE stay behind the seam."""
+    import numpy as np
+    import pytest
+    import struct as _struct
+
+    from filtered_ads_vector_search_spark.multimodal import codecs as C
+    from filtered_ads_vector_search_spark.multimodal.phash import ahash_bits
+
+    rng = np.random.default_rng(21)
+    px = rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)  # odd width -> pad
+    raw = C.encode_bmp_565(px)
+    assert C.sniff(raw) == "bmp"
+    meta = C.decode_bmp_meta(raw)
+    assert (meta["width"], meta["height"], meta["n_bytes"]) == (7, 5, len(raw))
+    r5, g6, b5 = px[:, :, 0] >> 3, px[:, :, 1] >> 2, px[:, :, 2] >> 3
+    expect = np.stack(
+        [(r5 << 3) | (r5 >> 2), (g6 << 2) | (g6 >> 4), (b5 << 3) | (b5 >> 2)],
+        axis=2,
+    ).astype(np.uint8)
+    got = C.decode_bmp_pixels(raw)
+    np.testing.assert_array_equal(got, expect)
+    assert C.encode_bmp_565(got) == raw  # byte-exact re-encode
+    np.testing.assert_array_equal(C.decode_image_pixels(raw), expect)
+
+    # phash container-invariance: a smooth gradient quantizes to 565 with
+    # per-pixel error <= 7, far under the ahash mean-threshold scale
+    y, x, c = np.ogrid[0:16, 0:16, 0:3]
+    smooth = (40 + y * 6 + x * 6 + c * 3).astype(np.uint8)
+    assert ahash_bits(C.encode_bmp_565(smooth)) == ahash_bits(C.encode_bmp(smooth))
+
+    # 32-bit BI_BITFIELDS with byte-aligned BGRA masks decodes exactly
+    h, w = 4, 3
+    bgra = np.empty((h, w, 4), np.uint8)
+    bgra[:, :, 0] = px[:h, :w, 2]
+    bgra[:, :, 1] = px[:h, :w, 1]
+    bgra[:, :, 2] = px[:h, :w, 0]
+    bgra[:, :, 3] = 77
+    off = 54 + 12
+    f32 = bytearray()
+    f32 += _struct.pack("<2sIHHI", b"BM", off + 4 * w * h, 0, 0, off)
+    f32 += _struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 32, 3, 4 * w * h, 2835, 2835, 0, 0
+    )
+    f32 += _struct.pack("<III", 0x00FF0000, 0x0000FF00, 0x000000FF)
+    f32 += bgra[::-1].tobytes()
+    np.testing.assert_array_equal(C.decode_bmp_pixels(bytes(f32)), px[:h, :w])
+
+    # seams: non-contiguous mask raises at pixel decode; RLE at meta
+    badmask = bytearray(raw)
+    badmask[54:58] = _struct.pack("<I", 0xF0F0)
+    with pytest.raises(NotImplementedError):
+        C.decode_bmp_pixels(bytes(badmask))
+    rle = bytearray(raw)
+    rle[30:34] = _struct.pack("<I", 2)  # BI_RLE4
+    with pytest.raises(NotImplementedError):
+        C.decode_bmp_meta(bytes(rle))
+
+
+def test_wav_ima_adpcm_roundtrip_mono_stereo():
+    """IMA ADPCM WAV (WAVE_FORMAT_IMA_ADPCM=0x11): the container carries a
+    20-byte fmt chunk + fact chunk + block-aligned data; decode(encode(x))
+    (a) has the exact length of x (fact-chunk truncation of the padded
+    final block), (b) reproduces each block's first sample EXACTLY (it
+    travels verbatim in the block header), (c) tracks a bandlimited signal
+    at > 20 dB SNR (4-bit differential coding), and (d) is bit-stable:
+    re-encoding the decoded signal of a decoded signal converges (the
+    decoder is the encoder's inner loop). Stereo interleaves 4-byte nibble
+    groups per channel and round-trips both channels independently;
+    MS-ADPCM still raises at the seam."""
+    import numpy as np
+    import pytest
+    import struct as _struct
+
+    from filtered_ads_vector_search_spark.multimodal import codecs as C
+
+    t = np.arange(2500)
+    mono = (2800 * np.sin(t / 19) + 420 * np.sin(t / 3.1)).astype(np.int16)
+    raw = C.encode_wav_ima_adpcm(mono, sample_rate=8000)
+    assert C.sniff(raw) == "wav"
+    meta = C.decode_wav_meta(raw)
+    assert meta["codec"] == "adpcm_ima_wav"
+    assert meta["duration_ms"] == int(2500 * 1000 // 8000)
+    dec = C.decode_wav_samples(raw)
+    assert dec.shape == mono.shape and dec.dtype == np.int16
+    # block headers carry the first sample of every block verbatim
+    spb = 505  # (256 - 4) * 2 + 1 at the default mono block_align
+    np.testing.assert_array_equal(dec[::spb], mono[::spb])
+    err = dec.astype(np.float64) - mono.astype(np.float64)
+    snr = 10 * np.log10((mono.astype(np.float64) ** 2).mean() / (err**2).mean())
+    assert snr > 20, snr
+
+    # stereo: both channels independent, interleaved 4-byte groups
+    st = np.stack([mono, (-mono // 3).astype(np.int16)], axis=1)
+    raw_s = C.encode_wav_ima_adpcm(st, sample_rate=16000)
+    meta_s = C.decode_wav_meta(raw_s)
+    assert meta_s["codec"] == "adpcm_ima_wav"
+    assert meta_s["duration_ms"] == int(2500 * 1000 // 16000)
+    dec_s = C.decode_wav_samples(raw_s)
+    assert dec_s.shape == st.shape
+    for j in range(2):
+        e = dec_s[:, j].astype(np.float64) - st[:, j].astype(np.float64)
+        s = 10 * np.log10((st[:, j].astype(np.float64) ** 2).mean() / (e**2).mean())
+        assert s > 20, (j, s)
+
+    # deterministic bytes: same input -> same file
+    assert C.encode_wav_ima_adpcm(mono, sample_rate=8000) == raw
+
+    # a non-multiple-of-block length exercises the fact-chunk truncation
+    short = mono[:777]
+    dshort = C.decode_wav_samples(C.encode_wav_ima_adpcm(short, sample_rate=8000))
+    assert dshort.shape == short.shape
+
+    # MS-ADPCM (fmt_tag=2) stays behind the seam
+    bad = bytearray(C.encode_wav(mono))
+    bad[20:22] = _struct.pack("<H", 2)
+    bad[34:36] = _struct.pack("<H", 4)
+    with pytest.raises(NotImplementedError):
+        C.decode_wav_meta(bytes(bad))
