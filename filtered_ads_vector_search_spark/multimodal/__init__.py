@@ -19,6 +19,7 @@ from .columns import (
     with_real_jpeg,
     with_real_media,
     with_real_media_565,
+    with_real_media_wav24,
     with_synthetic_media,
 )
 from .udfs import (
@@ -36,6 +37,7 @@ __all__ = [
     "with_real_jpeg",
     "with_real_media",
     "with_real_media_565",
+    "with_real_media_wav24",
     "with_synthetic_media",
     "content_stats",
     "decode_media_meta",

@@ -2,14 +2,14 @@
 
 This makes the real-codec seam in udfs._parse_header exercisable without any
 external image/audio library: BI_RGB 8-bit-palette, 16-bit RGB555, 24-bit, and 32-bit BGRA
-BMP plus 16/32-bit BI_BITFIELDS (contiguous masks, e.g. RGB565), and
-RIFF/WAVE PCM s16le + G.711 A-law/mu-law + IMA ADPCM mono/stereo, are simple
-enough to encode/decode with struct + numpy, and JPEG — both baseline
-sequential (SOF0) and progressive (SOF2), together essentially all
-real-world files — is a full pure-NumPy implementation in the sibling
-``jpeg`` module, re-exported here. Remaining compressed codecs (H.264/AAC,
-JPEG arithmetic/hierarchical/lossless, RLE BMP, MS-ADPCM WAV) stay behind
-the NotImplementedError seam.
+BMP plus 16/32-bit BI_BITFIELDS (contiguous masks, e.g. RGB565; info
+headers V1-V5), and RIFF/WAVE PCM s16le/s24le + G.711 A-law/mu-law + IMA
+ADPCM mono/stereo, are simple enough to encode/decode with struct + numpy,
+and JPEG — both baseline sequential (SOF0) and progressive (SOF2), together
+essentially all real-world files — is a full pure-NumPy implementation in
+the sibling ``jpeg`` module, re-exported here. Remaining compressed codecs
+(H.264/AAC, JPEG arithmetic/hierarchical/lossless, RLE BMP, MS-ADPCM WAV)
+stay behind the NotImplementedError seam.
 
 The reference has no media pipeline at all — this is part of the
 beyond-reference training-data-pipeline surface (brief: multimodal columns).
@@ -33,6 +33,7 @@ __all__ = [
     "decode_bmp_pixels",
     "resize_bmp",
     "encode_wav",
+    "encode_wav_s24le",
     "encode_wav_mulaw",
     "encode_wav_alaw",
     "encode_wav_ima_adpcm",
@@ -227,11 +228,15 @@ def decode_bmp_meta(raw: bytes) -> dict:
     supported = (bpp in (8, 16, 24, 32) and compression == 0) or (
         bpp in (16, 32) and compression == 3  # BI_BITFIELDS, masked
     )
-    if not supported or hdr_sz != 40:
+    # 40 = BITMAPINFOHEADER; 52/56/108/124 = V2/V3/V4/V5, which embed the
+    # channel masks at the same file offset (54) the hdr_sz=40 BI_BITFIELDS
+    # form appends them, so the mask-decode path is shared
+    if not supported or hdr_sz not in (40, 52, 56, 108, 124):
         raise NotImplementedError(
             f"only BI_RGB 8-bit-palette, 16-bit RGB555, 24-bit, and 32-bit "
-            f"BGRA BMP plus 16/32-bit BI_BITFIELDS supported "
-            f"(bpp={bpp}, compression={compression}; RLE still out of scope)"
+            f"BGRA BMP plus 16/32-bit BI_BITFIELDS (info headers V1-V5) "
+            f"supported (bpp={bpp}, compression={compression}, "
+            f"hdr_sz={hdr_sz}; RLE still out of scope)"
         )
     return {
         "media_type": "image",
@@ -313,9 +318,10 @@ def decode_bmp_pixels(raw: bytes) -> np.ndarray:
             out[:, :, ch] = ((v << 3) | (v >> 2)).astype(np.uint8)
         return out[::-1].copy()  # back to top-down
     if bpp == 8:
+        hdr_sz = struct.unpack("<I", raw[14:18])[0]
         n_pal = struct.unpack("<I", raw[46:50])[0] or 256
         pal = (
-            np.frombuffer(raw, dtype=np.uint8, offset=_BMP_HEADER_SIZE,
+            np.frombuffer(raw, dtype=np.uint8, offset=14 + hdr_sz,
                           count=4 * n_pal)
             .reshape(n_pal, 4)[:, [2, 1, 0]]  # BGRx -> RGB
         )
@@ -363,6 +369,48 @@ def encode_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
     out += struct.pack("<4sI", b"data", len(data))
     out += data
     return bytes(out)
+
+
+def encode_wav_s24le(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """int32 samples in the signed 24-bit range -> RIFF/WAVE PCM s24le
+    bytes ((n,) mono or (n, 2) stereo, same shape contract as encode_wav).
+    s24le is the standard studio-capture layout: three little-endian bytes
+    per sample, frames interleaved — LOSSLESS, so decode(encode(x)) == x
+    exactly (unlike the companded/ADPCM tiers)."""
+    if samples.ndim == 1:
+        channels = 1
+    elif samples.ndim == 2 and samples.shape[1] in (1, 2):
+        channels = samples.shape[1]
+    else:
+        raise ValueError(f"samples must be (n,) or (n, 1|2); got {samples.shape}")
+    x = samples.astype(np.int64)
+    if x.size and (x.max() > 2**23 - 1 or x.min() < -(2**23)):
+        raise ValueError("s24le samples must fit the signed 24-bit range")
+    # three LE bytes per sample: drop the sign-extension byte of <i4
+    quads = x.astype("<i4").reshape(-1).view(np.uint8).reshape(-1, 4)
+    data = quads[:, :3].tobytes()
+    block_align = 3 * channels
+    out = bytearray()
+    out += struct.pack("<4sI4s", b"RIFF", 36 + len(data), b"WAVE")
+    out += struct.pack(
+        "<4sIHHIIHH", b"fmt ", 16, 1, channels, sample_rate,
+        sample_rate * block_align, block_align, 24,
+    )
+    out += struct.pack("<4sI", b"data", len(data))
+    out += data
+    return bytes(out)
+
+
+def _decode_s24le(raw: bytes, offset: int, n_data: int) -> np.ndarray:
+    """Three-byte little-endian signed samples -> int32 (sign-extended)."""
+    b = np.frombuffer(raw, dtype=np.uint8, offset=offset, count=n_data)
+    b = b.reshape(-1, 3)
+    v = (
+        b[:, 0].astype(np.int32)
+        | (b[:, 1].astype(np.int32) << 8)
+        | (b[:, 2].astype(np.int32) << 16)
+    )
+    return v - ((v & 0x800000) << 1)  # sign-extend bit 23
 
 
 # G.711 mu-law (ITU-T G.711, WAVE_FORMAT_MULAW=7): 8-bit companded
@@ -626,7 +674,13 @@ def encode_wav_ima_adpcm(
     return bytes(out)
 
 
-_WAV_CODECS = {1: "pcm_s16le", 6: "pcm_alaw", 7: "pcm_mulaw", 0x11: "adpcm_ima_wav"}
+_WAV_CODECS = {
+    (1, 16): "pcm_s16le",
+    (1, 24): "pcm_s24le",
+    (6, 8): "pcm_alaw",
+    (7, 8): "pcm_mulaw",
+    (0x11, 4): "adpcm_ima_wav",
+}
 
 
 def _wav_chunks(raw: bytes) -> dict[bytes, tuple[int, int]]:
@@ -653,13 +707,11 @@ def decode_wav_meta(raw: bytes) -> dict:
     f0, fsz = chunks[b"fmt "]
     fmt_tag, channels, rate = struct.unpack("<HHI", raw[f0 : f0 + 8])
     block_align, bits = struct.unpack("<HH", raw[f0 + 12 : f0 + 16])
-    if channels not in (1, 2) or (fmt_tag, bits) not in (
-        (1, 16), (6, 8), (7, 8), (0x11, 4)
-    ):
+    if channels not in (1, 2) or (fmt_tag, bits) not in _WAV_CODECS:
         raise NotImplementedError(
-            "only PCM s16le, G.711 A-law/mu-law, and IMA ADPCM mono/stereo "
-            f"WAV supported (fmt_tag={fmt_tag}, bits={bits}; MS-ADPCM still "
-            "out of scope)"
+            "only PCM s16le/s24le, G.711 A-law/mu-law, and IMA ADPCM "
+            f"mono/stereo WAV supported (fmt_tag={fmt_tag}, bits={bits}; "
+            "MS-ADPCM still out of scope)"
         )
     n_data = chunks[b"data"][1]
     if fmt_tag == 0x11:
@@ -675,7 +727,7 @@ def decode_wav_meta(raw: bytes) -> dict:
         n_frames = n_data // ((bits // 8) * channels)
     return {
         "media_type": "audio",
-        "codec": _WAV_CODECS[fmt_tag],
+        "codec": _WAV_CODECS[(fmt_tag, bits)],
         "width": 0,
         "height": 0,
         "duration_ms": int(n_frames * 1000 // rate),
@@ -728,6 +780,8 @@ def decode_wav_samples(raw: bytes) -> np.ndarray:
     if meta["codec"] in ("pcm_mulaw", "pcm_alaw"):
         codes = np.frombuffer(raw, dtype=np.uint8, offset=d0, count=n_data)
         flat = mulaw_decode(codes) if meta["codec"] == "pcm_mulaw" else alaw_decode(codes)
+    elif meta["codec"] == "pcm_s24le":
+        flat = _decode_s24le(raw, d0, n_data - n_data % 3)
     else:
         flat = np.frombuffer(raw, dtype="<i2", offset=d0, count=n_data // 2)
     return flat if channels == 1 else flat.reshape(-1, 2)

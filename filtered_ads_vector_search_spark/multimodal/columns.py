@@ -106,6 +106,30 @@ def with_real_media_565(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.withColumn("payload", gen(F.col(id_col)))
 
 
+def real_payload_wav24(doc_id: int) -> bytes:
+    """Deterministic PCM s24le WAV payload: the SAME arithmetic samples
+    real_payload uses for its odd-id WAVs, scaled x4096 into the signed
+    24-bit range. s24le is LOSSLESS, so a SQL oracle recomputes the decoded
+    content sum exactly (4096 x the s16le sample sum)."""
+    import numpy as np
+
+    from . import codecs as C
+
+    n = 800 + (doc_id % 7) * 100
+    i = np.arange(n)
+    s = ((doc_id * 11 + i * 17) % 2048 - 1024).astype(np.int32) * 4096
+    return C.encode_wav_s24le(s, sample_rate=8000)
+
+
+def with_real_media_wav24(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach the deterministic s24le WAV payload column keyed by id."""
+    @F.pandas_udf(T.BinaryType())
+    def gen(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda i: real_payload_wav24(int(i)))
+
+    return df.withColumn("payload", gen(F.col(id_col)))
+
+
 def jpeg_source_pixels(doc_id: int):
     """The arithmetic source image the deterministic JPEG payload encodes:
     a smooth gradient pixel(y, x, c) = (doc_id * 7) % 96 + y*2 + x*2 + c*2

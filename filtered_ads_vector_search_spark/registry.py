@@ -3599,6 +3599,44 @@ FROM documents
 """
 
 
+def _multimodal_decode_wav24_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-format PCM s24le WAV decode (round-9 codec lift): the
+    arithmetic samples real_payload uses, scaled x4096 into the signed
+    24-bit range, encoded as three-byte little-endian frames and decoded
+    back through the generic RIFF chunk walk. s24le is LOSSLESS, so the
+    oracle recomputes the content sum exactly — a wrong byte order, sign
+    extension, or frame count anywhere fails the hash."""
+    from .multimodal import content_stats, decode_media_meta, with_real_media_wav24
+
+    docs = _tbl(spark, sf_dir, "documents").select("doc_id")
+    decoded = decode_media_meta(with_real_media_wav24(docs))
+    return content_stats(decoded).select(
+        "doc_id",
+        "media_type",
+        "codec",
+        "duration_ms",
+        "n_bytes",
+        "content_sum",
+    )
+
+
+def _multimodal_decode_wav24_sql() -> str:
+    n = "(800 + (doc_id % 7) * 100)"
+    samp = (
+        f"list_sum(list_transform(range(0, {n}), "
+        f"i -> ((doc_id * 11 + i * 17) % 2048 - 1024) * 4096))"
+    )
+    return f"""
+SELECT doc_id,
+       'audio' AS media_type,
+       'pcm_s24le' AS codec,
+       CAST({n} // 8 AS INT) AS duration_ms,
+       CAST(44 + 3 * {n} AS BIGINT) AS n_bytes,
+       CAST({samp} AS BIGINT) AS content_sum
+FROM documents
+"""
+
+
 def _multimodal_decode_jpeg_spark(
     spark: SparkSession, sf_dir: str, progressive: bool = False
 ) -> DataFrame:
@@ -4583,6 +4621,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "frame_sample_counts": _frame_counts_spark,
     "multimodal_decode": _multimodal_decode_spark,
     "multimodal_decode_bmp565": _multimodal_decode_bmp565_spark,
+    "multimodal_decode_wav24": _multimodal_decode_wav24_spark,
     "multimodal_decode_jpeg": _multimodal_decode_jpeg_spark,
     "multimodal_decode_jpeg_prog": _multimodal_decode_jpeg_prog_spark,
     "knn_sq8": lambda s, d: _knn_spark(s, d, "sqeuclidean", quant="sq8"),
@@ -4872,15 +4911,18 @@ QUERIES = {
 # r6-green (CORRECTNESS_r0{6,7,8}.json) — the r6 cohort is the oldest
 # evidence left. Round 9 leads with (a) queries NEW or code-touched this
 # round — multimodal_decode_bmp565 (new: the BI_BITFIELDS RGB565 decode
-# with a full arithmetic content-sum oracle), knn_ivfpq_decomposed (the
-# _DECOMP_CACHE 2-entry token-LRU), and ann_ivf (the probe-routing
-# total-work escape hatch + memory-capped k-means restart concurrency in
-# ann.py) — then (b) ALL 47 r6-vintage queries. 3 + 47 = 50; after this
-# round no query's latest driver-green is older than r7.
+# with a full arithmetic content-sum oracle), multimodal_decode_wav24
+# (new: lossless s24le round trip, exact content-sum oracle), and ann_ivf
+# (the trained path through this round's ann.py probe-routing escape
+# hatch + memory-capped restart concurrency AND sampling.py's sliced
+# maxResultSize retry) — then (b) ALL 47 r6-vintage queries. 3 + 47 = 50;
+# after this round no query's latest driver-green is older than r7.
+# (knn_ivfpq_decomposed is also behind touched code — the _DECOMP_CACHE
+# 2-entry LRU — but is r8-green and pytest-pinned, so it yields its slot.)
 _R9_PREFIX: list[str] = [
     # (a) new / code-touched in round 9
     "multimodal_decode_bmp565",
-    "knn_ivfpq_decomposed",
+    "multimodal_decode_wav24",
     "ann_ivf",
     # (b) the full r6-vintage set
     "ann_ivf_fixed",
@@ -5061,6 +5103,7 @@ ORACLES: dict[str, str] = {
     "grid_search_lsh": _grid_search_lsh_sql(),
     "multimodal_decode": _multimodal_decode_sql(),
     "multimodal_decode_bmp565": _multimodal_decode_bmp565_sql(),
+    "multimodal_decode_wav24": _multimodal_decode_wav24_sql(),
     "multimodal_decode_jpeg": _multimodal_decode_jpeg_sql(),
     "multimodal_decode_jpeg_prog": _multimodal_decode_jpeg_sql(),
     "tpch_q21": _tpch_q21_sql(),

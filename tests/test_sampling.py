@@ -102,3 +102,54 @@ def test_bounded_hash_take_small_input_fallback(spark):
     )
     out = SM.bounded_hash_take(df, "h", ["h"], 500)
     assert len(out) == 100
+
+
+def test_sliced_hash_take_bit_identical_to_single_job(spark):
+    """The maxResultSize retry path: hash-range slices over [0, thresh]
+    must reproduce the single-job orderBy+limit EXACTLY (slice boundaries
+    sit on the leading hash column, so cross-slice order is slice order
+    and ties never straddle a slice). Exercised directly — the retry only
+    fires on >1 GiB results in production (100k x 768-d residual rows) —
+    plus through bounded_hash_take with a monkeypatched first collect."""
+    df = spark.range(20_000).select(
+        F.col("id"), F.crc32(F.col("id").cast("string")).alias("h")
+    )
+    n = 500
+    total = 20_000
+    thresh = int(round(2.0 * (n / total) * 2**32))
+    survivors = df.filter(F.col("h") <= thresh)
+    want = [tuple(r) for r in survivors.orderBy("h", "id").limit(n).collect()]
+    got = [
+        tuple(r) for r in SM._sliced_hash_take(survivors, "h", ["h", "id"], n, thresh)
+    ]
+    assert got == want and len(got) == n
+    # odd slice counts hit different boundary arithmetic
+    got3 = [
+        tuple(r)
+        for r in SM._sliced_hash_take(survivors, "h", ["h", "id"], n, thresh, n_slices=3)
+    ]
+    assert got3 == want
+
+    # end-to-end: force the retry by making the FIRST single-job collect
+    # raise the result-size error (any other error must propagate)
+    _DF = type(df)  # the concrete (classic) DataFrame class
+
+    real_collect = _DF.collect
+    state = {"calls": 0}
+
+    def boom_once(self):
+        state["calls"] += 1
+        if state["calls"] == 1:
+            raise RuntimeError(
+                "Total size of serialized results ... is bigger than "
+                "spark.driver.maxResultSize (1024.0 MiB)"
+            )
+        return real_collect(self)
+
+    _DF.collect = boom_once
+    try:
+        rows = SM.bounded_hash_take(df, "h", ["h", "id"], n)
+    finally:
+        _DF.collect = real_collect
+    assert [tuple(r) for r in rows] == want
+    assert state["calls"] > 1  # the sliced retry actually ran

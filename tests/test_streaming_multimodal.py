@@ -858,3 +858,109 @@ def test_wav_ima_adpcm_roundtrip_mono_stereo():
     bad[34:36] = _struct.pack("<H", 4)
     with pytest.raises(NotImplementedError):
         C.decode_wav_meta(bytes(bad))
+
+
+def test_wav_s24le_lossless_roundtrip():
+    """PCM s24le WAV: LOSSLESS — decode(encode(x)) == x exactly for the
+    full signed 24-bit range, mono and stereo, with frame-counted duration
+    through the generic RIFF chunk walk; out-of-range samples are rejected
+    at encode; bits=24 with a non-PCM fmt_tag stays behind the seam."""
+    import numpy as np
+    import pytest
+    import struct as _struct
+
+    from filtered_ads_vector_search_spark.multimodal import codecs as C
+
+    rng = np.random.default_rng(29)
+    x = rng.integers(-(2**23), 2**23, size=1201).astype(np.int32)
+    x[:2] = (-(2**23), 2**23 - 1)  # exact range endpoints
+    raw = C.encode_wav_s24le(x, sample_rate=8000)
+    assert C.sniff(raw) == "wav"
+    meta = C.decode_wav_meta(raw)
+    assert meta["codec"] == "pcm_s24le"
+    assert meta["duration_ms"] == 1201 * 1000 // 8000
+    got = C.decode_wav_samples(raw)
+    assert got.dtype == np.int32
+    np.testing.assert_array_equal(got, x)
+
+    st = np.stack([x, -x - 1], axis=1)
+    raw_s = C.encode_wav_s24le(st, sample_rate=16000)
+    np.testing.assert_array_equal(C.decode_wav_samples(raw_s), st)
+
+    with pytest.raises(ValueError):
+        C.encode_wav_s24le(np.array([2**23], dtype=np.int64))
+    bad = bytearray(raw)
+    bad[20:22] = _struct.pack("<H", 3)  # IEEE float tag, 24-bit: unsupported
+    with pytest.raises(NotImplementedError):
+        C.decode_wav_meta(bytes(bad))
+
+
+def test_bmp_v4_v5_info_headers_decode():
+    """BITMAPV4HEADER (108) / BITMAPV5HEADER (124) payloads — the layout
+    modern encoders actually write — decode through the shared paths: the
+    channel masks sit at file offset 54 inside the extended header, exactly
+    where the hdr_sz=40 BI_BITFIELDS form appends them, and BI_RGB pixel
+    layouts are unchanged. An unknown header size stays behind the seam."""
+    import numpy as np
+    import pytest
+    import struct as _struct
+
+    from filtered_ads_vector_search_spark.multimodal import codecs as C
+
+    rng = np.random.default_rng(31)
+    px = rng.integers(0, 256, size=(3, 4, 3), dtype=np.uint8)
+
+    def v_header_bmp(hdr_sz: int, bpp: int, compression: int) -> bytes:
+        unit = bpp // 8
+        row = ((unit * 4 + 3) // 4) * 4
+        off = 14 + hdr_sz
+        out = bytearray()
+        out += _struct.pack("<2sIHHI", b"BM", off + row * 3, 0, 0, off)
+        out += _struct.pack(
+            "<IiiHHIIiiII", hdr_sz, 4, 3, 1, bpp, compression, row * 3,
+            2835, 2835, 0, 0,
+        )
+        if compression == 3:
+            masks = (0xF800, 0x07E0, 0x001F) if bpp == 16 else (
+                0x00FF0000, 0x0000FF00, 0x000000FF
+            )
+            out += _struct.pack("<III", *masks)
+            out += b"\x00" * (hdr_sz - 40 - 12)
+        else:
+            out += b"\x00" * (hdr_sz - 40)
+        if bpp == 16:
+            p = px.astype(np.uint16)
+            packed = ((p[:, :, 0] >> 3) << 11) | ((p[:, :, 1] >> 2) << 5) | (
+                p[:, :, 2] >> 3
+            )
+            for r in packed[::-1]:
+                out += r.astype("<u2").tobytes() + b"\x00" * (row - 8)
+        elif bpp == 24:
+            for r in px[::-1, :, ::-1]:
+                out += r.tobytes() + b"\x00" * (row - 12)
+        else:  # 32-bit BGRA bitfields
+            bgra = np.zeros((3, 4, 4), np.uint8)
+            bgra[:, :, :3] = px[:, :, ::-1]
+            out += bgra[::-1].tobytes()
+        return bytes(out)
+
+    r5, g6, b5 = px[:, :, 0] >> 3, px[:, :, 1] >> 2, px[:, :, 2] >> 3
+    expect565 = np.stack(
+        [(r5 << 3) | (r5 >> 2), (g6 << 2) | (g6 >> 4), (b5 << 3) | (b5 >> 2)],
+        axis=2,
+    ).astype(np.uint8)
+    for hdr_sz in (108, 124):
+        np.testing.assert_array_equal(
+            C.decode_bmp_pixels(v_header_bmp(hdr_sz, 16, 3)), expect565
+        )
+        np.testing.assert_array_equal(
+            C.decode_bmp_pixels(v_header_bmp(hdr_sz, 32, 3)), px
+        )
+        np.testing.assert_array_equal(
+            C.decode_bmp_pixels(v_header_bmp(hdr_sz, 24, 0)), px
+        )
+        m = C.decode_bmp_meta(v_header_bmp(hdr_sz, 24, 0))
+        assert (m["width"], m["height"]) == (4, 3)
+    with pytest.raises(NotImplementedError):
+        C.decode_bmp_meta(v_header_bmp(108, 24, 0)[:14] + _struct.pack("<I", 64)
+                          + v_header_bmp(108, 24, 0)[18:])
