@@ -707,15 +707,25 @@ def _kmeans_numpy(
     # ~n_init x less wall (the 512c coarse fit was 33 s of the 5M build).
     # Concurrency is MEMORY-capped, not n_runs-capped: each live restart
     # holds an (n x k) float64 GEMM output plus ~2x temporaries (~400 MB at
-    # 100k x 512), so all-restarts-at-once multiplies driver peak by n_init
-    # and oversubscribes BLAS threads; bound the concurrent set to a ~2 GiB
-    # budget (the winner selection is order-independent, so the cap changes
-    # wall time only, never the trained artifact).
+    # 100k x 512), so all-restarts-at-once multiplies driver peak by n_init.
+    # The budget scales with HOST memory (total/8, clamped to [2, 16] GiB):
+    # the first cut pinned a flat 2 GiB, which on the 128 GiB bench host
+    # forced workers=1 at k=1024 (1.6 GB/run) and serialized the restarts —
+    # a 2.5x trained-build regression (ivf_build_1024c 28->72 s, round-9
+    # re-anchor) for memory headroom the host didn't need. The winner
+    # selection is order-independent, so the cap changes wall time only,
+    # never the trained artifact.
+    import os
     from concurrent.futures import ThreadPoolExecutor
 
+    try:
+        total_mem = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+    except (ValueError, OSError):  # non-POSIX fallback
+        total_mem = 16 << 30
+    budget = max(2 << 30, min(16 << 30, total_mem // 8))
     n_runs = max(1, n_init)
     per_run_bytes = X.shape[0] * k * 8 * 2  # G + assignment temporaries
-    workers = max(1, min(n_runs, (2 << 30) // max(1, per_run_bytes)))
+    workers = max(1, min(n_runs, budget // max(1, per_run_bytes)))
     with ThreadPoolExecutor(max_workers=workers) as ex:
         runs = list(
             ex.map(

@@ -41,6 +41,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
+from filtered_ads_vector_search_spark.calibration import (
+    assert_quiet_host,
+    host_calibration,
+)
 from filtered_ads_vector_search_spark.operators import filters as FL
 from filtered_ads_vector_search_spark.operators import topk as TK
 from filtered_ads_vector_search_spark.operators.ann import IVFIndex
@@ -80,6 +84,14 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     timings: dict[str, float] = {}
     extras: dict = {}
+
+    # pre-flight host calibration (VERDICT r8 item 1): the artifact itself
+    # certifies it was measured on a quiet host — probes + bands in
+    # calibration.py / BENCH_DRIFT.md round-9. A second probe runs after the
+    # bench so drift DURING the run is visible too.
+    extras["calibration_preflight"] = host_calibration()
+    for w in assert_quiet_host(extras["calibration_preflight"]):
+        print(f"WARNING (pre-flight): {w}", file=sys.stderr)
 
     warm = spark.range(256).withColumn("g", F.col("id") % 8)
     warm.groupBy("g").count().count()
@@ -568,6 +580,10 @@ def main() -> None:
         "hnsw_recall": {"low_rated": 0.914, "high_rated": 0.919, "mid_rated": 0.801},
         "build_time_seconds": {"cagra_gpu": "24.1-59.0", "hnsw_cpu": "16.6-54.9"},
     }
+
+    extras["calibration_postrun"] = host_calibration()
+    for w in assert_quiet_host(extras["calibration_postrun"]):
+        print(f"WARNING (post-run): {w}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     result = {
