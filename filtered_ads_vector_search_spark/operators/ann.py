@@ -1230,6 +1230,51 @@ class IVFIndex:
             .select("query_id", "neighbor_id", "rank", "dist")
         )
 
+    def range_search(
+        self,
+        queries: DataFrame,
+        radius: float,
+        nprobe: int = 8,
+        predicate: Column | None = None,
+    ) -> DataFrame:
+        """Probed radius search: every corpus row within ``radius`` of each
+        query, scanning only the nprobe nearest cells — FAISS's public IVF
+        ``range_search`` contract (approximate: neighbors living in
+        unprobed cells are missed; recall is governed by nprobe, exact at
+        nprobe == n_centroids). Returns (query_id, neighbor_id, dist) with
+        set semantics (see operators/range_search.py).
+
+        Plan shape matches ``search``'s candidate stage — broadcast probe
+        list equi-joined on the bucket key so the corpus only ever streams —
+        but the top-k window is REPLACED by a fused radius predicate: zero
+        exchanges after the candidate join, cheaper than top-k at scale.
+        """
+        nprobe = min(nprobe, self.n_centroids)
+        corpus = self.assigned
+        if predicate is not None:
+            corpus = corpus.filter(predicate)
+        probes = knn_window(
+            queries,
+            self.centroids,
+            k=nprobe,
+            metric="sqeuclidean" if self.metric != "inner_product" else "inner_product",
+            id_col="centroid_id",
+            vec_col="centroid",
+        ).select("query_id", F.col("neighbor_id").alias("partition_id"))
+        cand = (
+            F.broadcast(probes).join(corpus, "partition_id")
+            .join(F.broadcast(queries), "query_id")
+        )
+        d, asc = distance_col(self.metric, F.col("q_vec"), F.col(self.vec_col))
+        pred = (F.col("dist") <= radius) if asc else (F.col("dist") >= radius)
+        return (
+            cand.select(
+                "query_id", F.col(self.id_col).alias("neighbor_id"), d.alias("dist")
+            )
+            .filter(pred)
+            .select("query_id", "neighbor_id", "dist")
+        )
+
     def _score_candidates_arrow(
         self,
         queries: DataFrame,

@@ -4495,6 +4495,244 @@ def _dsir_resample_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Range (radius) search + k-NN graph (round 9)
+# ---------------------------------------------------------------------------
+# FAISS's range_search sibling of top-k and the corpus self-join k-NN graph
+# (the structure CAGRA itself builds as its index,
+# utils_grid_search.py:586-611). Radius 1.55 sits between the sf0.01
+# pairwise-distance 1st and 5th percentiles (~1.42 / ~1.59), so each query's
+# epsilon-ball is sparse but non-empty in aggregate, and no attainable
+# distance lies within float noise of the threshold.
+
+RANGE_RADIUS = 1.55
+GRAPH_K = 5
+
+
+def _range_corpus(spark: SparkSession, sf_dir: str):
+    emb = _tbl(spark, sf_dir, "embeddings")
+    return TK.split_queries(emb)
+
+
+def _range_sql(filter_name: str | None = None, radius: float = RANGE_RADIUS) -> str:
+    dist = V.sqeuclidean_sql("q.q_vec", "c.embedding")
+    filt = ""
+    if filter_name is not None:
+        buckets = ", ".join(f"'{b}'" for b in FL.NAMED_FILTERS[filter_name])
+        filt = f" AND {FL.rating_bucket_sql('vec_id')} IN ({buckets})"
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings
+  WHERE {FL.is_query_sql('vec_id')}
+), c AS (
+  SELECT vec_id AS neighbor_id, embedding FROM embeddings
+  WHERE NOT {FL.is_query_sql('vec_id')}{filt}
+), d AS (
+  SELECT q.query_id, c.neighbor_id, {dist} AS dist FROM q CROSS JOIN c
+)
+SELECT query_id, neighbor_id, round(dist, 3) AS dist FROM d
+WHERE dist <= {radius}
+"""
+
+
+def _range_exact_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative exact range search (range_window): the radius predicate
+    fuses into the broadcast-NL-join scan stage — zero exchanges."""
+    from .operators.range_search import range_window
+
+    q, c = _range_corpus(spark, sf_dir)
+    out = range_window(q, c, radius=RANGE_RADIUS)
+    return out.select("query_id", "neighbor_id", F.round("dist", 3).alias("dist"))
+
+
+def _range_scale_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-kernel range search (range_scalable): same rows as the
+    declarative form to last-ulps — the 100 TB scan path, value-oracled."""
+    from .operators.range_search import range_scalable
+
+    q, c = _range_corpus(spark, sf_dir)
+    out = range_scalable(q, c, radius=RANGE_RADIUS)
+    return out.select("query_id", "neighbor_id", F.round("dist", 3).alias("dist"))
+
+
+def _range_filtered_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered range search: predicate applied to the corpus BEFORE the
+    scan (prunes; results equal post-filter here since radius matches are
+    independent rows)."""
+    from .operators.range_search import range_window
+
+    q, c = _range_corpus(spark, sf_dir)
+    c = FL.with_rating_bucket(c).filter(FL.named_filter_predicate("high_rated"))
+    out = range_window(q, c, radius=RANGE_RADIUS)
+    return out.select("query_id", "neighbor_id", F.round("dist", 3).alias("dist"))
+
+
+def _range_ivf_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probed (IVF) range search over the deterministic fixed coarse
+    quantizer — FAISS's IVF range_search contract (only nprobe cells
+    scanned), SQL-reproducible end to end like ann_ivf_fixed."""
+    from .operators.ann import IVFIndex
+
+    q, c = _range_corpus(spark, sf_dir)
+    idx = IVFIndex.build_fixed(c, n_centroids=IVF_FIXED_CENTROIDS)
+    out = idx.range_search(q, radius=RANGE_RADIUS, nprobe=IVF_FIXED_NPROBE)
+    return out.select("query_id", "neighbor_id", F.round("dist", 3).alias("dist"))
+
+
+def _range_ivf_sql() -> str:
+    d_assign = V.sqeuclidean_sql("c.embedding", "cent.centroid")
+    d_probe = V.sqeuclidean_sql("q.q_vec", "cent.centroid")
+    d_rerank = V.sqeuclidean_sql("q.q_vec", "a.embedding")
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings
+  WHERE {FL.is_query_sql('vec_id')}
+), c AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE NOT {FL.is_query_sql('vec_id')}
+), cent AS (
+  SELECT centroid_id, centroid FROM (
+    SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC) - 1
+             AS centroid_id,
+           embedding AS centroid
+    FROM c) WHERE centroid_id < {IVF_FIXED_CENTROIDS}
+), assign AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT c.vec_id, c.embedding, cent.centroid_id,
+           row_number() OVER (PARTITION BY c.vec_id
+                              ORDER BY {d_assign} ASC, cent.centroid_id ASC) AS arn
+    FROM c CROSS JOIN cent) WHERE arn = 1
+), probes AS (
+  SELECT query_id, centroid_id FROM (
+    SELECT q.query_id, cent.centroid_id,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {d_probe} ASC, cent.centroid_id ASC) AS prn
+    FROM q CROSS JOIN cent) WHERE prn <= {IVF_FIXED_NPROBE}
+), d AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id, {d_rerank} AS dist
+  FROM probes p
+  JOIN assign a ON a.centroid_id = p.centroid_id
+  JOIN q ON q.query_id = p.query_id
+)
+SELECT query_id, neighbor_id, round(dist, 3) AS dist FROM d
+WHERE dist <= {RANGE_RADIUS}
+"""
+
+
+def _range_density_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query epsilon-ball population (zero-inclusive) over the Arrow
+    kernel's matches — the density-profile use of range search."""
+    from .operators.range_search import range_count, range_scalable
+
+    q, c = _range_corpus(spark, sf_dir)
+    matches = range_scalable(q, c, radius=RANGE_RADIUS)
+    return range_count(q, matches)
+
+
+def _range_density_sql() -> str:
+    dist = V.sqeuclidean_sql("q.q_vec", "c.embedding")
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings
+  WHERE {FL.is_query_sql('vec_id')}
+), c AS (
+  SELECT vec_id AS neighbor_id, embedding FROM embeddings
+  WHERE NOT {FL.is_query_sql('vec_id')}
+), m AS (
+  SELECT q.query_id, c.neighbor_id FROM q CROSS JOIN c
+  WHERE {dist} <= {RANGE_RADIUS}
+), cnt AS (
+  SELECT query_id, count(*) AS n_in_range FROM m GROUP BY query_id
+)
+SELECT q.query_id, CAST(coalesce(cnt.n_in_range, 0) AS BIGINT) AS n_in_range
+FROM q LEFT JOIN cnt ON cnt.query_id = q.query_id
+"""
+
+
+def _knn_graph_exact_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus k-NN graph (self-crossJoin window form)."""
+    from .operators.knn_graph import knn_graph_window
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    out = knn_graph_window(emb, k=GRAPH_K)
+    return out.select(
+        "src_id", "neighbor_id", F.col("rank").alias("rnk"),
+        F.round("dist", 3).alias("dist"),
+    )
+
+
+def _knn_graph_exact_sql() -> str:
+    dist = V.sqeuclidean_sql("a.embedding", "b.embedding")
+    return f"""
+WITH d AS (
+  SELECT a.vec_id AS src_id, b.vec_id AS neighbor_id, {dist} AS dist
+  FROM embeddings a CROSS JOIN embeddings b
+  WHERE a.vec_id <> b.vec_id
+), r AS (
+  SELECT src_id, neighbor_id, dist,
+         row_number() OVER (PARTITION BY src_id ORDER BY dist ASC, neighbor_id ASC) AS rnk
+  FROM d
+)
+SELECT src_id, neighbor_id, rnk, round(dist, 3) AS dist FROM r WHERE rnk <= {GRAPH_K}
+"""
+
+
+def _knn_graph_fixed_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed (IVF-candidate) k-NN graph over the fixed coarse quantizer:
+    probe assignment, bucket equi-join, and rerank are ALL SQL-reproducible,
+    so the scale-path GRAPH machinery is value-oracled end to end — the
+    graph analog of ann_ivf_fixed."""
+    from .operators.ann import IVFIndex
+    from .operators.knn_graph import knn_graph_bucketed
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    idx = IVFIndex.build_fixed(emb, n_centroids=IVF_FIXED_CENTROIDS)
+    out = knn_graph_bucketed(idx, k=GRAPH_K, nprobe=IVF_FIXED_NPROBE)
+    return out.select(
+        "src_id", "neighbor_id", F.col("rank").alias("rnk"),
+        F.round("dist", 3).alias("dist"),
+    )
+
+
+def _knn_graph_fixed_sql() -> str:
+    d_assign = V.sqeuclidean_sql("c.embedding", "cent.centroid")
+    d_probe = V.sqeuclidean_sql("c.embedding", "cent.centroid")
+    d_rerank = V.sqeuclidean_sql("p.q_vec", "a.embedding")
+    return f"""
+WITH c AS (
+  SELECT vec_id, embedding FROM embeddings
+), cent AS (
+  SELECT centroid_id, centroid FROM (
+    SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC) - 1
+             AS centroid_id,
+           embedding AS centroid
+    FROM c) WHERE centroid_id < {IVF_FIXED_CENTROIDS}
+), assign AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT c.vec_id, c.embedding, cent.centroid_id,
+           row_number() OVER (PARTITION BY c.vec_id
+                              ORDER BY {d_assign} ASC, cent.centroid_id ASC) AS arn
+    FROM c CROSS JOIN cent) WHERE arn = 1
+), probes AS (
+  SELECT src_id, q_vec, centroid_id FROM (
+    SELECT c.vec_id AS src_id, c.embedding AS q_vec, cent.centroid_id,
+           row_number() OVER (PARTITION BY c.vec_id
+                              ORDER BY {d_probe} ASC, cent.centroid_id ASC) AS prn
+    FROM c CROSS JOIN cent) WHERE prn <= {IVF_FIXED_NPROBE}
+), d AS (
+  SELECT p.src_id, a.vec_id AS neighbor_id, {d_rerank} AS dist
+  FROM probes p
+  JOIN assign a ON a.centroid_id = p.centroid_id
+  WHERE a.vec_id <> p.src_id
+), r AS (
+  SELECT src_id, neighbor_id, dist,
+         row_number() OVER (PARTITION BY src_id ORDER BY dist ASC, neighbor_id ASC) AS rnk
+  FROM d
+)
+SELECT src_id, neighbor_id, rnk, round(dist, 3) AS dist FROM r WHERE rnk <= {GRAPH_K}
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -4686,6 +4924,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": _ngram_pairs_spark,
     "knn_filtered_auto_exact": _knn_auto_exact_spark,
     "knn_filtered_auto_ann": _knn_auto_ann_spark,
+    # --- NEW round-9: range (radius) search + k-NN graph ---
+    "range_search_exact": _range_exact_spark,
+    "range_search_scale": _range_scale_spark,
+    "range_search_filtered": _range_filtered_spark,
+    "range_search_ivf": _range_ivf_spark,
+    "range_density": _range_density_spark,
+    "knn_graph_exact": _knn_graph_exact_spark,
+    "knn_graph_fixed": _knn_graph_fixed_spark,
 }
 
 # ROUND-6 ROTATION. The driver verifies the first 50 entries of queries()
@@ -4919,6 +5165,10 @@ QUERIES = {
 # after this round no query's latest driver-green is older than r7.
 # (knn_ivfpq_decomposed is also behind touched code — the _DECOMP_CACHE
 # 2-entry LRU — but is r8-green and pytest-pinned, so it yields its slot.)
+# The seven range-search/k-NN-graph queries NEW this round ride BEHIND the
+# 50-slot prefix (the r6-vintage cohort takes priority per the r8 verdict);
+# they are value-oracled in the full registry run (scripts/
+# check_correctness.py) and pinned by tests/test_range_graph.py.
 _R9_PREFIX: list[str] = [
     # (a) new / code-touched in round 9
     "multimodal_decode_bmp565",
@@ -5104,6 +5354,13 @@ ORACLES: dict[str, str] = {
     "multimodal_decode": _multimodal_decode_sql(),
     "multimodal_decode_bmp565": _multimodal_decode_bmp565_sql(),
     "multimodal_decode_wav24": _multimodal_decode_wav24_sql(),
+    "range_search_exact": _range_sql(),
+    "range_search_scale": _range_sql(),
+    "range_search_filtered": _range_sql(filter_name="high_rated"),
+    "range_search_ivf": _range_ivf_sql(),
+    "range_density": _range_density_sql(),
+    "knn_graph_exact": _knn_graph_exact_sql(),
+    "knn_graph_fixed": _knn_graph_fixed_sql(),
     "multimodal_decode_jpeg": _multimodal_decode_jpeg_sql(),
     "multimodal_decode_jpeg_prog": _multimodal_decode_jpeg_sql(),
     "tpch_q21": _tpch_q21_sql(),
