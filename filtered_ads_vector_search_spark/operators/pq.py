@@ -46,6 +46,8 @@ from ..functions import vector as V
 __all__ = [
     "fixed_codebooks",
     "pq_train",
+    "opq_train",
+    "rotate_vecs",
     "pq_encode_expr",
     "pq_encode_residual_expr",
     "pq_encode_with_codes_arrow",
@@ -94,6 +96,27 @@ def fixed_codebooks(
     ]
 
 
+def _train_sample(corpus: DataFrame, vec_col: str, sample_n: int) -> np.ndarray:
+    """Bounded deterministic training sample as an (n, dim) float64 matrix.
+
+    Hash-ordered (not .limit on an arbitrary scan) so training is
+    partition-invariant; at 100 TB the sample is still ``sample_n`` rows.
+    Driver memory: sample_n × dim × 8 bytes (100k × 64 ≈ 51 MB); the
+    bounded_hash_take pre-filter also caps the take's per-task driver
+    traffic (a bare orderBy+limit collect ships tasks × sample_n rows).
+    Value tie-break after the hash (same discipline as IVFIndex.build):
+    hash ties at the sample_n boundary would otherwise resolve by partition
+    arrival order, making the trained artifacts partition-dependent."""
+    from .sampling import bounded_hash_take
+
+    src = corpus.select(
+        F.col(vec_col).alias("v"),
+        F.crc32(F.col(vec_col).cast("string")).alias("h"),
+    )
+    rows = bounded_hash_take(src, "h", ["h", F.col("v").cast("string")], sample_n)
+    return np.asarray([r["v"] for r in rows], dtype=np.float64)
+
+
 def pq_train(
     corpus: DataFrame,
     vec_col: str = "embedding",
@@ -103,25 +126,9 @@ def pq_train(
     iters: int = 10,
     seed: int = 42,
 ) -> Codebooks:
-    """Lloyd's k-means per subspace on a bounded deterministic sample.
-
-    The sample is hash-ordered (not .limit on an arbitrary scan) so training
-    is partition-invariant; at 100 TB the sample is still ``sample_n`` rows.
-    Driver memory: sample_n × dim × 8 bytes (100k × 64 ≈ 51 MB); the
-    bounded_hash_take pre-filter also caps the take's per-task driver
-    traffic (a bare orderBy+limit collect ships tasks × sample_n rows)."""
-    from .sampling import bounded_hash_take
-
-    src = corpus.select(
-        F.col(vec_col).alias("v"),
-        F.crc32(F.col(vec_col).cast("string")).alias("h"),
-    )
-    # value tie-break after the hash (same discipline as IVFIndex.build):
-    # hash ties at the sample_n boundary would otherwise resolve by
-    # partition arrival order, making the trained codebooks
-    # partition-dependent
-    rows = bounded_hash_take(src, "h", ["h", F.col("v").cast("string")], sample_n)
-    X = np.asarray([r["v"] for r in rows], dtype=np.float64)
+    """Lloyd's k-means per subspace on a bounded deterministic sample
+    (see _train_sample for the sampling discipline)."""
+    X = _train_sample(corpus, vec_col, sample_n)
     dim = X.shape[1]
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
@@ -172,6 +179,140 @@ def pq_train(
     with ThreadPoolExecutor(max_workers=m) as ex:
         fitted = list(ex.map(lambda t: _fit(*t), inits))
     return [[[float(x) for x in row] for row in cb] for cb in fitted]
+
+
+def opq_train(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    m: int = 8,
+    n_codes: int = 16,
+    sample_n: int = 100_000,
+    iters: int = 10,
+    opq_iters: int = 8,
+    seed: int = 42,
+) -> tuple[np.ndarray, Codebooks]:
+    """Optimized Product Quantization: learn an orthogonal rotation R so the
+    subspace split aligns with the data's principal structure, then quantize
+    the ROTATED vectors (Ge, He, Ke & Sun, "Optimized Product Quantization",
+    CVPR 2013 — the non-parametric alternation; the same upgrade FAISS ships
+    as its OPQ pre-transform). Returns ``(R, codebooks)`` with R (dim, dim)
+    orthogonal; encode with ``codes(x) = pq_encode(x @ R)``, search with the
+    ADC LUT built from ``q @ R`` — R is orthogonal, so rotated-space
+    distances ARE original-space distances and every downstream kernel is
+    unchanged.
+
+    Alternation per outer iter (all driver-local on the bounded sample, the
+    same scale-independence argument as pq_train):
+      1. Y = X @ R; fit per-subspace codebooks on Y (warm-started after the
+         first iter — standard OPQ-NP runs a few Lloyd steps per outer
+         round, not a full refit);
+      2. Yhat = decode(encode(Y)); R <- argmin_{R orthogonal}
+         ||X R - Yhat||_F = U V' from the SVD of X'Yhat (orthogonal
+         Procrustes).
+    Reconstruction MSE is non-increasing across the alternation; the opq
+    contract queries pin ``MSE(OPQ) <= MSE(plain PQ)`` on the same sample
+    discipline rather than artifact bits (trained values are ulp-sensitive,
+    like every trained tier — see BENCH_DRIFT round-7 addendum)."""
+    X = _train_sample(corpus, vec_col, sample_n)
+    dim = X.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sd = dim // m
+    rng = np.random.RandomState(seed)
+    R = np.eye(dim)
+    CB: np.ndarray | None = None  # (m, n_codes, sd)
+
+    def _lloyd(S: np.ndarray, cb: np.ndarray, steps: int) -> np.ndarray:
+        k = len(cb)
+        for _ in range(steps):
+            G = S @ cb.T
+            G *= -2.0
+            G += (cb * cb).sum(axis=1)[None, :]
+            assign = np.argmin(G, axis=1)
+            counts = np.bincount(assign, minlength=k).astype(np.float64)
+            flat_idx = (assign[:, None] * sd + np.arange(sd)[None, :]).ravel()
+            sums = np.bincount(
+                flat_idx, weights=S.ravel(), minlength=k * sd
+            ).reshape(k, sd)
+            nonempty = counts > 0
+            cb[nonempty] = sums[nonempty] / counts[nonempty, None]
+        return cb
+
+    for it in range(max(1, opq_iters)):
+        Y = X @ R
+        if CB is None:
+            # init draws: one shared rng stream in subspace order, the same
+            # init discipline as pq_train
+            CB = np.empty((m, n_codes, sd), dtype=np.float64)
+            for j in range(m):
+                S = np.ascontiguousarray(Y[:, j * sd : (j + 1) * sd])
+                CB[j] = S[rng.choice(len(S), size=min(n_codes, len(S)), replace=False)]
+            steps = iters
+        else:
+            steps = 2
+        for j in range(m):
+            S = np.ascontiguousarray(Y[:, j * sd : (j + 1) * sd])
+            CB[j] = _lloyd(S, CB[j], steps)
+        # encode+decode Y against the fresh codebooks (argmin of
+        # ||c||^2 - 2 y.c per subspace — row-constant term dropped)
+        Yhat = np.empty_like(Y)
+        for j in range(m):
+            S = Y[:, j * sd : (j + 1) * sd]
+            G = S @ CB[j].T
+            G *= -2.0
+            G += (CB[j] * CB[j]).sum(axis=1)[None, :]
+            Yhat[:, j * sd : (j + 1) * sd] = CB[j][np.argmin(G, axis=1)]
+        # orthogonal Procrustes update
+        U, _, Vt = np.linalg.svd(X.T @ Yhat)
+        R = U @ Vt
+    books = [[[float(x) for x in row] for row in cb] for cb in CB]
+    return R, books
+
+
+def rotate_vecs(
+    df: DataFrame, rotation: np.ndarray, vec_col: str, out_col: str | None = None
+) -> DataFrame:
+    """``df`` with ``vec_col`` replaced (or ``out_col`` added) by the rotated
+    vector — one mapInArrow pass, one DGEMM per batch. The OPQ pre-transform
+    applied to queries at search time (corpora rotate inside the encode
+    kernel via pq_encode_with_codes_arrow(rotation=...))."""
+    from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
+
+    from .topk import _arrow_vectors
+
+    R = np.ascontiguousarray(rotation, dtype=np.float64)
+    dst = out_col or vec_col
+    fields = list(df.schema.fields)
+    rot_field = StructField(dst, ArrayType(DoubleType()))  # rotation is f64
+    if out_col:
+        out_schema = StructType(fields + [rot_field])
+    else:
+        out_schema = StructType(
+            [rot_field if f.name == vec_col else f for f in fields]
+        )
+    names = [f.name for f in df.schema.fields]
+    replace_idx = names.index(vec_col) if not out_col else None
+
+    def rot(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            V = _arrow_vectors(batch, vec_col) @ R
+            n, d = V.shape
+            arr = pa.ListArray.from_arrays(
+                pa.array(np.arange(0, (n + 1) * d, d, dtype=np.int32)),
+                pa.array(V.ravel(), type=pa.float64()),
+            )
+            cols = [batch.column(i) for i in range(batch.num_columns)]
+            if replace_idx is not None:
+                cols[replace_idx] = arr
+                yield pa.RecordBatch.from_arrays(cols, names=names)
+            else:
+                yield pa.RecordBatch.from_arrays(cols + [arr], names=names + [dst])
+
+    return df.mapInArrow(rot, out_schema)
 
 
 def _cb_spark_literal(codebooks: Codebooks) -> str:
@@ -284,6 +425,7 @@ def pq_encode_with_codes_arrow(
     centers: np.ndarray | None = None,
     drop_vec: bool = False,
     encode_mode: str = "fold",
+    rotation: np.ndarray | None = None,
 ):
     """``df`` + a ``codes array<int>`` column in ONE mapInArrow pass — the
     corpus-materialization scale path. Same bit-identical per-subspace fold
@@ -319,13 +461,22 @@ def pq_encode_with_codes_arrow(
       last-ulp, so a tie at the fold's minimum may pick a different (but
       reconstruction-distance-EQUAL) code — tests assert per-(row,
       subspace) reconstruction-distance equality, the scorer discipline.
-      ``np.argmin`` keeps the fold's first-minimum tie-break."""
+      ``np.argmin`` keeps the fold's first-minimum tie-break.
+
+    ``rotation`` (OPQ): an orthogonal (dim, dim) matrix applied to the
+    vector (after the residual subtraction, matching opq_train's
+    rotate-then-quantize order) — one extra DGEMM per batch."""
     from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
 
     from .topk import _arrow_vectors
 
     if encode_mode not in ("fold", "blas"):
         raise ValueError(f"encode_mode must be 'fold' or 'blas', got {encode_mode!r}")
+    ROT = (
+        np.ascontiguousarray(rotation, dtype=np.float64)
+        if rotation is not None
+        else None
+    )
     CB = np.ascontiguousarray(codebooks, dtype=np.float64)  # (m, n_codes, sd)
     m, n_codes, sd = CB.shape
     # (m, n_codes) per-code squared norms for the blas form; tiny, computed
@@ -353,6 +504,8 @@ def pq_encode_with_codes_arrow(
                     .astype(np.int64)
                 )
                 V = V - CT[pid]
+            if ROT is not None:
+                V = V @ ROT
             n = V.shape[0]
             S = V.reshape(n, m, sd)
             if CNORM is not None:

@@ -4733,6 +4733,111 @@ SELECT src_id, neighbor_id, rnk, round(dist, 3) AS dist FROM r WHERE rnk <= {GRA
 
 
 # ---------------------------------------------------------------------------
+# OPQ tier (round 9): rotation-trained product quantization
+# ---------------------------------------------------------------------------
+# Ge et al., "Optimized Product Quantization" (CVPR 2013) — FAISS's OPQ
+# pre-transform. Trained artifacts (rotation + codebooks) are non-SQL-
+# expressible, so both queries ship CONTRACT oracles (the ann_ivf tier
+# discipline): opq_codes pins the improvement invariant (rotated-space
+# reconstruction MSE <= plain PQ's on the identical sample discipline),
+# knn_opq_adc pins per-query result counts + a recall floor vs the
+# Spark-computed exact truth. The plain-PQ machinery itself stays fully
+# value-oracled via knn_pq_adc / pq_codes(_blas).
+
+# nc=32: measured per-query ADC recalls 0.2-0.6 at sf0.001 / 0.3-0.7 at
+# sf0.01; the 0.1 floor keeps a >=1-hit margin under every observed query
+# while still tripping on a broken rotation (mis-rotated search ≈ random
+# ≈ k/n ≈ 0.02 recall -> every query fails the floor).
+OPQ_M, OPQ_CODES = 8, 32
+OPQ_RECALL_FLOOR = 0.1
+
+
+def _opq_codes_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import pq as PQ
+    from .operators import topk as _TK  # noqa: F401
+
+    emb = _tbl(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    books_pq = PQ.pq_train(emb, m=OPQ_M, n_codes=OPQ_CODES, seed=42)
+    R, books_opq = PQ.opq_train(emb, m=OPQ_M, n_codes=OPQ_CODES, seed=42)
+
+    def _mse(df, vec_col, books):
+        coded = PQ.pq_encode_with_codes_arrow(df, books, vec_col)
+        err = V.vec_sqeuclidean(
+            F.col(vec_col), PQ.pq_decode_expr("codes", books)
+        )
+        return coded.agg(
+            F.count("*").alias("n"), F.avg(err).alias("mse")
+        ).first()
+
+    plain = _mse(emb, "embedding", books_pq)
+    rot = PQ.rotate_vecs(emb, R, "embedding", out_col="emb_rot").select(
+        "vec_id", "emb_rot"
+    )
+    opq = _mse(rot, "emb_rot", books_opq)
+    return spark.createDataFrame(
+        [(int(plain["n"]), bool(opq["mse"] <= plain["mse"]))],
+        "n_rows bigint, improved boolean",
+    )
+
+
+def _opq_codes_sql() -> str:
+    return """
+SELECT CAST(count(*) AS BIGINT) AS n_rows, TRUE AS improved FROM embeddings
+"""
+
+
+def _knn_opq_adc_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ ADC search: rotate queries (one tiny DGEMM pass), ADC against the
+    rotation-encoded corpus — R is orthogonal, so rotated-space ADC
+    distances estimate original-space distances and the downstream LUT /
+    rank machinery is byte-for-byte the plain-PQ path."""
+    from .operators import pq as PQ
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    q, c = TK.split_queries(emb)
+    R, books = PQ.opq_train(c, m=OPQ_M, n_codes=OPQ_CODES, seed=42)
+    coded = PQ.pq_encode_with_codes_arrow(
+        c.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
+        books,
+        "embedding",
+        drop_vec=True,
+        rotation=R,
+    )
+    q_rot = PQ.rotate_vecs(q, R, "q_vec")
+    found = PQ.pq_adc_search(q_rot, coded, books, k=K)
+    truth = TK.knn_window(q, c, k=K)
+    hits = (
+        found.join(
+            truth.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
+        )
+        .groupBy("query_id")
+        .agg((F.count("*") / F.lit(K)).alias("recall_q"))
+    )
+    per_q = (
+        found.groupBy("query_id")
+        .agg(F.count("*").alias("n_results"))
+        .join(hits, "query_id", "left")
+        .na.fill({"recall_q": 0.0})
+    )
+    return q.select("query_id").join(per_q, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("n_results"), F.lit(0)).alias("n_results"),
+        (F.coalesce(F.col("recall_q"), F.lit(0.0)) >= F.lit(OPQ_RECALL_FLOOR)).alias(
+            "floor_met"
+        ),
+    )
+
+
+def _knn_opq_adc_sql() -> str:
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id FROM embeddings WHERE {FL.is_query_sql('vec_id')}
+)
+SELECT query_id, CAST({K} AS BIGINT) AS n_results, TRUE AS floor_met FROM q
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -4932,6 +5037,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "range_density": _range_density_spark,
     "knn_graph_exact": _knn_graph_exact_spark,
     "knn_graph_fixed": _knn_graph_fixed_spark,
+    "opq_codes": _opq_codes_spark,
+    "knn_opq_adc": _knn_opq_adc_spark,
 }
 
 # ROUND-6 ROTATION. The driver verifies the first 50 entries of queries()
@@ -5361,6 +5468,8 @@ ORACLES: dict[str, str] = {
     "range_density": _range_density_sql(),
     "knn_graph_exact": _knn_graph_exact_sql(),
     "knn_graph_fixed": _knn_graph_fixed_sql(),
+    "opq_codes": _opq_codes_sql(),
+    "knn_opq_adc": _knn_opq_adc_sql(),
     "multimodal_decode_jpeg": _multimodal_decode_jpeg_sql(),
     "multimodal_decode_jpeg_prog": _multimodal_decode_jpeg_sql(),
     "tpch_q21": _tpch_q21_sql(),

@@ -382,3 +382,106 @@ def test_ivfpq_build_blas_encode_mode_search_parity(spark):
         assert want == got
     fold_ix.unpersist()
     blas_ix.unpersist()
+
+
+# --- OPQ (round 9): rotation-trained PQ — Ge et al. CVPR 2013 / FAISS's
+# OPQ pre-transform ---
+
+
+def test_opq_rotation_is_orthogonal_and_deterministic(spark):
+    _, c = _split(spark)
+    R1, books1 = PQ.opq_train(c, m=4, n_codes=8, opq_iters=4, seed=42)
+    R2, books2 = PQ.opq_train(c, m=4, n_codes=8, opq_iters=4, seed=42)
+    assert np.array_equal(R1, R2)
+    assert books1 == books2
+    d = R1.shape[0]
+    assert np.allclose(R1 @ R1.T, np.eye(d), atol=1e-9)
+    assert np.allclose(R1.T @ R1, np.eye(d), atol=1e-9)
+
+
+def test_opq_improves_sample_reconstruction_mse(spark):
+    """The alternation's whole point: rotated-space reconstruction MSE must
+    not exceed plain PQ's on the same sample/seed/iters."""
+    _, c = _split(spark)
+    books_pq = PQ.pq_train(c, m=8, n_codes=16, seed=42)
+    R, books_opq = PQ.opq_train(c, m=8, n_codes=16, seed=42)
+    X = PQ._train_sample(c, "embedding", 100_000)
+
+    def mse(Y, books):
+        CB = np.asarray(books)
+        m, nc, sd = CB.shape
+        tot = 0.0
+        for j in range(m):
+            S = Y[:, j * sd : (j + 1) * sd]
+            G = S @ CB[j].T
+            G *= -2.0
+            G += (CB[j] * CB[j]).sum(axis=1)[None, :]
+            tot += ((S - CB[j][np.argmin(G, axis=1)]) ** 2).sum()
+        return tot / len(Y)
+
+    assert mse(X @ R, books_opq) <= mse(X, books_pq)
+
+
+def test_opq_encode_rotation_hook_matches_pre_rotated_column(spark):
+    """pq_encode_with_codes_arrow(rotation=R) must emit the same codes as
+    encoding an explicitly rotated column (rotate_vecs) — same doubles,
+    same argmin."""
+    _, c = _split(spark)
+    R, books = PQ.opq_train(c, m=4, n_codes=8, opq_iters=3, seed=42)
+    src = c.select("vec_id", "embedding")
+    hook = {
+        r["vec_id"]: list(r["codes"])
+        for r in PQ.pq_encode_with_codes_arrow(
+            src, books, "embedding", rotation=R
+        ).collect()
+    }
+    pre = PQ.rotate_vecs(src, R, "embedding", out_col="emb_rot")
+    explicit = {
+        r["vec_id"]: list(r["codes"])
+        for r in PQ.pq_encode_with_codes_arrow(pre, books, "emb_rot").collect()
+    }
+    assert hook == explicit
+
+
+def test_rotate_vecs_identity_and_values(spark):
+    _, c = _split(spark)
+    src = c.select("vec_id", "embedding").limit(50)
+    rows = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in src.collect()}
+    d = len(next(iter(rows.values())))
+    eye = {
+        r["vec_id"]: np.array(r["embedding"])
+        for r in PQ.rotate_vecs(src, np.eye(d), "embedding").collect()
+    }
+    for k, v in rows.items():
+        assert np.allclose(eye[k], v)
+    rng = np.random.RandomState(0)
+    Q, _ = np.linalg.qr(rng.standard_normal((d, d)))
+    got = {
+        r["vec_id"]: np.array(r["rot"])
+        for r in PQ.rotate_vecs(src, Q, "embedding", out_col="rot").collect()
+    }
+    for k, v in rows.items():
+        assert np.allclose(got[k], v @ Q, atol=1e-12)
+
+
+def test_opq_adc_recall_floor_and_rotation_invariance(spark):
+    """End-to-end OPQ search clears the registry floor, and rotating BOTH
+    sides with the same orthogonal R preserves ADC ranking semantics (the
+    invariance that makes OPQ a drop-in for the plain ADC path)."""
+    q, c = _split(spark)
+    R, books = PQ.opq_train(c, m=8, n_codes=32, seed=42)
+    coded = PQ.pq_encode_with_codes_arrow(
+        c.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
+        books, "embedding", drop_vec=True, rotation=R,
+    )
+    q_rot = PQ.rotate_vecs(q, R, "q_vec")
+    found = PQ.pq_adc_search(q_rot, coded, books, k=10)
+    truth = TK.knn_window(q, c, k=10)
+    hits = (
+        found.join(truth.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
+        .groupBy("query_id").count().collect()
+    )
+    per_q = {r["query_id"]: r["count"] / 10 for r in hits}
+    n_q = q.count()
+    assert len(per_q) == n_q  # every query found at least one true neighbor
+    assert all(v >= 0.1 for v in per_q.values()), per_q
