@@ -128,6 +128,7 @@ def _arrow_bucket_topk(
     bucket_scorer,
     kernel_name: str,
     probe_spec: tuple,
+    radius: float | None = None,
 ) -> DataFrame:
     """Shared scaffolding of the Arrow scoring kernels (IVF exact /
     IVFPQ ADC): bounded query collect, driver-side probe ranking
@@ -256,6 +257,10 @@ def _arrow_bucket_topk(
                 for c0 in range(0, len(qsel), 256):  # bound the (q x n) block
                     c1 = min(c0 + 256, len(qsel))
                     sc = chunk_fn(c0, c1)
+                    # radius mode (range search): membership is a per-cell
+                    # predicate — the emitted rows ARE the final relation
+                    # (no window merge downstream; every corpus row lives in
+                    # exactly one bucket, so no dedup either). top-k mode:
                     # exact top-t SET selection (O(n) partition + lowest-id
                     # tie fill — columns are id-ascending) instead of a full
                     # stable argsort: the shared window merge re-ranks by
@@ -263,7 +268,10 @@ def _arrow_bucket_topk(
                     # values matter, and those are identical to the argsort
                     # form's. The row-wise O(n log n) sort dominated the
                     # kernel at 5M x 10k queries.
-                    rows_i, cols = np.nonzero(_topk_set_mask(sc, t))
+                    if radius is not None:
+                        rows_i, cols = np.nonzero(sc <= radius)
+                    else:
+                        rows_i, cols = np.nonzero(_topk_set_mask(sc, t))
                     out_q.append(qids_[qsel[c0:c1][rows_i]])
                     out_n.append(ids[cols])
                     out_d.append(sc[rows_i, cols])
@@ -1236,6 +1244,7 @@ class IVFIndex:
         radius: float,
         nprobe: int = 8,
         predicate: Column | None = None,
+        arrow_score: bool = False,
     ) -> DataFrame:
         """Probed radius search: every corpus row within ``radius`` of each
         query, scanning only the nprobe nearest cells — FAISS's public IVF
@@ -1253,6 +1262,42 @@ class IVFIndex:
         corpus = self.assigned
         if predicate is not None:
             corpus = corpus.filter(predicate)
+
+        if arrow_score:
+            # the batch-throughput form: probed buckets scored as vectorized
+            # blocks inside the scaffold's radius mode — the expression path
+            # below evaluates the interpreted HOF fold once per CANDIDATE
+            # (queries x nprobe x bucket rows: ~3x10^9 at 5M/10kq/nprobe=32,
+            # the same trap the graph kernel closed). Kernel rows ARE the
+            # final relation — no window, no dedup (one bucket per corpus
+            # row).
+            if self.metric != "sqeuclidean":
+                raise NotImplementedError(
+                    "range_search(arrow_score=True) implements the "
+                    f"sqeuclidean fold; got metric={self.metric!r}"
+                )
+            rows = self.centroids.collect()
+            dim = len(rows[0]["centroid"]) if rows else 0
+            cent = np.zeros((self.n_centroids, dim), dtype=np.float64)
+            for r in rows:
+                cent[int(r["centroid_id"])] = np.asarray(
+                    r["centroid"], dtype=np.float64
+                )
+            return _arrow_bucket_topk(
+                queries,
+                corpus,
+                id_col=self.id_col,
+                data_col=self.vec_col,
+                data_dtype="float64",
+                top=0,  # unused in radius mode
+                out_col="dist",
+                extra=(),
+                bucket_scorer=_sqeuclidean_bucket_scorer,
+                kernel_name="range_search_arrow",
+                probe_spec=(cent, nprobe, self.centroids),
+                radius=radius,
+            )
+
         probes = knn_window(
             queries,
             self.centroids,
