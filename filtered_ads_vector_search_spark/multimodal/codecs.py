@@ -8,8 +8,9 @@ ADPCM mono/stereo, are simple enough to encode/decode with struct + numpy,
 and JPEG — both baseline sequential (SOF0) and progressive (SOF2), together
 essentially all real-world files — is a full pure-NumPy implementation in
 the sibling ``jpeg`` module, re-exported here. Remaining compressed codecs
-(H.264/AAC, JPEG arithmetic/hierarchical/lossless, RLE BMP, MS-ADPCM WAV)
-stay behind the NotImplementedError seam.
+(H.264/AAC, JPEG arithmetic/hierarchical/lossless, RLE4 BMP, MS-ADPCM WAV)
+stay behind the NotImplementedError seam (8-bit BI_RLE8 graduated to a
+supported lossless mode in round 9).
 
 The reference has no media pipeline at all — this is part of the
 beyond-reference training-data-pipeline surface (brief: multimodal columns).
@@ -154,6 +155,89 @@ def encode_bmp_8bit(indices: np.ndarray, palette: np.ndarray) -> bytes:
     return bytes(out)
 
 
+def encode_bmp_rle8(indices: np.ndarray, palette: np.ndarray) -> bytes:
+    """(height, width) uint8 palette indices + (n<=256, 3) uint8 RGB palette
+    -> 8-bit BI_RLE8 BMP bytes — the run-length-encoded paletted layout
+    (Windows BMP spec: encoded mode = (count, index) pairs with count 1-255;
+    escapes 00 00 = end of line, 00 01 = end of bitmap). The greedy
+    (count, index) encoding here is always spec-valid and LOSSLESS on the
+    index raster; decode_bmp_pixels additionally accepts the absolute-mode
+    and delta escapes real encoders emit."""
+    h, w = indices.shape
+    n_pal = palette.shape[0]
+    if palette.ndim != 2 or palette.shape[1] != 3 or n_pal > 256:
+        raise ValueError(f"palette must be (n<=256, 3) uint8 RGB, got {palette.shape}")
+    if int(indices.max(initial=0)) >= n_pal:
+        raise ValueError(
+            f"palette index {int(indices.max(initial=0))} out of range for "
+            f"{n_pal}-entry palette"
+        )
+    data = bytearray()
+    for r in indices[::-1]:  # bottom-up rows, like every BI_RGB layout here
+        r = r.astype(np.uint8)
+        i = 0
+        while i < w:
+            j = i + 1
+            while j < w and j - i < 255 and r[j] == r[i]:
+                j += 1
+            data += bytes((j - i, int(r[i])))
+            i = j
+        data += b"\x00\x00"  # end of line
+    data += b"\x00\x01"  # end of bitmap
+    pal_bytes = np.zeros((n_pal, 4), dtype=np.uint8)
+    pal_bytes[:, :3] = palette[:, ::-1]  # RGB -> BGRx
+    offset = _BMP_HEADER_SIZE + 4 * n_pal
+    size = offset + len(data)
+    out = bytearray()
+    out += struct.pack("<2sIHHI", b"BM", size, 0, 0, offset)
+    # compression=1 (BI_RLE8); biSizeImage MUST carry the encoded length
+    out += struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 8, 1, len(data), 2835, 2835, n_pal, 0
+    )
+    out += pal_bytes.tobytes()
+    out += data
+    return bytes(out)
+
+
+def _decode_rle8_indices(data: bytes, w: int, h: int) -> np.ndarray:
+    """BI_RLE8 escape stream -> (h, w) BOTTOM-UP index raster. Handles all
+    four spec forms: encoded (count, index) runs, absolute mode
+    (00, n>=3, n raw indices, word-aligned), end-of-line (00 00), delta
+    (00 02, dx, dy), end-of-bitmap (00 01). Unwritten cells stay 0 (the
+    spec leaves skipped pixels undefined; zero is the conventional fill)."""
+    out = np.zeros((h, w), dtype=np.uint8)
+    x = y = 0  # bottom-up coordinates, per the spec
+    i = 0
+    n = len(data)
+    while i + 1 < n:
+        c, v = data[i], data[i + 1]
+        i += 2
+        if c > 0:  # encoded run
+            end = min(x + c, w)
+            if y < h:
+                out[y, x:end] = v
+            x = end
+        elif v == 0:  # end of line
+            x, y = 0, y + 1
+        elif v == 1:  # end of bitmap
+            break
+        elif v == 2:  # delta
+            if i + 1 >= n:
+                raise ValueError("truncated RLE8 delta escape")
+            x, y = x + data[i], y + data[i + 1]
+            i += 2
+        else:  # absolute mode: v raw indices, padded to a word boundary
+            if i + v > n:
+                raise ValueError("truncated RLE8 absolute run")
+            run = np.frombuffer(data, dtype=np.uint8, offset=i, count=v)
+            end = min(x + v, w)
+            if y < h:
+                out[y, x:end] = run[: end - x]
+            x = end
+            i += v + (v & 1)
+    return out
+
+
 def encode_bmp_32bit(pixels: np.ndarray, alpha: np.ndarray | None = None) -> bytes:
     """(height, width, 3) uint8 RGB (+ optional (h, w) alpha) -> 32-bit
     BI_RGB BMP bytes (BGRA byte order, bottom-up rows; 4 bytes/pixel means
@@ -225,8 +309,10 @@ def decode_bmp_meta(raw: bytes) -> dict:
         raise ValueError("not a BMP payload")
     hdr_sz, w, h, _planes, bpp = struct.unpack("<IiiHH", raw[14:30])
     compression = struct.unpack("<I", raw[30:34])[0]
-    supported = (bpp in (8, 16, 24, 32) and compression == 0) or (
-        bpp in (16, 32) and compression == 3  # BI_BITFIELDS, masked
+    supported = (
+        (bpp in (8, 16, 24, 32) and compression == 0)
+        or (bpp in (16, 32) and compression == 3)  # BI_BITFIELDS, masked
+        or (bpp == 8 and compression == 1)  # BI_RLE8
     )
     # 40 = BITMAPINFOHEADER; 52/56/108/124 = V2/V3/V4/V5, which embed the
     # channel masks at the same file offset (54) the hdr_sz=40 BI_BITFIELDS
@@ -234,9 +320,10 @@ def decode_bmp_meta(raw: bytes) -> dict:
     if not supported or hdr_sz not in (40, 52, 56, 108, 124):
         raise NotImplementedError(
             f"only BI_RGB 8-bit-palette, 16-bit RGB555, 24-bit, and 32-bit "
-            f"BGRA BMP plus 16/32-bit BI_BITFIELDS (info headers V1-V5) "
-            f"supported (bpp={bpp}, compression={compression}, "
-            f"hdr_sz={hdr_sz}; RLE still out of scope)"
+            f"BGRA BMP plus 16/32-bit BI_BITFIELDS (info headers V1-V5) and "
+            f"8-bit BI_RLE8 supported (bpp={bpp}, "
+            f"compression={compression}, hdr_sz={hdr_sz}; RLE4 still out of "
+            f"scope)"
         )
     return {
         "media_type": "image",
@@ -325,6 +412,9 @@ def decode_bmp_pixels(raw: bytes) -> np.ndarray:
                           count=4 * n_pal)
             .reshape(n_pal, 4)[:, [2, 1, 0]]  # BGRx -> RGB
         )
+        if compression == 1:  # BI_RLE8
+            idx = _decode_rle8_indices(raw[offset:], w, h)
+            return pal[idx[::-1]].copy()  # bottom-up raster -> top-down
         row = ((w + 3) // 4) * 4
         idx = np.frombuffer(raw, dtype=np.uint8, offset=offset, count=row * h)
         idx = idx.reshape(h, row)[:, :w]

@@ -964,3 +964,63 @@ def test_bmp_v4_v5_info_headers_decode():
     with pytest.raises(NotImplementedError):
         C.decode_bmp_meta(v_header_bmp(108, 24, 0)[:14] + _struct.pack("<I", 64)
                           + v_header_bmp(108, 24, 0)[18:])
+
+
+def test_bmp_rle8_roundtrip_and_escape_forms():
+    """8-bit BI_RLE8 BMP (round 9): the greedy (count, index) encoder is
+    LOSSLESS on the index raster — decode(encode(idx, pal)) == pal[idx]
+    exactly, for run-heavy, noisy, and odd-width rasters — and the decoder
+    additionally honors the absolute-mode and delta escapes real encoders
+    emit. A 16-bpp payload claiming BI_RLE8 and an RLE4 payload still
+    raise at the seam."""
+    import numpy as np
+    import pytest
+    import struct as _struct
+
+    from filtered_ads_vector_search_spark.multimodal import codecs as C
+
+    rng = np.random.default_rng(23)
+    pal = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    rasters = [
+        np.repeat(np.arange(5, dtype=np.uint8)[:, None], 9, axis=1),  # runs
+        rng.integers(0, 16, size=(4, 7), dtype=np.uint8),  # noise, odd width
+        np.zeros((3, 4), dtype=np.uint8),  # single long zero run
+    ]
+    for idx in rasters:
+        raw = C.encode_bmp_rle8(idx, pal)
+        assert C.sniff(raw) == "bmp"
+        meta = C.decode_bmp_meta(raw)
+        assert (meta["width"], meta["height"]) == (idx.shape[1], idx.shape[0])
+        np.testing.assert_array_equal(C.decode_bmp_pixels(raw), pal[idx])
+        # resize dispatches through the shared decode path
+        out = C.decode_bmp_pixels(C.resize_image(raw, 2, 2))
+        assert out.shape == (2, 2, 3)
+
+    # hand-crafted stream exercising absolute mode + delta + early EOL:
+    # row0 (bottom): run 3x5, absolute [1,2,3] (padded), EOL
+    # row1: delta (+2,+0) skips two cells (stay 0), run 2x7, EOL, EOB
+    data = bytes(
+        [3, 5, 0, 3, 1, 2, 3, 0, 0, 0]  # 3x5 | abs(1,2,3)+pad | EOL
+        + [0, 2, 2, 0, 2, 7, 0, 0, 0, 1]  # delta(2,0) | 2x7 | EOL | EOB
+    )
+    idx = C._decode_rle8_indices(data, 6, 2)
+    np.testing.assert_array_equal(
+        idx, np.array([[5, 5, 5, 1, 2, 3], [0, 0, 7, 7, 0, 0]], dtype=np.uint8)
+    )
+
+    # seams hold: RLE8 on a 16-bpp payload, and RLE4, both raise
+    px = rng.integers(0, 256, size=(4, 4, 3), dtype=np.uint8)
+    bad16 = bytearray(C.encode_bmp_16bit(px))
+    bad16[30:34] = _struct.pack("<I", 1)
+    with pytest.raises(NotImplementedError):
+        C.decode_bmp_meta(bytes(bad16))
+    rle4 = bytearray(C.encode_bmp_rle8(rasters[0], pal))
+    rle4[30:34] = _struct.pack("<I", 2)
+    with pytest.raises(NotImplementedError):
+        C.decode_bmp_meta(bytes(rle4))
+
+    # validation guards
+    with pytest.raises(ValueError, match="palette"):
+        C.encode_bmp_rle8(rasters[0], pal[:, :2])
+    with pytest.raises(ValueError, match="out of range"):
+        C.encode_bmp_rle8(np.full((2, 2), 99, dtype=np.uint8), pal)
