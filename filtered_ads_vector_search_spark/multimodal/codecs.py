@@ -764,12 +764,145 @@ def encode_wav_ima_adpcm(
     return bytes(out)
 
 
+# MS-ADPCM (WAVE_FORMAT_ADPCM=0x0002): the 7 standard predictor pairs and
+# the 16-entry delta adaptation table from the Microsoft multimedia spec
+_MS_COEFS = ((256, 0), (512, -256), (0, 0), (192, 64),
+             (240, 0), (460, -208), (392, -232))
+_MS_ADAPT = (230, 230, 230, 230, 307, 409, 512, 614,
+             768, 614, 512, 409, 307, 230, 230, 230)
+
+
+def _ms_decode_channel_block(
+    pred_idx: int, idelta: int, s1: int, s2: int, nibbles, n_out: int
+) -> np.ndarray:
+    """One channel-block -> int16 samples. Output starts with the two
+    header samples OLDEST first (s2 then s1), then one sample per nibble
+    through the predict-and-adapt recurrence."""
+    c1, c2 = _MS_COEFS[pred_idx]
+    out = np.empty(n_out, dtype=np.int16)
+    k = 0
+    for v in (s2, s1):
+        if k < n_out:
+            out[k] = v
+            k += 1
+    delta = idelta
+    for n in nibbles:
+        if k >= n_out:
+            break
+        signed = n - 16 if n >= 8 else n
+        pred = (s1 * c1 + s2 * c2) >> 8
+        val = max(-32768, min(32767, pred + signed * delta))
+        out[k] = val
+        k += 1
+        delta = max(16, (_MS_ADAPT[n] * delta) >> 8)
+        s2, s1 = s1, val
+    return out
+
+
+def _ms_encode_channel(ch_samples: np.ndarray, spb: int):
+    """One channel -> [(pred_idx, idelta, sample1, sample2, nibbles)] per
+    block, picking the least-squared-error predictor of the 7 standard
+    pairs per block (the spec's recommended selection). idelta seeds from
+    the block's early sample deltas, floored at the spec's 16."""
+    x = ch_samples.astype(np.int64).tolist()
+    if len(x) % spb:
+        x = x + [x[-1]] * (spb - len(x) % spb)
+    if len(x) == 1:  # degenerate one-sample input: pad to the 2-sample header
+        x = x + [x[0]]
+    blocks = []
+    for b0 in range(0, len(x), spb):
+        blk = x[b0 : b0 + spb]
+        head = blk[: min(len(blk), 9)]
+        seed = int(np.mean(np.abs(np.diff(head)))) // 4 if len(head) > 1 else 16
+        idelta = max(16, seed)
+        best = None
+        for pi, (c1, c2) in enumerate(_MS_COEFS):
+            s2, s1 = int(blk[0]), int(blk[1])
+            delta = idelta
+            nibbles = []
+            err = 0
+            for s in blk[2:]:
+                pred = (s1 * c1 + s2 * c2) >> 8
+                code = max(-8, min(7, int(round((s - pred) / delta))))
+                val = max(-32768, min(32767, pred + code * delta))
+                err += (val - s) * (val - s)
+                n = code & 0xF
+                nibbles.append(n)
+                delta = max(16, (_MS_ADAPT[n] * delta) >> 8)
+                s2, s1 = s1, val
+            if best is None or err < best[0]:
+                best = (err, pi, nibbles)
+        blocks.append((best[1], idelta, int(blk[1]), int(blk[0]), best[2]))
+    return blocks
+
+
+def encode_wav_ms_adpcm(
+    samples: np.ndarray, sample_rate: int = 8000, block_align: int | None = None
+) -> bytes:
+    """int16 samples -> RIFF/WAVE MS-ADPCM bytes ((n,) mono or (n, 2)
+    stereo, same shape contract as encode_wav). Container: 50-byte fmt
+    chunk (cbSize=32: samplesPerBlock + the 7 standard coefficient pairs,
+    as real encoders write) + fact chunk + block-aligned data; per-block
+    7-byte channel headers (predictor, idelta, sample1, sample2 — fields
+    channel-interleaved for stereo), nibbles high-first for mono and
+    L-high/R-low per byte for stereo."""
+    if samples.ndim == 1:
+        channels = 1
+        chans = [samples]
+    elif samples.ndim == 2 and samples.shape[1] in (1, 2):
+        channels = samples.shape[1]
+        chans = [samples[:, j] for j in range(channels)]
+    else:
+        raise ValueError(f"samples must be (n,) or (n, 1|2); got {samples.shape}")
+    n_frames = len(samples)
+    if n_frames == 0:
+        raise ValueError("MS-ADPCM needs at least one sample")
+    block_align = block_align or 256 * channels
+    spb = (block_align - 7 * channels) * 2 // channels + 2
+    per_ch = [_ms_encode_channel(c, spb) for c in chans]
+    data = bytearray()
+    for bi in range(len(per_ch[0])):
+        blocks = [pc[bi] for pc in per_ch]
+        for b in blocks:  # bPredictor per channel
+            data += struct.pack("<B", b[0])
+        for b in blocks:  # iDelta per channel
+            data += struct.pack("<h", b[1])
+        for b in blocks:  # iSamp1 per channel
+            data += struct.pack("<h", b[2])
+        for b in blocks:  # iSamp2 per channel
+            data += struct.pack("<h", b[3])
+        if channels == 1:
+            nibs = blocks[0][4]
+            for i in range(0, len(nibs), 2):
+                hi = nibs[i]
+                lo = nibs[i + 1] if i + 1 < len(nibs) else 0
+                data.append((hi << 4) | lo)
+        else:  # one L and one R nibble per byte, left in the high nibble
+            ln, rn = blocks[0][4], blocks[1][4]
+            for i in range(len(ln)):
+                data.append((ln[i] << 4) | rn[i])
+    avg_bps = sample_rate * block_align // spb
+    out = bytearray()
+    out += struct.pack("<4sI4s", b"RIFF", 4 + 58 + 12 + 8 + len(data), b"WAVE")
+    out += struct.pack(
+        "<4sIHHIIHHHHH", b"fmt ", 50, 0x2, channels, sample_rate,
+        avg_bps, block_align, 4, 32, spb, 7,
+    )
+    for c1, c2 in _MS_COEFS:
+        out += struct.pack("<hh", c1, c2)
+    out += struct.pack("<4sII", b"fact", 4, n_frames)
+    out += struct.pack("<4sI", b"data", len(data))
+    out += data
+    return bytes(out)
+
+
 _WAV_CODECS = {
     (1, 16): "pcm_s16le",
     (1, 24): "pcm_s24le",
     (6, 8): "pcm_alaw",
     (7, 8): "pcm_mulaw",
     (0x11, 4): "adpcm_ima_wav",
+    (0x2, 4): "adpcm_ms",
 }
 
 
@@ -799,12 +932,12 @@ def decode_wav_meta(raw: bytes) -> dict:
     block_align, bits = struct.unpack("<HH", raw[f0 + 12 : f0 + 16])
     if channels not in (1, 2) or (fmt_tag, bits) not in _WAV_CODECS:
         raise NotImplementedError(
-            "only PCM s16le/s24le, G.711 A-law/mu-law, and IMA ADPCM "
+            "only PCM s16le/s24le, G.711 A-law/mu-law, and IMA/MS ADPCM "
             f"mono/stereo WAV supported (fmt_tag={fmt_tag}, bits={bits}; "
-            "MS-ADPCM still out of scope)"
+            "WAVE_FORMAT_EXTENSIBLE and float PCM still out of scope)"
         )
     n_data = chunks[b"data"][1]
-    if fmt_tag == 0x11:
+    if fmt_tag in (0x11, 0x2):
         # frame count from the fact chunk (authoritative for compressed
         # WAV); fall back to full decoded blocks when absent
         spb = struct.unpack("<H", raw[f0 + 18 : f0 + 20])[0]
@@ -863,6 +996,42 @@ def decode_wav_samples(raw: bytes) -> np.ndarray:
                 per_ch[j].append(
                     _ima_decode_channel_block(
                         states[j][0], states[j][1], bytes(ch_bytes[j]), spb - 1
+                    )
+                )
+        full = [np.concatenate(bl)[:n_frames] for bl in per_ch]
+        return full[0] if channels == 1 else np.stack(full, axis=1)
+    if meta["codec"] == "adpcm_ms":
+        block_align = struct.unpack("<H", raw[f0 + 12 : f0 + 14])[0]
+        spb = struct.unpack("<H", raw[f0 + 18 : f0 + 20])[0]
+        if b"fact" in chunks:
+            o, _ = chunks[b"fact"]
+            n_frames = struct.unpack("<I", raw[o : o + 4])[0]
+        else:
+            n_frames = (n_data // block_align) * spb
+        per_ch = [[] for _ in range(channels)]
+        for b0 in range(d0, d0 + n_data, block_align):
+            pos = b0
+            preds = [raw[pos + j] for j in range(channels)]
+            pos += channels
+            ideltas = struct.unpack(f"<{channels}h", raw[pos : pos + 2 * channels])
+            pos += 2 * channels
+            s1s = struct.unpack(f"<{channels}h", raw[pos : pos + 2 * channels])
+            pos += 2 * channels
+            s2s = struct.unpack(f"<{channels}h", raw[pos : pos + 2 * channels])
+            pos += 2 * channels
+            body = raw[pos : b0 + block_align]
+            nibs: list[list[int]] = [[] for _ in range(channels)]
+            for byte in body:
+                if channels == 1:  # mono: high nibble first
+                    nibs[0].append(byte >> 4)
+                    nibs[0].append(byte & 0x0F)
+                else:  # stereo: left high, right low
+                    nibs[0].append(byte >> 4)
+                    nibs[1].append(byte & 0x0F)
+            for j in range(channels):
+                per_ch[j].append(
+                    _ms_decode_channel_block(
+                        preds[j], ideltas[j], s1s[j], s2s[j], nibs[j], spb
                     )
                 )
         full = [np.concatenate(bl)[:n_frames] for bl in per_ch]

@@ -852,10 +852,11 @@ def test_wav_ima_adpcm_roundtrip_mono_stereo():
     dshort = C.decode_wav_samples(C.encode_wav_ima_adpcm(short, sample_rate=8000))
     assert dshort.shape == short.shape
 
-    # MS-ADPCM (fmt_tag=2) stays behind the seam
+    # float PCM (fmt_tag=3) stays behind the seam (MS-ADPCM graduated to a
+    # supported codec in round 9 — test_wav_ms_adpcm_roundtrip_and_seams)
     bad = bytearray(C.encode_wav(mono))
-    bad[20:22] = _struct.pack("<H", 2)
-    bad[34:36] = _struct.pack("<H", 4)
+    bad[20:22] = _struct.pack("<H", 3)
+    bad[34:36] = _struct.pack("<H", 32)
     with pytest.raises(NotImplementedError):
         C.decode_wav_meta(bytes(bad))
 
@@ -1024,3 +1025,57 @@ def test_bmp_rle8_roundtrip_and_escape_forms():
         C.encode_bmp_rle8(rasters[0], pal[:, :2])
     with pytest.raises(ValueError, match="out of range"):
         C.encode_bmp_rle8(np.full((2, 2), 99, dtype=np.uint8), pal)
+
+
+def test_wav_ms_adpcm_roundtrip_and_seams():
+    """MS-ADPCM WAV (WAVE_FORMAT_ADPCM=0x0002, round 9): best-of-7
+    predictor selection per block, 7-byte channel headers (predictor /
+    idelta / sample1 / sample2, fields channel-interleaved for stereo),
+    L-high/R-low nibble packing. The two header samples round-trip
+    EXACTLY; the coded tail reconstructs within the ADPCM noise floor
+    (SNR > 20 dB on smooth signals, like the IMA tier); the fact chunk
+    truncates padded final blocks; encode is deterministic. The seam
+    narrows to WAVE_FORMAT_EXTENSIBLE / float PCM."""
+    import numpy as np
+    import pytest
+    import struct as _struct
+
+    from filtered_ads_vector_search_spark.multimodal import codecs as C
+
+    t = np.arange(2000)
+    x = (10000 * np.sin(2 * np.pi * t / 50)).astype(np.int16)
+    raw = C.encode_wav_ms_adpcm(x, 8000)
+    meta = C.decode_wav_meta(raw)
+    assert meta["codec"] == "adpcm_ms" and meta["duration_ms"] == 250
+    y = C.decode_wav_samples(raw)
+    assert len(y) == len(x)
+    assert y[0] == x[0] and y[1] == x[1]  # header samples verbatim
+
+    def snr(a, b):
+        e = a.astype(float) - b.astype(float)
+        return 10 * np.log10((a.astype(float) ** 2).mean() / max((e**2).mean(), 1e-9))
+
+    assert snr(x, y) > 20.0
+    assert C.encode_wav_ms_adpcm(x, 8000) == raw  # deterministic
+
+    s = np.stack(
+        [x, (8000 * np.cos(2 * np.pi * t / 37)).astype(np.int16)], axis=1
+    )
+    y2 = C.decode_wav_samples(C.encode_wav_ms_adpcm(s, 8000))
+    assert y2.shape == s.shape
+    assert snr(s[:, 0], y2[:, 0]) > 20.0 and snr(s[:, 1], y2[:, 1]) > 20.0
+
+    # fact-chunk truncation of the padded final block
+    y3 = C.decode_wav_samples(C.encode_wav_ms_adpcm(x[:777], 8000))
+    assert len(y3) == 777
+
+    # seam: an extensible-format payload still raises with the new message
+    bad = bytearray(raw)
+    f0 = raw.index(b"fmt ") + 8
+    bad[f0 : f0 + 2] = _struct.pack("<H", 0xFFFE)  # WAVE_FORMAT_EXTENSIBLE
+    with pytest.raises(NotImplementedError, match="EXTENSIBLE"):
+        C.decode_wav_meta(bytes(bad))
+    with pytest.raises(ValueError, match="samples must be"):
+        C.encode_wav_ms_adpcm(np.zeros((4, 3), dtype=np.int16))
+    with pytest.raises(ValueError, match="at least one"):
+        C.encode_wav_ms_adpcm(np.zeros(0, dtype=np.int16))
