@@ -230,10 +230,14 @@ def _decode_rle8_indices(data: bytes, w: int, h: int) -> np.ndarray:
             if i + v > n:
                 raise ValueError("truncated RLE8 absolute run")
             run = np.frombuffer(data, dtype=np.uint8, offset=i, count=v)
-            end = min(x + v, w)
-            if y < h:
+            # a delta escape can park the cursor past the row width; the
+            # write slice is then empty while run[:end-x] is not (negative
+            # stop), so guard x < w explicitly — skip the write but still
+            # advance the cursor, per the spec's undefined-pixel semantics
+            if y < h and x < w:
+                end = min(x + v, w)
                 out[y, x:end] = run[: end - x]
-            x = end
+            x = min(x + v, w)  # same at-width clamp as the encoded-run path
             i += v + (v & 1)
     return out
 
@@ -906,6 +910,24 @@ _WAV_CODECS = {
 }
 
 
+def _adpcm_fallback_frames(
+    n_data: int, block_align: int, spb: int, channels: int, fmt_tag: int
+) -> int:
+    """Per-channel frame count of an ADPCM data payload WITHOUT a fact
+    chunk, derived from actual bytes: full blocks contribute
+    samples_per_block each; a truncated trailing block contributes its
+    header samples plus one per surviving nibble (zero if even the header
+    is cut short). MS (0x2) headers are 7 bytes/channel carrying 2 seed
+    samples; IMA (0x11) headers are 4 bytes/channel carrying 1."""
+    hdr = (7 if fmt_tag == 0x2 else 4) * channels
+    seed = 2 if fmt_tag == 0x2 else 1
+    frames = (n_data // block_align) * spb
+    rem = n_data % block_align
+    if rem > hdr:
+        frames += min(spb, seed + 2 * (rem - hdr) // channels)
+    return frames
+
+
 def _wav_chunks(raw: bytes) -> dict[bytes, tuple[int, int]]:
     """RIFF chunk walk -> {chunk_id: (payload_offset, size)} (first
     occurrence wins; odd-sized chunks are pad-aligned per the RIFF spec).
@@ -939,13 +961,16 @@ def decode_wav_meta(raw: bytes) -> dict:
     n_data = chunks[b"data"][1]
     if fmt_tag in (0x11, 0x2):
         # frame count from the fact chunk (authoritative for compressed
-        # WAV); fall back to full decoded blocks when absent
+        # WAV); fall back to a byte-derived count when absent — including
+        # the frames a truncated trailing block actually carries
         spb = struct.unpack("<H", raw[f0 + 18 : f0 + 20])[0]
         if b"fact" in chunks:
             o, _ = chunks[b"fact"]
             n_frames = struct.unpack("<I", raw[o : o + 4])[0]
         else:
-            n_frames = (n_data // block_align) * spb
+            n_frames = _adpcm_fallback_frames(
+                n_data, block_align, spb, channels, fmt_tag
+            )
     else:
         n_frames = n_data // ((bits // 8) * channels)
     return {
@@ -975,16 +1000,21 @@ def decode_wav_samples(raw: bytes) -> np.ndarray:
             o, _ = chunks[b"fact"]
             n_frames = struct.unpack("<I", raw[o : o + 4])[0]
         else:
-            n_frames = (n_data // block_align) * spb
+            n_frames = _adpcm_fallback_frames(
+                n_data, block_align, spb, channels, 0x11
+            )
+        data_end = d0 + n_data
         per_ch: list[list[np.ndarray]] = [[] for _ in range(channels)]
-        for b0 in range(d0, d0 + n_data, block_align):
+        for b0 in range(d0, data_end, block_align):
+            if b0 + 4 * channels > data_end:
+                break  # truncated trailing block: no full header, no samples
             states = []
             pos = b0
             for _ in range(channels):
                 pred, index, _r = struct.unpack("<hBB", raw[pos : pos + 4])
                 states.append((pred, index))
                 pos += 4
-            body = raw[pos : b0 + block_align]
+            body = raw[pos : min(b0 + block_align, data_end)]
             if channels == 1:
                 ch_bytes = [body]
             else:  # de-interleave the 4-byte groups
@@ -993,9 +1023,12 @@ def decode_wav_samples(raw: bytes) -> np.ndarray:
                     ch_bytes[0] += body[g : g + 4]
                     ch_bytes[1] += body[g + 4 : g + 8]
             for j in range(channels):
+                # cap at this block's SURVIVING nibble count so a truncated
+                # trailing block never pads with uninitialized samples
+                n_nib = min(spb - 1, 2 * len(ch_bytes[j]))
                 per_ch[j].append(
                     _ima_decode_channel_block(
-                        states[j][0], states[j][1], bytes(ch_bytes[j]), spb - 1
+                        states[j][0], states[j][1], bytes(ch_bytes[j]), n_nib
                     )
                 )
         full = [np.concatenate(bl)[:n_frames] for bl in per_ch]
@@ -1007,9 +1040,14 @@ def decode_wav_samples(raw: bytes) -> np.ndarray:
             o, _ = chunks[b"fact"]
             n_frames = struct.unpack("<I", raw[o : o + 4])[0]
         else:
-            n_frames = (n_data // block_align) * spb
+            n_frames = _adpcm_fallback_frames(
+                n_data, block_align, spb, channels, 0x2
+            )
+        data_end = d0 + n_data
         per_ch = [[] for _ in range(channels)]
-        for b0 in range(d0, d0 + n_data, block_align):
+        for b0 in range(d0, data_end, block_align):
+            if b0 + 7 * channels > data_end:
+                break  # truncated trailing block: no full header, no samples
             pos = b0
             preds = [raw[pos + j] for j in range(channels)]
             pos += channels
@@ -1019,7 +1057,7 @@ def decode_wav_samples(raw: bytes) -> np.ndarray:
             pos += 2 * channels
             s2s = struct.unpack(f"<{channels}h", raw[pos : pos + 2 * channels])
             pos += 2 * channels
-            body = raw[pos : b0 + block_align]
+            body = raw[pos : min(b0 + block_align, data_end)]
             nibs: list[list[int]] = [[] for _ in range(channels)]
             for byte in body:
                 if channels == 1:  # mono: high nibble first
@@ -1029,9 +1067,13 @@ def decode_wav_samples(raw: bytes) -> np.ndarray:
                     nibs[0].append(byte >> 4)
                     nibs[1].append(byte & 0x0F)
             for j in range(channels):
+                # cap at the block's surviving nibbles: _ms_decode_channel_
+                # block allocates n_out up front, so a short body must not
+                # leave uninitialized tail samples
+                n_out = min(spb, 2 + len(nibs[j]))
                 per_ch[j].append(
                     _ms_decode_channel_block(
-                        preds[j], ideltas[j], s1s[j], s2s[j], nibs[j], spb
+                        preds[j], ideltas[j], s1s[j], s2s[j], nibs[j], n_out
                     )
                 )
         full = [np.concatenate(bl)[:n_frames] for bl in per_ch]

@@ -129,6 +129,8 @@ def pq_train(
     """Lloyd's k-means per subspace on a bounded deterministic sample
     (see _train_sample for the sampling discipline)."""
     X = _train_sample(corpus, vec_col, sample_n)
+    if len(X) == 0:
+        raise ValueError("pq_train: empty training sample")
     dim = X.shape[1]
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
@@ -209,18 +211,31 @@ def opq_train(
       2. Yhat = decode(encode(Y)); R <- argmin_{R orthogonal}
          ||X R - Yhat||_F = U V' from the SVD of X'Yhat (orthogonal
          Procrustes).
+    After the alternation one final per-subspace Lloyd pass refits the
+    codebooks under the FINAL rotation (the loop ends on the Procrustes
+    update, so without the refit the returned books were fit under the
+    previous iteration's Y — reference OPQ implementations end on the
+    codebook step). Lloyd never increases within-subspace MSE, so the
+    monotonicity contract is preserved.
     Reconstruction MSE is non-increasing across the alternation; the opq
     contract queries pin ``MSE(OPQ) <= MSE(plain PQ)`` on the same sample
     discipline rather than artifact bits (trained values are ulp-sensitive,
     like every trained tier — see BENCH_DRIFT round-7 addendum)."""
     X = _train_sample(corpus, vec_col, sample_n)
+    if len(X) == 0:
+        raise ValueError("opq_train: empty training sample")
     dim = X.shape[1]
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     sd = dim // m
     rng = np.random.RandomState(seed)
     R = np.eye(dim)
-    CB: np.ndarray | None = None  # (m, n_codes, sd)
+    # codebook rows come from the actual sample draw: a corpus smaller than
+    # n_codes trains a k=len(sample) codebook (the same graceful shrink as
+    # pq_train's min(n_codes, len(S)) draw) instead of leaving garbage rows
+    # in a preallocated (m, n_codes, sd) block
+    k_eff = min(n_codes, len(X))
+    CB: np.ndarray | None = None  # (m, k_eff, sd)
 
     def _lloyd(S: np.ndarray, cb: np.ndarray, steps: int) -> np.ndarray:
         k = len(cb)
@@ -243,10 +258,10 @@ def opq_train(
         if CB is None:
             # init draws: one shared rng stream in subspace order, the same
             # init discipline as pq_train
-            CB = np.empty((m, n_codes, sd), dtype=np.float64)
+            CB = np.empty((m, k_eff, sd), dtype=np.float64)
             for j in range(m):
                 S = np.ascontiguousarray(Y[:, j * sd : (j + 1) * sd])
-                CB[j] = S[rng.choice(len(S), size=min(n_codes, len(S)), replace=False)]
+                CB[j] = S[rng.choice(len(S), size=k_eff, replace=False)]
             steps = iters
         else:
             steps = 2
@@ -265,6 +280,11 @@ def opq_train(
         # orthogonal Procrustes update
         U, _, Vt = np.linalg.svd(X.T @ Yhat)
         R = U @ Vt
+    # final codebook refit under the FINAL rotation (see docstring)
+    Y = X @ R
+    for j in range(m):
+        S = np.ascontiguousarray(Y[:, j * sd : (j + 1) * sd])
+        CB[j] = _lloyd(S, CB[j], 2)
     books = [[[float(x) for x in row] for row in cb] for cb in CB]
     return R, books
 

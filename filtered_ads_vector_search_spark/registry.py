@@ -4753,30 +4753,39 @@ OPQ_RECALL_FLOOR = 0.1
 
 
 def _opq_codes_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MSE-improvement contract, measured on the TRAINING SAMPLE — the set
+    the OPQ alternation actually guarantees the invariant on (at SFs larger
+    than sample_n, full-table MSE could flake despite correct code: the
+    rotation is fit to the sample, not the tail). Both encodes run the same
+    per-subspace BLAS argmin the Arrow kernel uses; argmin ties pick
+    reconstruction-distance-EQUAL codes, so the MSEs are tie-invariant.
+    n_rows stays the full-table count (the distributed side of the
+    contract); the distributed rotate/encode machinery itself is
+    value-checked by knn_opq_adc / pq_codes(_blas) / knn_ivfpq_*."""
+    import numpy as np
+
     from .operators import pq as PQ
-    from .operators import topk as _TK  # noqa: F401
 
     emb = _tbl(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     books_pq = PQ.pq_train(emb, m=OPQ_M, n_codes=OPQ_CODES, seed=42)
     R, books_opq = PQ.opq_train(emb, m=OPQ_M, n_codes=OPQ_CODES, seed=42)
+    X = PQ._train_sample(emb, "embedding", 100_000)  # same draw as both trains
 
-    def _mse(df, vec_col, books):
-        coded = PQ.pq_encode_with_codes_arrow(df, books, vec_col)
-        err = V.vec_sqeuclidean(
-            F.col(vec_col), PQ.pq_decode_expr("codes", books)
-        )
-        return coded.agg(
-            F.count("*").alias("n"), F.avg(err).alias("mse")
-        ).first()
+    def _mse(Y: "np.ndarray", books) -> float:
+        CB = np.asarray(books, dtype=np.float64)
+        m, _k, sd = CB.shape
+        S = Y.reshape(len(Y), m, sd)
+        tot = 0.0
+        for j in range(m):
+            G = -2.0 * (S[:, j, :] @ CB[j].T) + (CB[j] * CB[j]).sum(axis=1)[None, :]
+            diff = S[:, j, :] - CB[j][np.argmin(G, axis=1)]
+            tot += float((diff * diff).sum())
+        return tot / len(Y)
 
-    plain = _mse(emb, "embedding", books_pq)
-    rot = PQ.rotate_vecs(emb, R, "embedding", out_col="emb_rot").select(
-        "vec_id", "emb_rot"
-    )
-    opq = _mse(rot, "emb_rot", books_opq)
+    n_rows = emb.count()
+    improved = _mse(X @ R, books_opq) <= _mse(X, books_pq)
     return spark.createDataFrame(
-        [(int(plain["n"]), bool(opq["mse"] <= plain["mse"]))],
-        "n_rows bigint, improved boolean",
+        [(int(n_rows), bool(improved))], "n_rows bigint, improved boolean"
     )
 
 

@@ -485,3 +485,20 @@ def test_opq_adc_recall_floor_and_rotation_invariance(spark):
     n_q = q.count()
     assert len(per_q) == n_q  # every query found at least one true neighbor
     assert all(v >= 0.1 for v in per_q.values()), per_q
+
+
+def test_opq_train_tiny_sample_shrinks_codebook(spark):
+    """A corpus smaller than n_codes trains a len(sample)-row codebook (the
+    same graceful shrink as pq_train) instead of crashing on the
+    preallocated (m, n_codes, sd) block (round-10 ADVICE fix)."""
+    _, c = _split(spark)
+    tiny = c.limit(5)
+    R, books = PQ.opq_train(tiny, m=4, n_codes=8, opq_iters=2, seed=42)
+    d = R.shape[0]
+    assert np.allclose(R @ R.T, np.eye(d), atol=1e-9)
+    assert len(books) == 4 and all(len(cb) == 5 for cb in books)
+    # pq_train on the same tiny corpus shrinks identically
+    books_pq = PQ.pq_train(tiny, m=4, n_codes=8, seed=42)
+    assert all(len(cb) == 5 for cb in books_pq)
+    with pytest.raises(ValueError, match="empty training sample"):
+        PQ.opq_train(c.limit(0), m=4, n_codes=8, seed=42)

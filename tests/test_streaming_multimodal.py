@@ -1079,3 +1079,72 @@ def test_wav_ms_adpcm_roundtrip_and_seams():
         C.encode_wav_ms_adpcm(np.zeros((4, 3), dtype=np.int16))
     with pytest.raises(ValueError, match="at least one"):
         C.encode_wav_ms_adpcm(np.zeros(0, dtype=np.int16))
+
+
+def test_rle8_delta_past_width_then_writes_is_clean():
+    """A delta escape can park the cursor past the row width; a following
+    absolute or encoded write must be skipped cleanly (spec leaves skipped
+    pixels undefined) instead of raising a numpy broadcast ValueError
+    (round-10 ADVICE fix)."""
+    import numpy as np
+
+    from filtered_ads_vector_search_spark.multimodal import codecs as C
+
+    # w=4: delta(+5,0) -> x=5 (past width), absolute [1,2,3] (pad), then
+    # EOL; row1: delta(+200,0), encoded run 3x9, EOL, EOB
+    data = bytes(
+        [0, 2, 5, 0, 0, 3, 1, 2, 3, 0, 0, 0]
+        + [0, 2, 200, 0, 3, 9, 0, 0, 0, 1]
+    )
+    idx = C._decode_rle8_indices(data, 4, 2)
+    np.testing.assert_array_equal(idx, np.zeros((2, 4), dtype=np.uint8))
+
+
+def test_wav_adpcm_truncated_final_block_no_fact():
+    """A third-party ADPCM WAV with a truncated final data block and NO fact
+    chunk must decode the surviving nibbles (frame count derived from actual
+    bytes), never struct-crash on a short header or pad with uninitialized
+    samples (round-10 ADVICE fix)."""
+    import struct as _struct
+
+    import numpy as np
+
+    from filtered_ads_vector_search_spark.multimodal import codecs as C
+
+    t = np.arange(2000)
+    x = (9000 * np.sin(2 * np.pi * t / 41)).astype(np.int16)
+
+    def surgery(raw: bytes, cut: int) -> bytes:
+        """Drop `cut` bytes off the data chunk and hide the fact chunk."""
+        chunks = C._wav_chunks(raw)
+        d0, n_data = chunks[b"data"]
+        out = bytearray(raw[: d0 + n_data - cut])
+        out[4:8] = _struct.pack("<I", len(out) - 8)  # RIFF size
+        out[d0 - 4 : d0] = _struct.pack("<I", n_data - cut)  # data size
+        fi = out.find(b"fact")
+        if fi >= 0:
+            out[fi : fi + 4] = b"junk"  # decoder must not see a fact chunk
+        return bytes(out)
+
+    for enc, hdr in ((C.encode_wav_ms_adpcm, 7), (C.encode_wav_ima_adpcm, 4)):
+        raw = enc(x, 8000)
+        full = C.decode_wav_samples(raw)
+        chunks = C._wav_chunks(raw)
+        _, n_data = chunks[b"data"]
+        f0, _ = chunks[b"fmt "]
+        block_align = _struct.unpack("<H", raw[f0 + 12 : f0 + 14])[0]
+        # (a) final block keeps its header + part of the body
+        cut = block_align // 2
+        y = C.decode_wav_samples(surgery(raw, cut))
+        assert 0 < len(y) < len(full)
+        np.testing.assert_array_equal(y, full[: len(y)])
+        meta = C.decode_wav_meta(surgery(raw, cut))
+        assert meta["duration_ms"] == int(len(y) * 1000 // 8000)
+        # (b) final block loses even its channel header -> contributes zero
+        # frames; the full blocks still decode
+        cut2 = block_align - (hdr - 1)
+        y2 = C.decode_wav_samples(surgery(raw, cut2))
+        n_full = (n_data - cut2) // block_align
+        spb = _struct.unpack("<H", raw[f0 + 18 : f0 + 20])[0]
+        assert len(y2) == n_full * spb
+        np.testing.assert_array_equal(y2, full[: len(y2)])
