@@ -1506,3 +1506,77 @@ def plan_filtered_search(
         )
     )
     return FilteredSearchPlan("ann", sel, eff, res)
+
+
+def plan_filtered_range_search(
+    index: "IVFIndex",
+    queries: DataFrame,
+    radius: float,
+    nprobe: int = 8,
+    predicate: Column | None = None,
+    arrow: bool = False,
+) -> FilteredSearchPlan:
+    """Selectivity-routed filtered RANGE search — the radius twin of
+    :func:`plan_filtered_search`, same saturation rule.
+
+    A predicate keeping fraction ``s`` thins every probed cell to ``s`` of
+    its rows; holding the expected candidate mass constant takes
+    ``ceil(nprobe / s)`` probes. When that widening SATURATES
+    (``>= n_centroids``) the probed tier would scan every cell of the
+    filtered corpus anyway, so an exact range scan over the filtered
+    relation (range_window / range_scalable — both are single fused scans
+    with NO exchange, strictly less machinery than probe ranking + bucket
+    join) returns the same epsilon-ball with recall 1.0 by construction.
+    Measured at 5M x 64d: the unfiltered exact Arrow scan is 216 s, but at
+    mid_rated selectivity (~0.77%) the filtered scan touches ~39k rows
+    (~seconds) while saturated probing pays full probe ranking + a widened
+    join over the same rows (SCALE_BENCH_5M truth rows; the top-k planner's
+    4623 q/s vs 26-31 q/s gap is the same physics).
+
+    Routing (identical policy to the top-k planner, so routing is
+    SQL-reproducible — the registry oracles both tiers, tier label pinned):
+      * ``predicate is None``  -> probed tier at the base nprobe;
+      * ``ceil(nprobe/s) < C`` -> probed tier at the widened nprobe;
+      * saturated (or s == 0, the filter below the sample's resolution)
+        -> exact filtered range scan (``arrow`` picks the kernel form).
+    IVFIndex only: range semantics need full vectors (the assigned relation
+    always carries them; the coded IVFPQ tier has no radius contract —
+    FAISS's IVFPQ range_search rides ADC error bounds we don't claim)."""
+    import math
+
+    from .range_search import range_scalable, range_window
+
+    if predicate is None:
+        eff = min(nprobe, index.n_centroids)
+        return FilteredSearchPlan(
+            "ann", None, eff,
+            index.range_search(
+                queries, radius=radius, nprobe=eff, arrow_score=arrow
+            ),
+        )
+
+    sel = _estimate_selectivity(
+        index.sel_sample if index.sel_sample is not None else index.assigned,
+        predicate,
+    )
+    widened = int(math.ceil(nprobe / sel)) if sel > 0 else index.n_centroids
+    eff = min(widened, index.n_centroids)
+
+    if widened >= index.n_centroids:
+        filt = index.assigned.filter(predicate)
+        form = range_scalable if arrow else range_window
+        res = form(
+            queries,
+            filt,
+            radius=radius,
+            metric=index.metric,
+            id_col=index.id_col,
+            vec_col=index.vec_col,
+        )
+        return FilteredSearchPlan("exact_filtered", sel, eff, res)
+
+    res = index.range_search(
+        queries, radius=radius, nprobe=eff, predicate=predicate,
+        arrow_score=arrow,
+    )
+    return FilteredSearchPlan("ann", sel, eff, res)

@@ -63,8 +63,10 @@ from .pq import (
     Codebooks,
     _validate,
     fixed_codebooks,
+    opq_train,
     pq_encode_with_codes_arrow,
     pq_train,
+    rotate_vecs,
 )
 from .topk import knn_window
 
@@ -196,6 +198,12 @@ class IVFPQIndex:
     # (loaded layouts): adaptive_nprobe's selectivity estimate reads this,
     # never the full coded relation
     sel_sample: DataFrame | None = None
+    # OPQ pre-transform (FAISS's shipping OPQ{m},IVF{nc},PQ{m} composition):
+    # orthogonal (dim, dim) rotation the residuals were encoded under —
+    # codes quantize (x - c) @ R, search builds LUTs from (q - c) @ R.
+    # R orthogonal => rotated-space distances ARE original-space distances,
+    # so every downstream ADC/rank kernel is unchanged; None = plain IVFPQ.
+    rotation: np.ndarray | None = None
 
     @staticmethod
     def _from_ivf(
@@ -207,6 +215,7 @@ class IVFPQIndex:
         id_col: str,
         vec_col: str,
         encode_mode: str = "fold",
+        rotation: np.ndarray | None = None,
     ) -> "IVFPQIndex":
         # Fused Arrow-batched exact encode (pq_encode_with_codes_arrow):
         # bit-identical to the expression/oracle fold, ~100x the
@@ -232,6 +241,7 @@ class IVFPQIndex:
                 centers=centers,
                 drop_vec=not keep_vectors,
                 encode_mode=encode_mode,
+                rotation=rotation,
             )
             .repartition(F.col("partition_id"))
             .sortWithinPartitions("partition_id")
@@ -252,6 +262,7 @@ class IVFPQIndex:
             vec_col=vec_col,
             has_vectors=keep_vectors,
             residual=residual,
+            rotation=rotation,
         )
 
     @staticmethod
@@ -295,6 +306,8 @@ class IVFPQIndex:
         id_col: str = "vec_id",
         vec_col: str = "embedding",
         encode_mode: str = "fold",
+        opq: bool = False,
+        opq_iters: int = 8,
     ) -> "IVFPQIndex":
         """Quality tier: trained KMeans coarse quantizer + per-subspace
         Lloyd's codebooks. With ``residual=True`` the codebooks are fitted on
@@ -303,7 +316,20 @@ class IVFPQIndex:
         code-assignment kernel for the declared-throughput DGEMM form (see
         pq_encode_with_codes_arrow) — reconstruction-distance-equal codes,
         ~sd x fewer argmin flops at wide codebooks (the n_codes=256 5M build
-        bottleneck)."""
+        bottleneck).
+
+        ``opq=True`` composes the OPQ pre-transform with the residual tier —
+        FAISS's shipping ``OPQ{m},IVF{nc},PQ{m}`` configuration: an
+        orthogonal rotation R is trained (Ge et al. CVPR 2013 alternation,
+        pq.opq_train) and codes quantize the ROTATED residuals
+        ``(x - c) @ R``. Unlike FAISS's OPQMatrix (fit on raw vectors before
+        the IVF exists), R here is fit directly on the residual sample — the
+        distribution the codes actually quantize. Coarse assignment stays in
+        original space (R orthogonal => rotated-space assignment ranks the
+        same distances); search builds its LUTs from rotated query residuals
+        and reranks against the untouched original vectors. No new
+        exchanges: the rotation is one extra DGEMM inside the existing
+        encode kernel and one tiny query/centroid-side pass at search."""
         # materialize=True here (unlike build_fixed): the persisted assignment
         # feeds BOTH the residual-sample training scan and the coded
         # materialization — caching one assign pass beats recomputing it twice
@@ -311,6 +337,7 @@ class IVFPQIndex:
         ivf = IVFIndex.build(
             corpus, n_centroids=n_centroids, seed=seed, id_col=id_col, vec_col=vec_col
         )
+        rotation: np.ndarray | None = None
         if residual:
             train_src = ivf.assigned.join(
                 F.broadcast(
@@ -325,11 +352,25 @@ class IVFPQIndex:
                     "cast(centroid as array<double>), (x, y) -> x - y)"
                 ).alias("res")
             )
-            books = pq_train(train_src, vec_col="res", m=m, n_codes=n_codes, seed=seed)
+            if opq:
+                rotation, books = opq_train(
+                    train_src, vec_col="res", m=m, n_codes=n_codes,
+                    seed=seed, opq_iters=opq_iters,
+                )
+            else:
+                books = pq_train(
+                    train_src, vec_col="res", m=m, n_codes=n_codes, seed=seed
+                )
+        elif opq:
+            rotation, books = opq_train(
+                corpus, vec_col=vec_col, m=m, n_codes=n_codes,
+                seed=seed, opq_iters=opq_iters,
+            )
         else:
             books = pq_train(corpus, vec_col=vec_col, m=m, n_codes=n_codes, seed=seed)
         return IVFPQIndex._from_ivf(
-            ivf, books, keep_vectors, residual, t0, id_col, vec_col, encode_mode
+            ivf, books, keep_vectors, residual, t0, id_col, vec_col, encode_mode,
+            rotation=rotation,
         )
 
     def write_bucketed(self, path: str) -> None:
@@ -346,10 +387,15 @@ class IVFPQIndex:
             path, self.coded, id_col=self.id_col, drop_cols=(self.vec_col, "codes")
         )
         spark = self.coded.sparkSession
+        rot = (
+            [[float(x) for x in row] for row in self.rotation]
+            if self.rotation is not None
+            else None
+        )
         meta = spark.createDataFrame(
-            [(self.codebooks, self.residual, self.id_col, self.vec_col)],
+            [(self.codebooks, self.residual, self.id_col, self.vec_col, rot)],
             "codebooks array<array<array<double>>>, residual boolean, "
-            "id_col string, vec_col string",
+            "id_col string, vec_col string, rotation array<array<double>>",
         )
         meta.coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
@@ -405,6 +451,7 @@ class IVFPQIndex:
             idx.codebooks,
             vec,
             centers=centers if idx.residual else None,
+            rotation=idx.rotation,  # OPQ layouts encode (x - c) @ R
         )
         cols = [
             F.col(vec).alias(idx.vec_col) if c == idx.vec_col else F.col(c)
@@ -475,6 +522,12 @@ class IVFPQIndex:
         books = [
             [[float(x) for x in code] for code in cb] for cb in meta["codebooks"]
         ]
+        rot = None
+        if "rotation" in meta.asDict() and meta["rotation"] is not None:
+            rot = np.array(
+                [[float(x) for x in row] for row in meta["rotation"]],
+                dtype=np.float64,
+            )
         try:
             sel_sample = _read_sidecar(spark, path, "sample").persist()
         except Exception:  # pre-sidecar layout vintage
@@ -490,6 +543,7 @@ class IVFPQIndex:
             has_vectors=meta["vec_col"] in coded.columns,
             residual=meta["residual"],
             sel_sample=sel_sample,
+            rotation=rot,
         )
 
     def search(
@@ -531,7 +585,14 @@ class IVFPQIndex:
         candidate sets/ranks up to last-ulp score ties; see
         `_adc_bucket_scorer_decomposed`). The expression path stays the
         default: it is the DuckDB-oracle tier and has no driver-side query
-        collect."""
+        collect.
+
+        OPQ indexes (``self.rotation`` set) search in ROTATED space: the
+        query side and the centroid side are rotated once (one tiny DGEMM
+        each — queries x dim and n_centroids x dim), then probe ranking,
+        LUT build, and ADC scoring run the unchanged machinery on the
+        rotated inputs (R orthogonal => same distances). The rerank tail
+        stays in ORIGINAL space against the untouched kept vectors."""
         if rerank and not self.has_vectors:
             raise ValueError(
                 "rerank requires keep_vectors=True at build time (the coded "
@@ -563,6 +624,18 @@ class IVFPQIndex:
         if predicate is not None:
             corpus = corpus.filter(predicate)
 
+        # OPQ: rotate the two SMALL relations once; everything downstream is
+        # the plain-IVFPQ machinery over rotated inputs (see docstring).
+        # `queries` (original) still feeds the rerank tail.
+        if self.rotation is not None:
+            q_search = rotate_vecs(
+                queries.select("query_id", "q_vec"), self.rotation, "q_vec"
+            )
+            cent_search = self._rotated_centroids_df()
+        else:
+            q_search = queries
+            cent_search = self.centroids
+
         if arrow_adc:
             if arrow_adc not in (True, "fold", "decomposed"):
                 raise ValueError(
@@ -575,7 +648,7 @@ class IVFPQIndex:
             # large query batches
             top = max(rerank, k) if rerank else k
             cand = self._adc_candidates_arrow(
-                queries, nprobe, corpus, top,
+                q_search, nprobe, corpus, top,
                 decomposed=(arrow_adc == "decomposed"),
             )
             return self._finish_from_candidates(
@@ -583,8 +656,8 @@ class IVFPQIndex:
             )
 
         probes = knn_window(
-            queries,
-            self.centroids,
+            q_search,
+            cent_search,
             k=nprobe,
             metric="sqeuclidean",
             id_col="centroid_id",
@@ -614,18 +687,18 @@ class IVFPQIndex:
             lut_src = (
                 probes.join(
                     F.broadcast(
-                        self.centroids.select(
+                        cent_search.select(
                             F.col("centroid_id").alias("partition_id"), "centroid"
                         )
                     ),
                     "partition_id",
                 )
-                .join(F.broadcast(queries.select("query_id", "q_vec")), "query_id")
+                .join(F.broadcast(q_search.select("query_id", "q_vec")), "query_id")
             )
         else:
             qv = "cast(q_vec as array<double>)"
             lut_src = probes.join(
-                F.broadcast(queries.select("query_id", "q_vec")), "query_id"
+                F.broadcast(q_search.select("query_id", "q_vec")), "query_id"
             )
         # let-bound zip_with form (see pq._encode_body_sql): the residual/query
         # vector binds once, each subspace slice once — bit-identical fold
@@ -655,6 +728,26 @@ class IVFPQIndex:
         return self._finish_from_candidates(
             cand, queries, corpus, k, rerank, joined_vectors=True
         )
+
+    def _rotated_centroids_df(self) -> DataFrame:
+        """Memoized (centroid_id, centroid @ R) relation — n_centroids rows,
+        rotated once on the driver (the centroid table is bounded by the
+        same collect discipline every search already relies on)."""
+        cached = getattr(self, "_cent_rot_df", None)
+        if cached is not None:
+            return cached
+        rows = self.centroids.collect()
+        R = np.ascontiguousarray(self.rotation, dtype=np.float64)
+        data = [
+            (int(r["centroid_id"]),
+             [float(x) for x in np.asarray(r["centroid"], dtype=np.float64) @ R])
+            for r in rows
+        ]
+        df = self.coded.sparkSession.createDataFrame(
+            data, "centroid_id int, centroid array<double>"
+        )
+        self._cent_rot_df = df
+        return df
 
     def _adc_candidates_arrow(
         self,
@@ -698,6 +791,14 @@ class IVFPQIndex:
             cent[int(r["centroid_id"])] = np.asarray(
                 r["centroid"], dtype=np.float64
             )
+        # OPQ: the caller passes ROTATED queries; rotate the centroid matrix
+        # to match, so probe ranking and the scorers' residuals both live in
+        # rotated space — (Q@R - (c@R)) == (q - c)@R, the space the codes
+        # quantize. The distributed probe fallback gets the rotated relation.
+        cent_df = self.centroids
+        if self.rotation is not None:
+            cent = cent @ np.ascontiguousarray(self.rotation, dtype=np.float64)
+            cent_df = self._rotated_centroids_df()
         CB = np.ascontiguousarray(self.codebooks, dtype=np.float64)
         return _arrow_bucket_topk(
             queries,
@@ -716,7 +817,7 @@ class IVFPQIndex:
                 _adc_bucket_scorer_decomposed if decomposed else _adc_bucket_scorer
             ),
             kernel_name="arrow_adc",
-            probe_spec=(cent, nprobe, self.centroids),
+            probe_spec=(cent, nprobe, cent_df),
         )
 
     def _finish_from_candidates(

@@ -4618,6 +4618,104 @@ WHERE dist <= {RANGE_RADIUS}
 """
 
 
+def _range_auto_exact_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range planner, exact route (round 10): mid_rated keeps ~0.77%, so
+    ceil(nprobe/s) saturates the 16-cell fixed index and
+    plan_filtered_range_search must route to the exact filtered range scan
+    (recall 1.0 by construction). The tier label rides in the result so the
+    oracle checks the ROUTING decision, not just the ball."""
+    from .operators.ann import IVFIndex, plan_filtered_range_search
+
+    q, c = _range_corpus(spark, sf_dir)
+    idx = IVFIndex.build_fixed(
+        FL.with_rating_bucket(c), n_centroids=IVF_FIXED_CENTROIDS
+    )
+    plan = plan_filtered_range_search(
+        idx, q, radius=RANGE_RADIUS, nprobe=IVF_FIXED_NPROBE,
+        predicate=FL.named_filter_predicate("mid_rated"),
+    )
+    return plan.result.select(
+        "query_id", "neighbor_id", F.round("dist", 3).alias("dist"),
+        F.lit(plan.tier).alias("tier"),
+    )
+
+
+def _range_auto_ann_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range planner, probed route: low_rated keeps ~83.6%, so
+    ceil(nprobe/s) = 5 < 16 cells and the planner stays on the probed tier
+    at the widened nprobe. tier + nprobe_eff ride in the result and the
+    oracle recomputes the widening rule in SQL (same discipline as
+    knn_filtered_auto_ann)."""
+    from .operators.ann import IVFIndex, plan_filtered_range_search
+
+    q, c = _range_corpus(spark, sf_dir)
+    idx = IVFIndex.build_fixed(
+        FL.with_rating_bucket(c), n_centroids=IVF_FIXED_CENTROIDS
+    )
+    plan = plan_filtered_range_search(
+        idx, q, radius=RANGE_RADIUS, nprobe=IVF_FIXED_NPROBE,
+        predicate=FL.named_filter_predicate("low_rated"),
+    )
+    return plan.result.select(
+        "query_id", "neighbor_id", F.round("dist", 3).alias("dist"),
+        F.lit(plan.tier).alias("tier"),
+        F.lit(plan.nprobe_effective).cast("int").alias("nprobe_eff"),
+    )
+
+
+def _range_auto_ann_sql() -> str:
+    d_assign = V.sqeuclidean_sql("c.embedding", "cent.centroid")
+    d_probe = V.sqeuclidean_sql("q.q_vec", "cent.centroid")
+    d_dist = V.sqeuclidean_sql("q.q_vec", "a.embedding")
+    buckets = ", ".join(f"'{b}'" for b in FL.NAMED_FILTERS["low_rated"])
+    bucket_c = FL.rating_bucket_sql("vec_id")
+    bucket_a = FL.rating_bucket_sql("a.vec_id")
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings
+  WHERE {FL.is_query_sql('vec_id')}
+), c AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE NOT {FL.is_query_sql('vec_id')}
+), sel AS (
+  SELECT CAST(SUM(CASE WHEN {bucket_c} IN ({buckets}) THEN 1 ELSE 0 END) AS DOUBLE)
+           / COUNT(*) AS s
+  FROM c
+), eff AS (
+  SELECT LEAST(CAST(CEIL(CAST({IVF_FIXED_NPROBE} AS DOUBLE) / s) AS INT),
+               {IVF_FIXED_CENTROIDS}) AS np
+  FROM sel
+), cent AS (
+  SELECT centroid_id, centroid FROM (
+    SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC) - 1
+             AS centroid_id,
+           embedding AS centroid
+    FROM c) WHERE centroid_id < {IVF_FIXED_CENTROIDS}
+), assign AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT c.vec_id, c.embedding, cent.centroid_id,
+           row_number() OVER (PARTITION BY c.vec_id
+                              ORDER BY {d_assign} ASC, cent.centroid_id ASC) AS arn
+    FROM c CROSS JOIN cent) WHERE arn = 1
+), probes AS (
+  SELECT query_id, centroid_id FROM (
+    SELECT q.query_id, cent.centroid_id,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {d_probe} ASC, cent.centroid_id ASC) AS prn
+    FROM q CROSS JOIN cent) WHERE prn <= (SELECT np FROM eff)
+), d AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id, {d_dist} AS dist
+  FROM probes p
+  JOIN assign a ON a.centroid_id = p.centroid_id
+  JOIN q ON q.query_id = p.query_id
+  WHERE {bucket_a} IN ({buckets})
+)
+SELECT query_id, neighbor_id, round(dist, 3) AS dist, 'ann' AS tier,
+       (SELECT np FROM eff) AS nprobe_eff
+FROM d WHERE dist <= {RANGE_RADIUS}
+"""
+
+
 def _range_density_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-query epsilon-ball population (zero-inclusive) over the Arrow
     kernel's matches — the density-profile use of range search."""
@@ -4846,6 +4944,59 @@ SELECT query_id, CAST({K} AS BIGINT) AS n_results, TRUE AS floor_met FROM q
 """
 
 
+def _knn_ivfpq_opq_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ composed with IVFPQ residuals (round 10) — FAISS's shipping
+    ``OPQ{m},IVF{nc},PQ{m}`` configuration: the rotation is trained on the
+    RESIDUAL sample and codes quantize ``(x - c) @ R``
+    (operators/ivfpq.py `IVFPQIndex.build(opq=True)`). Trained artifacts
+    (KMeans coarse + rotation + Lloyd books) are non-SQL-expressible, so
+    this is a CONTRACT oracle (the ann_ivf / knn_opq_adc discipline):
+    exactly-k results per query in the pinned hash split, and per-query
+    recall vs the Spark-computed exact truth clears the floor. Measured
+    per-query recalls at these knobs (nprobe=4/16, rerank=3k): 0.2-0.8 at
+    sf0.001, 0.3-0.7 at sf0.01 — the 0.1 floor keeps a >=1-hit margin
+    while a broken rotation (mis-rotated probe ranking ≈ random buckets +
+    garbage shortlist) fails it. The rotated-ADC machinery itself is
+    pinned to last-ulps by tests (test_ivfpq_opq_adc_matches_original_
+    space_exact_to_ulps, test_ivfpq_opq_arrow_forms_match_expression)."""
+    from .operators.ivfpq import IVFPQIndex
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    q, c = TK.split_queries(emb)
+    idx = IVFPQIndex.build(c, n_centroids=16, m=8, n_codes=32, seed=42, opq=True)
+    found = idx.search(q, k=K, nprobe=4, rerank=3 * K)
+    truth = TK.knn_window(q, c, k=K)
+    hits = (
+        found.join(
+            truth.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
+        )
+        .groupBy("query_id")
+        .agg((F.count("*") / F.lit(K)).alias("recall_q"))
+    )
+    per_q = (
+        found.groupBy("query_id")
+        .agg(F.count("*").alias("n_results"))
+        .join(hits, "query_id", "left")
+        .na.fill({"recall_q": 0.0})
+    )
+    return q.select("query_id").join(per_q, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("n_results"), F.lit(0)).alias("n_results"),
+        (F.coalesce(F.col("recall_q"), F.lit(0.0)) >= F.lit(OPQ_RECALL_FLOOR)).alias(
+            "floor_met"
+        ),
+    )
+
+
+def _knn_ivfpq_opq_sql() -> str:
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id FROM embeddings WHERE {FL.is_query_sql('vec_id')}
+)
+SELECT query_id, CAST({K} AS BIGINT) AS n_results, TRUE AS floor_met FROM q
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -5044,10 +5195,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "range_search_filtered": _range_filtered_spark,
     "range_search_ivf": _range_ivf_spark,
     "range_density": _range_density_spark,
+    "range_filtered_auto": _range_auto_exact_spark,
+    "range_filtered_auto_ann": _range_auto_ann_spark,
     "knn_graph_exact": _knn_graph_exact_spark,
     "knn_graph_fixed": _knn_graph_fixed_spark,
     "opq_codes": _opq_codes_spark,
     "knn_opq_adc": _knn_opq_adc_spark,
+    "knn_ivfpq_opq": _knn_ivfpq_opq_spark,
 }
 
 # ROUND-6 ROTATION. The driver verifies the first 50 entries of queries()
@@ -5345,6 +5499,84 @@ QUERIES = {
     **{k: v for k, v in QUERIES.items() if k not in _R9_PREFIX},
 }
 
+# Round-10 rotation. Vintages after r9: 50 r9-green, 49 r8-green, 43
+# r7-green — plus NINE queries with ZERO driver-green history (the r9
+# range/graph/OPQ families landed after the r9 prefix froze; the r9
+# verdict's top ask is to lead with them). Round 10 leads with (a) those
+# nine, (b) the three queries NEW this round — knn_ivfpq_opq (OPQ composed
+# with IVFPQ residuals, FAISS's OPQ{m},IVF{nc},PQ{m} configuration) and the
+# range-planner pair range_filtered_auto(_ann) (plan_filtered_range_search,
+# tier label pinned) — then (c) 38 of the 43 r7-vintage queries. 9+3+38=50.
+# TWO-ROUND PLAN (r8-verdict freshness rule, N-2): the 5 deferred
+# r7-vintage queries — dedup_components (same SQL oracle as
+# dedup_components_star, in this prefix), decontaminate (same oracle as
+# decontaminate_bloom, r8-green), multimodal_decode_jpeg_prog (same oracle
+# as multimodal_decode_jpeg, in this prefix), stratified_sample (hash-gate
+# twin of stratified_topn, in this prefix), substr_dup_stats (stats twin of
+# r9-green substr_dedup_remove) — MUST lead the r11 prefix together with
+# the 49-strong r8-vintage cohort (5 + 45 of 49 fit one prefix; the
+# remaining 4 r8-vintage ride to r12, still within N-2 at that point).
+_R10_PREFIX: list[str] = [
+    # (a) the nine never-driver-green r9 queries
+    "range_search_exact",
+    "range_search_scale",
+    "range_search_filtered",
+    "range_search_ivf",
+    "range_density",
+    "knn_graph_exact",
+    "knn_graph_fixed",
+    "opq_codes",
+    "knn_opq_adc",
+    # (b) new in round 10
+    "knn_ivfpq_opq",
+    "range_filtered_auto",
+    "range_filtered_auto_ann",
+    # (c) r7-vintage cohort (38 of 43; deferrals documented above)
+    "bm25_search",
+    "cms_heavy_hitters",
+    "collocations_pmi",
+    "curation_pipeline",
+    "dedup_canonical",
+    "dedup_chunk_pairs",
+    "dedup_components_star",
+    "dedup_minhash_lsh",
+    "dedup_pagerank",
+    "dedup_simhash_banded",
+    "distinct_tokens_hll",
+    "doc_chunks_cdc",
+    "doc_simhash",
+    "domain_mix_weights",
+    "dsir_resample",
+    "dsir_weights",
+    "embedding_dim_stats",
+    "event_funnel",
+    "event_window_quantiles",
+    "gopher_quality",
+    "grid_metrics_fixed",
+    "grid_search_ivfpq",
+    "hist_quantiles",
+    "hybrid_rrf",
+    "jl_norm_distortion",
+    "knn_exact",
+    "knn_jl",
+    "lm_perplexity",
+    "multimodal_decode_jpeg",
+    "pii_redact",
+    "pii_scan",
+    "repetition_stats",
+    "stratified_topn",
+    "text_stats",
+    "user_retention_cohorts",
+    "value_outliers",
+    "vocab_summary",
+    "vocab_top_terms",
+]
+assert len(_R10_PREFIX) == 50 and len(set(_R10_PREFIX)) == 50
+QUERIES = {
+    **{k: QUERIES[k] for k in _R10_PREFIX},
+    **{k: v for k, v in QUERIES.items() if k not in _R10_PREFIX},
+}
+
 ORACLES: dict[str, str] = {
     "knn_exact": _knn_sql("sqeuclidean"),
     "knn_filtered_high": _knn_sql("sqeuclidean", filter_name="high_rated"),
@@ -5475,10 +5707,19 @@ ORACLES: dict[str, str] = {
     "range_search_filtered": _range_sql(filter_name="high_rated"),
     "range_search_ivf": _range_ivf_sql(),
     "range_density": _range_density_sql(),
+    # range planner: exact route pins the routing decision as a literal on
+    # the filtered exact ball; the ann route's oracle re-derives the widened
+    # nprobe from the exact selectivity in SQL (knn_filtered_auto discipline)
+    "range_filtered_auto": "SELECT query_id, neighbor_id, dist, "
+    "'exact_filtered' AS tier FROM ("
+    + _range_sql(filter_name="mid_rated")
+    + ")",
+    "range_filtered_auto_ann": _range_auto_ann_sql(),
     "knn_graph_exact": _knn_graph_exact_sql(),
     "knn_graph_fixed": _knn_graph_fixed_sql(),
     "opq_codes": _opq_codes_sql(),
     "knn_opq_adc": _knn_opq_adc_sql(),
+    "knn_ivfpq_opq": _knn_ivfpq_opq_sql(),
     "multimodal_decode_jpeg": _multimodal_decode_jpeg_sql(),
     "multimodal_decode_jpeg_prog": _multimodal_decode_jpeg_sql(),
     "tpch_q21": _tpch_q21_sql(),

@@ -115,3 +115,82 @@ def test_pq_with_vectors_routes_exact_and_beats_adc_recall(qc):
     truth = TK.knn_window(q, c.filter(pred), k=10, metric="sqeuclidean")
     r = recall_at_k(plan.result, truth, k=10).collect()[0]["recall_at_k"]
     assert r == pytest.approx(1.0)
+
+
+# --- range planner (round 10): plan_filtered_range_search — the radius
+# twin of the top-k planner, same saturation rule ---
+
+
+def test_range_saturating_filter_routes_exact(qc, ivf):
+    from filtered_ads_vector_search_spark.operators.ann import (
+        plan_filtered_range_search,
+    )
+
+    q, c = qc
+    pred = FL.named_filter_predicate("mid_rated")
+    plan = plan_filtered_range_search(ivf, q, radius=1.55, nprobe=4, predicate=pred)
+    assert plan.tier == "exact_filtered"
+    assert plan.nprobe_effective == ivf.n_centroids
+    # the exact tier's ball IS the filtered corpus's ball: equal to the
+    # saturated probed tier's rows (routing changes cost, never the answer)
+    saturated = ivf.range_search(
+        q, radius=1.55, nprobe=ivf.n_centroids, predicate=pred
+    )
+    key = lambda r: (r["query_id"], r["neighbor_id"])
+    got = sorted(
+        (r["query_id"], r["neighbor_id"], round(r["dist"], 9))
+        for r in plan.result.collect()
+    )
+    want = sorted(
+        (r["query_id"], r["neighbor_id"], round(r["dist"], 9))
+        for r in saturated.collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_range_wide_filter_stays_on_probed_tier(qc, ivf):
+    from filtered_ads_vector_search_spark.operators.ann import (
+        plan_filtered_range_search,
+    )
+
+    q, _ = qc
+    plan = plan_filtered_range_search(
+        ivf, q, radius=1.55, nprobe=4,
+        predicate=FL.named_filter_predicate("low_rated"),
+    )
+    assert plan.tier == "ann"
+    assert plan.nprobe_effective == 5  # ceil(4/0.836)
+    assert plan.selectivity > 0.5
+    # every returned neighbor satisfies the predicate and the radius
+    rows = plan.result.collect()
+    assert rows and all(r["dist"] <= 1.55 for r in rows)
+
+
+def test_range_no_predicate_and_arrow_parity(qc, ivf):
+    from filtered_ads_vector_search_spark.operators.ann import (
+        plan_filtered_range_search,
+    )
+
+    q, _ = qc
+    plan = plan_filtered_range_search(ivf, q, radius=1.55, nprobe=4)
+    assert plan.tier == "ann" and plan.selectivity is None
+    base = sorted(map(tuple, ivf.range_search(q, radius=1.55, nprobe=4).collect()))
+    assert sorted(map(tuple, plan.result.collect())) == base
+    # arrow=True on the exact route swaps in range_scalable — same rows
+    pred = FL.named_filter_predicate("mid_rated")
+    a = plan_filtered_range_search(ivf, q, radius=1.55, nprobe=4, predicate=pred)
+    b = plan_filtered_range_search(
+        ivf, q, radius=1.55, nprobe=4, predicate=pred, arrow=True
+    )
+    assert b.tier == "exact_filtered"
+    # the Arrow kernel agrees with the expression fold to last-ulps (the
+    # range_search module's documented contract), not bit-exactly
+    ra = sorted(
+        (r["query_id"], r["neighbor_id"], round(r["dist"], 9))
+        for r in a.result.collect()
+    )
+    rb = sorted(
+        (r["query_id"], r["neighbor_id"], round(r["dist"], 9))
+        for r in b.result.collect()
+    )
+    assert ra == rb and len(ra) > 0

@@ -883,3 +883,128 @@ def test_adaptive_nprobe_zero_sample_hits_opens_all_buckets(spark, tmp_path):
     rows = found.collect()
     assert len(rows) == 1 and rows[0]["neighbor_id"] == target["vec_id"]
     idx.unpersist()
+
+
+# --- OPQ composed with IVFPQ residuals (round 10): FAISS's shipping
+# OPQ{m},IVF{nc},PQ{m} configuration — rotate, then coarse-assign and
+# residual-encode in rotated space (rotation fit on the residual sample) ---
+
+
+def test_ivfpq_opq_full_probe_rerank_equals_exact(spark):
+    """Full probe + wide exact rerank must recover the exact result on an
+    OPQ-rotated index — the rerank runs in ORIGINAL space against the kept
+    vectors, so a correct rotation pipeline cannot lose recall there."""
+    from filtered_ads_vector_search_spark.operators.ivfpq import IVFPQIndex
+
+    q, c = _split(spark)
+    truth = TK.knn_window(q, c, k=K)
+    idx = IVFPQIndex.build(c, n_centroids=8, m=8, n_codes=32, seed=42, opq=True)
+    assert idx.rotation is not None and idx.rotation.shape[0] == idx.rotation.shape[1]
+    found = idx.search(q, k=K, nprobe=8, rerank=10_000)
+    r = recall_at_k(found, truth, k=K).collect()[0]
+    assert r.recall_at_k == 1.0
+    idx.unpersist()
+
+
+def test_ivfpq_opq_recall_meets_plain_rerank_floor(spark):
+    """The composed OPQ tier clears the same floor the plain residual tier
+    clears on identical knobs (the registry contract's guarantee)."""
+    from filtered_ads_vector_search_spark.operators.ivfpq import IVFPQIndex
+
+    q, c = _split(spark)
+    truth = TK.knn_window(q, c, k=K)
+    idx = IVFPQIndex.build(c, n_centroids=8, m=8, n_codes=32, seed=42, opq=True)
+    r = recall_at_k(idx.search(q, k=K, nprobe=8, rerank=100), truth, k=K).collect()[0]
+    assert r.recall_at_k >= 0.85, r.recall_at_k
+    idx.unpersist()
+
+
+def test_ivfpq_opq_adc_matches_original_space_exact_to_ulps(spark):
+    """Rotated-space ADC distance IS the original-space exact distance to
+    the (rotated-back) reconstruction: for coded row x in bucket c with
+    reconstruction y = decode(codes), ADC(q, x) = ||(q-c)@R - y||^2 must
+    equal ||q - (c + y@R')||^2 to last-ulps (R orthogonal)."""
+    import numpy as np
+
+    from filtered_ads_vector_search_spark.operators.ivfpq import IVFPQIndex
+
+    q, c = _split(spark)
+    idx = IVFPQIndex.build(c, n_centroids=4, m=4, n_codes=16, seed=42, opq=True)
+    R = idx.rotation
+    CB = np.asarray(idx.codebooks, dtype=np.float64)
+    m, _nc, sd = CB.shape
+    cents = {
+        int(r["centroid_id"]): np.asarray(r["centroid"], dtype=np.float64)
+        for r in idx.centroids.collect()
+    }
+    rows = idx.coded.limit(50).collect()
+    queries = [np.asarray(r["q_vec"], dtype=np.float64) for r in q.limit(5).collect()]
+    for row in rows:
+        cb = cents[int(row["partition_id"])]
+        recon_rot = np.concatenate([CB[j][row["codes"][j]] for j in range(m)])
+        x_hat = cb + recon_rot @ R.T  # original-space reconstruction
+        for qv in queries:
+            adc = float(((qv - cb) @ R - recon_rot) @ ((qv - cb) @ R - recon_rot))
+            exact = float((qv - x_hat) @ (qv - x_hat))
+            assert np.isclose(adc, exact, rtol=1e-9, atol=1e-9), (adc, exact)
+    idx.unpersist()
+
+
+def test_ivfpq_opq_arrow_forms_match_expression(spark):
+    """Both Arrow kernels (fold + decomposed) return the expression form's
+    rows on an OPQ index — the rotation happens once on the query/centroid
+    side, so the shared fold/tie-break discipline is untouched."""
+    from filtered_ads_vector_search_spark.operators.ivfpq import IVFPQIndex
+
+    q, c = _split(spark)
+    idx = IVFPQIndex.build(c, n_centroids=8, m=4, n_codes=16, seed=42, opq=True)
+    for kwargs in (
+        dict(k=K, nprobe=4),
+        dict(k=K, nprobe=4, rerank=30),
+        dict(k=K, nprobe=8, rerank=20, predicate=F.col("vec_id") % 3 != 0),
+    ):
+        want = sorted(map(tuple, idx.search(q, **kwargs).collect()))
+        got = sorted(map(tuple, idx.search(q, arrow_adc=True, **kwargs).collect()))
+        assert got == want, (kwargs, got[:3], want[:3])
+        dec = sorted(
+            (r[0], r[1], r[2])
+            for r in idx.search(q, arrow_adc="decomposed", **kwargs).collect()
+        )
+        assert dec == [(r[0], r[1], r[2]) for r in want], kwargs
+    idx.unpersist()
+
+
+def test_ivfpq_opq_write_load_append_roundtrip(spark, tmp_path):
+    """The rotation persists through write_bucketed/load (meta column) and
+    append_to_layout encodes appended rows under the layout's rotation — a
+    planted duplicate of a query vector lands at rank 1."""
+    import numpy as np
+
+    from filtered_ads_vector_search_spark.operators.ivfpq import IVFPQIndex
+
+    q, c = _split(spark)
+    built = IVFPQIndex.build(c, n_centroids=4, m=4, n_codes=16, seed=42, opq=True)
+    path = str(tmp_path / "opq_layout")
+    built.write_bucketed(path)
+    loaded = IVFPQIndex.load(spark, path)
+    assert loaded.rotation is not None
+    assert np.allclose(loaded.rotation, built.rotation)
+    want = sorted(map(tuple, built.search(q, k=5, nprobe=4).collect()))
+    got = sorted(map(tuple, loaded.search(q, k=5, nprobe=4).collect()))
+    assert got == want
+    # plant a duplicate of one query vector and append it
+    qrow = q.limit(1).collect()[0]
+    planted = spark.createDataFrame(
+        [(10_000_000, [float(x) for x in qrow["q_vec"]], 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    assert IVFPQIndex.append_to_layout(spark, path, planted) == 1
+    again = IVFPQIndex.load(spark, path)
+    n_rows = again.coded.count()
+    hit = (
+        again.search(q.filter(F.col("query_id") == qrow["query_id"]),
+                     k=1, nprobe=4, rerank=n_rows)
+        .collect()
+    )
+    assert hit and hit[0]["neighbor_id"] == 10_000_000 and hit[0]["dist"] == 0.0
+    built.unpersist()
