@@ -199,6 +199,97 @@ def encode_bmp_rle8(indices: np.ndarray, palette: np.ndarray) -> bytes:
     return bytes(out)
 
 
+def encode_bmp_rle4(indices: np.ndarray, palette: np.ndarray) -> bytes:
+    """(height, width) uint8 palette indices (< 16) + (n<=16, 3) uint8 RGB
+    palette -> 4-bit BI_RLE4 BMP bytes. RLE4 encoded mode packs TWO
+    alternating nibble values per run byte (count counts PIXELS, the color
+    byte's high/low nibbles alternate across the run); the greedy
+    single-index encoder here emits (count, idx<<4|idx) — spec-valid and
+    lossless — while the decoder additionally honors genuinely alternating
+    runs, absolute mode (nibble-packed, word-aligned), delta, and the
+    EOL/EOB escapes."""
+    h, w = indices.shape
+    n_pal = palette.shape[0]
+    if palette.ndim != 2 or palette.shape[1] != 3 or n_pal > 16:
+        raise ValueError(f"palette must be (n<=16, 3) uint8 RGB, got {palette.shape}")
+    if int(indices.max(initial=0)) >= n_pal:
+        raise ValueError(
+            f"palette index {int(indices.max(initial=0))} out of range for "
+            f"{n_pal}-entry palette"
+        )
+    data = bytearray()
+    for r in indices[::-1]:  # bottom-up rows
+        r = r.astype(np.uint8)
+        i = 0
+        while i < w:
+            j = i + 1
+            while j < w and j - i < 255 and r[j] == r[i]:
+                j += 1
+            v = int(r[i])
+            data += bytes((j - i, (v << 4) | v))
+            i = j
+        data += b"\x00\x00"  # end of line
+    data += b"\x00\x01"  # end of bitmap
+    pal_bytes = np.zeros((n_pal, 4), dtype=np.uint8)
+    pal_bytes[:, :3] = palette[:, ::-1]  # RGB -> BGRx
+    offset = _BMP_HEADER_SIZE + 4 * n_pal
+    size = offset + len(data)
+    out = bytearray()
+    out += struct.pack("<2sIHHI", b"BM", size, 0, 0, offset)
+    # compression=2 (BI_RLE4); biSizeImage carries the encoded length
+    out += struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 4, 2, len(data), 2835, 2835, n_pal, 0
+    )
+    out += pal_bytes.tobytes()
+    out += data
+    return bytes(out)
+
+
+def _decode_rle4_indices(data: bytes, w: int, h: int) -> np.ndarray:
+    """BI_RLE4 escape stream -> (h, w) BOTTOM-UP index raster. Same four
+    spec forms as RLE8 with nibble payloads: encoded runs ALTERNATE the
+    color byte's high/low nibbles across the run; absolute mode carries n
+    raw nibbles packed two per byte, the byte count padded to a word
+    boundary. Cursor guards mirror _decode_rle8_indices (skipped pixels
+    stay 0; off-raster writes are skipped, the cursor still advances)."""
+    out = np.zeros((h, w), dtype=np.uint8)
+    x = y = 0
+    i = 0
+    n = len(data)
+    while i + 1 < n:
+        c, v = data[i], data[i + 1]
+        i += 2
+        if c > 0:  # encoded run: c pixels alternating hi/lo nibble of v
+            if y < h and x < w:
+                end = min(x + c, w)
+                pair = np.array([v >> 4, v & 0x0F], dtype=np.uint8)
+                out[y, x:end] = np.resize(pair, end - x)
+            x = min(x + c, w)
+        elif v == 0:  # end of line
+            x, y = 0, y + 1
+        elif v == 1:  # end of bitmap
+            break
+        elif v == 2:  # delta
+            if i + 1 >= n:
+                raise ValueError("truncated RLE4 delta escape")
+            x, y = x + data[i], y + data[i + 1]
+            i += 2
+        else:  # absolute mode: v raw nibbles, byte count word-aligned
+            nbytes = (v + 1) // 2
+            if i + nbytes > n:
+                raise ValueError("truncated RLE4 absolute run")
+            packed = np.frombuffer(data, dtype=np.uint8, offset=i, count=nbytes)
+            nibs = np.empty(2 * nbytes, dtype=np.uint8)
+            nibs[0::2] = packed >> 4
+            nibs[1::2] = packed & 0x0F
+            if y < h and x < w:
+                end = min(x + v, w)
+                out[y, x:end] = nibs[: end - x]
+            x = min(x + v, w)
+            i += nbytes + (nbytes & 1)
+    return out
+
+
 def _decode_rle8_indices(data: bytes, w: int, h: int) -> np.ndarray:
     """BI_RLE8 escape stream -> (h, w) BOTTOM-UP index raster. Handles all
     four spec forms: encoded (count, index) runs, absolute mode
@@ -314,20 +405,21 @@ def decode_bmp_meta(raw: bytes) -> dict:
     hdr_sz, w, h, _planes, bpp = struct.unpack("<IiiHH", raw[14:30])
     compression = struct.unpack("<I", raw[30:34])[0]
     supported = (
-        (bpp in (8, 16, 24, 32) and compression == 0)
+        (bpp in (4, 8, 16, 24, 32) and compression == 0)
         or (bpp in (16, 32) and compression == 3)  # BI_BITFIELDS, masked
         or (bpp == 8 and compression == 1)  # BI_RLE8
+        or (bpp == 4 and compression == 2)  # BI_RLE4
     )
     # 40 = BITMAPINFOHEADER; 52/56/108/124 = V2/V3/V4/V5, which embed the
     # channel masks at the same file offset (54) the hdr_sz=40 BI_BITFIELDS
     # form appends them, so the mask-decode path is shared
     if not supported or hdr_sz not in (40, 52, 56, 108, 124):
         raise NotImplementedError(
-            f"only BI_RGB 8-bit-palette, 16-bit RGB555, 24-bit, and 32-bit "
-            f"BGRA BMP plus 16/32-bit BI_BITFIELDS (info headers V1-V5) and "
-            f"8-bit BI_RLE8 supported (bpp={bpp}, "
-            f"compression={compression}, hdr_sz={hdr_sz}; RLE4 still out of "
-            f"scope)"
+            f"only BI_RGB 4/8-bit-palette, 16-bit RGB555, 24-bit, and 32-bit "
+            f"BGRA BMP plus 16/32-bit BI_BITFIELDS (info headers V1-V5), "
+            f"8-bit BI_RLE8, and 4-bit BI_RLE4 supported (bpp={bpp}, "
+            f"compression={compression}, hdr_sz={hdr_sz}; 1-bit and PNG/JPEG "
+            f"pass-through compressions still out of scope)"
         )
     return {
         "media_type": "image",
@@ -408,9 +500,9 @@ def decode_bmp_pixels(raw: bytes) -> np.ndarray:
             # round-trip-exact expansion: (expand(v) >> 3) == v)
             out[:, :, ch] = ((v << 3) | (v >> 2)).astype(np.uint8)
         return out[::-1].copy()  # back to top-down
-    if bpp == 8:
+    if bpp in (4, 8):
         hdr_sz = struct.unpack("<I", raw[14:18])[0]
-        n_pal = struct.unpack("<I", raw[46:50])[0] or 256
+        n_pal = struct.unpack("<I", raw[46:50])[0] or (16 if bpp == 4 else 256)
         pal = (
             np.frombuffer(raw, dtype=np.uint8, offset=14 + hdr_sz,
                           count=4 * n_pal)
@@ -419,6 +511,18 @@ def decode_bmp_pixels(raw: bytes) -> np.ndarray:
         if compression == 1:  # BI_RLE8
             idx = _decode_rle8_indices(raw[offset:], w, h)
             return pal[idx[::-1]].copy()  # bottom-up raster -> top-down
+        if compression == 2:  # BI_RLE4
+            idx = _decode_rle4_indices(raw[offset:], w, h)
+            return pal[idx[::-1]].copy()
+        if bpp == 4:  # uncompressed nibble-packed rows
+            nbytes = (w + 1) // 2
+            row = ((nbytes + 3) // 4) * 4
+            data = np.frombuffer(raw, dtype=np.uint8, offset=offset,
+                                 count=row * h).reshape(h, row)[:, :nbytes]
+            nibs = np.empty((h, 2 * nbytes), dtype=np.uint8)
+            nibs[:, 0::2] = data >> 4
+            nibs[:, 1::2] = data & 0x0F
+            return pal[nibs[:, :w][::-1]].copy()
         row = ((w + 3) // 4) * 4
         idx = np.frombuffer(raw, dtype=np.uint8, offset=offset, count=row * h)
         idx = idx.reshape(h, row)[:, :w]
@@ -490,6 +594,73 @@ def encode_wav_s24le(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
         "<4sIHHIIHH", b"fmt ", 16, 1, channels, sample_rate,
         sample_rate * block_align, block_align, 24,
     )
+    out += struct.pack("<4sI", b"data", len(data))
+    out += data
+    return bytes(out)
+
+
+def encode_wav_float32(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """float samples (nominal [-1, 1]) -> RIFF/WAVE IEEE-float PCM bytes
+    (WAVE_FORMAT_IEEE_FLOAT=3, 32-bit; (n,) mono or (n, 2) stereo). A fact
+    chunk rides along, as the WAV spec requires for every non-PCM format
+    category (float included)."""
+    if samples.ndim == 1:
+        channels = 1
+    elif samples.ndim == 2 and samples.shape[1] in (1, 2):
+        channels = samples.shape[1]
+    else:
+        raise ValueError(f"samples must be (n,) or (n, 1|2); got {samples.shape}")
+    data = samples.astype("<f4").tobytes()
+    n_frames = samples.shape[0]
+    block_align = 4 * channels
+    out = bytearray()
+    out += struct.pack("<4sI4s", b"RIFF", 12 + 18 + 12 + 8 + len(data), b"WAVE")
+    # fmt size 18: the non-PCM category carries cbSize (0 extra bytes here)
+    out += struct.pack(
+        "<4sIHHIIHHH", b"fmt ", 18, 3, channels, sample_rate,
+        sample_rate * block_align, block_align, 32, 0,
+    )
+    out += struct.pack("<4sII", b"fact", 4, n_frames)
+    out += struct.pack("<4sI", b"data", len(data))
+    out += data
+    return bytes(out)
+
+
+def encode_wav_extensible(
+    samples: np.ndarray, sample_rate: int = 8000, bits: int = 16
+) -> bytes:
+    """int samples -> WAVE_FORMAT_EXTENSIBLE-wrapped integer PCM bytes
+    (fmt_tag 0xFFFE, 40-byte fmt chunk: cbSize=22, wValidBitsPerSample,
+    dwChannelMask, KS PCM SubFormat GUID) — the modern container editors
+    emit for anything beyond plain stereo/16-bit. ``bits`` picks the
+    payload layout: 16 (int16 samples) or 24 (int32 samples in the signed
+    24-bit range, s24le bytes)."""
+    if samples.ndim == 1:
+        channels = 1
+    elif samples.ndim == 2 and samples.shape[1] in (1, 2):
+        channels = samples.shape[1]
+    else:
+        raise ValueError(f"samples must be (n,) or (n, 1|2); got {samples.shape}")
+    if bits == 16:
+        data = samples.astype("<i2").tobytes()
+    elif bits == 24:
+        x = samples.astype(np.int64)
+        if x.size and (x.max() > 2**23 - 1 or x.min() < -(2**23)):
+            raise ValueError("s24le samples must fit the signed 24-bit range")
+        data = x.astype("<i4").reshape(-1).view(np.uint8).reshape(-1, 4)[:, :3].tobytes()
+    else:
+        raise ValueError(f"bits must be 16 or 24; got {bits}")
+    block_align = (bits // 8) * channels
+    # SPEAKER_FRONT_CENTER for mono, FRONT_LEFT|FRONT_RIGHT for stereo
+    channel_mask = 0x4 if channels == 1 else 0x3
+    guid = struct.pack("<I", 1) + _KS_GUID_TAIL  # KSDATAFORMAT_SUBTYPE_PCM
+    out = bytearray()
+    out += struct.pack("<4sI4s", b"RIFF", 12 + 40 + 8 + len(data), b"WAVE")
+    out += struct.pack(
+        "<4sIHHIIHHHHI", b"fmt ", 40, 0xFFFE, channels, sample_rate,
+        sample_rate * block_align, block_align, bits, 22, bits, channel_mask,
+    )
+    out += guid
     out += struct.pack("<4sI", b"data", len(data))
     out += data
     return bytes(out)
@@ -903,11 +1074,42 @@ def encode_wav_ms_adpcm(
 _WAV_CODECS = {
     (1, 16): "pcm_s16le",
     (1, 24): "pcm_s24le",
+    (3, 32): "pcm_f32le",
     (6, 8): "pcm_alaw",
     (7, 8): "pcm_mulaw",
     (0x11, 4): "adpcm_ima_wav",
     (0x2, 4): "adpcm_ms",
 }
+
+# WAVE_FORMAT_EXTENSIBLE (0xFFFE) SubFormat GUIDs: Data1 carries the
+# effective format tag; Data2/Data3/Data4 are the fixed KS media tail
+# (00000001-0000-0010-8000-00AA00389B71 for PCM, Data1=3 for IEEE float).
+_KS_GUID_TAIL = b"\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
+
+
+def _effective_wav_fmt(raw: bytes, f0: int, fsz: int) -> tuple[int, int]:
+    """(effective_format_tag, container_bits) of a fmt chunk, resolving
+    WAVE_FORMAT_EXTENSIBLE through its SubFormat GUID (the modern container
+    for >2 channels / >16 valid bits; the effective tag is the GUID's
+    Data1). Raises at the seam for short extensible headers or non-KS
+    GUIDs (proprietary subformats)."""
+    fmt_tag = struct.unpack("<H", raw[f0 : f0 + 2])[0]
+    bits = struct.unpack("<H", raw[f0 + 14 : f0 + 16])[0]
+    if fmt_tag != 0xFFFE:
+        return fmt_tag, bits
+    if fsz < 40:
+        raise NotImplementedError(
+            f"WAVE_FORMAT_EXTENSIBLE fmt chunk must be >= 40 bytes "
+            f"(cbSize 22 + SubFormat GUID); got {fsz}"
+        )
+    guid = raw[f0 + 24 : f0 + 40]
+    if guid[4:16] != _KS_GUID_TAIL:
+        raise NotImplementedError(
+            "WAVE_FORMAT_EXTENSIBLE with a non-KS SubFormat GUID "
+            f"({guid.hex()}) still out of scope"
+        )
+    eff = struct.unpack("<I", guid[:4])[0]
+    return eff, bits
 
 
 def _adpcm_fallback_frames(
@@ -950,13 +1152,14 @@ def decode_wav_meta(raw: bytes) -> dict:
     if b"fmt " not in chunks or b"data" not in chunks:
         raise ValueError("WAV payload missing fmt/data chunk")
     f0, fsz = chunks[b"fmt "]
-    fmt_tag, channels, rate = struct.unpack("<HHI", raw[f0 : f0 + 8])
-    block_align, bits = struct.unpack("<HH", raw[f0 + 12 : f0 + 16])
+    _raw_tag, channels, rate = struct.unpack("<HHI", raw[f0 : f0 + 8])
+    block_align = struct.unpack("<H", raw[f0 + 12 : f0 + 14])[0]
+    fmt_tag, bits = _effective_wav_fmt(raw, f0, fsz)
     if channels not in (1, 2) or (fmt_tag, bits) not in _WAV_CODECS:
         raise NotImplementedError(
-            "only PCM s16le/s24le, G.711 A-law/mu-law, and IMA/MS ADPCM "
-            f"mono/stereo WAV supported (fmt_tag={fmt_tag}, bits={bits}; "
-            "WAVE_FORMAT_EXTENSIBLE and float PCM still out of scope)"
+            "only PCM s16le/s24le/f32le (plain or EXTENSIBLE-wrapped), "
+            "G.711 A-law/mu-law, and IMA/MS ADPCM mono/stereo WAV supported "
+            f"(fmt_tag={fmt_tag}, bits={bits}; f64 PCM still out of scope)"
         )
     n_data = chunks[b"data"][1]
     if fmt_tag in (0x11, 0x2):
@@ -1083,6 +1286,16 @@ def decode_wav_samples(raw: bytes) -> np.ndarray:
         flat = mulaw_decode(codes) if meta["codec"] == "pcm_mulaw" else alaw_decode(codes)
     elif meta["codec"] == "pcm_s24le":
         flat = _decode_s24le(raw, d0, n_data - n_data % 3)
+    elif meta["codec"] == "pcm_f32le":
+        # IEEE-float PCM, nominal range [-1, 1]: clip (out-of-range floats
+        # are legal in float WAV; integer conversion saturates, the
+        # convention every PCM converter follows) and scale to int16 with
+        # round-half-away (np.floor(x+0.5) on the non-negative magnitudes)
+        f = np.frombuffer(raw, dtype="<f4", offset=d0, count=n_data // 4)
+        x = np.clip(f.astype(np.float64), -1.0, 1.0) * 32767.0
+        flat = np.where(
+            x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5)
+        ).astype(np.int16)
     else:
         flat = np.frombuffer(raw, dtype="<i2", offset=d0, count=n_data // 2)
     return flat if channels == 1 else flat.reshape(-1, 2)

@@ -852,12 +852,12 @@ def test_wav_ima_adpcm_roundtrip_mono_stereo():
     dshort = C.decode_wav_samples(C.encode_wav_ima_adpcm(short, sample_rate=8000))
     assert dshort.shape == short.shape
 
-    # float PCM (fmt_tag=3) stays behind the seam (MS-ADPCM graduated to a
-    # supported codec in round 9 — test_wav_ms_adpcm_roundtrip_and_seams)
+    # f64 PCM (fmt_tag=3, bits=64) stays behind the seam (f32 graduated to
+    # a supported codec in round 10 — test_wav_float32_and_extensible)
     bad = bytearray(C.encode_wav(mono))
     bad[20:22] = _struct.pack("<H", 3)
-    bad[34:36] = _struct.pack("<H", 32)
-    with pytest.raises(NotImplementedError):
+    bad[34:36] = _struct.pack("<H", 64)
+    with pytest.raises(NotImplementedError, match="f64"):
         C.decode_wav_meta(bytes(bad))
 
 
@@ -1148,3 +1148,144 @@ def test_wav_adpcm_truncated_final_block_no_fact():
         spb = _struct.unpack("<H", raw[f0 + 18 : f0 + 20])[0]
         assert len(y2) == n_full * spb
         np.testing.assert_array_equal(y2, full[: len(y2)])
+
+
+def test_bmp_rle4_and_4bit_roundtrip():
+    """4-bit paletted BMP (round 10): BI_RLE4 round-trips the index raster
+    losslessly; the decoder honors alternating-nibble encoded runs,
+    absolute mode (word-aligned nibble packing), delta, and EOL/EOB; plain
+    nibble-packed BI_RGB 4-bit decodes through the shared palette path."""
+    import struct as _struct
+
+    import numpy as np
+    import pytest
+
+    from filtered_ads_vector_search_spark.multimodal import codecs as C
+
+    rng = np.random.default_rng(31)
+    pal = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    rasters = [
+        np.repeat(np.arange(5, dtype=np.uint8)[:, None] % 16, 9, axis=1),
+        rng.integers(0, 16, size=(4, 7), dtype=np.uint8),  # odd width
+        np.zeros((3, 4), dtype=np.uint8),
+    ]
+    for idx in rasters:
+        raw = C.encode_bmp_rle4(idx, pal)
+        assert C.sniff(raw) == "bmp"
+        meta = C.decode_bmp_meta(raw)
+        assert (meta["width"], meta["height"]) == (idx.shape[1], idx.shape[0])
+        np.testing.assert_array_equal(C.decode_bmp_pixels(raw), pal[idx])
+        out = C.decode_bmp_pixels(C.resize_image(raw, 2, 2))
+        assert out.shape == (2, 2, 3)
+
+    # hand-crafted stream: row0 run 5 px alternating (3,7), absolute
+    # [1,2,3] (2 bytes data + 1 pad to word), EOL; row1 delta(+2), run 2x
+    # (9,9), EOL, EOB
+    data = bytes(
+        [5, 0x37, 0, 3, 0x12, 0x30, 0, 0]      # 3,7,3,7,3 | 1,2,3 | EOL
+        + [0, 2, 2, 0, 2, 0x99, 0, 0, 0, 1]    # delta(2,0) | 9,9 | EOL | EOB
+    )
+    idx = C._decode_rle4_indices(data, 8, 2)
+    np.testing.assert_array_equal(
+        idx,
+        np.array([[3, 7, 3, 7, 3, 1, 2, 3], [0, 0, 9, 9, 0, 0, 0, 0]],
+                 dtype=np.uint8),
+    )
+    # delta past width then absolute: skipped cleanly (the RLE8 guard)
+    junk = bytes([0, 2, 9, 0, 0, 3, 0x12, 0x30, 0, 0, 0, 1])
+    np.testing.assert_array_equal(
+        C._decode_rle4_indices(junk, 4, 1), np.zeros((1, 4), dtype=np.uint8)
+    )
+
+    # plain (uncompressed) 4-bit BI_RGB: build by patching an RLE4 header
+    # onto nibble-packed rows
+    idx = rasters[1]
+    h, w = idx.shape
+    nbytes = (w + 1) // 2
+    rowsz = ((nbytes + 3) // 4) * 4
+    body = bytearray()
+    for r in idx[::-1]:
+        padded = np.zeros(2 * nbytes, dtype=np.uint8)
+        padded[:w] = r
+        row = (padded[0::2] << 4) | padded[1::2]
+        body += row.tobytes() + b"\x00" * (rowsz - nbytes)
+    pal_bytes = np.zeros((16, 4), dtype=np.uint8)
+    pal_bytes[:, :3] = pal[:, ::-1]
+    offset = 54 + 64
+    raw4 = bytearray()
+    raw4 += _struct.pack("<2sIHHI", b"BM", offset + len(body), 0, 0, offset)
+    raw4 += _struct.pack("<IiiHHIIiiII", 40, w, h, 1, 4, 0, len(body),
+                         2835, 2835, 16, 0)
+    raw4 += pal_bytes.tobytes() + bytes(body)
+    np.testing.assert_array_equal(C.decode_bmp_pixels(bytes(raw4)), pal[idx])
+
+    # validation + the narrowed seam: 1-bit stays out
+    with pytest.raises(ValueError, match="palette"):
+        C.encode_bmp_rle4(rasters[0], pal[:, :2])
+    with pytest.raises(ValueError, match="out of range"):
+        C.encode_bmp_rle4(np.full((2, 2), 20, dtype=np.uint8), pal)
+    bad1 = bytearray(bytes(raw4))
+    bad1[28:30] = _struct.pack("<H", 1)  # bpp=1
+    with pytest.raises(NotImplementedError, match="1-bit"):
+        C.decode_bmp_meta(bytes(bad1))
+
+
+def test_wav_float32_and_extensible():
+    """Round 10 WAV seams narrowed: IEEE-float 32-bit PCM decodes (clipped,
+    scaled, round-half-away to int16) and WAVE_FORMAT_EXTENSIBLE resolves
+    its KS SubFormat GUID to the wrapped codec (s16le/s24le payloads
+    byte-identical to the plain forms). f64 and non-KS GUIDs still raise."""
+    import struct as _struct
+
+    import numpy as np
+    import pytest
+
+    from filtered_ads_vector_search_spark.multimodal import codecs as C
+
+    t = np.arange(1000)
+    xf = 0.75 * np.sin(2 * np.pi * t / 50)
+    raw = C.encode_wav_float32(xf, 16000)
+    meta = C.decode_wav_meta(raw)
+    assert meta["codec"] == "pcm_f32le"
+    assert meta["duration_ms"] == int(1000 * 1000 // 16000)
+    y = C.decode_wav_samples(raw)
+    want = np.where(
+        xf.astype(np.float32).astype(np.float64) * 32767 >= 0,
+        np.floor(np.clip(xf.astype(np.float32).astype(np.float64), -1, 1) * 32767 + 0.5),
+        np.ceil(np.clip(xf.astype(np.float32).astype(np.float64), -1, 1) * 32767 - 0.5),
+    ).astype(np.int16)
+    np.testing.assert_array_equal(y, want)
+    # out-of-range floats saturate instead of wrapping
+    loud = C.decode_wav_samples(C.encode_wav_float32(np.array([2.0, -3.0]), 8000))
+    np.testing.assert_array_equal(loud, np.array([32767, -32767], dtype=np.int16))
+    # stereo
+    sf = np.stack([xf, -xf], axis=1)
+    ys = C.decode_wav_samples(C.encode_wav_float32(sf, 16000))
+    assert ys.shape == sf.shape
+
+    # EXTENSIBLE-wrapped s16le: same samples as the plain encoder
+    xi = (10000 * np.sin(2 * np.pi * t / 37)).astype(np.int16)
+    ext = C.encode_wav_extensible(xi, 8000, bits=16)
+    meta = C.decode_wav_meta(ext)
+    assert meta["codec"] == "pcm_s16le" and meta["duration_ms"] == 125
+    np.testing.assert_array_equal(C.decode_wav_samples(ext), xi)
+    # EXTENSIBLE-wrapped s24le, stereo
+    x24 = np.stack(
+        [(xi.astype(np.int32) << 7), -(xi.astype(np.int32) << 7)], axis=1
+    )
+    ext24 = C.encode_wav_extensible(x24, 8000, bits=24)
+    assert C.decode_wav_meta(ext24)["codec"] == "pcm_s24le"
+    np.testing.assert_array_equal(C.decode_wav_samples(ext24), x24)
+
+    # seams: non-KS GUID raises; short extensible fmt raises; f64 raises
+    badguid = bytearray(ext)
+    f0 = ext.index(b"fmt ") + 8
+    badguid[f0 + 28] = 0xFF  # corrupt the GUID tail
+    with pytest.raises(NotImplementedError, match="SubFormat"):
+        C.decode_wav_meta(bytes(badguid))
+    with pytest.raises(ValueError, match="bits"):
+        C.encode_wav_extensible(xi, 8000, bits=32)
+    bad64 = bytearray(C.encode_wav_float32(xf, 8000))
+    bad64[f0 + 14 : f0 + 16] = _struct.pack("<H", 64)
+    with pytest.raises(NotImplementedError, match="f64"):
+        C.decode_wav_meta(bytes(bad64))
