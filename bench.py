@@ -170,6 +170,15 @@ def main() -> None:
     ):
         timed(name, lambda n=name: registry.QUERIES[n](spark, SF_DIR).count())
 
+    # round-10 tiers: the OPQ∘IVFPQ composed build+search (trained rotation
+    # on the residual sample — the full registry query, build included) and
+    # the range planner's exact-routed filtered radius search. repeats=2:
+    # both embed a trained build, so best-of-5 would time the build 5x for
+    # a row whose steady state shows by the second run.
+    for name in ("knn_ivfpq_opq", "range_filtered_auto"):
+        timed(name, lambda n=name: registry.QUERIES[n](spark, SF_DIR).count(),
+              repeats=2)
+
     # SemDeDup at a scale-shaped cluster count (the registry query pins the
     # oracle-checkable n_clusters=8 toy, whose |cluster|^2 pair cost is the
     # published algorithm but not the benchmark-relevant configuration)

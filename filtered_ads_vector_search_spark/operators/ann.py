@@ -866,17 +866,19 @@ class IVFIndex:
         # and k-means++ seeding consumes rows by position — so without a
         # deterministic order the trained index would vary with input
         # partitioning, breaking the engine's partition-invariance principle.
+        from .pq import _matrix_from_arrow, _sample_hash
         from .sampling import bounded_hash_take
 
         train = bounded_hash_take(
             corpus.select(F.col(vec_col).alias("_v")).withColumn(
-                "_h", F.crc32(F.col("_v").cast("string"))
+                "_h", _sample_hash(F.col("_v"))
             ),
             "_h",
-            ["_h", F.col("_v").cast("string")],
+            ["_h", F.col("_v")],
             train_sample_rows,
+            as_arrow=True,
         )
-        X = np.array([r["_v"] for r in train], dtype=np.float64)
+        X = _matrix_from_arrow(train, "_v")
         if len(X) == 0:
             raise ValueError("cannot build an IVF index over an empty corpus")
         # a high-selectivity filter can leave fewer rows than centroids

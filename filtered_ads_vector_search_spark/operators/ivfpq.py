@@ -339,28 +339,23 @@ class IVFPQIndex:
         )
         rotation: np.ndarray | None = None
         if residual:
-            train_src = ivf.assigned.join(
-                F.broadcast(
-                    ivf.centroids.select(
-                        F.col("centroid_id").alias("partition_id"), "centroid"
-                    )
-                ),
-                "partition_id",
-            ).select(
-                F.expr(
-                    f"zip_with(cast({vec_col} as array<double>), "
-                    "cast(centroid as array<double>), (x, y) -> x - y)"
-                ).alias("res")
+            # residual sample via _train_sample_residual: raw (vector,
+            # partition_id) pairs hash-sampled in ONE scan with no HOF
+            # work, residual subtraction on the driver — the corpus-wide
+            # zip_with + residual-string-hash scan this replaces measured
+            # 181 s of the 266 s 1M x 768d composed build (SCALE_BENCH
+            # extras.dim768.build_breakdown)
+            from .pq import _train_sample_residual, opq_fit, pq_fit
+
+            X = _train_sample_residual(
+                ivf.assigned, ivf.centroids, vec_col, sample_n=100_000
             )
             if opq:
-                rotation, books = opq_train(
-                    train_src, vec_col="res", m=m, n_codes=n_codes,
-                    seed=seed, opq_iters=opq_iters,
+                rotation, books = opq_fit(
+                    X, m=m, n_codes=n_codes, seed=seed, opq_iters=opq_iters
                 )
             else:
-                books = pq_train(
-                    train_src, vec_col="res", m=m, n_codes=n_codes, seed=seed
-                )
+                books = pq_fit(X, m=m, n_codes=n_codes, seed=seed)
         elif opq:
             rotation, books = opq_train(
                 corpus, vec_col=vec_col, m=m, n_codes=n_codes,

@@ -46,7 +46,9 @@ from ..functions import vector as V
 __all__ = [
     "fixed_codebooks",
     "pq_train",
+    "pq_fit",
     "opq_train",
+    "opq_fit",
     "rotate_vecs",
     "pq_encode_expr",
     "pq_encode_residual_expr",
@@ -96,6 +98,33 @@ def fixed_codebooks(
     ]
 
 
+def _sample_hash(vec: Column) -> Column:
+    """Deterministic partition-invariant sample key on a vector column:
+    xxhash64 evaluated NATIVELY on the array, folded to the uniform
+    [0, 2^32) range bounded_hash_take's threshold math assumes. The
+    crc32(cast(v as string)) key this replaced (rounds 4-9) materialized a
+    ~2 bytes/element string per row on every training scan — at 1M x 768d
+    that alone was tens of seconds per pass (SCALE_BENCH
+    extras.dim768.build_breakdown). Trained artifacts drift under the new
+    sample membership, within the documented trained-tier discipline
+    (BENCH_DRIFT round-7 addendum: contracts pin floors, not bits)."""
+    return F.pmod(F.xxhash64(vec), F.lit(2**32))
+
+
+def _matrix_from_arrow(tbl, col: str) -> np.ndarray:
+    """(n, dim) float64 matrix from a pyarrow Table's list<float> column —
+    flatten() honors list offsets, so sliced/concatenated tables convert
+    exactly; the f32->f64 upcast is value-exact."""
+    if tbl.num_rows == 0:
+        return np.asarray([], dtype=np.float64)
+    flat = tbl.column(col).combine_chunks().flatten()
+    return (
+        flat.to_numpy(zero_copy_only=False)
+        .astype(np.float64)
+        .reshape(tbl.num_rows, -1)
+    )
+
+
 def _train_sample(corpus: DataFrame, vec_col: str, sample_n: int) -> np.ndarray:
     """Bounded deterministic training sample as an (n, dim) float64 matrix.
 
@@ -106,15 +135,59 @@ def _train_sample(corpus: DataFrame, vec_col: str, sample_n: int) -> np.ndarray:
     traffic (a bare orderBy+limit collect ships tasks × sample_n rows).
     Value tie-break after the hash (same discipline as IVFIndex.build):
     hash ties at the sample_n boundary would otherwise resolve by partition
-    arrival order, making the trained artifacts partition-dependent."""
+    arrival order, making the trained artifacts partition-dependent — the
+    raw array column orders deterministically, no string cast needed."""
     from .sampling import bounded_hash_take
 
     src = corpus.select(
         F.col(vec_col).alias("v"),
-        F.crc32(F.col(vec_col).cast("string")).alias("h"),
+        _sample_hash(F.col(vec_col)).alias("h"),
     )
-    rows = bounded_hash_take(src, "h", ["h", F.col("v").cast("string")], sample_n)
-    return np.asarray([r["v"] for r in rows], dtype=np.float64)
+    tbl = bounded_hash_take(src, "h", ["h", F.col("v")], sample_n, as_arrow=True)
+    return _matrix_from_arrow(tbl, "v")
+
+
+def _train_sample_residual(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    vec_col: str,
+    sample_n: int,
+) -> np.ndarray:
+    """Bounded deterministic RESIDUAL training sample as an (n, dim)
+    float64 matrix: sample the raw (vector, partition_id) pairs by the
+    raw-vector hash, then subtract the centroid rows on the DRIVER.
+
+    The round-9 form computed residuals corpus-wide first — a broadcast
+    centroid join plus an interpreted dim-element zip_with per row — and
+    hashed the RESIDUAL's string; at 1M x 768d that scan plus shipping the
+    f64 residual arrays (614 MB, tripping bounded_hash_take's sliced
+    maxResultSize retry into repeated corpus scans) measured 181 s of the
+    266 s composed build. Sampling the raw column ships the narrower
+    stored f32 arrays once, with zero per-row HOF work; the residual
+    subtraction on the sample is one numpy op over 100k rows. Sample
+    MEMBERSHIP changes (hash of the raw vector, the same key pq_train's
+    absolute tier uses, instead of hash of the residual string) — trained
+    books drift within the documented trained-artifact discipline
+    (BENCH_DRIFT round-7 addendum: contracts pin floors, not bits)."""
+    from .sampling import bounded_hash_take
+
+    rows = centroids.orderBy("centroid_id").collect()
+    centers = np.asarray([r["centroid"] for r in rows], dtype=np.float64)
+    src = assigned.select(
+        F.col(vec_col).alias("v"),
+        F.col("partition_id").alias("p"),
+        _sample_hash(F.col(vec_col)).alias("h"),
+    )
+    tbl = bounded_hash_take(src, "h", ["h", F.col("v")], sample_n, as_arrow=True)
+    X = _matrix_from_arrow(tbl, "v")
+    if len(X) == 0:
+        return X
+    pid = (
+        tbl.column("p").combine_chunks()
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    return X - centers[pid]
 
 
 def pq_train(
@@ -128,7 +201,20 @@ def pq_train(
 ) -> Codebooks:
     """Lloyd's k-means per subspace on a bounded deterministic sample
     (see _train_sample for the sampling discipline)."""
-    X = _train_sample(corpus, vec_col, sample_n)
+    return pq_fit(_train_sample(corpus, vec_col, sample_n), m, n_codes, iters, seed)
+
+
+def pq_fit(
+    X: np.ndarray,
+    m: int = 8,
+    n_codes: int = 16,
+    iters: int = 10,
+    seed: int = 42,
+) -> Codebooks:
+    """The driver-local fit half of :func:`pq_train`, over an already
+    collected (n, dim) sample — callers that source the sample differently
+    (the residual tier via `_train_sample_residual`) share the identical
+    init/Lloyd discipline."""
     if len(X) == 0:
         raise ValueError("pq_train: empty training sample")
     dim = X.shape[1]
@@ -221,7 +307,22 @@ def opq_train(
     contract queries pin ``MSE(OPQ) <= MSE(plain PQ)`` on the same sample
     discipline rather than artifact bits (trained values are ulp-sensitive,
     like every trained tier — see BENCH_DRIFT round-7 addendum)."""
-    X = _train_sample(corpus, vec_col, sample_n)
+    return opq_fit(
+        _train_sample(corpus, vec_col, sample_n), m, n_codes, iters,
+        opq_iters, seed,
+    )
+
+
+def opq_fit(
+    X: np.ndarray,
+    m: int = 8,
+    n_codes: int = 16,
+    iters: int = 10,
+    opq_iters: int = 8,
+    seed: int = 42,
+) -> tuple[np.ndarray, Codebooks]:
+    """The driver-local alternation half of :func:`opq_train`, over an
+    already collected (n, dim) sample (see opq_train for semantics)."""
     if len(X) == 0:
         raise ValueError("opq_train: empty training sample")
     dim = X.shape[1]

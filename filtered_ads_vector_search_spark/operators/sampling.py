@@ -38,7 +38,8 @@ SAMPLE_SEED = 271828
 
 
 def bounded_hash_take(
-    df: DataFrame, hash_col: str, order_cols: list, n: int
+    df: DataFrame, hash_col: str, order_cols: list, n: int,
+    as_arrow: bool = False,
 ) -> DataFrame:
     """Driver-traffic-bounded equivalent of ``df.orderBy(*order_cols)
     .limit(n)`` when ``order_cols`` leads with a uniform 32-bit hash
@@ -62,17 +63,31 @@ def bounded_hash_take(
     (column-pruned — the hash projection is never evaluated by it) plus
     ONE pass computing the hash, not the three passes a
     verify-count-then-take structure costs (the extra passes showed up
-    directly in the graded index build_time rows)."""
+    directly in the graded index build_time rows).
+
+    ``as_arrow=True`` returns a pyarrow Table instead of Row objects —
+    the SAME rows in the same order (bit-equality is pytest-pinned), but
+    shipped as Arrow batches instead of pickled Rows: at 100k x 768-d
+    vectors the Row transport builds ~77M Python float objects and
+    measured 33-36 s vs Arrow's 10-14 s (the round-10 768-d build
+    profile). Vector-matrix consumers (pq/ann training samples) use it."""
     total = df.count()
+
+    def _take(d: DataFrame):
+        lim = d.orderBy(*order_cols).limit(n)
+        return lim.toArrow() if as_arrow else lim.collect()
+
+    _len = (lambda r: r.num_rows) if as_arrow else len
     if total > 4 * n:
-        # crc32 is uniform on [0, 2^32); the n-th smallest of `total` draws
+        # hash_col must be uniform on [0, 2^32) (crc32, or xxhash64 folded
+        # by pmod — pq._sample_hash); the n-th smallest of `total` draws
         # concentrates tightly around 2^32 * n/total — 2x covers it with
         # overwhelming probability, and the length check below restores
         # exactness whenever it does not
         thresh = int(min(2**32 - 1, round(2.0 * (n / total) * 2**32)))
         survivors = df.filter(F.col(hash_col) <= F.lit(thresh))
         try:
-            rows = survivors.orderBy(*order_cols).limit(n).collect()
+            rows = _take(survivors)
         except Exception as ex:
             # WIDE rows can trip spark.driver.maxResultSize even after the
             # pre-filter: TakeOrdered ships each task's surviving rows, and
@@ -86,15 +101,17 @@ def bounded_hash_take(
             # happen on the retry path, never in the graded common case.
             if "maxResultSize" not in str(ex):
                 raise
-            rows = _sliced_hash_take(survivors, hash_col, order_cols, n, thresh)
-        if len(rows) >= n:
+            rows = _sliced_hash_take(
+                survivors, hash_col, order_cols, n, thresh, as_arrow=as_arrow
+            )
+        if _len(rows) >= n:
             return rows
-    return df.orderBy(*order_cols).limit(n).collect()
+    return _take(df)
 
 
 def _sliced_hash_take(
     survivors: DataFrame, hash_col: str, order_cols: list, n: int, thresh: int,
-    n_slices: int = 8,
+    n_slices: int = 8, as_arrow: bool = False,
 ) -> list:
     """The maxResultSize retry path of :func:`bounded_hash_take`: collect
     the surviving rows as ``n_slices`` disjoint hash-RANGE jobs over
@@ -104,21 +121,31 @@ def _sliced_hash_take(
     bit-identical to the single-job orderBy+limit. Early-exits once n rows
     are in hand (uniform hashes put ~2n/n_slices rows per slice, so about
     half the slices run)."""
-    rows: list = []
+    parts: list = []
+    have = 0
     for i in range(n_slices):
         lo = thresh * i // n_slices
         hi = thresh * (i + 1) // n_slices
         cond = (F.col(hash_col) <= F.lit(hi)) if i == n_slices - 1 else (
             F.col(hash_col) < F.lit(hi)
         )
-        rows += (
+        lim = (
             survivors.filter((F.col(hash_col) >= F.lit(lo)) & cond)
             .orderBy(*order_cols)
             .limit(n)
-            .collect()
         )
-        if len(rows) >= n:
+        part = lim.toArrow() if as_arrow else lim.collect()
+        parts.append(part)
+        have += part.num_rows if as_arrow else len(part)
+        if have >= n:
             break
+    if as_arrow:
+        import pyarrow as pa
+
+        return pa.concat_tables(parts).slice(0, n)
+    rows: list = []
+    for p in parts:
+        rows += p
     return rows[:n]
 
 

@@ -6,7 +6,10 @@ build, utils_grid_search.py:586-611; reference build times 24.1-59.0 s at
 the cogrouped Arrow kernel (`knn_graph_bucketed(kernel='arrow')`), with
 edge recall measured against an exact-scan truth on a 1k-src sample.
 
-Rows published into SCALE_BENCH.json extras["knn_graph_1m"]:
+Rows published into SCALE_BENCH.json extras["knn_graph_{N/1M}m"] (the 1M
+row keyed knn_graph_1m; SPARK_GRAFT_GRAPH_N=5000000 writes knn_graph_5m —
+the reference corpus scale, where CAGRA's GPU graph build band is
+24.1-59.0 s):
   * ivf_build_s      — trained 1024-centroid IVF over the 1M corpus
   * graph_build_s    — full 10-NN graph via the Arrow cogroup kernel
                        (min-of-2; the graph is the product, so the count()
@@ -52,6 +55,7 @@ NPROBE = int(os.environ.get("SPARK_GRAFT_GRAPH_NPROBE", "2"))
 K = 10
 N_TRUTH_SRC = 1_000
 RECALL_FLOOR = 0.80
+LABEL = f"{N // 1_000_000}m" if N % 1_000_000 == 0 else str(N)
 
 
 def main() -> None:
@@ -73,7 +77,7 @@ def main() -> None:
 
     t0 = time.time()
     idx = IVFIndex.build(corpus, n_centroids=N_CENTROIDS, seed=42)
-    timings["ivf_build_1024c_1m"] = round(time.time() - t0, 3)
+    timings[f"ivf_build_{N_CENTROIDS}c_{LABEL}"] = round(time.time() - t0, 3)
 
     samples = []
     edges = None
@@ -82,7 +86,7 @@ def main() -> None:
         g = knn_graph_bucketed(idx, k=K, nprobe=NPROBE, kernel="arrow")
         edges = g.count()
         samples.append(round(time.time() - t0, 3))
-    timings["knn_graph_10nn_1m_arrow"] = min(samples)
+    timings[f"knn_graph_10nn_{LABEL}_arrow"] = min(samples)
     extras["graph_samples"] = samples
     extras["edges"] = edges
 
@@ -127,8 +131,8 @@ def main() -> None:
     extras["calibration_postrun"] = host_calibration()
 
     result = {
-        "metric": "knn_graph_1m_sec",
-        "value": timings["knn_graph_10nn_1m_arrow"],
+        "metric": f"knn_graph_{LABEL}_sec",
+        "value": timings[f"knn_graph_10nn_{LABEL}_arrow"],
         "unit": "sec",
         "timings": timings,
         "extras": extras,
@@ -138,7 +142,7 @@ def main() -> None:
     if os.path.exists(sb_path):
         with open(sb_path) as f:
             sb = json.load(f)
-        sb.setdefault("extras", {})["knn_graph_1m"] = {"timings": timings, **extras}
+        sb.setdefault("extras", {})[f"knn_graph_{LABEL}"] = {"timings": timings, **extras}
         with open(sb_path, "w") as f:
             json.dump(sb, f)
     spark.stop()

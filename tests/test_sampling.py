@@ -153,3 +153,59 @@ def test_sliced_hash_take_bit_identical_to_single_job(spark):
         _DF.collect = real_collect
     assert [tuple(r) for r in rows] == want
     assert state["calls"] > 1  # the sliced retry actually ran
+
+
+def test_bounded_hash_take_arrow_matches_rows(spark):
+    """as_arrow=True must return the SAME rows in the same order as the
+    Row transport (round 10: the training samplers collect via Arrow —
+    33-36 s of Row pickling at 100k x 768d drops to 10-14 s)."""
+    df = spark.range(20_000).select(
+        F.col("id"), F.crc32(F.col("id").cast("string")).alias("h")
+    )
+    n = 500
+    rows = SM.bounded_hash_take(df, "h", ["h", "id"], n)
+    tbl = SM.bounded_hash_take(df, "h", ["h", "id"], n, as_arrow=True)
+    assert tbl.num_rows == n
+    assert tbl.column("id").to_pylist() == [r["id"] for r in rows]
+    # small-input fallback returns the whole input as a table
+    small = spark.range(100).select(
+        F.col("id"), F.crc32(F.col("id").cast("string")).alias("h")
+    )
+    assert SM.bounded_hash_take(small, "h", ["h"], 500, as_arrow=True).num_rows == 100
+
+
+def test_sliced_hash_take_arrow_bit_identical(spark):
+    """The Arrow variant of the maxResultSize retry path concatenates
+    hash-range slice tables and truncates to n — same rows as the Row
+    slices, end-to-end through a monkeypatched first toArrow."""
+    df = spark.range(20_000).select(
+        F.col("id"), F.crc32(F.col("id").cast("string")).alias("h")
+    )
+    n = 500
+    thresh = int(round(2.0 * (n / 20_000) * 2**32))
+    survivors = df.filter(F.col("h") <= thresh)
+    want = [tuple(r) for r in survivors.orderBy("h", "id").limit(n).collect()]
+    tbl = SM._sliced_hash_take(survivors, "h", ["h", "id"], n, thresh, as_arrow=True)
+    got = list(zip(tbl.column("id").to_pylist(), tbl.column("h").to_pylist()))
+    assert got == want and tbl.num_rows == n
+
+    _DF = type(df)
+    real = _DF.toArrow
+    state = {"calls": 0}
+
+    def boom_once(self):
+        state["calls"] += 1
+        if state["calls"] == 1:
+            raise RuntimeError(
+                "Total size of serialized results ... is bigger than "
+                "spark.driver.maxResultSize (1024.0 MiB)"
+            )
+        return real(self)
+
+    _DF.toArrow = boom_once
+    try:
+        tbl2 = SM.bounded_hash_take(df, "h", ["h", "id"], n, as_arrow=True)
+    finally:
+        _DF.toArrow = real
+    got2 = list(zip(tbl2.column("id").to_pylist(), tbl2.column("h").to_pylist()))
+    assert got2 == want and state["calls"] > 1
