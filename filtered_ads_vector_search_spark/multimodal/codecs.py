@@ -22,7 +22,12 @@ import struct
 
 import numpy as np
 
-from .jpeg import decode_jpeg_meta, decode_jpeg_pixels, encode_jpeg
+from .jpeg import (
+    decode_jpeg_meta,
+    decode_jpeg_pixels,
+    encode_jpeg,
+    encode_jpeg_lossless,
+)
 
 __all__ = [
     "encode_bmp",
@@ -45,6 +50,7 @@ __all__ = [
     "decode_wav_meta",
     "decode_wav_samples",
     "encode_jpeg",
+    "encode_jpeg_lossless",
     "decode_jpeg_meta",
     "decode_jpeg_pixels",
     "decode_image_pixels",

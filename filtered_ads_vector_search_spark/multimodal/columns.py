@@ -172,6 +172,31 @@ def with_real_jpeg(
     return df.withColumn("payload", gen(F.col(id_col)))
 
 
+def real_jpeg_lossless_payload(doc_id: int) -> bytes:
+    """Deterministic LOSSLESS JPEG (SOF3) payload of the SAME arithmetic
+    gradient jpeg_source_pixels defines. The predictor cycles 1..7 with
+    doc_id and every third id adds a restart interval, so a corpus-wide
+    decode exercises every T.81 Table H.1 predictor and the restart
+    prediction reset. Lossless means the decoded pixel sum is EXACTLY the
+    source-pixel sum — a SQL oracle recomputes it from doc_id alone."""
+    from . import codecs as C
+
+    return C.encode_jpeg_lossless(
+        jpeg_source_pixels(doc_id),
+        predictor=1 + doc_id % 7,
+        restart_interval=17 if doc_id % 3 == 0 else 0,
+    )
+
+
+def with_real_jpeg_lossless(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach the deterministic lossless-JPEG payload column keyed by id."""
+    @F.pandas_udf(T.BinaryType())
+    def gen(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda i: real_jpeg_lossless_payload(int(i)))
+
+    return df.withColumn("payload", gen(F.col(id_col)))
+
+
 def jpeg_content_ok_udf(ids: Column, payloads: Column) -> Column:
     """True iff the decoded JPEG payload matches the arithmetic source image
     within max|err| <= 16 per pixel (JPEG is lossy; q90 on the smooth

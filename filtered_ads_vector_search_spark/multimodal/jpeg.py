@@ -9,8 +9,11 @@ seam). Everything here is the public baseline-sequential subset:
   byte-stuffing; AND SOF2 (progressive DCT, Huffman): multi-scan spectral
   selection + successive approximation, DC first/refine, AC first/refine
   with EOB runs (ITU-T T.81 G.2 semantics) — the two modes that together
-  cover essentially all real-world JPEG files. Arithmetic coding,
-  hierarchical, and lossless modes stay behind a ``NotImplementedError``.
+  cover essentially all real-world JPEG files; AND SOF3 (lossless, process
+  14, T.81 Annex H): predictor-coded samples, all 7 predictors, point
+  transform, restart intervals — 8-bit precision, unsubsampled components
+  (the overwhelmingly common lossless shape). Arithmetic coding and
+  hierarchical modes stay behind a ``NotImplementedError``.
 * encoder — 4:4:4 or 4:2:0, Annex-K quantization tables scaled by the
   usual libjpeg quality curve, Annex-K Huffman tables. The encoder exists
   so fixtures and round-trip tests are self-contained (no image library in
@@ -361,6 +364,203 @@ def encode_jpeg(
     return bytes(out)
 
 
+# Lossless (SOF3) Huffman table: the Annex K.3.1 DC-luminance progression
+# extended to cover every difference category a mod-2^16 predictor can emit
+# (SSSS 0..16; T.81 Table H.2). Kraft sum 0.99994 — a valid canonical set.
+_LOSSLESS_DC = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0],
+    list(range(17)),
+)
+
+
+def _lossless_predict(ra: int, rb: int, rc: int, predictor: int) -> int:
+    """T.81 Table H.1 predictors (interior samples); /2 is an arithmetic
+    right shift per H.1.2.1."""
+    if predictor == 1:
+        return ra
+    if predictor == 2:
+        return rb
+    if predictor == 3:
+        return rc
+    if predictor == 4:
+        return ra + rb - rc
+    if predictor == 5:
+        return ra + ((rb - rc) >> 1)
+    if predictor == 6:
+        return rb + ((ra - rc) >> 1)
+    if predictor == 7:
+        return (ra + rb) >> 1
+    raise ValueError(f"lossless JPEG predictor must be 1..7, got {predictor}")
+
+
+def _lossless_diffs(
+    plane: np.ndarray, predictor: int, default: int, restart_interval: int
+) -> np.ndarray:
+    """Per-sample prediction differences (mod 2^16) of one component plane,
+    vectorized: reconstruction is exact, so every neighbor equals the source
+    sample and Ra/Rb/Rc come straight from shifted views. Boundary rules per
+    T.81 H.1.2.1: sample (0,0) (and the first sample of every restart
+    interval) predicts from ``default`` = 2^(P-Pt-1), the rest of line 0
+    from Ra, the rest of column 0 from Rb."""
+    p = plane.astype(np.int64)
+    h, w = p.shape
+    ra = np.zeros_like(p)
+    rb = np.zeros_like(p)
+    rc = np.zeros_like(p)
+    ra[:, 1:] = p[:, :-1]
+    rb[1:, :] = p[:-1, :]
+    rc[1:, 1:] = p[:-1, :-1]
+    if predictor == 1:
+        pred = ra
+    elif predictor == 2:
+        pred = rb
+    elif predictor == 3:
+        pred = rc
+    elif predictor == 4:
+        pred = ra + rb - rc
+    elif predictor == 5:
+        pred = ra + ((rb - rc) >> 1)
+    elif predictor == 6:
+        pred = rb + ((ra - rc) >> 1)
+    elif predictor == 7:
+        pred = (ra + rb) >> 1
+    else:
+        raise ValueError(f"lossless JPEG predictor must be 1..7, got {predictor}")
+    pred = pred.copy()
+    pred[0, 1:] = p[0, :-1]  # rest of line 0: Ra
+    if h > 1:
+        pred[1:, 0] = p[:-1, 0]  # rest of column 0: Rb
+    pred[0, 0] = default
+    flat = pred.reshape(-1)
+    if restart_interval:
+        flat[restart_interval::restart_interval] = default
+    return (p - pred) & 0xFFFF
+
+
+def encode_jpeg_lossless(
+    pixels: np.ndarray,
+    predictor: int = 1,
+    point_transform: int = 0,
+    restart_interval: int = 0,
+) -> bytes:
+    """(h, w) grayscale or (h, w, 3) RGB uint8 -> lossless JPEG (SOF3,
+    process 14) bytes. No color transform and no DCT — component planes are
+    stored verbatim as Huffman-coded prediction differences, so
+    decode(encode(x)) == x bit-for-bit (when ``point_transform`` is 0;
+    Pt > 0 drops the Pt low bits of every sample by design, T.81 H.1.1).
+    One interleaved scan (MCU = one sample per component), selected
+    predictor 1..7 in Ss, Pt in Al; ``restart_interval`` (in samples) emits
+    RSTn markers with the spec's prediction reset."""
+    if pixels.ndim == 2:
+        planes = [pixels]
+    elif pixels.ndim == 3 and pixels.shape[2] == 3:
+        planes = [pixels[:, :, k] for k in range(3)]
+    else:
+        raise ValueError("pixels must be (h, w) or (h, w, 3)")
+    if pixels.dtype != np.uint8:
+        raise ValueError("8-bit samples required")
+    if not 0 <= point_transform <= 7:
+        raise ValueError("point_transform must be 0..7 for 8-bit precision")
+    h, w = planes[0].shape
+    nc = len(planes)
+    default = 1 << (8 - point_transform - 1)
+
+    diffs = [
+        _lossless_diffs(
+            pl.astype(np.int64) >> point_transform, predictor, default,
+            restart_interval,
+        ).reshape(-1)
+        for pl in planes
+    ]
+    codes = _canonical_codes(*_LOSSLESS_DC)
+    bw = _BitWriter()
+    rst_i = 0
+    for s in range(h * w):
+        if restart_interval and s and s % restart_interval == 0:
+            bw.emit_marker(0xD0 + (rst_i % 8))
+            rst_i += 1
+        for d in diffs:
+            sd = int(d[s])
+            if sd >= 32768:
+                sd -= 65536
+            if sd == -32768:  # the mod-2^16 "32768" case: SSSS=16, no bits
+                code, length = codes[16]
+                bw.put(code, length)
+                continue
+            ssss, bitsv = _magnitude(sd)
+            code, length = codes[ssss]
+            bw.put(code, length)
+            bw.put(bitsv, ssss)
+    bw.flush()
+
+    out = bytearray()
+    out += b"\xff\xd8"  # SOI
+    bits, vals = _LOSSLESS_DC
+    out += b"\xff\xc4" + struct.pack(">HB", 19 + len(vals), 0x00)
+    out += bytes(bits) + bytes(vals)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += b"\xff\xc3" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
+    for k in range(nc):
+        out += bytes([k + 1, 0x11, 0])
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * nc, nc)
+    for k in range(nc):
+        out += bytes([k + 1, 0x00])
+    out += bytes([predictor, 0, point_transform])  # Ss=pred, Se=0, AhAl=Pt
+    out += bw.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def _scan_lossless(
+    segments: list[bytes],
+    order: list[tuple[np.ndarray, dict]],
+    restart_interval: int,
+    w: int,
+    h: int,
+    predictor: int,
+    pt: int,
+    precision: int,
+) -> None:
+    """Single lossless scan (T.81 Annex H): each MCU is one sample per
+    component; the Huffman symbol is the difference category (SSSS 0..16,
+    16 = diff 32768 with no appended bits), prediction per H.1.2.1 with the
+    2^(P-Pt-1) default at scan/restart-interval starts."""
+    total = w * h
+    per_seg = restart_interval if restart_interval else total
+    default = 1 << (precision - pt - 1)
+    mcu = 0
+    for seg in segments:
+        if mcu >= total:
+            break
+        br = _BitReader(seg)
+        fresh = True
+        seg_end = min(total, mcu + per_seg)
+        while mcu < seg_end:
+            y, x = divmod(mcu, w)
+            for samples, dc_map in order:
+                t = br.read_symbol(dc_map)
+                if t > 16:
+                    raise ValueError("bad lossless difference category")
+                diff = 32768 if t == 16 else _extend(br.read(t), t)
+                if fresh:
+                    px = default
+                elif y == 0:
+                    px = int(samples[0, x - 1])
+                elif x == 0:
+                    px = int(samples[y - 1, 0])
+                else:
+                    px = _lossless_predict(
+                        int(samples[y, x - 1]),
+                        int(samples[y - 1, x]),
+                        int(samples[y - 1, x - 1]),
+                        predictor,
+                    )
+                samples[y, x] = (px + diff) & 0xFFFF
+            fresh = False
+            mcu += 1
+
+
 def _prog_dc_first_scan(comps: list[dict], al: int) -> bytes:
     """Interleaved DC first scan (Ss=Se=0, Ah=0): codes the point-transformed
     DC (arithmetic shift, T.81 G.1.2.1) as baseline-style predictive diffs,
@@ -656,12 +856,12 @@ def _extend(v: int, t: int) -> int:
 
 
 def decode_jpeg_meta(raw: bytes) -> dict:
-    """Header-only parse: dimensions from SOF0 (baseline) or SOF2
-    (progressive); the remaining SOF modes (arithmetic, hierarchical,
-    lossless) raise NotImplementedError — that seam is now only for modes
-    essentially absent from real-world corpora."""
+    """Header-only parse: dimensions from SOF0 (baseline), SOF2
+    (progressive), or SOF3 (lossless); the remaining SOF modes (arithmetic,
+    hierarchical) raise NotImplementedError — that seam is now only for
+    modes essentially absent from real-world corpora."""
     for marker, payload, _ in _parse_segments(raw):
-        if marker in (0xC0, 0xC2):
+        if marker in (0xC0, 0xC2, 0xC3):
             _, h, w, _ = struct.unpack(">BHHB", payload[:6])
             return {
                 "media_type": "image",
@@ -671,13 +871,13 @@ def decode_jpeg_meta(raw: bytes) -> dict:
                 "duration_ms": 0,
                 "n_bytes": len(raw),
             }
-        if marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        if marker in (0xC1, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                       0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"only baseline (SOF0) and progressive (SOF2) JPEG supported, "
-                f"got SOF marker 0xFF{marker:02X}"
+                f"only baseline (SOF0), progressive (SOF2), and lossless "
+                f"(SOF3) JPEG supported, got SOF marker 0xFF{marker:02X}"
             )
-    raise ValueError("no SOF0/SOF2 frame header in JPEG payload")
+    raise ValueError("no SOF0/SOF2/SOF3 frame header in JPEG payload")
 
 
 def _entropy_segments(raw: bytes, start: int) -> tuple[list[bytes], int]:
@@ -952,6 +1152,8 @@ def decode_jpeg_pixels(raw: bytes) -> np.ndarray:
     frame = None
     comps: dict[int, dict] = {}
     progressive = False
+    lossless = False
+    lossless_pt = 0
     restart_interval = 0
     mcus_x = mcus_y = 0
     saw_scan = False
@@ -995,8 +1197,9 @@ def decode_jpeg_pixels(raw: bytes) -> np.ndarray:
                 vals = list(payload[j + 17:j + 17 + n])
                 huff[(cls_id >> 4, cls_id & 0x0F)] = _decode_map(bits, vals)
                 j += 17 + n
-        elif marker in (0xC0, 0xC2):
+        elif marker in (0xC0, 0xC2, 0xC3):
             progressive = marker == 0xC2
+            lossless = marker == 0xC3
             prec, h, w, nc = struct.unpack(">BHHB", payload[:6])
             if prec != 8:
                 raise NotImplementedError("only 8-bit JPEG supported")
@@ -1008,6 +1211,18 @@ def decode_jpeg_pixels(raw: bytes) -> np.ndarray:
                     for k in range(nc)
                 ],
             }
+            if lossless:
+                if any(ch != 1 or cv != 1 for _, ch, cv, _q in frame["comps"]):
+                    raise NotImplementedError(
+                        "subsampled lossless JPEG components not supported"
+                    )
+                for cid, _ch, _cv, _qid in frame["comps"]:
+                    comps[cid] = {
+                        "h": 1, "v": 1,
+                        "samples": np.zeros((h, w), dtype=np.int64),
+                    }
+                i = nxt
+                continue
             hmax = max(c[1] for c in frame["comps"])
             vmax = max(c[2] for c in frame["comps"])
             mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
@@ -1022,11 +1237,11 @@ def decode_jpeg_pixels(raw: bytes) -> np.ndarray:
                     "bh": (-(-(h * cv) // vmax) + 7) // 8,
                     "bw": (-(-(w * ch) // hmax) + 7) // 8,
                 }
-        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker in (0xC1, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"only baseline (SOF0) and progressive (SOF2) JPEG supported, "
-                f"got SOF marker 0xFF{marker:02X}"
+                f"only baseline (SOF0), progressive (SOF2), and lossless "
+                f"(SOF3) JPEG supported, got SOF marker 0xFF{marker:02X}"
             )
         elif marker == 0xDD:
             restart_interval = struct.unpack(">H", payload[:2])[0]
@@ -1040,7 +1255,21 @@ def decode_jpeg_pixels(raw: bytes) -> np.ndarray:
             ah, al = payload[3 + 2 * ns] >> 4, payload[3 + 2 * ns] & 0x0F
             segments, nxt = _entropy_segments(raw, nxt)
             saw_scan = True
-            if not progressive:
+            if lossless:
+                if not 1 <= ss <= 7:
+                    raise ValueError(
+                        "lossless JPEG scan Ss (predictor) must be 1..7"
+                    )
+                if se != 0 or ah != 0:
+                    raise ValueError("lossless JPEG scan must have Se=0, Ah=0")
+                lossless_pt = al
+                _scan_lossless(
+                    segments,
+                    [(comps[cid]["samples"], huff[(0, dct)])
+                     for cid, dct, _act in scomps],
+                    restart_interval, frame["w"], frame["h"], ss, al, 8,
+                )
+            elif not progressive:
                 _scan_baseline(
                     segments,
                     [(comps[cid], huff[(0, dct)], huff[(1, act)])
@@ -1067,4 +1296,21 @@ def decode_jpeg_pixels(raw: bytes) -> np.ndarray:
         i = nxt
     if frame is None or not saw_scan:
         raise ValueError("JPEG payload missing SOF/SOS")
+    if lossless:
+        planes = [
+            np.clip(comps[cid]["samples"] << lossless_pt, 0, 255)
+            for cid, _ch, _cv, _qid in frame["comps"]
+        ]
+        if len(planes) == 1:
+            rgb = np.stack([planes[0]] * 3, axis=2)
+        elif len(planes) == 3:
+            # lossless stores component planes verbatim (no color
+            # transform — a transform would break bit-exactness), so three
+            # components are RGB directly
+            rgb = np.stack(planes, axis=2)
+        else:
+            raise NotImplementedError(
+                f"lossless JPEG with {len(planes)} components not supported"
+            )
+        return rgb.astype(np.uint8)
     return _reconstruct(frame, comps, qtabs)

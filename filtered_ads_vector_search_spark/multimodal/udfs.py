@@ -151,6 +151,9 @@ def content_stats(df: DataFrame, payload_col: str = "payload") -> DataFrame:
             return int(C.decode_bmp_pixels(raw).astype(np.int64).sum())
         if kind == "wav":
             return int(C.decode_wav_samples(raw).astype(np.int64).sum())
+        if kind == "jpeg":
+            # decoded-pixel sum; exact (SQL-oracle-able) for lossless SOF3
+            return int(C.decode_jpeg_pixels(raw).astype(np.int64).sum())
         _parse_header(raw)  # FAKE (or raises the seam error)
         return int(np.frombuffer(raw[13:], dtype=np.uint8).astype(np.int64).sum())
 

@@ -3694,6 +3694,56 @@ WHERE doc_id < 200
 """
 
 
+def _multimodal_decode_jpeg_lossless_spark(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LOSSLESS JPEG (SOF3, round-10 codec lift) decode: the same
+    arithmetic gradient the lossy JPEG queries use, encoded as
+    predictor-coded lossless streams (predictor cycling 1..7 with doc_id,
+    restart intervals on every third id — columns.real_jpeg_lossless_payload)
+    and decoded back through the mapInPandas meta + content_stats paths.
+    Lossless means the decoded pixel sum EQUALS the source-pixel sum, so —
+    unlike the bounded lossy checks — the oracle recomputes content_sum
+    exactly in closed form: one wrong bit in any predictor, restart reset,
+    or Huffman path fails the hash. n_bytes is excluded (entropy-coded
+    length is not SQL-expressible)."""
+    from .multimodal import (
+        content_stats,
+        decode_media_meta,
+        with_real_jpeg_lossless,
+    )
+
+    docs = _tbl(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 200
+    )
+    decoded = decode_media_meta(with_real_jpeg_lossless(docs))
+    return content_stats(decoded).select(
+        "doc_id",
+        "media_type",
+        "codec",
+        "width",
+        "height",
+        "content_sum",
+    )
+
+
+def _multimodal_decode_jpeg_lossless_sql() -> str:
+    # pixel(y,x,c) = base + 2y + 2x + 2c with base=(doc_id*7)%96 sums in
+    # closed form: 3*w*h*(base + (h-1) + (w-1) + 2) = 3*w*h*(base + w + h)
+    w, h = "(16 + doc_id % 9)", "(16 + doc_id % 7)"
+    return f"""
+SELECT doc_id,
+       'image' AS media_type,
+       'jpeg' AS codec,
+       CAST({w} AS INT) AS width,
+       CAST({h} AS INT) AS height,
+       CAST(3 * {w} * {h} * (((doc_id * 7) % 96) + {w} + {h}) AS BIGINT)
+           AS content_sum
+FROM documents
+WHERE doc_id < 200
+"""
+
+
 def _frame_counts_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling fan-out: rows per doc after sampling every 10s — the
     oracle recomputes the fan-out arithmetically."""
@@ -5135,6 +5185,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_decode_wav24": _multimodal_decode_wav24_spark,
     "multimodal_decode_jpeg": _multimodal_decode_jpeg_spark,
     "multimodal_decode_jpeg_prog": _multimodal_decode_jpeg_prog_spark,
+    "multimodal_decode_jpeg_lossless": _multimodal_decode_jpeg_lossless_spark,
     "knn_sq8": lambda s, d: _knn_spark(s, d, "sqeuclidean", quant="sq8"),
     "recall_sq8_vs_fp": _recall_sq8_spark,
     "knn_fp16": _knn_fp16_spark,
@@ -5730,6 +5781,7 @@ ORACLES: dict[str, str] = {
     "knn_ivfpq_opq": _knn_ivfpq_opq_sql(),
     "multimodal_decode_jpeg": _multimodal_decode_jpeg_sql(),
     "multimodal_decode_jpeg_prog": _multimodal_decode_jpeg_sql(),
+    "multimodal_decode_jpeg_lossless": _multimodal_decode_jpeg_lossless_sql(),
     "tpch_q21": _tpch_q21_sql(),
     "tpch_q9": _tpch_q9_sql(),
     "tpch_q11": _tpch_q11_sql(),

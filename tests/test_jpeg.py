@@ -352,3 +352,89 @@ def test_decode_media_meta_and_resize_on_jpeg(spark):
     ).collect()
     for r in resized:
         assert r.codec == "jpeg" and (r.width, r.height) == (12, 10)
+
+
+# ---------------------------------------------------------------------------
+# lossless (SOF3) mode — round 10
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_lossless_roundtrip_exact_all_predictors():
+    """decode(encode(x)) == x BIT-FOR-BIT for every T.81 Table H.1 predictor
+    on pure noise (the hardest content: every difference category shows up),
+    including degenerate 1x1 / 1xN / Nx1 shapes and grayscale."""
+    rng = np.random.RandomState(11)
+    for shape in [(5, 7, 3), (16, 23, 3), (1, 1, 3), (9, 1, 3), (1, 13, 3)]:
+        img = rng.randint(0, 256, size=shape, dtype=np.uint8)
+        for pred in range(1, 8):
+            dec = C.decode_jpeg_pixels(J.encode_jpeg_lossless(img, predictor=pred))
+            assert np.array_equal(dec, img), (shape, pred)
+    gray = rng.randint(0, 256, size=(11, 6), dtype=np.uint8)
+    dec = C.decode_jpeg_pixels(J.encode_jpeg_lossless(gray, predictor=4))
+    assert np.array_equal(dec, np.stack([gray] * 3, axis=2))
+
+
+def test_jpeg_lossless_restart_intervals_exact():
+    """RSTn markers reset prediction to 2^(P-Pt-1) for the next sample of
+    every component (T.81 H.1.1); the round trip stays bit-exact at every
+    interval, including the pathological every-sample case."""
+    img = np.random.RandomState(3).randint(0, 256, size=(13, 17, 3), dtype=np.uint8)
+    for ri in (1, 5, 64):
+        for pred in (1, 4, 7):
+            raw = J.encode_jpeg_lossless(img, predictor=pred, restart_interval=ri)
+            assert np.array_equal(C.decode_jpeg_pixels(raw), img), (ri, pred)
+            # restart markers genuinely present
+            assert any(bytes([0xFF, 0xD0 + k]) in raw for k in range(8))
+
+
+def test_jpeg_lossless_point_transform():
+    """Pt > 0 drops the Pt low bits by design (decode returns sample << Pt)."""
+    img = np.random.RandomState(5).randint(0, 256, size=(8, 9, 3), dtype=np.uint8)
+    for pt in (1, 2, 4):
+        dec = C.decode_jpeg_pixels(J.encode_jpeg_lossless(img, point_transform=pt))
+        assert np.array_equal(dec, (img >> pt) << pt), pt
+
+
+def test_jpeg_lossless_meta_and_validation():
+    img = np.random.RandomState(9).randint(0, 256, size=(13, 17, 3), dtype=np.uint8)
+    m = C.decode_jpeg_meta(J.encode_jpeg_lossless(img))
+    assert (m["media_type"], m["codec"], m["width"], m["height"]) == (
+        "image", "jpeg", 17, 13,
+    )
+    with pytest.raises(ValueError, match="predictor"):
+        J.encode_jpeg_lossless(img, predictor=0)
+    with pytest.raises(ValueError, match="predictor"):
+        J.encode_jpeg_lossless(img, predictor=8)
+    with pytest.raises(ValueError, match="point_transform"):
+        J.encode_jpeg_lossless(img, point_transform=8)
+    with pytest.raises(ValueError, match="8-bit"):
+        J.encode_jpeg_lossless(img.astype(np.int32))
+    # subsampled lossless components stay behind the seam: patch the frame
+    # header's sampling byte of a valid payload
+    raw = bytearray(J.encode_jpeg_lossless(img))
+    i = raw.find(b"\xff\xc3")
+    raw[i + 11] = 0x22  # first component's H/V byte -> 2x2
+    with pytest.raises(NotImplementedError, match="subsampled lossless"):
+        C.decode_jpeg_pixels(bytes(raw))
+
+
+def test_jpeg_lossless_fixture_content_sum_closed_form(spark):
+    """The registry fixture path end-to-end: deterministic lossless payloads
+    (predictor cycling, restarts on every third id) through decode_media_meta
+    + content_stats equal the closed-form source-pixel sum the DuckDB oracle
+    uses: 3*w*h*(base + w + h)."""
+    from filtered_ads_vector_search_spark.multimodal import (
+        content_stats,
+        decode_media_meta,
+        with_real_jpeg_lossless,
+    )
+
+    docs = spark.range(0, 24).select(F.col("id").alias("doc_id"))
+    out = content_stats(decode_media_meta(with_real_jpeg_lossless(docs))).select(
+        "doc_id", "width", "height", "content_sum"
+    )
+    for r in out.collect():
+        i = r["doc_id"]
+        w, h = 16 + i % 9, 16 + i % 7
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["content_sum"] == 3 * w * h * ((i * 7) % 96 + w + h), i
