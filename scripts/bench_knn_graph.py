@@ -52,6 +52,12 @@ DATA = os.environ.get("SPARK_GRAFT_5M_DIR", "/root/repo/scale_data_5m")
 N = int(os.environ.get("SPARK_GRAFT_GRAPH_N", "1000000"))
 N_CENTROIDS = int(os.environ.get("SPARK_GRAFT_GRAPH_C", "1024"))
 NPROBE = int(os.environ.get("SPARK_GRAFT_GRAPH_NPROBE", "2"))
+# 'blas' is the corpus-scale probe-ranking mode (one DGEMM per scan batch);
+# the 'exact' fold's temp traffic is ~24B x n x n_centroids x dim — 31 TB
+# at 5M x 4096c, measured round 10 as the entire wall time of the first
+# 5M attempt. The graph itself stays the trained/approximate tier either
+# way; edge recall below is the contract.
+PROBE_MODE = os.environ.get("SPARK_GRAFT_GRAPH_PROBE_MODE", "blas")
 K = 10
 N_TRUTH_SRC = 1_000
 RECALL_FLOOR = 0.80
@@ -62,7 +68,10 @@ def main() -> None:
     spark = get_spark(app_name="favs-bench-knn-graph")
     spark.sparkContext.setLogLevel("ERROR")
     timings: dict[str, float] = {}
-    extras: dict = {"n_corpus": N, "n_centroids": N_CENTROIDS, "nprobe": NPROBE, "k": K}
+    extras: dict = {
+        "n_corpus": N, "n_centroids": N_CENTROIDS, "nprobe": NPROBE, "k": K,
+        "probe_mode": PROBE_MODE,
+    }
 
     extras["calibration_preflight"] = host_calibration()
     for w in assert_quiet_host(extras["calibration_preflight"]):
@@ -83,7 +92,9 @@ def main() -> None:
     edges = None
     for _ in range(2):
         t0 = time.time()
-        g = knn_graph_bucketed(idx, k=K, nprobe=NPROBE, kernel="arrow")
+        g = knn_graph_bucketed(
+            idx, k=K, nprobe=NPROBE, kernel="arrow", probe_mode=PROBE_MODE
+        )
         edges = g.count()
         samples.append(round(time.time() - t0, 3))
     timings[f"knn_graph_10nn_{LABEL}_arrow"] = min(samples)
@@ -115,7 +126,9 @@ def main() -> None:
 
     approx_edges = {
         (r["src_id"], r["neighbor_id"])
-        for r in knn_graph_bucketed(idx, k=K, nprobe=NPROBE, kernel="arrow")
+        for r in knn_graph_bucketed(
+            idx, k=K, nprobe=NPROBE, kernel="arrow", probe_mode=PROBE_MODE
+        )
         .filter(F.col("src_id") % (N // N_TRUTH_SRC) == 0)
         .collect()
     }
@@ -126,8 +139,13 @@ def main() -> None:
 
     extras["reference_anchor"] = {
         "note": "CAGRA GPU graph build at 5M: 24.1-59.0 s (BASELINE.md); "
-        "this row is 1M on CPU local[32] (graph IS the CAGRA index structure)",
+        f"this row is {LABEL} on CPU local[32] (graph IS the CAGRA index "
+        "structure)",
     }
+    # let executor teardown / GC quiesce so the postrun probe measures the
+    # HOST, not the JVM's dying task threads (a 0.56 s dgemm was recorded
+    # when this ran immediately after the final collect)
+    time.sleep(10)
     extras["calibration_postrun"] = host_calibration()
 
     result = {
