@@ -5572,9 +5572,12 @@ QUERIES = {
 # decontaminate_bloom, r8-green), multimodal_decode_jpeg_prog (same oracle
 # as multimodal_decode_jpeg, in this prefix), stratified_sample (hash-gate
 # twin of stratified_topn, in this prefix), substr_dup_stats (stats twin of
-# r9-green substr_dedup_remove) — MUST lead the r11 prefix together with
-# the 49-strong r8-vintage cohort (5 + 45 of 49 fit one prefix; the
-# remaining 4 r8-vintage ride to r12, still within N-2 at that point).
+# r9-green substr_dedup_remove), PLUS doc_simhash (deferred late in round
+# 10 to make room for the new lossless-JPEG query; its simhash arithmetic
+# is pinned end-to-end by dedup_simhash_banded, in this prefix) — MUST
+# lead the r11 prefix together with the 49-strong r8-vintage cohort
+# (6 + 44 of 49 fit one prefix; the remaining 5 r8-vintage ride to r12,
+# still within N-2 at that point).
 _R10_PREFIX: list[str] = [
     # (a) the nine never-driver-green r9 queries
     "range_search_exact",
@@ -5590,7 +5593,8 @@ _R10_PREFIX: list[str] = [
     "knn_ivfpq_opq",
     "range_filtered_auto",
     "range_filtered_auto_ann",
-    # (c) r7-vintage cohort (38 of 43; deferrals documented above)
+    "multimodal_decode_jpeg_lossless",
+    # (c) r7-vintage cohort (37 of 43; deferrals documented above)
     "bm25_search",
     "cms_heavy_hitters",
     "collocations_pmi",
@@ -5603,7 +5607,6 @@ _R10_PREFIX: list[str] = [
     "dedup_simhash_banded",
     "distinct_tokens_hll",
     "doc_chunks_cdc",
-    "doc_simhash",
     "domain_mix_weights",
     "dsir_resample",
     "dsir_weights",

@@ -307,3 +307,51 @@ def test_bmp32_roundtrip_fuzz(seed, h, w, with_alpha):
     meta = C.decode_bmp_meta(raw)
     assert (meta["width"], meta["height"]) == (w, h)
     np.testing.assert_array_equal(C.decode_bmp_pixels(raw), px)
+
+
+@given(
+    seed=st.integers(0, 10_000),
+    h=st.integers(1, 24),
+    w=st.integers(1, 24),
+    pred=st.integers(1, 7),
+    rst=st.sampled_from([0, 1, 7]),
+    pt=st.sampled_from([0, 0, 0, 2]),
+    gray=st.booleans(),
+)
+@settings(max_examples=40, deadline=None)
+def test_jpeg_lossless_roundtrip_fuzz(seed, h, w, pred, rst, pt, gray):
+    """Lossless SOF3 over pure noise (every difference category), any shape
+    down to 1x1, every predictor, with/without restarts and point
+    transform: encode is deterministic and decode is BIT-exact (up to the
+    Pt low bits dropped by design)."""
+    rng = np.random.RandomState(seed)
+    shape = (h, w) if gray else (h, w, 3)
+    img = rng.randint(0, 256, size=shape, dtype=np.uint8)
+    raw = J.encode_jpeg_lossless(
+        img, predictor=pred, point_transform=pt, restart_interval=rst
+    )
+    assert raw == J.encode_jpeg_lossless(
+        img, predictor=pred, point_transform=pt, restart_interval=rst
+    )
+    meta = J.decode_jpeg_meta(raw)
+    assert (meta["width"], meta["height"]) == (w, h)
+    dec = J.decode_jpeg_pixels(raw)
+    want = (img >> pt) << pt
+    if gray:
+        want = np.stack([want] * 3, axis=2)
+    assert np.array_equal(dec, want)
+
+
+@given(seed=st.integers(0, 1000), cut=st.floats(0.3, 0.95))
+@settings(max_examples=20, deadline=None)
+def test_jpeg_lossless_truncated_stream_raises_cleanly(seed, cut):
+    """A truncated lossless entropy stream raises ValueError (truncated /
+    invalid-code / missing-SOS), never an opaque numpy/index error."""
+    import pytest
+
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 256, size=(9, 11, 3), dtype=np.uint8)
+    raw = J.encode_jpeg_lossless(img, predictor=4)
+    clipped = raw[: max(4, int(len(raw) * cut))]
+    with pytest.raises((ValueError, NotImplementedError)):
+        J.decode_jpeg_pixels(clipped)
