@@ -179,6 +179,24 @@ def main() -> None:
         timed(name, lambda n=name: registry.QUERIES[n](spark, SF_DIR).count(),
               repeats=2)
 
+    # pair mining (round 10): margin-based bitext over the hash-split
+    # halves, THROUGHPUT form (both k-NN directions through the
+    # broadcast-query Arrow scan; the registry query pins the window/SQL
+    # oracle tier)
+    from filtered_ads_vector_search_spark.operators.filters import is_query_col
+    from filtered_ads_vector_search_spark.operators.mining import mine_bitext
+
+    _emb_mine = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    timed(
+        "bitext_mine_scalable",
+        lambda: mine_bitext(
+            _emb_mine.filter(is_query_col(F.col("vec_id"))),
+            _emb_mine.filter(~is_query_col(F.col("vec_id"))),
+            k=4,
+            kernel="scalable",
+        ).count(),
+    )
+
     # SemDeDup at a scale-shaped cluster count (the registry query pins the
     # oracle-checkable n_clusters=8 toy, whose |cluster|^2 pair cost is the
     # published algorithm but not the benchmark-relevant configuration)

@@ -5055,6 +5055,123 @@ SELECT query_id, CAST({K} AS BIGINT) AS n_results, TRUE AS floor_met FROM q
 """
 
 
+def _bitext_mine_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk 2019, the CCMatrix /
+    LASER recipe; operators/mining.py): the hash-split halves of the
+    embeddings table stand in for the source / target embedding spaces,
+    and every source row reports its best-margin target under the ratio
+    margin cos(x,y) / (avgk(x)/2 + avgk(y)/2). Penalty folds are
+    order-fixed (sorted by neighbor id — the bm25 discipline) so the
+    margin argmax is bit-stable across engines; the oracle recomputes the
+    whole pipeline — both k-NN directions, both penalties, the margin,
+    the argmax — from the crossJoin form."""
+    from .operators.mining import mine_bitext
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    src = emb.filter(FL.is_query_col(F.col("vec_id")))
+    tgt = emb.filter(~FL.is_query_col(F.col("vec_id")))
+    out = mine_bitext(src, tgt, k=4)
+    return out.select(
+        "src_id",
+        "tgt_id",
+        F.round("cos", 4).alias("cos"),
+        F.round("margin", 4).alias("margin"),
+    )
+
+
+def _bitext_mine_sql() -> str:
+    d_fwd = V.cosine_distance_sql("s.embedding", "t.embedding")
+    d_bwd = V.cosine_distance_sql("t.embedding", "s.embedding")
+    fold = (
+        "list_reduce(list_prepend(0.0, list(cos ORDER BY {nid} ASC)), "
+        "(acc, x) -> acc + x) / count(*)"
+    )
+    return f"""
+WITH s AS (
+  SELECT vec_id, embedding FROM embeddings WHERE {FL.is_query_sql('vec_id')}
+), t AS (
+  SELECT vec_id, embedding FROM embeddings WHERE NOT {FL.is_query_sql('vec_id')}
+), fd AS (
+  SELECT s.vec_id AS src_id, t.vec_id AS tgt_id, {d_fwd} AS dist
+  FROM s CROSS JOIN t
+), fr AS (
+  SELECT src_id, tgt_id, 1.0 - dist AS cos,
+         row_number() OVER (PARTITION BY src_id
+                            ORDER BY dist ASC, tgt_id ASC) AS rnk
+  FROM fd
+), fwd AS (SELECT * FROM fr WHERE rnk <= 4),
+bd AS (
+  SELECT t.vec_id AS tgt_id, s.vec_id AS src_id, {d_bwd} AS dist
+  FROM t CROSS JOIN s
+), br AS (
+  SELECT tgt_id, src_id, 1.0 - dist AS cos,
+         row_number() OVER (PARTITION BY tgt_id
+                            ORDER BY dist ASC, src_id ASC) AS rnk
+  FROM bd
+), bwd AS (SELECT * FROM br WHERE rnk <= 4),
+ps AS (
+  SELECT src_id, {fold.format(nid='tgt_id')} AS avgk_src FROM fwd GROUP BY 1
+), pt AS (
+  SELECT tgt_id, {fold.format(nid='src_id')} AS avgk_tgt FROM bwd GROUP BY 1
+), cand AS (
+  SELECT f.src_id, f.tgt_id, f.cos,
+         f.cos / (ps.avgk_src / 2.0 + pt.avgk_tgt / 2.0) AS margin
+  FROM fwd f
+  JOIN ps ON ps.src_id = f.src_id
+  JOIN pt ON pt.tgt_id = f.tgt_id
+), best AS (
+  SELECT src_id, tgt_id, cos, margin,
+         row_number() OVER (PARTITION BY src_id
+                            ORDER BY margin DESC, tgt_id ASC) AS b
+  FROM cand
+)
+SELECT src_id, tgt_id, round(cos, 4) AS cos, round(margin, 4) AS margin
+FROM best WHERE b = 1
+"""
+
+
+def _hard_negatives_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPR-style hard-negative mining (Karpukhin et al. 2020;
+    operators/mining.py): gold positives are each query's exact cosine
+    top-1, and the mined negatives are the next k nearest non-positive
+    corpus rows, re-ranked. The oracle re-derives positives AND negatives
+    from one ranked crossJoin."""
+    from .operators.mining import mine_hard_negatives
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    q, c = TK.split_queries(emb)
+    pos = TK.knn_window(q, c, k=1, metric="cosine").select(
+        "query_id", F.col("neighbor_id").alias("pos_id")
+    )
+    out = mine_hard_negatives(q, c, pos, k=5)
+    return out.select(
+        "query_id", "neighbor_id", "rank", F.round("cos", 4).alias("cos")
+    )
+
+
+def _hard_negatives_sql() -> str:
+    dist = V.cosine_distance_sql("q.q_vec", "c.embedding")
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings
+  WHERE {FL.is_query_sql('vec_id')}
+), c AS (
+  SELECT vec_id AS neighbor_id, embedding FROM embeddings
+  WHERE NOT {FL.is_query_sql('vec_id')}
+), d AS (
+  SELECT q.query_id, c.neighbor_id, {dist} AS dist FROM q CROSS JOIN c
+), r AS (
+  SELECT query_id, neighbor_id, 1.0 - dist AS cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dist ASC, neighbor_id ASC) AS rnk
+  FROM d
+)
+SELECT query_id, neighbor_id, CAST(rnk - 1 AS INT) AS rank,
+       round(cos, 4) AS cos
+FROM r WHERE rnk BETWEEN 2 AND 6
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -5261,6 +5378,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "opq_codes": _opq_codes_spark,
     "knn_opq_adc": _knn_opq_adc_spark,
     "knn_ivfpq_opq": _knn_ivfpq_opq_spark,
+    "bitext_mine": _bitext_mine_spark,
+    "hard_negatives": _hard_negatives_spark,
 }
 
 # ROUND-6 ROTATION. The driver verifies the first 50 entries of queries()
@@ -5782,6 +5901,8 @@ ORACLES: dict[str, str] = {
     "opq_codes": _opq_codes_sql(),
     "knn_opq_adc": _knn_opq_adc_sql(),
     "knn_ivfpq_opq": _knn_ivfpq_opq_sql(),
+    "bitext_mine": _bitext_mine_sql(),
+    "hard_negatives": _hard_negatives_sql(),
     "multimodal_decode_jpeg": _multimodal_decode_jpeg_sql(),
     "multimodal_decode_jpeg_prog": _multimodal_decode_jpeg_sql(),
     "multimodal_decode_jpeg_lossless": _multimodal_decode_jpeg_lossless_sql(),
