@@ -5693,10 +5693,12 @@ QUERIES = {
 # twin of stratified_topn, in this prefix), substr_dup_stats (stats twin of
 # r9-green substr_dedup_remove), PLUS doc_simhash (deferred late in round
 # 10 to make room for the new lossless-JPEG query; its simhash arithmetic
-# is pinned end-to-end by dedup_simhash_banded, in this prefix) — MUST
-# lead the r11 prefix together with the 49-strong r8-vintage cohort
-# (6 + 44 of 49 fit one prefix; the remaining 5 r8-vintage ride to r12,
-# still within N-2 at that point).
+# is pinned end-to-end by dedup_simhash_banded, in this prefix), PLUS the
+# two pair-mining queries NEW late in round 10 and never driver-green —
+# bitext_mine (Artetxe & Schwenk margin, fully value-oracled) and
+# hard_negatives (DPR recipe) — MUST lead the r11 prefix together with
+# the 49-strong r8-vintage cohort (8 + 42 of 49 fit one prefix; the
+# remaining 7 r8-vintage ride to r12, still within N-2 at that point).
 _R10_PREFIX: list[str] = [
     # (a) the nine never-driver-green r9 queries
     "range_search_exact",
