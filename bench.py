@@ -196,6 +196,23 @@ def main() -> None:
             kernel="scalable",
         ).count(),
     )
+    # round 11: the mining ANN tier — both k-NN directions through the
+    # probed IVF path (one cosine index per direction, built inside the
+    # timed region: the corpus-scale form amortizes builds via the
+    # fwd_index/bwd_index handles, but the bench row tracks the
+    # self-contained operator). repeats=2, the trained-build discipline.
+    timed(
+        "bitext_mine_ivf",
+        lambda: mine_bitext(
+            _emb_mine.filter(is_query_col(F.col("vec_id"))),
+            _emb_mine.filter(~is_query_col(F.col("vec_id"))),
+            k=4,
+            kernel="ivf",
+            nprobe=12,
+            n_centroids=16,
+        ).count(),
+        repeats=2,
+    )
 
     # SemDeDup at a scale-shaped cluster count (the registry query pins the
     # oracle-checkable n_clusters=8 toy, whose |cluster|^2 pair cost is the

@@ -399,9 +399,12 @@ def _lossless_diffs(
     """Per-sample prediction differences (mod 2^16) of one component plane,
     vectorized: reconstruction is exact, so every neighbor equals the source
     sample and Ra/Rb/Rc come straight from shifted views. Boundary rules per
-    T.81 H.1.2.1: sample (0,0) (and the first sample of every restart
-    interval) predicts from ``default`` = 2^(P-Pt-1), the rest of line 0
-    from Ra, the rest of column 0 from Rb."""
+    T.81 H.1.2.1: the first sample of the scan and of every restart
+    interval predicts from ``default`` = 2^(P-Pt-1); the rest of the FIRST
+    LINE of the scan and of each restart interval (up to the end of the
+    image row the interval starts in) uses the 1-D horizontal predictor
+    Ra regardless of the selected predictor; the first sample of every
+    other line uses Rb."""
     p = plane.astype(np.int64)
     h, w = p.shape
     ra = np.zeros_like(p)
@@ -433,7 +436,18 @@ def _lossless_diffs(
     pred[0, 0] = default
     flat = pred.reshape(-1)
     if restart_interval:
-        flat[restart_interval::restart_interval] = default
+        # H.1.2.1 restart rules: the first line of each interval (from the
+        # interval's first sample to the end of the image row it starts in)
+        # predicts with Ra; the first sample itself with ``default``.  Row
+        # segments past an interval's end belong to the NEXT interval's
+        # first line, so blanket Ra-to-end-of-row per start is exact.
+        flat_p = p.reshape(-1)
+        starts = np.arange(0, h * w, restart_interval)
+        for s in starts[1:]:
+            row_end = (s // w + 1) * w
+            if s + 1 < row_end:
+                flat[s + 1 : row_end] = flat_p[s : row_end - 1]
+        flat[starts] = default
     return (p - pred) & 0xFFFF
 
 
@@ -524,8 +538,10 @@ def _scan_lossless(
 ) -> None:
     """Single lossless scan (T.81 Annex H): each MCU is one sample per
     component; the Huffman symbol is the difference category (SSSS 0..16,
-    16 = diff 32768 with no appended bits), prediction per H.1.2.1 with the
-    2^(P-Pt-1) default at scan/restart-interval starts."""
+    16 = diff 32768 with no appended bits), prediction per H.1.2.1: the
+    2^(P-Pt-1) default at scan/restart-interval starts, the 1-D Ra
+    predictor for the rest of each interval's first line, Rb at the start
+    of other lines, the selected predictor elsewhere."""
     total = w * h
     per_seg = restart_interval if restart_interval else total
     default = 1 << (precision - pt - 1)
@@ -535,6 +551,7 @@ def _scan_lossless(
             break
         br = _BitReader(seg)
         fresh = True
+        seg_first_row = mcu // w
         seg_end = min(total, mcu + per_seg)
         while mcu < seg_end:
             y, x = divmod(mcu, w)
@@ -545,8 +562,10 @@ def _scan_lossless(
                 diff = 32768 if t == 16 else _extend(br.read(t), t)
                 if fresh:
                     px = default
-                elif y == 0:
-                    px = int(samples[0, x - 1])
+                elif y == seg_first_row:
+                    # H.1.2.1: the first line of the scan / of each restart
+                    # interval uses the 1-D Ra predictor
+                    px = int(samples[y, x - 1])
                 elif x == 0:
                     px = int(samples[y - 1, 0])
                 else:

@@ -640,6 +640,14 @@ def _compact_layout(
     return compacted.count()
 
 
+# JL seeding sketch thresholds (see _kmeans_numpy): the gate at 256 keeps
+# every <=255-d trained artifact (all 64-d anchors) bit-identical to prior
+# rounds; 128 sketch dims hold pairwise D^2 weights within ~12% at the
+# 100k-sample scale (JL bound), far inside what Lloyd refinement absorbs.
+_SEED_PROJ_MIN_DIM = 256
+_SEED_PROJ_DIM = 128
+
+
 def _kmeans_numpy(
     X: np.ndarray, k: int, seed: int, max_iter: int, n_init: int = 4
 ) -> np.ndarray:
@@ -657,26 +665,53 @@ def _kmeans_numpy(
     n = X.shape[0]
     xn = (X * X).sum(axis=1)
 
+    # high-dim seeding sketch (round 11): at d >= _SEED_PROJ_MIN_DIM the
+    # k-means++ D^2-sampling distances run in a JL sign-projected space
+    # (one GEMM up front) instead of full dimension — the seeding loop is
+    # k sequential full-matrix passes (n x d memory traffic each), which
+    # the 768-d build profile showed is dimension-driven. JL preserves the
+    # relative D^2 weights within epsilon, the SELECTED seeds are full-dim
+    # rows of X (picked by index), and Lloyd below refines in full
+    # dimension — seeding quality differences wash out by iteration 2
+    # (same argument as FAISS training on a subsample). The projection is
+    # seeded from `seed` alone, so the fit stays deterministic and
+    # partition-invariant; the d < 256 gate keeps every 64-d anchored
+    # artifact bit-identical to prior rounds.
+    d_full = X.shape[1]
+    if d_full >= _SEED_PROJ_MIN_DIM:
+        rng_p = np.random.RandomState(seed ^ 0x5EED)
+        R = rng_p.choice(
+            (-1.0, 1.0), size=(d_full, _SEED_PROJ_DIM)
+        ) / np.sqrt(_SEED_PROJ_DIM)
+        Xs = X @ R
+    else:
+        Xs = X
+    xsn = xn if Xs is X else (Xs * Xs).sum(axis=1)
+
     def one_run(rng: np.random.RandomState) -> tuple[float, np.ndarray]:
-        # k-means++ seeding. Per-candidate distances use the same
-        # ||x||^2 - 2 x.c + ||c||^2 expansion as the Lloyd step below (one
-        # dot product per point instead of a materialized (n x d) diff —
-        # the seeding loop was most of the fit's wall time at k=512),
-        # clamped at 0 so rounding can't hand rng.choice a negative weight.
-        centroids = np.empty((k, X.shape[1]), dtype=np.float64)
+        # k-means++ seeding (in the sketch space when projected). Per-
+        # candidate distances use the same ||x||^2 - 2 x.c + ||c||^2
+        # expansion as the Lloyd step below (one dot product per point
+        # instead of a materialized (n x d) diff — the seeding loop was
+        # most of the fit's wall time at k=512), clamped at 0 so rounding
+        # can't hand rng.choice a negative weight.
+        centroids = np.empty((k, d_full), dtype=np.float64)
 
-        def d2_to(c: np.ndarray) -> np.ndarray:
-            return np.maximum(xn - 2.0 * (X @ c) + c @ c, 0.0)
+        def d2_to(i: int) -> np.ndarray:
+            c = Xs[i]
+            return np.maximum(xsn - 2.0 * (Xs @ c) + c @ c, 0.0)
 
-        centroids[0] = X[rng.randint(n)]
-        d2 = d2_to(centroids[0])
+        i0 = rng.randint(n)
+        centroids[0] = X[i0]
+        d2 = d2_to(i0)
         for j in range(1, k):
             tot = d2.sum()
             if tot <= 0:
-                centroids[j] = X[rng.randint(n)]
+                ij = rng.randint(n)
             else:
-                centroids[j] = X[rng.choice(n, p=d2 / tot)]
-            d2 = np.minimum(d2, d2_to(centroids[j]))
+                ij = rng.choice(n, p=d2 / tot)
+            centroids[j] = X[ij]
+            d2 = np.minimum(d2, d2_to(ij))
         dmin = d2
         # one reusable (n x k) GEMM buffer for the whole Lloyd loop: at
         # k=4096 the buffer is 3.3 GB, and the alloc/fault/free cycle plus
@@ -747,6 +782,13 @@ def _kmeans_numpy(
     if k >= 4096:
         n_init = min(n_init, 1)
     elif k >= 2048:
+        n_init = min(n_init, 2)
+    # same budget discipline on the n*d axis (round 11): per-restart cost
+    # is linear in d while restart variance is not — the 768-d profile
+    # showed the 512c coarse fit at n_init=4 costing 147.5 s of a 266.5 s
+    # IVFPQ build. The d gate matches the seeding sketch's, so <=255-d
+    # anchors keep their full restart count (bit-identical artifacts).
+    if X.shape[1] >= _SEED_PROJ_MIN_DIM:
         n_init = min(n_init, 2)
     n_runs = max(1, n_init)
     per_run_bytes = X.shape[0] * k * 8 * 2  # G + assignment temporaries

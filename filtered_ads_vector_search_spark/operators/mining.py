@@ -34,19 +34,58 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions import vector as V
 from .topk import knn_scalable, knn_window
 
 __all__ = ["mine_bitext", "mine_hard_negatives"]
 
+_KERNELS = ("window", "scalable", "ivf")
+
+
+def _unit_norm(df: DataFrame, vec_col: str) -> DataFrame:
+    """L2-normalize an array column (zero vectors -> NULL elements via the
+    nullif guard, same convention as vec_cosine_distance). Cosine itself is
+    scale-invariant; normalization exists so the IVF tier's SQEUCLIDEAN
+    coarse quantizer (training, assignment, probe ranking) orders cells by
+    cosine — on unit vectors d2 = 2 - 2*cos, the FAISS normalize-then-L2
+    recipe for cosine indexes."""
+    n = F.nullif(V.vec_norm(F.col(vec_col)), F.lit(0.0))
+    return df.withColumn(
+        vec_col, F.transform(F.col(vec_col), lambda x: x.cast("double") / n)
+    )
+
 
 def _knn_cos(
-    queries: DataFrame, corpus: DataFrame, k: int, kernel: str
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    kernel: str,
+    nprobe: int = 8,
+    n_centroids: int = 64,
+    index=None,
 ) -> DataFrame:
     """(query_id, neighbor_id, rank, cos) — cosine similarity top-k via the
     chosen physical form (window = declarative oracle tier, scalable = the
-    broadcast-query Arrow scan)."""
-    fn = knn_window if kernel == "window" else knn_scalable
-    out = fn(queries, corpus, k=k, metric="cosine")
+    broadcast-query Arrow scan, ivf = the approximate probed tier for
+    corpus scale: only nprobe/n_centroids of the corpus is scored per
+    query, the reference's own approximate-above-exact-oracle play)."""
+    if kernel == "ivf":
+        from .ann import IVFIndex
+
+        if index is None:
+            index = IVFIndex.build(
+                _unit_norm(corpus.select("vec_id", "embedding"), "embedding"),
+                n_centroids=n_centroids,
+                metric="cosine",
+            )
+        out = index.search(
+            _unit_norm(queries.select("query_id", "q_vec"), "q_vec"),
+            k=k,
+            nprobe=nprobe,
+        )
+    else:
+        fn = knn_window if kernel == "window" else knn_scalable
+        out = fn(queries, corpus, k=k, metric="cosine")
     # distance_col('cosine') is 1 - cos
     return out.withColumn("cos", F.lit(1.0) - F.col("dist")).drop("dist")
 
@@ -59,6 +98,10 @@ def mine_bitext(
     kernel: str = "window",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    nprobe: int = 8,
+    n_centroids: int = 64,
+    fwd_index=None,
+    bwd_index=None,
 ) -> DataFrame:
     """Margin-mined candidate pairs: one row per source vector — its
     best-margin target under the ratio margin — columns
@@ -69,10 +112,16 @@ def mine_bitext(
     ``kernel='window'`` runs both k-NN directions through the declarative
     window form (the DuckDB-oracle tier); ``'scalable'`` swaps in the
     broadcast-query Arrow scan — identical results (the knn_scalable
-    contract), corpus-scale physicals.
+    contract), corpus-scale physicals. ``kernel='ivf'`` routes both
+    directions through the probed IVF tier (one index per direction over
+    unit-normalized vectors; margin penalties come from the SAME
+    approximate k-NN lists, the CCMatrix/LASER production recipe) —
+    approximate, governed by ``nprobe``/``n_centroids``; pass prebuilt
+    cosine indexes over the normalized tgt/src as ``fwd_index`` /
+    ``bwd_index`` to amortize builds across mining calls.
     """
-    if kernel not in ("window", "scalable"):
-        raise ValueError(f"kernel must be 'window' or 'scalable'; got {kernel!r}")
+    if kernel not in _KERNELS:
+        raise ValueError(f"kernel must be one of {_KERNELS}; got {kernel!r}")
     if k < 1:
         raise ValueError("k must be >= 1")
     s = src.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
@@ -82,9 +131,9 @@ def mine_bitext(
 
     # forward: every source's k nearest targets (candidates AND the x-side
     # penalty come from this ONE k-NN job)
-    fwd = _knn_cos(s, tgt_c, k, kernel)
+    fwd = _knn_cos(s, tgt_c, k, kernel, nprobe, n_centroids, fwd_index)
     # backward: every target's k nearest sources — the y-side penalty only
-    bwd = _knn_cos(t, src_c, k, kernel)
+    bwd = _knn_cos(t, src_c, k, kernel, nprobe, n_centroids, bwd_index)
 
     # order-fixed penalty fold (the bm25_search discipline): per id, sort
     # the k neighbor cosines by neighbor_id and sum ascending — the same
@@ -135,28 +184,42 @@ def mine_hard_negatives(
     k: int = 5,
     fetch: int | None = None,
     kernel: str = "window",
+    nprobe: int = 8,
+    n_centroids: int = 64,
+    index=None,
 ) -> DataFrame:
     """Per query, the ``k`` nearest corpus rows that are NOT gold positives
     — (query_id, neighbor_id, rank, cos), rank 1..k re-numbered after the
-    positives are removed (ties broken by (cos DESC, neighbor_id ASC),
-    matching every other top-k in the engine).
+    positives are removed. The re-rank preserves the underlying k-NN
+    order (dist ASC, neighbor_id ASC) by sorting on the raw retrieval
+    rank, NOT the derived ``cos`` — for distances within ~1 ulp of 0 the
+    float ``1 - dist`` collapses distinct distances to identical cosines,
+    and ordering by the raw rank keeps the result bit-stable against the
+    (dist ASC, id ASC) DuckDB oracle on near-duplicate vectors.
 
     ``positives``: (query_id, pos_id) gold pairs. ``fetch`` is how many
     raw neighbors to pull before the anti-join — it must be at least
     ``k + max positives per query`` for every query to keep k negatives;
-    default ``k + 1 + max per-query positive count`` computed with one
+    default ``k + max per-query positive count`` computed with one
     tiny aggregate over ``positives`` (id-keyed, never corpus-sized).
 
     queries: (query_id, q_vec); corpus: (vec_id, embedding).
+
+    ``kernel='ivf'`` retrieves through the probed IVF tier (approximate,
+    governed by ``nprobe``/``n_centroids``; pass a prebuilt cosine
+    ``index`` over the unit-normalized corpus to amortize the build) —
+    the DPR production shape, where negatives come from the serving ANN
+    index rather than an exact scan.
     """
-    if kernel not in ("window", "scalable"):
-        raise ValueError(f"kernel must be 'window' or 'scalable'; got {kernel!r}")
+    if kernel not in _KERNELS:
+        raise ValueError(f"kernel must be one of {_KERNELS}; got {kernel!r}")
     if fetch is None:
         row = positives.groupBy("query_id").count().agg(F.max("count")).first()
         fetch = k + int(row[0] or 0)
     if fetch < k:
         raise ValueError(f"fetch={fetch} cannot be < k={k}")
-    raw = _knn_cos(queries, corpus, fetch, kernel)
+    raw = _knn_cos(queries, corpus, fetch, kernel, nprobe, n_centroids, index)
+    raw = raw.withColumnRenamed("rank", "raw_rank")
     negs = raw.join(
         positives.select(
             F.col("query_id"), F.col("pos_id").alias("neighbor_id")
@@ -164,9 +227,10 @@ def mine_hard_negatives(
         ["query_id", "neighbor_id"],
         "left_anti",
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("neighbor_id").asc()
-    )
+    # re-rank by the RAW retrieval rank (which already encodes dist ASC,
+    # neighbor_id ASC) — not by the derived cos, which can collapse
+    # distinct sub-ulp distances and flip the tie-break vs the oracle
+    w = Window.partitionBy("query_id").orderBy(F.col("raw_rank").asc())
     return (
         negs.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

@@ -5172,6 +5172,111 @@ FROM r WHERE rnk BETWEEN 2 AND 6
 """
 
 
+# mining ANN tier (round 11): fixed probe config + overlap floors for the
+# recall contracts. nprobe 12/16 measured at both gate SFs: bitext pair
+# overlap 1.0 (sf0.001 AND sf0.01), hard-negative per-query overlap
+# mean 0.91-0.98 / min 0.8 — the 0.4 per-query floor carries 2x margin
+# (the ann_ivf discipline), while a broken probe/assignment scores ~0.
+MINING_ANN_NPROBE, MINING_ANN_CENTROIDS = 12, 16
+BITEXT_ANN_OVERLAP_FLOOR = 0.9
+HARDNEG_ANN_OVERLAP_FLOOR = 0.4
+
+
+def _bitext_mine_ann_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitext mining through the probed IVF tier (kernel='ivf',
+    operators/mining.py — both k-NN directions AND the margin penalties
+    come from the approximate lists, the CCMatrix production shape) as a
+    VALUE-ORACLED contract row: the trained coarse quantizer is
+    non-SQL-expressible, but the tier's contract IS — the exact tier
+    yields one pair per source, and the ANN tier's mined-pair overlap
+    against it clears BITEXT_ANN_OVERLAP_FLOOR at the pinned probe
+    config. The oracle pins (pair count from the split SQL, floor TRUE),
+    so a probe-ranking, normalization, or penalty regression flips
+    floor_met and hash-fails. Values (margin arithmetic, folds, argmax)
+    stay bit-oracled via bitext_mine."""
+    from .operators.mining import mine_bitext
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    src = emb.filter(FL.is_query_col(F.col("vec_id")))
+    tgt = emb.filter(~FL.is_query_col(F.col("vec_id")))
+    exact = mine_bitext(src, tgt, k=4).select("src_id", "tgt_id")
+    ann = mine_bitext(
+        src,
+        tgt,
+        k=4,
+        kernel="ivf",
+        nprobe=MINING_ANN_NPROBE,
+        n_centroids=MINING_ANN_CENTROIDS,
+    ).select("src_id", "tgt_id", F.lit(1).alias("hit"))
+    return exact.join(ann, ["src_id", "tgt_id"], "left").agg(
+        F.count("*").alias("n_pairs"),
+        (
+            (F.sum(F.coalesce(F.col("hit"), F.lit(0))) / F.count("*"))
+            >= F.lit(BITEXT_ANN_OVERLAP_FLOOR)
+        ).alias("floor_met"),
+    )
+
+
+def _bitext_mine_ann_sql() -> str:
+    return f"""
+SELECT CAST(count(*) AS BIGINT) AS n_pairs, TRUE AS floor_met
+FROM embeddings WHERE {FL.is_query_sql('vec_id')}
+"""
+
+
+def _hard_negatives_ann_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPR hard-negative mining through the probed IVF tier (the
+    production shape: negatives come from the serving ANN index) as a
+    per-query contract row, the ann_ivf pattern: every query keeps
+    exactly k negatives and its negative-set overlap vs the exact tier
+    clears HARDNEG_ANN_OVERLAP_FLOOR (0.4 — 2x margin under the measured
+    min 0.8 at both gate SFs; a broken probe or anti-join scores ~0)."""
+    from .operators.mining import mine_hard_negatives
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    q, c = TK.split_queries(emb)
+    pos = TK.knn_window(q, c, k=1, metric="cosine").select(
+        "query_id", F.col("neighbor_id").alias("pos_id")
+    )
+    exact = mine_hard_negatives(q, c, pos, k=5)
+    ann = mine_hard_negatives(
+        q,
+        c,
+        pos,
+        k=5,
+        kernel="ivf",
+        nprobe=MINING_ANN_NPROBE,
+        n_centroids=MINING_ANN_CENTROIDS,
+    )
+    hits = (
+        exact.select("query_id", "neighbor_id")
+        .join(ann.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg((F.count("*") / F.lit(5)).alias("overlap_q"))
+    )
+    per_q = (
+        ann.groupBy("query_id")
+        .agg(F.count("*").alias("n_results"))
+        .join(hits, "query_id", "left")
+        .na.fill({"overlap_q": 0.0})
+    )
+    return q.select("query_id").join(per_q, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("n_results"), F.lit(0)).alias("n_results"),
+        (
+            F.coalesce(F.col("overlap_q"), F.lit(0.0))
+            >= F.lit(HARDNEG_ANN_OVERLAP_FLOOR)
+        ).alias("floor_met"),
+    )
+
+
+def _hard_negatives_ann_sql() -> str:
+    return f"""
+SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS n_results, TRUE AS floor_met
+FROM embeddings WHERE {FL.is_query_sql('vec_id')}
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -5380,6 +5485,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_ivfpq_opq": _knn_ivfpq_opq_spark,
     "bitext_mine": _bitext_mine_spark,
     "hard_negatives": _hard_negatives_spark,
+    "bitext_mine_ann": _bitext_mine_ann_spark,
+    "hard_negatives_ann": _hard_negatives_ann_spark,
 }
 
 # ROUND-6 ROTATION. The driver verifies the first 50 entries of queries()
@@ -5760,6 +5867,91 @@ QUERIES = {
     **{k: v for k, v in QUERIES.items() if k not in _R10_PREFIX},
 }
 
+# Round-11 rotation, executing the two-round plan the _R10_PREFIX comment
+# documents: lead with (a) the TWO queries with zero driver-green history
+# — bitext_mine and hard_negatives (landed late in round 10 behind the
+# frozen prefix) — plus (b) the six deferred r7-vintage queries
+# (dedup_components, decontaminate, multimodal_decode_jpeg_prog,
+# stratified_sample, substr_dup_stats, doc_simhash), then (c) the TWO
+# queries NEW this round — the mining ANN-tier recall contracts
+# bitext_mine_ann and hard_negatives_ann (kernel='ivf') — then (d) 40 of
+# the 49-query r8-vintage cohort (now two rounds stale). 2+6+2+40=50.
+# The NINE r8-vintage queries deferred to r12 each have a same-machinery
+# twin INSIDE this prefix, so their code paths are still driver-covered:
+# knn_filtered_low / knn_filtered_mid (same _knn_sql oracle family and
+# filters.py predicate as knn_filtered_high, in this prefix),
+# latency_percentiles_v2 (per-worker variant of latency_percentiles, in
+# this prefix), embedding_dup_pairs_lsh (LSH-bucketed twin of
+# embedding_dup_pairs, in this prefix; its banding is also pinned by
+# ann_lsh, in this prefix), multimodal_meta / multimodal_resize (same
+# decode plumbing as multimodal_decode, in this prefix),
+# knn_hamming_packed (bit-packed twin of knn_hamming, in this prefix),
+# and tpch_q11 / tpch_q12 (plain join+agg+having shapes whose machinery
+# is covered by tpch_q9/q20/q21 and orders_pivot, in this prefix).
+# They MUST lead the r12 prefix (still within the N-2 freshness rule:
+# r8-green, rotated back by r12).
+_R11_PREFIX: list[str] = [
+    # (a) never driver-green — the round-10 mining family
+    "bitext_mine",
+    "hard_negatives",
+    # (b) deferred r7-vintage queries
+    "dedup_components",
+    "decontaminate",
+    "multimodal_decode_jpeg_prog",
+    "stratified_sample",
+    "substr_dup_stats",
+    "doc_simhash",
+    # (c) new in round 11 — mining ANN-tier recall contracts
+    "bitext_mine_ann",
+    "hard_negatives_ann",
+    # (d) r8-vintage cohort (40 of 49; deferrals documented above)
+    "pq_codes_blas",
+    "knn_ivfpq_decomposed",
+    "knn_sharded",
+    "multimodal_decode",
+    "knn_ivfpq_fixed",
+    "knn_ivfpq_rerank",
+    "ann_lsh",
+    "best_order_per_priority",
+    "decontaminate_bloom",
+    "dedup_exact",
+    "doc_fingerprint",
+    "embed_pipeline",
+    "embedding_dup_pairs",
+    "filter_selectivity",
+    "frame_sample_counts",
+    "grid_params",
+    "knn_blockwise",
+    "knn_cosine",
+    "knn_filtered_high",
+    "knn_fp16",
+    "knn_hamming",
+    "knn_inner_product",
+    "knn_pq_adc",
+    "knn_sq8",
+    "knn_sq8_filtered_high",
+    "lang_id",
+    "latency_percentiles",
+    "min_token_filter",
+    "orders_pivot",
+    "pq_codes",
+    "rating_histogram",
+    "recall_curve_sq8",
+    "recall_sq8_vs_fp",
+    "semdedup_pairs",
+    "sq8_train_bounds",
+    "token_counts",
+    "tpch_q20",
+    "tpch_q21",
+    "tpch_q9",
+    "vector_norms",
+]
+assert len(_R11_PREFIX) == 50 and len(set(_R11_PREFIX)) == 50
+QUERIES = {
+    **{k: QUERIES[k] for k in _R11_PREFIX},
+    **{k: v for k, v in QUERIES.items() if k not in _R11_PREFIX},
+}
+
 ORACLES: dict[str, str] = {
     "knn_exact": _knn_sql("sqeuclidean"),
     "knn_filtered_high": _knn_sql("sqeuclidean", filter_name="high_rated"),
@@ -5905,6 +6097,8 @@ ORACLES: dict[str, str] = {
     "knn_ivfpq_opq": _knn_ivfpq_opq_sql(),
     "bitext_mine": _bitext_mine_sql(),
     "hard_negatives": _hard_negatives_sql(),
+    "bitext_mine_ann": _bitext_mine_ann_sql(),
+    "hard_negatives_ann": _hard_negatives_ann_sql(),
     "multimodal_decode_jpeg": _multimodal_decode_jpeg_sql(),
     "multimodal_decode_jpeg_prog": _multimodal_decode_jpeg_sql(),
     "multimodal_decode_jpeg_lossless": _multimodal_decode_jpeg_lossless_sql(),

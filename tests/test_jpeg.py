@@ -387,6 +387,41 @@ def test_jpeg_lossless_restart_intervals_exact():
             assert any(bytes([0xFF, 0xD0 + k]) in raw for k in range(8))
 
 
+def test_jpeg_lossless_restart_first_line_uses_ra():
+    """T.81 H.1.2.1: the first LINE of each restart interval predicts with
+    the 1-D Ra predictor regardless of the selected predictor (not just a
+    default reset of the first sample). Checked directly on the encoder's
+    difference stream for a row-aligned and a mid-row interval, plus the
+    bit-exact roundtrip for every 2-D predictor."""
+    rng = np.random.RandomState(11)
+    plane = rng.randint(0, 256, size=(6, 8), dtype=np.uint8)
+    p = plane.astype(np.int64)
+    h, w = p.shape
+    for ri in (w, 5):  # row-aligned and mid-row restarts
+        diffs = J._lossless_diffs(p, predictor=2, default=128, restart_interval=ri)
+        for s in range(0, h * w, ri):
+            r0, c0 = divmod(s, w)
+            # first sample of the interval: default prediction
+            assert diffs[r0, c0] == (p[r0, c0] - 128) & 0xFFFF, (ri, s)
+            # rest of the interval's first line (clipped to the interval's
+            # own samples): Ra, NOT the selected Rb
+            for c in range(c0 + 1, min(c0 + ri, w)):
+                assert diffs[r0, c] == (p[r0, c] - p[r0, c - 1]) & 0xFFFF, (ri, s, c)
+    # lines past an interval's first line: the selected predictor resumes
+    # (with pre-restart neighbors available to the decoder) — interval of
+    # two rows, second row of each interval must be Rb again
+    diffs = J._lossless_diffs(p, predictor=2, default=128, restart_interval=2 * w)
+    for r in (1, 3, 5):
+        assert diffs[r, 0] == (p[r, 0] - p[r - 1, 0]) & 0xFFFF, r
+        for c in range(1, w):
+            assert diffs[r, c] == (p[r, c] - p[r - 1, c]) & 0xFFFF, (r, c)
+    img = rng.randint(0, 256, size=(9, 7, 3), dtype=np.uint8)
+    for pred in range(1, 8):
+        for ri in (3, 7, 21):
+            raw = J.encode_jpeg_lossless(img, predictor=pred, restart_interval=ri)
+            assert np.array_equal(C.decode_jpeg_pixels(raw), img), (pred, ri)
+
+
 def test_jpeg_lossless_point_transform():
     """Pt > 0 drops the Pt low bits by design (decode returns sample << Pt)."""
     img = np.random.RandomState(5).randint(0, 256, size=(8, 9, 3), dtype=np.uint8)

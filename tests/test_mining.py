@@ -132,6 +132,89 @@ def test_hard_negatives_exclude_positives_and_rank(spark):
         assert [r["neighbor_id"] for r in rs] == want, qid
 
 
+def test_hard_negatives_max_positives_still_yield_k(spark):
+    """The default fetch (k + max per-query positive count) is sufficient:
+    a query whose positives are ALL inside the top of the ranking still
+    keeps k negatives, and the re-rank preserves the raw retrieval order
+    (dist ASC, neighbor_id ASC) of the survivors."""
+    emb = spark.read.parquet(f"{SF_TEST}/embeddings.parquet")
+    from filtered_ads_vector_search_spark.operators import topk as TK
+
+    q, c = TK.split_queries(emb)
+    k = 3
+    # worst case: every query's top-4 are gold positives
+    pos = TK.knn_window(q, c, k=4, metric="cosine").select(
+        "query_id", F.col("neighbor_id").alias("pos_id")
+    )
+    out = mine_hard_negatives(q, c, pos, k=k)
+    per_q = {}
+    for r in out.collect():
+        per_q.setdefault(r["query_id"], []).append(r)
+    truth = TK.knn_window(q, c, k=k + 4, metric="cosine").collect()
+    pos_set = {(r["query_id"], r["pos_id"]) for r in pos.collect()}
+    assert per_q, "no queries mined"
+    for qid, rs in per_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, k + 1)), qid
+        want = [
+            t["neighbor_id"]
+            for t in sorted(
+                (t for t in truth if t["query_id"] == qid),
+                key=lambda t: t["rank"],
+            )
+            if (qid, t["neighbor_id"]) not in pos_set
+        ][:k]
+        assert [r["neighbor_id"] for r in rs] == want, qid
+
+
+def test_mining_ivf_kernel_overlap_and_shape(spark):
+    """kernel='ivf' routes both mining operators through the probed IVF
+    tier: same schema and per-query cardinality as the exact tier, and at
+    a wide probe config (12/16) the approximate results overlap the exact
+    tier far above the broken-probe score (~0)."""
+    emb = spark.read.parquet(f"{SF_TEST}/embeddings.parquet")
+    from filtered_ads_vector_search_spark.operators import topk as TK
+
+    q, c = TK.split_queries(emb)
+    pos = TK.knn_window(q, c, k=1, metric="cosine").select(
+        "query_id", F.col("neighbor_id").alias("pos_id")
+    )
+    exact = mine_hard_negatives(q, c, pos, k=5)
+    ann = mine_hard_negatives(q, c, pos, k=5, kernel="ivf", nprobe=12, n_centroids=16)
+    assert ann.columns == exact.columns
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a_rows = ann.collect()
+    a = {(r["query_id"], r["neighbor_id"]) for r in a_rows}
+    per_q = {}
+    for r in a_rows:
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_q.values())
+    assert len(e & a) / len(e) >= 0.6
+
+    src = q.withColumnRenamed("query_id", "vec_id").withColumnRenamed(
+        "q_vec", "embedding"
+    )
+    bx = mine_bitext(src, c, k=4)
+    bx_ann = mine_bitext(src, c, k=4, kernel="ivf", nprobe=12, n_centroids=16)
+    assert bx_ann.columns == bx.columns
+    pe = {(r["src_id"], r["tgt_id"]) for r in bx.collect()}
+    pa = {(r["src_id"], r["tgt_id"]) for r in bx_ann.collect()}
+    assert len(pe & pa) / len(pe) >= 0.8
+    # prebuilt-index handles: identical to the internally-built path
+    from filtered_ads_vector_search_spark.operators.ann import IVFIndex
+    from filtered_ads_vector_search_spark.operators.mining import _unit_norm
+
+    idx = IVFIndex.build(
+        _unit_norm(c.select("vec_id", "embedding"), "embedding"),
+        n_centroids=16,
+        metric="cosine",
+    )
+    ann2 = mine_hard_negatives(q, c, pos, k=5, kernel="ivf", nprobe=12, index=idx)
+    assert {(r["query_id"], r["neighbor_id"], r["rank"]) for r in ann2.collect()} == {
+        (r["query_id"], r["neighbor_id"], r["rank"]) for r in a_rows
+    }
+
+
 def test_hard_negatives_fetch_validation(spark):
     emb = spark.read.parquet(f"{SF_TEST}/embeddings.parquet")
     from filtered_ads_vector_search_spark.operators import topk as TK

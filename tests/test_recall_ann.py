@@ -1088,3 +1088,37 @@ def test_kmeans_restart_clamp_scales_with_k():
     a = _kmeans_numpy(X, 4096, seed=42, max_iter=2, n_init=4)
     b = _kmeans_numpy(X, 4096, seed=42, max_iter=2, n_init=1)
     assert np.array_equal(a, b)
+
+
+def test_kmeans_highdim_sketch_seeding_and_dim_clamp():
+    """Round-11 high-dim discipline: at d >= 256 the k-means++ seeding
+    D^2-sampling runs in a JL sign-projected 128-d sketch and n_init clamps
+    to 2 (per-restart cost is dimension-driven; the 768-d coarse fit was
+    147.5 s of a 266.5 s IVFPQ build). Both behaviors are gated on d, so
+    low-d anchored artifacts stay bit-identical (pinned by
+    test_kmeans_lloyd_buffer_rewrite_bit_identical, whose old_form has no
+    sketch); here: planted 768-d clusters are recovered through the
+    sketch, the fit is deterministic, and the d-clamp mirrors the k-clamp
+    (n_init=4 call equals n_init=2 call at d >= 256)."""
+    import numpy as np
+
+    from filtered_ads_vector_search_spark.operators.ann import _kmeans_numpy
+
+    rng = np.random.RandomState(5)
+    true = rng.randn(8, 768) * 5
+    X = np.vstack([t + 0.1 * rng.randn(150, 768) for t in true])
+    c = _kmeans_numpy(X, 8, seed=42, max_iter=10)
+    # every planted center recovered well inside the noise radius
+    d2 = ((true[:, None, :] - c[None, :, :]) ** 2).sum(-1).min(axis=1)
+    assert d2.max() < 1.0, d2.max()
+    assert np.array_equal(c, _kmeans_numpy(X, 8, seed=42, max_iter=10))
+    # dim clamp: n_init=4 equals n_init=2 at d >= 256
+    a = _kmeans_numpy(X, 8, seed=42, max_iter=3, n_init=4)
+    b = _kmeans_numpy(X, 8, seed=42, max_iter=3, n_init=2)
+    assert np.array_equal(a, b)
+    # just below the gate: the sketch is NOT applied (xn path), and the
+    # n_init=4 vs n_init=2 fits may differ — only check the 255-d fit runs
+    # and stays deterministic
+    X255 = rng.randn(3000, 255)
+    c255 = _kmeans_numpy(X255, 16, seed=7, max_iter=5)
+    assert np.array_equal(c255, _kmeans_numpy(X255, 16, seed=7, max_iter=5))
