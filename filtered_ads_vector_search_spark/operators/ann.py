@@ -720,6 +720,17 @@ def _kmeans_numpy(
         # power of two, so folding the -2 into the centroid matrix is
         # BIT-identical to scaling the GEMM output.
         G = np.empty((n, k), dtype=np.float64)
+        # high-d cluster sums ride a one-hot GEMM (A.T @ X) instead of the
+        # fused-index bincount: the bincount builds an (n*d) int64 index
+        # (614 MB at 100k x 768) and scatters under the GIL — 3.3 s/iter at
+        # 768-d AND serializing the concurrent restarts; the GEMM is
+        # ~0.5 s/iter and releases the GIL. Gated with the seeding sketch
+        # (d >= 256) so every <=255-d anchored artifact keeps the
+        # bincount's exact summation order, bit-identical to prior rounds.
+        gemm_sums = d_full >= _SEED_PROJ_MIN_DIM
+        if gemm_sums:
+            A = np.zeros((n, k), dtype=np.float64)
+            rows_n = np.arange(n)
         for _ in range(max_iter):
             cn = (centroids * centroids).sum(axis=1)
             # assignment: ||x||^2 is constant per row, so argmin only needs
@@ -730,15 +741,22 @@ def _kmeans_numpy(
             G += cn[None, :]
             assign = np.argmin(G, axis=1)
             dmin = xn + G[np.arange(n), assign]
-            # per-cluster means via ONE fused-index bincount over the
-            # flattened sample ((cluster, column) -> k*d bins) — the
-            # per-column bincount loop this replaces was most of the fit's
-            # wall time, and np.add.reduceat is no faster row-wise
             d_ = X.shape[1]
-            flat_idx = (assign[:, None] * d_ + np.arange(d_)[None, :]).ravel()
-            sums = np.bincount(
-                flat_idx, weights=X.ravel(), minlength=k * d_
-            ).reshape(k, d_)
+            if gemm_sums:
+                A[rows_n, assign] = 1.0
+                sums = A.T @ X
+                A[rows_n, assign] = 0.0
+            else:
+                # per-cluster means via ONE fused-index bincount over the
+                # flattened sample ((cluster, column) -> k*d bins) — the
+                # per-column bincount loop this replaces was most of the
+                # fit's wall time, and np.add.reduceat is no faster
+                flat_idx = (
+                    assign[:, None] * d_ + np.arange(d_)[None, :]
+                ).ravel()
+                sums = np.bincount(
+                    flat_idx, weights=X.ravel(), minlength=k * d_
+                ).reshape(k, d_)
             counts = np.bincount(assign, minlength=k).astype(np.float64)
             new = centroids.copy()  # empty cluster keeps its previous centroid
             nonempty = counts > 0
@@ -791,7 +809,10 @@ def _kmeans_numpy(
     if X.shape[1] >= _SEED_PROJ_MIN_DIM:
         n_init = min(n_init, 2)
     n_runs = max(1, n_init)
-    per_run_bytes = X.shape[0] * k * 8 * 2  # G + assignment temporaries
+    # G + assignment temporaries (+ the one-hot A at the high-d gate)
+    per_run_bytes = X.shape[0] * k * 8 * (
+        3 if X.shape[1] >= _SEED_PROJ_MIN_DIM else 2
+    )
     workers = max(1, min(n_runs, budget // max(1, per_run_bytes)))
     with ThreadPoolExecutor(max_workers=workers) as ex:
         runs = list(

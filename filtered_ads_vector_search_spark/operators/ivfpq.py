@@ -330,25 +330,32 @@ class IVFPQIndex:
         and reranks against the untouched original vectors. No new
         exchanges: the rotation is one extra DGEMM inside the existing
         encode kernel and one tiny query/centroid-side pass at search."""
-        # materialize=True here (unlike build_fixed): the persisted assignment
-        # feeds BOTH the residual-sample training scan and the coded
-        # materialization — caching one assign pass beats recomputing it twice
+        # materialize=False (round 11, matching build_fixed): the lazy
+        # assignment is recomputed by the residual-sample scan and the
+        # coded materialization — but _with_partition_id is ONE cheap
+        # Arrow DGEMM per batch, while the persist it replaces shuffles and
+        # caches the full wide corpus (3 GB at 1M x 768d) for exactly two
+        # readers. The 768-d profile showed the materialized coarse phase
+        # carrying ~90 s of non-k-means cost; the artifact is bit-identical
+        # either way (the hash-gated sample and the encode read the same
+        # deterministic assignment).
         t0 = time.time()
         ivf = IVFIndex.build(
-            corpus, n_centroids=n_centroids, seed=seed, id_col=id_col, vec_col=vec_col
+            corpus, n_centroids=n_centroids, seed=seed, id_col=id_col,
+            vec_col=vec_col, materialize=False,
         )
         rotation: np.ndarray | None = None
         if residual:
-            # residual sample via _train_sample_residual: raw (vector,
-            # partition_id) pairs hash-sampled in ONE scan with no HOF
-            # work, residual subtraction on the driver — the corpus-wide
-            # zip_with + residual-string-hash scan this replaces measured
-            # 181 s of the 266 s 1M x 768d composed build (SCALE_BENCH
-            # extras.dim768.build_breakdown)
+            # residual sample via _train_sample_residual over the RAW
+            # corpus: vectors hash-sampled in one scan with no HOF work and
+            # no assignment kernel in the scan path; assignment AND
+            # residual subtraction happen on the driver over the bounded
+            # sample (see the function's cost history: 181 s -> 44.6 s ->
+            # this form, which keeps the coarse relation fully lazy)
             from .pq import _train_sample_residual, opq_fit, pq_fit
 
             X = _train_sample_residual(
-                ivf.assigned, ivf.centroids, vec_col, sample_n=100_000
+                corpus, ivf.centroids, vec_col, sample_n=100_000
             )
             if opq:
                 rotation, books = opq_fit(

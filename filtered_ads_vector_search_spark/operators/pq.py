@@ -148,45 +148,43 @@ def _train_sample(corpus: DataFrame, vec_col: str, sample_n: int) -> np.ndarray:
 
 
 def _train_sample_residual(
-    assigned: DataFrame,
+    corpus: DataFrame,
     centroids: DataFrame,
     vec_col: str,
     sample_n: int,
 ) -> np.ndarray:
     """Bounded deterministic RESIDUAL training sample as an (n, dim)
-    float64 matrix: sample the raw (vector, partition_id) pairs by the
-    raw-vector hash, then subtract the centroid rows on the DRIVER.
+    float64 matrix: sample the RAW vectors by the raw-vector hash, then
+    assign AND subtract the centroids on the DRIVER.
 
     The round-9 form computed residuals corpus-wide first — a broadcast
     centroid join plus an interpreted dim-element zip_with per row — and
     hashed the RESIDUAL's string; at 1M x 768d that scan plus shipping the
     f64 residual arrays (614 MB, tripping bounded_hash_take's sliced
     maxResultSize retry into repeated corpus scans) measured 181 s of the
-    266 s composed build. Sampling the raw column ships the narrower
-    stored f32 arrays once, with zero per-row HOF work; the residual
-    subtraction on the sample is one numpy op over 100k rows. Sample
-    MEMBERSHIP changes (hash of the raw vector, the same key pq_train's
-    absolute tier uses, instead of hash of the residual string) — trained
-    books drift within the documented trained-artifact discipline
-    (BENCH_DRIFT round-7 addendum: contracts pin floors, not bits)."""
+    266 s composed build. The round-10 form sampled through the ASSIGNED
+    relation to read partition_id — which forced bounded_hash_take's two
+    passes (count + take) through the assignment mapInArrow (mapInArrow
+    blocks column pruning, so even the count ran the kernel; 62 s of the
+    lazy-coarse 768-d build). Sampling the raw corpus instead, the driver
+    assigns the 100k-row sample itself with the SAME `cn - 2 X.C`
+    f64 expansion as _with_partition_id's kernel (one ~1 s DGEMM), and the
+    coarse relation never needs materializing for training. Sample
+    MEMBERSHIP is unchanged (same raw-vector hash key)."""
     from .sampling import bounded_hash_take
 
     rows = centroids.orderBy("centroid_id").collect()
     centers = np.asarray([r["centroid"] for r in rows], dtype=np.float64)
-    src = assigned.select(
+    src = corpus.select(
         F.col(vec_col).alias("v"),
-        F.col("partition_id").alias("p"),
         _sample_hash(F.col(vec_col)).alias("h"),
     )
     tbl = bounded_hash_take(src, "h", ["h", F.col("v")], sample_n, as_arrow=True)
     X = _matrix_from_arrow(tbl, "v")
     if len(X) == 0:
         return X
-    pid = (
-        tbl.column("p").combine_chunks()
-        .to_numpy(zero_copy_only=False)
-        .astype(np.int64)
-    )
+    cn = (centers * centers).sum(axis=1)
+    pid = np.argmin(cn[None, :] - 2.0 * (X @ centers.T), axis=1)
     return X - centers[pid]
 
 

@@ -203,9 +203,11 @@ def main() -> None:
     if os.path.exists(sb_path):
         with open(sb_path) as f:
             sb = json.load(f)
-        sb.setdefault("extras", {})["dim768"] = {
-            "timings": timings, **extras
-        }
+        # merge, don't replace: build_breakdown (profile_ivfpq_768d_build)
+        # lives under the same key
+        sb.setdefault("extras", {}).setdefault("dim768", {}).update(
+            {"timings": timings, **extras}
+        )
         with open(sb_path, "w") as f:
             json.dump(sb, f)
     spark.stop()

@@ -99,21 +99,25 @@ def main() -> None:
     n = c.count()
     extras["n_vectors"] = n
 
-    # phase 1: coarse k-means (IVFPQIndex.build's first call, verbatim knobs)
+    # phase 1: coarse training (IVFPQIndex.build's first call, verbatim
+    # knobs — round 11: materialize=False, so this phase is the bounded
+    # training-sample take + the k-means fit; the assignment fuses into
+    # phase 4's single materialization scan)
     t0 = time.time()
-    ivf = IVFIndex.build(c, n_centroids=N_CENTROIDS, seed=42)
+    ivf = IVFIndex.build(c, n_centroids=N_CENTROIDS, seed=42, materialize=False)
     timings["coarse_kmeans_512c"] = round(time.time() - t0, 3)
 
     # phase 2: residual sample + per-subspace Lloyd training (sd=48) — the
-    # round-10 build path: raw-vector Arrow-transport sample, residual on
-    # the driver, then the fit (IVFPQIndex.build's exact phases)
+    # round-11 build path: raw-vector Arrow-transport sample over the RAW
+    # corpus (no assignment kernel in the scan), driver-side assignment +
+    # residual, then the fit (IVFPQIndex.build's exact phases)
     from filtered_ads_vector_search_spark.operators.pq import (
         _train_sample_residual,
         pq_fit,
     )
 
     t0 = time.time()
-    X = _train_sample_residual(ivf.assigned, ivf.centroids, "embedding", 100_000)
+    X = _train_sample_residual(c, ivf.centroids, "embedding", 100_000)
     timings["residual_sample_collect"] = round(time.time() - t0, 3)
     t0 = time.time()
     books = pq_fit(X, m=M, n_codes=N_CODES, seed=42)
