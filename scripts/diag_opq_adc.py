@@ -153,6 +153,14 @@ def main() -> None:
             len(set(got[i]) & set(top[i])) / K for i in range(N_Q)
         ]))
 
+    # diagnostic 4: the rank-10 decision boundary — the exact-distance gap
+    # between rank 10 and rank 11 per query. When this gap is at or below
+    # the neighbor-pair ADC error scale, the boundary ordering is
+    # quantization-noise-dominated for BOTH quantizers and global-MSE
+    # improvements stop buying recall.
+    d_sorted = np.sort(d_exact, axis=1)
+    boundary_gap = float(np.mean(d_sorted[:, K] - d_sorted[:, K - 1]))
+
     out = {
         "n_sample": N_SAMPLE, "n_queries": N_Q, "k": K,
         "n_candidates_scored": len(C),
@@ -163,6 +171,7 @@ def main() -> None:
         "subspace_mse_spread_pq": float(np.std(mse_pq_sub) / np.mean(mse_pq_sub)),
         "subspace_mse_spread_opq": float(np.std(mse_opq_sub) / np.mean(mse_opq_sub)),
         "neighbor_vs_random_bias": {k: round(v, 6) for k, v in bias.items()},
+        "exact_gap_rank10_to_11": round(boundary_gap, 6),
         "adc_recall_sample_pq": recall(d_pq),
         "adc_recall_sample_opq": recall(d_opq),
         "calibration_preflight": pre,
