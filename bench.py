@@ -244,6 +244,27 @@ def main() -> None:
         "knn_graph_arrow",
         lambda: knn_graph_bucketed(gidx, k=10, nprobe=4, kernel="arrow").count(),
     )
+    # round 11: graph-traversal search (HNSW/CAGRA search semantics) over
+    # the trained bucketed graph — graph built once outside the timed
+    # region (it is its own bench row above), the traversal is the product
+    from filtered_ads_vector_search_spark.operators.graph_search import (
+        graph_search,
+    )
+    from filtered_ads_vector_search_spark.operators.topk import split_queries
+
+    _gq, _gc = split_queries(spark.read.parquet(f"{SF_DIR}/embeddings.parquet"))
+    _g_edges = knn_graph_bucketed(gidx, k=10, nprobe=4, kernel="arrow").cache()
+    _g_edges.count()
+    # h3 is the throughput row (each hop is ~4 tiny stages of fixed
+    # overhead at this SF; the registry's graph_search_recall pins the
+    # full 6-hop contract walk)
+    timed(
+        "graph_search_beam",
+        lambda: graph_search(
+            _g_edges, _gc, _gq, k=10, beam=32, n_hops=3, n_entry=16
+        ).count(),
+    )
+    _g_edges.unpersist()
     gidx.unpersist()
 
     # round-5 additions: ExactSubstr removal, C4 line dedup, BPE training

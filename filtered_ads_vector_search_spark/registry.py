@@ -4889,6 +4889,148 @@ SELECT src_id, neighbor_id, rnk, round(dist, 3) AS dist FROM r WHERE rnk <= {GRA
 
 
 # ---------------------------------------------------------------------------
+# Graph-traversal search (round 11): beam search over the k-NN graph — the
+# reference's HNSW/CAGRA SEARCH semantics (operators/graph_search.py).
+# Fixed entries + the exact graph make the whole walk SQL-expressible
+# (unrolled-CTE hops); the trained-graph configuration ships the ann_ivf
+# contract discipline below.
+# ---------------------------------------------------------------------------
+GS_K, GS_BEAM, GS_HOPS, GS_ENTRY = 5, 8, 2, 4
+# trained tier: at beam 32 / hops 6 / 16 entries over the 16c/nprobe-4
+# trained graph with symmetric traversal, measured per-query recall is
+# mean ~0.9 / min 0.8 at sf0.001 AND sf0.01 (exact-graph twin: 0.933/0.8
+# and 0.911/0.8); the 0.2 floor keeps a 4x margin under the measured
+# minimum while a broken expansion or scoring path strands the beam at
+# the entries (recall ~ k/n ~ 0.01) and fails every query.
+GS_RECALL_FLOOR = 0.2
+
+
+def _graph_search_fixed_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beam search over the EXACT k-NN graph from deterministic hash-picked
+    entry nodes: entries, every hop's expansion, the beam cut, and the
+    final top-k are ALL SQL-reproducible — the full DuckDB oracle for the
+    traversal machinery (the trained-graph tier graph_search_recall pins
+    the contract instead)."""
+    from .operators.graph_search import graph_search
+    from .operators.knn_graph import knn_graph_window
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    q, c = TK.split_queries(emb)
+    g = knn_graph_window(c, k=GRAPH_K)
+    out = graph_search(
+        g, c, q, k=GS_K, beam=GS_BEAM, n_hops=GS_HOPS, n_entry=GS_ENTRY
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").alias("rnk"),
+        F.round("dist", 3).alias("dist"),
+    )
+
+
+def _graph_search_fixed_sql() -> str:
+    d_g = V.sqeuclidean_sql("a.embedding", "b.embedding")
+    d_s = V.sqeuclidean_sql("q.q_vec", "c2.embedding")
+
+    def hop(prev: str, x: str, f: str, b: str) -> str:
+        return f"""
+{x} AS (
+  SELECT DISTINCT query_id, node_id FROM (
+    SELECT query_id, node_id FROM {prev}
+    UNION ALL
+    SELECT {prev}.query_id, g.neighbor_id AS node_id
+    FROM {prev} JOIN g ON g.src_id = {prev}.node_id)
+), {f} AS (
+  SELECT query_id, node_id, dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dist ASC, node_id ASC) AS r
+  FROM (SELECT x.query_id, x.node_id, {d_s} AS dist
+        FROM {x} x
+        JOIN c c2 ON c2.vec_id = x.node_id
+        JOIN q ON q.query_id = x.query_id)
+), {b} AS (SELECT * FROM {f} WHERE r <= {GS_BEAM})"""
+
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings
+  WHERE {FL.is_query_sql('vec_id')}
+), c AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE NOT {FL.is_query_sql('vec_id')}
+), g0 AS (
+  SELECT src_id, neighbor_id FROM (
+    SELECT a.vec_id AS src_id, b.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY a.vec_id
+                              ORDER BY {d_g} ASC, b.vec_id ASC) AS rnk
+    FROM c a JOIN c b ON a.vec_id <> b.vec_id) WHERE rnk <= {GRAPH_K}
+), g AS (  -- symmetric traversal: union-all of the reversed edges
+  SELECT src_id, neighbor_id FROM g0
+  UNION ALL
+  SELECT neighbor_id AS src_id, src_id AS neighbor_id FROM g0
+), ent AS (
+  SELECT vec_id AS node_id FROM (
+    SELECT vec_id,
+           row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC,
+                              vec_id ASC) AS rn
+    FROM c) WHERE rn <= {GS_ENTRY}
+), f0 AS (
+  SELECT query_id, node_id, dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dist ASC, node_id ASC) AS r
+  FROM (SELECT q.query_id, e.node_id, {d_s} AS dist
+        FROM q CROSS JOIN ent e
+        JOIN c c2 ON c2.vec_id = e.node_id)
+), b0 AS (SELECT * FROM f0 WHERE r <= {GS_BEAM}),{hop('b0', 'x1', 'f1', 'b1')},{hop('b1', 'x2', 'f2', 'b2')}
+SELECT query_id, node_id AS neighbor_id, r AS rnk, round(dist, 3) AS dist
+FROM b2 WHERE r <= {GS_K}
+"""
+
+
+def _graph_search_recall_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beam search over the TRAINED bucketed k-NN graph (the serving
+    configuration: trained IVF buckets build the graph, the traversal
+    searches it) as a per-query contract row, the ann_ivf discipline:
+    exactly k results per query and recall vs the Spark-computed exact
+    truth above GS_RECALL_FLOOR."""
+    from .operators.ann import IVFIndex
+    from .operators.graph_search import graph_search
+    from .operators.knn_graph import knn_graph_bucketed
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    q, c = TK.split_queries(emb)
+    idx = IVFIndex.build(c, n_centroids=16, seed=42)
+    g = knn_graph_bucketed(idx, k=GRAPH_K, nprobe=4, kernel="arrow")
+    found = graph_search(g, c, q, k=GS_K, beam=32, n_hops=6, n_entry=16)
+    truth = TK.knn_window(q, c, k=GS_K)
+    hits = (
+        found.join(
+            truth.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
+        )
+        .groupBy("query_id")
+        .agg((F.count("*") / F.lit(GS_K)).alias("recall_q"))
+    )
+    per_q = (
+        found.groupBy("query_id")
+        .agg(F.count("*").alias("n_results"))
+        .join(hits, "query_id", "left")
+        .na.fill({"recall_q": 0.0})
+    )
+    return q.select("query_id").join(per_q, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("n_results"), F.lit(0)).alias("n_results"),
+        (
+            F.coalesce(F.col("recall_q"), F.lit(0.0)) >= F.lit(GS_RECALL_FLOOR)
+        ).alias("floor_met"),
+    )
+
+
+def _graph_search_recall_sql() -> str:
+    return f"""
+SELECT vec_id AS query_id, CAST({GS_K} AS BIGINT) AS n_results,
+       TRUE AS floor_met
+FROM embeddings WHERE {FL.is_query_sql('vec_id')}
+"""
+
+
+# ---------------------------------------------------------------------------
 # OPQ tier (round 9): rotation-trained product quantization
 # ---------------------------------------------------------------------------
 # Ge et al., "Optimized Product Quantization" (CVPR 2013) — FAISS's OPQ
@@ -5487,6 +5629,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hard_negatives": _hard_negatives_spark,
     "bitext_mine_ann": _bitext_mine_ann_spark,
     "hard_negatives_ann": _hard_negatives_ann_spark,
+    "graph_search_fixed": _graph_search_fixed_spark,
+    "graph_search_recall": _graph_search_recall_spark,
 }
 
 # ROUND-6 ROTATION. The driver verifies the first 50 entries of queries()
@@ -5874,9 +6018,12 @@ QUERIES = {
 # (dedup_components, decontaminate, multimodal_decode_jpeg_prog,
 # stratified_sample, substr_dup_stats, doc_simhash), then (c) the TWO
 # queries NEW this round — the mining ANN-tier recall contracts
-# bitext_mine_ann and hard_negatives_ann (kernel='ivf') — then (d) 40 of
-# the 49-query r8-vintage cohort (now two rounds stale). 2+6+2+40=50.
-# The NINE r8-vintage queries deferred to r12 each have a same-machinery
+# bitext_mine_ann and hard_negatives_ann (kernel='ivf') and the
+# graph-traversal search pair graph_search_fixed / graph_search_recall
+# (beam search over the k-NN graph, the reference's HNSW/CAGRA SEARCH
+# semantics) — then (d) 38 of the 49-query r8-vintage cohort (now two
+# rounds stale). 2+6+4+38=50.
+# The ELEVEN r8-vintage queries deferred to r12 each have a same-machinery
 # twin INSIDE this prefix, so their code paths are still driver-covered:
 # knn_filtered_low / knn_filtered_mid (same _knn_sql oracle family and
 # filters.py predicate as knn_filtered_high, in this prefix),
@@ -5886,8 +6033,9 @@ QUERIES = {
 # ann_lsh, in this prefix), multimodal_meta / multimodal_resize (same
 # decode plumbing as multimodal_decode, in this prefix),
 # knn_hamming_packed (bit-packed twin of knn_hamming, in this prefix),
-# and tpch_q11 / tpch_q12 (plain join+agg+having shapes whose machinery
-# is covered by tpch_q9/q20/q21 and orders_pivot, in this prefix).
+# and tpch_q11 / tpch_q12 / tpch_q20 / tpch_q21 (plain join/agg/having/
+# EXISTS shapes whose Catalyst machinery is covered by tpch_q9 and
+# orders_pivot, in this prefix).
 # They MUST lead the r12 prefix (still within the N-2 freshness rule:
 # r8-green, rotated back by r12).
 _R11_PREFIX: list[str] = [
@@ -5901,9 +6049,12 @@ _R11_PREFIX: list[str] = [
     "stratified_sample",
     "substr_dup_stats",
     "doc_simhash",
-    # (c) new in round 11 — mining ANN-tier recall contracts
+    # (c) new in round 11 — mining ANN-tier recall contracts + the
+    # graph-traversal search pair (HNSW/CAGRA search semantics)
     "bitext_mine_ann",
     "hard_negatives_ann",
+    "graph_search_fixed",
+    "graph_search_recall",
     # (d) r8-vintage cohort (40 of 49; deferrals documented above)
     "pq_codes_blas",
     "knn_ivfpq_decomposed",
@@ -5941,8 +6092,6 @@ _R11_PREFIX: list[str] = [
     "semdedup_pairs",
     "sq8_train_bounds",
     "token_counts",
-    "tpch_q20",
-    "tpch_q21",
     "tpch_q9",
     "vector_norms",
 ]
@@ -6099,6 +6248,8 @@ ORACLES: dict[str, str] = {
     "hard_negatives": _hard_negatives_sql(),
     "bitext_mine_ann": _bitext_mine_ann_sql(),
     "hard_negatives_ann": _hard_negatives_ann_sql(),
+    "graph_search_fixed": _graph_search_fixed_sql(),
+    "graph_search_recall": _graph_search_recall_sql(),
     "multimodal_decode_jpeg": _multimodal_decode_jpeg_sql(),
     "multimodal_decode_jpeg_prog": _multimodal_decode_jpeg_sql(),
     "multimodal_decode_jpeg_lossless": _multimodal_decode_jpeg_lossless_sql(),
