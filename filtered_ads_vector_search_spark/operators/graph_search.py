@@ -61,7 +61,7 @@ from pyspark.sql import functions as F
 
 from .topk import Metric, distance_col
 
-__all__ = ["fixed_entry_nodes", "graph_search"]
+__all__ = ["fixed_entry_nodes", "graph_search", "ivf_entries"]
 
 
 def fixed_entry_nodes(
@@ -79,6 +79,49 @@ def fixed_entry_nodes(
     )
 
 
+def ivf_entries(
+    index, queries: DataFrame, nprobe: int = 2, per_cell: int = 4
+) -> DataFrame:
+    """(query_id, node_id): coarse-quantizer-routed per-query seeds — for
+    each query, ``per_cell`` deterministic members (smallest (md5(id), id),
+    the fixed-pick discipline) of each of its ``nprobe`` nearest IVF cells.
+    The production seeding shape: entry points land in the query's own
+    region of the graph, so far fewer hops reach the true neighborhood
+    than from global entries. ``index`` is an IVFIndex (ann.py).
+
+    Scale shape: the probe ranking is the tiny broadcast centroid join;
+    cell members come from ONE corpus-scale window whose per-cell limit is
+    a WindowGroupLimit (partial before the exchange, ~per_cell rows per
+    cell survive); the final join is broadcast-probes against that small
+    member relation."""
+    from .topk import knn_window
+
+    probes = knn_window(
+        queries,
+        index.centroids,
+        k=nprobe,
+        metric="sqeuclidean",
+        id_col="centroid_id",
+        vec_col="centroid",
+    ).select("query_id", F.col("neighbor_id").alias("partition_id"))
+    wm = Window.partitionBy("partition_id").orderBy(
+        F.md5(F.col("node_id").cast("string")).asc(),
+        F.col("node_id").asc(),
+    )
+    members = (
+        index.assigned.select(F.col(index.id_col).alias("node_id"), "partition_id")
+        .withColumn("_m", F.row_number().over(wm))
+        .filter(F.col("_m") <= per_cell)
+        .select("partition_id", "node_id")
+    )
+    return (
+        F.broadcast(probes)
+        .join(members, "partition_id")
+        .select("query_id", "node_id")
+        .distinct()
+    )
+
+
 def graph_search(
     graph: DataFrame,
     corpus: DataFrame,
@@ -90,6 +133,7 @@ def graph_search(
     metric: Metric = "sqeuclidean",
     entries: DataFrame | None = None,
     symmetric: bool = True,
+    predicate=None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -98,8 +142,19 @@ def graph_search(
     ``k`` of the final beam, as (query_id, neighbor_id, rank, dist).
 
     ``queries``: (query_id, q_vec). ``entries`` overrides the entry-point
-    relation (one ``node_id`` column — e.g. IVF-routed seeds); default is
-    the deterministic ``fixed_entry_nodes`` hash pick.
+    relation: one ``node_id`` column seeds every query identically; a
+    (query_id, node_id) relation seeds per query (e.g. ``ivf_entries`` —
+    the coarse-quantizer-routed seeding a production walk uses); default
+    is the deterministic ``fixed_entry_nodes`` hash pick.
+
+    ``predicate`` (a Column over corpus columns) runs the FILTERED search
+    of the reference's HNSW tier (FAISS ``SearchParametersHNSW(sel=
+    IDSelectorBitmap)``, utils_grid_search.py:613-632): the walk traverses
+    the graph UNFILTERED (disqualified nodes still route — pruning them
+    from the traversal disconnects it under selective filters, the
+    documented failure mode FAISS's selector design avoids), while the
+    RESULT list collects only passing nodes, accumulated from every
+    visited candidate across all hops, final top-k over that list.
 
     ``symmetric=True`` traverses the graph as if undirected — each hop also
     walks k-NN edges BACKWARD (HNSW links neighbors bidirectionally; CAGRA
@@ -132,6 +187,11 @@ def graph_search(
             )
         )
     nodes = corpus.select(F.col(id_col).alias("node_id"), F.col(vec_col))
+    passing = (
+        corpus.filter(predicate).select(F.col(id_col).alias("node_id"))
+        if predicate is not None
+        else None
+    )
     q = queries.select("query_id", "q_vec")
 
     d, asc = distance_col(metric, F.col("q_vec"), F.col(vec_col))
@@ -141,8 +201,8 @@ def graph_search(
     ]
     w = Window.partitionBy("query_id").orderBy(*order)
 
-    def scored_beam(cand: DataFrame) -> DataFrame:
-        # (query_id, node_id) -> the beam best, scored. The candidate set
+    def score_all(cand: DataFrame) -> DataFrame:
+        # (query_id, node_id) -> every candidate scored. The candidate set
         # is frontier-sized: broadcast it against the streaming corpus so
         # the corpus never shuffles; queries are the tiny side of the final
         # join.
@@ -150,24 +210,54 @@ def graph_search(
             F.broadcast(cand).join(nodes, "node_id")
             .join(F.broadcast(q), "query_id")
             .withColumn("dist", d)
-            .withColumn("_r", F.row_number().over(w))
-            .filter(F.col("_r") <= beam)
-            .select("query_id", "node_id", "dist", "_r")
+            .select("query_id", "node_id", "dist")
         )
 
-    # hop 0: the seeded frontier (every query starts at the same
-    # deterministic entries; tiny crossJoin |Q| x n_entry)
-    frontier = scored_beam(
-        q.select("query_id").crossJoin(F.broadcast(entries))
-    )
+    def beam_cut(scored: DataFrame) -> DataFrame:
+        return (
+            scored.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") <= beam)
+        )
+
+    # hop 0: the seeded frontier. A (query_id, node_id) entries relation
+    # seeds per query; a bare node_id relation seeds every query with the
+    # same nodes (tiny crossJoin |Q| x n_entry).
+    if "query_id" in entries.columns:
+        seeds = entries.select("query_id", "node_id")
+    else:
+        seeds = q.select("query_id").crossJoin(F.broadcast(entries))
+    # each hop references its scored relation twice (beam cut + the result
+    # accumulator) and the frontier twice (expansion source + union
+    # member) — without persist the lazy subtree doubles per hop (2^n_hops
+    # plan/execution blowup, measured as 240 s for a 6-hop search of 45
+    # queries). persist() maps every reference to one InMemoryRelation:
+    # linear plans, each hop computed once. Cached relations are
+    # frontier-sized — bounded and tiny at any corpus scale.
+    def keep_passing(scored: DataFrame) -> DataFrame:
+        # restrict scored rows to selector-passing nodes WITHOUT ever
+        # broadcasting the (corpus-scale) passing relation: intersect the
+        # frontier-sized distinct node set with the streaming passing
+        # relation first (broadcast the small side), then broadcast that
+        # tiny intersection back onto the scored rows.
+        ok = F.broadcast(scored.select("node_id").distinct()).join(
+            passing, "node_id"
+        )
+        return scored.join(F.broadcast(ok), "node_id")
+
+    scored = score_all(seeds).persist()
+    if passing is not None:
+        # EAGER per-hop materialization on the filtered path: the walk
+        # relation chain (frontier + the result accumulator, both derived
+        # from each hop's scored relation) is re-planned per hop by AQE,
+        # and with every hop's subplan still lazy the per-action planning
+        # cost compounds superlinearly (measured 2.1/3.4/4.2/12.9 s at
+        # hops 0-3 on 500 rows). One count() per hop pins each hop's
+        # InMemoryRelation before the next is planned — hop-local plans,
+        # hops x one extra tiny job (the relation is |Q| x beam rows).
+        scored.count()
+    frontier = beam_cut(scored)
+    visited_passing = keep_passing(scored) if passing is not None else None
     for _ in range(n_hops):
-        # each hop references the frontier TWICE (as the expansion source
-        # and as a union member) — without persist the lazy subtree doubles
-        # per hop (2^n_hops plan/execution blowup, measured as 240 s for a
-        # 6-hop search of 45 queries). persist() maps both references to
-        # one InMemoryRelation: linear plans, each hop computed once. The
-        # cached relation is |Q| x beam rows — bounded and tiny at any
-        # corpus scale.
         frontier = frontier.persist()
         expanded = (
             F.broadcast(frontier.select("query_id", "node_id"))
@@ -179,10 +269,30 @@ def graph_search(
             .unionByName(expanded)
             .distinct()
         )
-        frontier = scored_beam(cand)
+        scored = score_all(cand).persist()
+        if passing is not None:
+            scored.count()
+        frontier = beam_cut(scored)
+        if passing is not None:
+            # the accumulator is itself a growing union chain — persist it
+            # per hop for the same hop-local-plan reason as scored
+            visited_passing = visited_passing.unionByName(
+                keep_passing(scored)
+            ).persist()
 
+    if passing is not None:
+        # the result list: every visited passing node, deduped (the same
+        # node visited in two hops scores the same deterministic dist),
+        # final top-k — the FAISS-selector semantics
+        final = (
+            visited_passing.select("query_id", "node_id", "dist")
+            .distinct()
+            .withColumn("_r", F.row_number().over(w))
+        )
+    else:
+        final = frontier
     return (
-        frontier.filter(F.col("_r") <= k)
+        final.filter(F.col("_r") <= k)
         .select(
             "query_id",
             F.col("node_id").alias("neighbor_id"),

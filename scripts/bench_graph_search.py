@@ -5,15 +5,23 @@ graph traversal with a bounded best-list), over the graph structure
 SCALE_BENCH's knn_graph_1m row builds.
 
 Rows published into SCALE_BENCH.json extras["graph_search_1m"]:
-  * ivf_build_s        — trained 1024-centroid IVF (the graph's bucketer)
-  * graph_build_s      — the 10-NN graph via the Arrow cogroup kernel
-  * search_h{H}_1kq_s  — graph_search at beam 32 / 16 entries / H hops,
-                         min-of-2 (the traversal is re-runnable)
-  * recall_h{H}        — recall@10 vs the exact scan truth for each H
+  * ivf_build_s          — trained 1024-centroid IVF (the graph's bucketer
+                           AND the seed router)
+  * graph_build_s        — the 10-NN graph via the Arrow cogroup kernel
+  * search_global_h6_*   — the GLOBAL-entry walk: recorded to document the
+                           measured disconnection (a 10-NN graph over a
+                           clustered corpus fragments into per-cluster
+                           components — recall ~0.002 at 1M, the exact
+                           failure mode HNSW's hierarchy and CAGRA's graph
+                           optimization exist to fix; no floor asserted)
+  * search_routed_h{H}_* — the PRODUCTION walk: ivf_entries seeds each
+                           query inside its own nprobe nearest cells, the
+                           traversal only refines locally
+  * recall_routed_h{H}   — recall@10 vs the exact scan truth
 
-Acceptance: recall at the deepest hop count >= 0.8 (the filtered-search
-floor discipline). Inputs: the 5M anchor parquet (vec_id < 1M slice) —
-generate with scripts/bench_scale_5m.py --gen.
+Acceptance: routed recall at the deepest hop count >= 0.8 (the
+filtered-search floor discipline). Inputs: the 5M anchor parquet (vec_id <
+1M slice) — generate with scripts/bench_scale_5m.py --gen.
 Run EXCLUSIVELY (BENCH_DRIFT discipline).
 """
 
@@ -34,7 +42,10 @@ from filtered_ads_vector_search_spark.calibration import (
 )
 from filtered_ads_vector_search_spark.operators import topk as TK
 from filtered_ads_vector_search_spark.operators.ann import IVFIndex
-from filtered_ads_vector_search_spark.operators.graph_search import graph_search
+from filtered_ads_vector_search_spark.operators.graph_search import (
+    graph_search,
+    ivf_entries,
+)
 from filtered_ads_vector_search_spark.operators.knn_graph import knn_graph_bucketed
 from filtered_ads_vector_search_spark.operators.recall import recall_at_k
 
@@ -42,7 +53,7 @@ DATA = os.environ.get("SPARK_GRAFT_5M_DIR", "/root/repo/scale_data_5m")
 N = int(os.environ.get("SPARK_GRAFT_GS_N", "1000000"))
 N_CENTROIDS = 1024
 NQ, K, BEAM, N_ENTRY = 1_000, 10, 32, 16
-HOPS = (3, 6)
+HOPS = (1, 3)
 RECALL_FLOOR = 0.80
 
 
@@ -87,28 +98,41 @@ def main() -> None:
     truth = TK.knn_scalable(q, c, k=K).cache()
     truth.count()
 
+    # global-entry walk: recorded, no floor — documents the measured
+    # cluster disconnection of a raw k-NN graph at corpus scale
+    t0 = time.time()
+    found_g = graph_search(g, c, q, k=K, beam=BEAM, n_hops=6, n_entry=N_ENTRY)
+    found_g.count()
+    timings["search_global_h6_1kq_s"] = round(time.time() - t0, 3)
+    extras["recall_global_h6"] = float(
+        recall_at_k(found_g, truth, k=K).first()["recall_at_k"]
+    )
+
+    # the production walk: coarse-quantizer-routed seeds
+    t0 = time.time()
+    seeds = ivf_entries(idx, q, nprobe=2, per_cell=4).persist()
+    extras["n_seeds"] = seeds.count()
+    timings["ivf_entries_s"] = round(time.time() - t0, 3)
     for h in HOPS:
         found = None
         samples = []
         for _ in range(2):
             t0 = time.time()
-            found = graph_search(
-                g, c, q, k=K, beam=BEAM, n_hops=h, n_entry=N_ENTRY
-            )
+            found = graph_search(g, c, q, k=K, beam=BEAM, n_hops=h, entries=seeds)
             found.count()
             samples.append(round(time.time() - t0, 3))
-        timings[f"search_h{h}_1kq_s"] = min(samples)
-        extras[f"search_h{h}_samples"] = samples
-        extras[f"recall_h{h}"] = float(
+        timings[f"search_routed_h{h}_1kq_s"] = min(samples)
+        extras[f"search_routed_h{h}_samples"] = samples
+        extras[f"recall_routed_h{h}"] = float(
             recall_at_k(found, truth, k=K).first()["recall_at_k"]
         )
 
-    assert extras[f"recall_h{HOPS[-1]}"] >= RECALL_FLOOR, extras
+    assert extras[f"recall_routed_h{HOPS[-1]}"] >= RECALL_FLOOR, extras
     extras["calibration_postrun"] = host_calibration()
 
     result = {
         "metric": "graph_search_1m_sec",
-        "value": timings[f"search_h{HOPS[-1]}_1kq_s"],
+        "value": timings[f"search_routed_h{HOPS[-1]}_1kq_s"],
         "unit": "sec",
         "timings": timings,
         "extras": extras,
