@@ -24,10 +24,12 @@ as a statically-unrolled chain of DataFrame joins.
 
 Greedy graph search converges because the k-NN graph is navigable: each
 hop moves the beam monotonically closer (the beam never worsens — the
-union keeps current members). Fixed ``n_hops`` bounds the plan statically
-(no iterative driver loop, no checkpointing) — the CAGRA policy, not
-HNSW's dynamic stop, which a declarative plan cannot express without a
-driver-side convergence loop.
+union keeps current members). Fixed ``n_hops`` bounds the walk statically
+— the CAGRA policy, not HNSW's dynamic stop, which a declarative plan
+cannot express without a driver-side convergence loop. Each hop's scored
+relation is localCheckpoint'ed (the pagerank / duplicate_components_star
+plan-truncation discipline): the per-hop plan stays constant-size instead
+of nesting every previous hop's subtree.
 
 Scale shape (the 100 TB story): the frontier is |Q| x beam rows and every
 per-hop relation is frontier-sized (|Q| x beam x degree after expansion) —
@@ -226,13 +228,21 @@ def graph_search(
         seeds = entries.select("query_id", "node_id")
     else:
         seeds = q.select("query_id").crossJoin(F.broadcast(entries))
-    # each hop references its scored relation twice (beam cut + the result
+    # Each hop references its scored relation twice (beam cut + the result
     # accumulator) and the frontier twice (expansion source + union
-    # member) — without persist the lazy subtree doubles per hop (2^n_hops
-    # plan/execution blowup, measured as 240 s for a 6-hop search of 45
-    # queries). persist() maps every reference to one InMemoryRelation:
-    # linear plans, each hop computed once. Cached relations are
-    # frontier-sized — bounded and tiny at any corpus scale.
+    # member) — without plan truncation the lazy subtree doubles per hop
+    # (2^n_hops plan/execution blowup, measured as 240 s for a 6-hop search
+    # of 45 queries). A lazy persist() dedups EXECUTION but not the LOGICAL
+    # plan: every downstream action still carries the whole nested tree
+    # through analysis, and AQE re-renders the full plan string on every
+    # stage update (AdaptiveSparkPlanExec.onUpdatePlan -> explainString),
+    # which is what actually dominated — a 6-hop walk pinned the driver
+    # single-core for >25 min in PlanStringConcat with 18 GB of plan
+    # strings. localCheckpoint(eager=True) per hop truncates the lineage to
+    # a LogicalRDD (the pagerank / duplicate_components_star discipline):
+    # hop-local constant-size plans, one tiny materialization job per hop.
+    # Checkpointed relations are frontier-sized — bounded at any corpus
+    # scale.
     def keep_passing(scored: DataFrame) -> DataFrame:
         # restrict scored rows to selector-passing nodes WITHOUT ever
         # broadcasting the (corpus-scale) passing relation: intersect the
@@ -244,21 +254,10 @@ def graph_search(
         )
         return scored.join(F.broadcast(ok), "node_id")
 
-    scored = score_all(seeds).persist()
-    if passing is not None:
-        # EAGER per-hop materialization on the filtered path: the walk
-        # relation chain (frontier + the result accumulator, both derived
-        # from each hop's scored relation) is re-planned per hop by AQE,
-        # and with every hop's subplan still lazy the per-action planning
-        # cost compounds superlinearly (measured 2.1/3.4/4.2/12.9 s at
-        # hops 0-3 on 500 rows). One count() per hop pins each hop's
-        # InMemoryRelation before the next is planned — hop-local plans,
-        # hops x one extra tiny job (the relation is |Q| x beam rows).
-        scored.count()
+    scored = score_all(seeds).localCheckpoint(eager=True)
     frontier = beam_cut(scored)
     visited_passing = keep_passing(scored) if passing is not None else None
     for _ in range(n_hops):
-        frontier = frontier.persist()
         expanded = (
             F.broadcast(frontier.select("query_id", "node_id"))
             .join(edges, "node_id")
@@ -269,16 +268,14 @@ def graph_search(
             .unionByName(expanded)
             .distinct()
         )
-        scored = score_all(cand).persist()
-        if passing is not None:
-            scored.count()
+        scored = score_all(cand).localCheckpoint(eager=True)
         frontier = beam_cut(scored)
         if passing is not None:
-            # the accumulator is itself a growing union chain — persist it
+            # the accumulator is itself a growing union chain — truncate it
             # per hop for the same hop-local-plan reason as scored
             visited_passing = visited_passing.unionByName(
                 keep_passing(scored)
-            ).persist()
+            ).localCheckpoint(eager=True)
 
     if passing is not None:
         # the result list: every visited passing node, deduped (the same
