@@ -27,6 +27,7 @@ __all__ = [
     "vec_inner_product",
     "vec_norm",
     "vec_cosine_distance",
+    "vec_cosine_distance_prenorm",
     "vec_sign_hamming",
     "vec_truncate",
     "float16_roundtrip",
@@ -70,6 +71,19 @@ def vec_cosine_distance(a: Column, b: Column) -> Column:
     """1 - cos(a,b); zero-norm guarded via nullif (ANSI-safe)."""
     denom = F.nullif(vec_norm(a) * vec_norm(b), F.lit(0.0))
     return F.lit(1.0) - vec_inner_product(a, b) / denom
+
+
+def vec_cosine_distance_prenorm(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """``vec_cosine_distance`` with the two norms precomputed as columns.
+
+    Bit-identical values (same fold for each norm, same product, same
+    nullif guard, same division) — exists so per-CANDIDATE scoring under a
+    join evaluates ONE interpreted fold (the inner product) instead of
+    three: each norm is a per-ROW quantity, so callers hoist it into a
+    projection below the join (guide §1.2 "per-task work" — at bench scale
+    the three-fold form measurably dominates cosine candidate scoring, and
+    at 100 TB it triples the expression work of every cosine rerank)."""
+    return F.lit(1.0) - vec_inner_product(a, b) / F.nullif(na * nb, F.lit(0.0))
 
 
 def vec_sign_hamming(a: Column, b: Column) -> Column:

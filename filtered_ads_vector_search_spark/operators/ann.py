@@ -35,6 +35,7 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions import vector as V
 from .topk import Metric, _arrow_vectors, _topk_set_mask, distance_col, knn_window
 
 # The Arrow kernels collect the query matrix driver-side and rank probes
@@ -1298,9 +1299,25 @@ class IVFIndex:
         #    queries x nprobe rows — always the small side; broadcast it
         #    explicitly so the corpus NEVER shuffles or broadcasts (at 100 TB
         #    the corpus relation must only ever stream).
+        q_side = queries
+        c_side = corpus
+        if self.metric == "cosine":
+            # hoist the per-row norm folds below the join (see
+            # vec_cosine_distance_prenorm): cosine candidate scoring then
+            # evaluates ONE interpreted fold per candidate instead of three
+            # — bit-identical distances
+            q_side = queries.select(
+                "query_id", "q_vec", V.vec_norm(F.col("q_vec")).alias("_qn")
+            )
+            c_side = corpus.select(
+                "partition_id",
+                F.col(self.id_col),
+                F.col(self.vec_col),
+                V.vec_norm(F.col(self.vec_col)).alias("_cn"),
+            )
         cand = (
-            F.broadcast(probes).join(corpus, "partition_id")
-            .join(F.broadcast(queries), "query_id")
+            F.broadcast(probes).join(c_side, "partition_id")
+            .join(F.broadcast(q_side), "query_id")
         )
         # 3. exact rerank via the window form, NOT topk_agg: with no dedup
         #    shuffle to eliminate (every corpus row lives in exactly one
@@ -1308,7 +1325,16 @@ class IVFIndex:
         #    per-query top-k BEFORE the exchange — beats an aggregation that
         #    must shuffle every candidate into collect_list (measured ~20%
         #    on the bench; the gap grows with candidates/query at scale).
-        d, asc = distance_col(self.metric, F.col("q_vec"), F.col(self.vec_col))
+        if self.metric == "cosine":
+            d, asc = (
+                V.vec_cosine_distance_prenorm(
+                    F.col("q_vec"), F.col(self.vec_col),
+                    F.col("_qn"), F.col("_cn"),
+                ),
+                True,
+            )
+        else:
+            d, asc = distance_col(self.metric, F.col("q_vec"), F.col(self.vec_col))
         order = [F.col("dist").asc() if asc else F.col("dist").desc(), F.col("neighbor_id").asc()]
         w = Window.partitionBy("query_id").orderBy(*order)
         return (

@@ -637,11 +637,27 @@ def duplicate_components_star(
     component minima; labels fall out of one final min-groupBy.
     """
     spark = pairs.sparkSession
-    edges = (
+
+    def _checkpoint_with_checksum(e: DataFrame) -> tuple[DataFrame, tuple[int, int]]:
+        # fuse the fixpoint checksum into the SAME job that materializes
+        # the round's edges: observe() computes the aggregate as a side
+        # effect of the eager localCheckpoint (one job per round instead of
+        # two — the checksum collect was pure fixed cost at any scale)
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        out = e.observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
+        ).localCheckpoint(eager=True)
+        m = obs.get
+        return out, (int(m["n"]), int(m["h"]))
+
+    edges, prev = _checkpoint_with_checksum(
         pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     vertices = (
         edges.select(F.col("u").alias("id"))
@@ -649,14 +665,6 @@ def duplicate_components_star(
         .distinct()
         .localCheckpoint(eager=True)
     )
-
-    def _checksum(e: DataFrame) -> tuple[int, int]:
-        row = e.agg(
-            F.count(F.lit(1)).alias("n"),
-            # order-independent, overflow-free content fingerprint
-            F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
-        ).collect()[0]
-        return int(row["n"]), int(row["h"])
 
     def _large_star(e: DataFrame) -> DataFrame:
         sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -688,10 +696,8 @@ def duplicate_components_star(
             .distinct()
         )
 
-    prev = _checksum(edges)
     for _ in range(max_rounds):
-        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
-        cur = _checksum(edges)
+        edges, cur = _checkpoint_with_checksum(_small_star(_large_star(edges)))
         if cur == prev:
             break
         prev = cur
@@ -939,6 +945,13 @@ def contamination_flags_bloom(
         eval_docs.select(F.explode(word_shingles(F.col(text_col), n)).alias("sh"))
         .select(str_hash_col(F.col("sh")).alias("shh"))
         .distinct()
+        # persist: the eval shingle set is read THREE times (the sizing
+        # count, the bitmap build, the exact join) — without it each reader
+        # re-shingles + re-hashes + re-distincts the eval corpus. It is the
+        # relation the exact join already broadcasts, so caching it is
+        # bounded by the same assumption (eval corpora are small by
+        # definition); one computation instead of three.
+        .persist()
     )
     if m is None:
         m = _bloom_size_for(e.count())

@@ -58,13 +58,17 @@ def pagerank(
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
     outdeg = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    # outdeg is LOOP-INVARIANT: attach it to the edge relation once before
+    # the loop (guide §2.4 — one join instead of one per round; at 100 TB
+    # that removes n_iter shuffles of the edge relation). Checkpoint the
+    # joined relation so every round reads the materialized artifact.
+    e_deg = e.join(outdeg, "s").localCheckpoint(eager=True)
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     base = (1.0 - damping) / n
-    for _ in range(n_iter):
+    for i in range(n_iter):
         contribs = (
-            e.join(ranks, e["s"] == ranks["node"])
-            .join(outdeg, "s")
+            e_deg.join(ranks, e_deg["s"] == ranks["node"])
             .select(F.col("t").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
             .groupBy("node")
             .agg(F.sum("c").alias("inflow"))
@@ -79,16 +83,19 @@ def pagerank(
             )
         else:
             dangling = 0.0
-        ranks = (
-            nodes.join(contribs, "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit(base)
-                    + F.lit(damping)
-                    * (F.coalesce(F.col("inflow"), F.lit(0.0)) + F.lit(dangling / n))
-                ).alias("rank"),
-            )
-            .localCheckpoint(eager=True)
+        ranks = nodes.join(contribs, "node", "left").select(
+            "node",
+            (
+                F.lit(base)
+                + F.lit(damping)
+                * (F.coalesce(F.col("inflow"), F.lit(0.0)) + F.lit(dangling / n))
+            ).alias("rank"),
         )
+        # plan truncation every OTHER round (every round when directed —
+        # the dangling collect is an action over the lazy iterate): a
+        # 2-round lineage is two joins + one aggregate deep, well inside
+        # planning cost, and halving the eager checkpoint jobs halves the
+        # per-round fixed cost that dominates PageRank at bench scale.
+        if directed or i % 2 == 1 or i == n_iter - 1:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("node", F.round("rank", round_digits).alias("rank"))

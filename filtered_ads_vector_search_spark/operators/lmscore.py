@@ -210,24 +210,27 @@ def dsir_weights(
     shuffles on a corpus-sized key.
     """
     ex = _featurize(documents, text_col, n_buckets)
-    raw = ex.groupBy("bucket").agg(F.count(F.lit(1)).alias("raw_f"))
-    tgt = (
-        ex.filter(F.col("lang") == target_lang)
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("tgt_f"))
+    # ONE map-combinable aggregate produces BOTH per-bucket counts (raw_f,
+    # and tgt_f as a conditional sum) — the separate raw / tgt groupBys and
+    # the corpus-wide totals pass collapsed into it (guide §2.3 "aggregate
+    # before you shuffle"): the corpus is featurized ONCE for the lambda
+    # table (plus once for the scoring join below) instead of three times,
+    # and totals are summed from the <= n_buckets count relation instead of
+    # a fourth corpus pass. Exact integer counts -> identical lambdas.
+    counts = ex.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("raw_f"),
+        F.sum((F.col("lang") == target_lang).cast("long")).alias("tgt_f"),
     )
-    totals = ex.agg(
-        F.count(F.lit(1)).alias("raw_tot"),
-        F.sum((F.col("lang") == target_lang).cast("long")).alias("tgt_tot"),
+    totals = counts.agg(
+        F.sum("raw_f").alias("raw_tot"), F.sum("tgt_f").alias("tgt_tot")
     )
     lam = (
-        raw.join(tgt, "bucket", "left")
-        .crossJoin(F.broadcast(totals))
+        counts.crossJoin(F.broadcast(totals))
         .select(
             "bucket",
             (
                 F.log(
-                    (F.coalesce(F.col("tgt_f"), F.lit(0)) + F.lit(alpha))
+                    (F.col("tgt_f") + F.lit(alpha))
                     / (F.col("tgt_tot") + F.lit(alpha * n_buckets))
                 )
                 - F.log(

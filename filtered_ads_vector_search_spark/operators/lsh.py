@@ -35,6 +35,7 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions import vector as V
 from .topk import Metric, distance_col, topk_agg
 
 __all__ = ["LSHIndex"]
@@ -311,18 +312,39 @@ class LSHIndex:
             f"flatten(transform(sequence(0, {T - 1}), t -> "
             f"transform({probe}, bk -> named_struct('t', t, 'bk', bk)))))))"
         )
+        # Cosine: hoist the per-row norm folds below the join (see
+        # vec_cosine_distance_prenorm) — the query norm is computed on the
+        # tiny broadcast side, the corpus norm ONCE per corpus row in a
+        # projection UNDER the explode (the Generate keeps its child
+        # projection, so the fan-out only replicates the value) — candidate
+        # scoring then evaluates one interpreted fold per pair instead of
+        # three. Bit-identical distances.
+        q_extra = c_extra = ()
+        if self.metric == "cosine":
+            queries = queries.select(
+                "query_id", "q_vec", V.vec_norm(F.col("q_vec")).alias("_qn")
+            )
+            corpus = corpus.select(
+                *corpus.columns, V.vec_norm(F.col(self.vec_col)).alias("_cn")
+            )
+            q_extra, c_extra = ("_qn",), ("_cn",)
         q_keys = queries.select(
-            "query_id", "q_vec", F.expr(key_expr).alias("e")
-        ).select("query_id", "q_vec", F.col("e.t").alias("t"), F.col("e.bk").alias("bk"))
+            "query_id", "q_vec", *q_extra, F.expr(key_expr).alias("e")
+        ).select(
+            "query_id", "q_vec", *q_extra,
+            F.col("e.t").alias("t"), F.col("e.bk").alias("bk"),
+        )
         c_struct = ", ".join(
             f"named_struct('t', {t}, 'bk', bucket_{t})" for t in range(T)
         )
         c_keys = corpus.select(
             F.col(self.id_col).alias("neighbor_id"),
             F.col(self.vec_col),
+            *c_extra,
             F.expr(f"explode(array({c_struct}))").alias("e"),
         ).select(
-            "neighbor_id", self.vec_col, F.col("e.t").alias("t"), F.col("e.bk").alias("bk")
+            "neighbor_id", self.vec_col, *c_extra,
+            F.col("e.t").alias("t"), F.col("e.bk").alias("bk"),
         )
 
         # Distances are computed BEFORE deduplication so the only shuffle
@@ -333,7 +355,16 @@ class LSHIndex:
         # total instead of groupBy + window (two). Per-query state is the
         # candidate set (corpus/2^n_bits × n_tables expected), the same rows
         # the window form would sort — sized by n_bits at build time.
-        d, asc = distance_col(self.metric, F.col("q_vec"), F.col(self.vec_col))
+        if self.metric == "cosine":
+            d, asc = (
+                V.vec_cosine_distance_prenorm(
+                    F.col("q_vec"), F.col(self.vec_col),
+                    F.col("_qn"), F.col("_cn"),
+                ),
+                True,
+            )
+        else:
+            d, asc = distance_col(self.metric, F.col("q_vec"), F.col(self.vec_col))
         pairs = (
             F.broadcast(q_keys)
             .join(c_keys, ["t", "bk"])

@@ -48,10 +48,25 @@ def _unit_norm(df: DataFrame, vec_col: str) -> DataFrame:
     scale-invariant; normalization exists so the IVF tier's SQEUCLIDEAN
     coarse quantizer (training, assignment, probe ranking) orders cells by
     cosine — on unit vectors d2 = 2 - 2*cos, the FAISS normalize-then-L2
-    recipe for cosine indexes."""
-    n = F.nullif(V.vec_norm(F.col(vec_col)), F.lit(0.0))
+    recipe for cosine indexes.
+
+    The whole thing is ONE aggregate whose finish lambda emits the scaled
+    array: the naive ``transform(vec, x -> x / norm(vec))`` re-evaluates
+    the full norm fold per ELEMENT in interpreted HOF mode (dim× the work
+    — measured as the dominant cost of normalizing a 64-d relation).
+    Same per-element doubles, same fold order, same nullif guard — the
+    emitted values are bit-identical to the naive form."""
     return df.withColumn(
-        vec_col, F.transform(F.col(vec_col), lambda x: x.cast("double") / n)
+        vec_col,
+        F.aggregate(
+            F.col(vec_col),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            lambda s: F.transform(
+                F.col(vec_col),
+                lambda x: x.cast("double") / F.nullif(F.sqrt(s), F.lit(0.0)),
+            ),
+        ),
     )
 
 

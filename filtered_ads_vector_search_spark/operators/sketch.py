@@ -90,13 +90,38 @@ def cms_heavy_hitters(
     the vocab-sized aggregate and exists for the comparison, not the scale
     path (estimate-only callers join candidates against the broadcast
     sketch)."""
-    sk = cms_build(documents, text_col, depth, width)
     truth = (
         documents.select(
             F.explode(T.tokens(F.lower(F.col(text_col)))).alias("term")
         )
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("true_count"))
+    )
+    # The audit form computes the vocab-sized true counts anyway, and the
+    # sketch cell counts are sums of per-term counts — so build the sketch
+    # FROM the truth relation (sum true_count per hashed cell) instead of
+    # re-tokenizing the corpus and hashing every OCCURRENCE d times
+    # (guide §2.3 aggregate-before-you-expand: one corpus pass instead of
+    # two, and the d-way md5/portable-hash expansion runs per TERM, not per
+    # occurrence). Exact integer sums -> cell counts identical to
+    # cms_build's; the standalone cms_build keeps the occurrence-stream
+    # shape for estimate-only callers that never materialize a vocabulary.
+    sk = (
+        truth.select(
+            "true_count",
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        _cell(F.col("term"), j, width).alias("cell"),
+                    )
+                    for j in range(depth)
+                ])
+            ).alias("rc"),
+        )
+        .groupBy("rc.j", "rc.cell")
+        .agg(F.sum("true_count").alias("cnt"))
+        .select(F.col("j"), F.col("cell"), "cnt")
     )
     probes = truth.select(
         "term",

@@ -83,11 +83,32 @@ def bm25_search(
     (query_id, doc_id, rank, score) with score rounded to 4 decimals.
     Ranking uses the order-fixed summed score (see module docstring);
     ties break on doc_id ascending."""
-    dt = doc_terms(docs, id_col, text_col)
-    dlen = dt.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    # exact integer totals -> one deterministic division for avgdl
-    tot = dlen.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    # dl (doc length) is the per-doc token count — an arithmetic identity
+    # with sum(tf) over the doc's terms, so it is computed MAP-SIDE from
+    # the token array instead of via a second corpus-keyed aggregate +
+    # doc_id join (guide §2.4 remove shuffles outright: the dlen relation
+    # and its join exchange disappear; dl rides the doc_terms groupBy key,
+    # functionally dependent on doc_id). Values are bit-identical: exact
+    # integer counts either way.
+    toks = F.filter(
+        tokens(F.lower(F.col(text_col))), lambda t: t != ""
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), toks.alias("_toks")
+    ).filter(F.size("_toks") > 0)
+    dt = (
+        base.select(
+            "doc_id",
+            F.size("_toks").alias("dl"),
+            F.explode("_toks").alias("term"),
+        )
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    # exact integer totals -> one deterministic division for avgdl; the
+    # totals pass is map-only (no exchange) over the token arrays
+    tot = base.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum(F.size("_toks")).alias("sum_dl")
     ).collect()[0]
     if not tot["n_docs"]:  # empty corpus / no document produced a token
         return docs.sparkSession.createDataFrame(
@@ -118,7 +139,6 @@ def bm25_search(
     scored = (
         F.broadcast(qterms)
         .join(dt, "term")
-        .join(dlen, "doc_id")
         .join(F.broadcast(stats), "term")
         .select("query_id", "doc_id", "term", term_score.alias("ts"))
     )

@@ -98,9 +98,31 @@ def knn_window(
     ``distance``: optional custom (distance expression over q_vec/vec_col,
     ascending?) pair — e.g. packed-word hamming — replacing ``metric``.
     """
-    d, asc = (
-        distance if distance is not None else distance_col(metric, F.col("q_vec"), F.col(vec_col))
-    )
+    q_side = queries
+    c_side = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col))
+    if distance is not None:
+        d, asc = distance
+    elif metric == "cosine":
+        # Hoist the two norm folds below the join: each is a per-ROW
+        # quantity, so computing them inside the per-PAIR distance
+        # projection (what vec_cosine_distance inlines) triples the
+        # interpreted fold work of the scoring stage. Projections under a
+        # join are evaluated once per input row; the values are
+        # bit-identical (same folds, same product/nullif/division order).
+        q_side = queries.select(
+            "query_id", "q_vec", V.vec_norm(F.col("q_vec")).alias("_qn")
+        )
+        c_side = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col),
+            V.vec_norm(F.col(vec_col)).alias("_cn"),
+        )
+        d = V.vec_cosine_distance_prenorm(
+            F.col("q_vec"), F.col(vec_col), F.col("_qn"), F.col("_cn")
+        )
+        asc = True
+    else:
+        d, asc = distance_col(metric, F.col("q_vec"), F.col(vec_col))
     order = [F.col("dist").asc(), F.col("neighbor_id").asc()] if asc else [
         F.col("dist").desc(),
         F.col("neighbor_id").asc(),
@@ -109,8 +131,8 @@ def knn_window(
     # the nested-loop join must stream corpus partitions against a broadcast
     # query matrix (BuildLeft), never the reverse.
     pairs = (
-        F.broadcast(queries)
-        .crossJoin(corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col)))
+        F.broadcast(q_side)
+        .crossJoin(c_side)
         .withColumn("dist", d)
         .select("query_id", "neighbor_id", "dist")
     )
