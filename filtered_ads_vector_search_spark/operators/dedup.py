@@ -941,20 +941,27 @@ def contamination_flags_bloom(
     d = docs.select(
         "doc_id", F.explode(word_shingles(F.col(text_col), n)).alias("sh")
     ).select("doc_id", str_hash_col(F.col("sh")).alias("shh"))
+    # The eval shingle set is read three times (the sizing count, the
+    # bitmap build, the exact join) — materialize it ONCE with the sizing
+    # count fused into the same job via observe() (the
+    # duplicate_components_star discipline). It is the relation the exact
+    # join already broadcasts, so holding it is bounded by the same
+    # assumption (eval corpora are small by definition).
+    from pyspark.sql import Observation
+
     e = (
         eval_docs.select(F.explode(word_shingles(F.col(text_col), n)).alias("sh"))
         .select(str_hash_col(F.col("sh")).alias("shh"))
         .distinct()
-        # persist: the eval shingle set is read THREE times (the sizing
-        # count, the bitmap build, the exact join) — without it each reader
-        # re-shingles + re-hashes + re-distincts the eval corpus. It is the
-        # relation the exact join already broadcasts, so caching it is
-        # bounded by the same assumption (eval corpora are small by
-        # definition); one computation instead of three.
-        .persist()
     )
     if m is None:
-        m = _bloom_size_for(e.count())
+        obs = Observation()
+        e = e.observe(obs, F.count(F.lit(1)).alias("n")).localCheckpoint(
+            eager=True
+        )
+        m = _bloom_size_for(int(obs.get["n"]))
+    else:
+        e = e.localCheckpoint(eager=True)
     bm = bloom_bitmap(e, col="shh", m=m, kb=kb, hashed=True)
     if m // 64 <= _BLOOM_LITERAL_MAX_WORDS:
         # small bitmap: whole-stage-codegen arithmetic on a literal array

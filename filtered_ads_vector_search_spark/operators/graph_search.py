@@ -216,9 +216,25 @@ def graph_search(
         )
 
     def beam_cut(scored: DataFrame) -> DataFrame:
-        return (
-            scored.withColumn("_r", F.row_number().over(w))
-            .filter(F.col("_r") <= beam)
+        # dedup + beam in ONE aggregation (the topk_agg form): a candidate
+        # reached from several frontier members scores bit-identically, so
+        # array_distinct IS the dedup, and sort+slice replaces the
+        # row_number window — one exchange per hop instead of two (the
+        # (query, node) distinct + the window repartition). Tie-break and
+        # membership are identical to the window form (dist asc|desc,
+        # node_id asc; asserted by topk_agg's cross-form test).
+        from .topk import topk_agg
+
+        return topk_agg(
+            scored.withColumnRenamed("node_id", "neighbor_id"),
+            beam,
+            asc=asc,
+            dedup=True,
+        ).select(
+            "query_id",
+            F.col("neighbor_id").alias("node_id"),
+            "dist",
+            F.col("rank").alias("_r"),
         )
 
     # hop 0: the seeded frontier. A (query_id, node_id) entries relation
@@ -254,8 +270,22 @@ def graph_search(
         )
         return scored.join(F.broadcast(ok), "node_id")
 
-    scored = score_all(seeds).localCheckpoint(eager=True)
-    frontier = beam_cut(scored)
+    # Per hop: expansion and scoring are broadcast joins against the
+    # streaming edge/corpus relations (no exchange); the ONLY exchange is
+    # beam_cut's fused dedup+top-beam aggregation. Candidates are NOT
+    # pre-deduplicated — a node reached via several frontier members is
+    # scored once per path (bit-identical rows the aggregation collapses);
+    # the candidate relation stays bounded at |Q| x beam x (degree + 1),
+    # and trading the duplicate fold evaluations for a whole (query, node)
+    # distinct exchange per hop is the win at every scale. The checkpoint
+    # moves to the FRONTIER (|Q| x beam rows, the smallest relation in the
+    # walk) — each hop's plan then starts from a LogicalRDD and stays
+    # constant-size. The filtered path additionally checkpoints each hop's
+    # scored relation (it feeds both the beam and the result accumulator).
+    scored = score_all(seeds)
+    if passing is not None:
+        scored = scored.localCheckpoint(eager=True)
+    frontier = beam_cut(scored).localCheckpoint(eager=True)
     visited_passing = keep_passing(scored) if passing is not None else None
     for _ in range(n_hops):
         expanded = (
@@ -263,13 +293,11 @@ def graph_search(
             .join(edges, "node_id")
             .select("query_id", F.col("_dst").alias("node_id"))
         )
-        cand = (
-            frontier.select("query_id", "node_id")
-            .unionByName(expanded)
-            .distinct()
-        )
-        scored = score_all(cand).localCheckpoint(eager=True)
-        frontier = beam_cut(scored)
+        cand = frontier.select("query_id", "node_id").unionByName(expanded)
+        scored = score_all(cand)
+        if passing is not None:
+            scored = scored.localCheckpoint(eager=True)
+        frontier = beam_cut(scored).localCheckpoint(eager=True)
         if passing is not None:
             # the accumulator is itself a growing union chain — truncate it
             # per hop for the same hop-local-plan reason as scored

@@ -90,7 +90,13 @@ def ngram_lm_perplexity(
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c1"))
     )
-    vocab = uni.agg(F.count(F.lit(1)).alias("v"))
+    # vocab size rides the uni relation as a GLOBAL window instead of a
+    # separate one-row aggregate branch (which re-ran the whole
+    # tokenize+groupBy subplan — one corpus pass saved; the window is a
+    # single-partition pass over the vocab-sized relation). Same integer.
+    uni = uni.select(
+        "w", "c1", F.count(F.lit(1)).over(Window.partitionBy()).alias("v")
+    )
     big = (
         lowered.select(F.explode(_bigrams(F.col("lt"))).alias("bg"))
         .groupBy("bg")
@@ -102,7 +108,6 @@ def ngram_lm_perplexity(
     scored = (
         ex.join(big, "bg")
         .join(uni, ex["w1"] == uni["w"])
-        .crossJoin(F.broadcast(vocab))
         .select(
             "doc_id",
             F.log(
@@ -209,6 +214,8 @@ def dsir_weights(
     <= n_buckets rows, so the score join is a broadcast; the corpus never
     shuffles on a corpus-sized key.
     """
+    from ..functions.hashing import str_hash_col
+
     ex = _featurize(documents, text_col, n_buckets)
     # ONE map-combinable aggregate produces BOTH per-bucket counts (raw_f,
     # and tgt_f as a conditional sum) — the separate raw / tgt groupBys and
@@ -216,16 +223,37 @@ def dsir_weights(
     # before you shuffle"): the corpus is featurized ONCE for the lambda
     # table (plus once for the scoring join below) instead of three times,
     # and totals are summed from the <= n_buckets count relation instead of
-    # a fourth corpus pass. Exact integer counts -> identical lambdas.
-    counts = ex.groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("raw_f"),
-        F.sum((F.col("lang") == target_lang).cast("long")).alias("tgt_f"),
+    # a fourth corpus pass. The md5 feature hash runs per DISTINCT bigram
+    # (vocabulary-sized, after the count aggregate) rather than per
+    # occurrence — same bucket per bigram, same integer sums, identical
+    # lambdas, ~|occurrences|/|vocab| x less hashing on this pass.
+    bgc = documents.select(
+        "lang", F.explode(_bigrams(F.col(text_col))).alias("bg")
+    ).groupBy("bg").agg(
+        F.count(F.lit(1)).alias("raw_n"),
+        F.sum((F.col("lang") == target_lang).cast("long")).alias("tgt_n"),
     )
-    totals = counts.agg(
-        F.sum("raw_f").alias("raw_tot"), F.sum("tgt_f").alias("tgt_tot")
+    counts = (
+        bgc.withColumn(
+            "bucket", F.pmod(str_hash_col(F.col("bg")), F.lit(n_buckets))
+        )
+        .groupBy("bucket")
+        .agg(F.sum("raw_n").alias("raw_f"), F.sum("tgt_n").alias("tgt_f"))
+    )
+    # totals as a GLOBAL window over the counts relation, not a separate
+    # aggregate branch: a second branch re-runs the whole featurize+groupBy
+    # subplan (exchange reuse does not fire across the differently-pruned
+    # aggregates — observed in the r11 plan), while the window is one
+    # single-partition pass over the <= n_buckets rows already in hand.
+    # Exact integer sums either way.
+    w_all = Window.partitionBy()
+    counts = counts.select(
+        "bucket", "raw_f", "tgt_f",
+        F.sum("raw_f").over(w_all).alias("raw_tot"),
+        F.sum("tgt_f").over(w_all).alias("tgt_tot"),
     )
     lam = (
-        counts.crossJoin(F.broadcast(totals))
+        counts
         .select(
             "bucket",
             (

@@ -91,13 +91,26 @@ def _knn_cos(
             index = IVFIndex.build(
                 _unit_norm(corpus.select("vec_id", "embedding"), "embedding"),
                 n_centroids=n_centroids,
-                metric="cosine",
+                metric="sqeuclidean",
             )
-        out = index.search(
-            _unit_norm(queries.select("query_id", "q_vec"), "q_vec"),
-            k=k,
-            nprobe=nprobe,
-        )
+        qn = _unit_norm(queries.select("query_id", "q_vec"), "q_vec")
+        if index.metric == "sqeuclidean":
+            # FAISS's actual cosine recipe end to end: on unit vectors
+            # d2 = 2 - 2*cos, so the sqeuclidean tier ranks identically to
+            # cosine — which unlocks the DGEMM batch scorer (arrow_score=
+            # 'blas', one BLAS call per scan batch x bucket) in place of
+            # the per-candidate interpreted fold. cos recovers as
+            # 1 - d2/2. The ivf tier is governed by the overlap-floor
+            # contract oracles (bitext_mine_ann / hard_negatives_ann), not
+            # value-pinned — ulp-level tie differences vs the cosine
+            # expression path are inside the floor's 2x margin; the margin
+            # arithmetic itself stays bit-oracled via the exact kernels.
+            out = index.search(qn, k=k, nprobe=nprobe, arrow_score="blas")
+            return out.withColumn(
+                "cos", F.lit(1.0) - F.col("dist") / F.lit(2.0)
+            ).drop("dist")
+        # back-compat: an externally built cosine-metric index handle
+        out = index.search(qn, k=k, nprobe=nprobe)
     else:
         fn = knn_window if kernel == "window" else knn_scalable
         out = fn(queries, corpus, k=k, metric="cosine")
@@ -143,6 +156,33 @@ def mine_bitext(
     t = tgt.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
     src_c = src.select(F.col(id_col), F.col(vec_col))
     tgt_c = tgt.select(F.col(id_col), F.col(vec_col))
+
+    if kernel == "ivf" and (fwd_index is None or bwd_index is None):
+        # The two direction indexes are INDEPENDENT builds (fwd over tgt,
+        # bwd over src) whose driver phases (bounded-sample collect, seeded
+        # k-means, assignment materialization) otherwise serialize; submit
+        # them from a 2-thread pool so each build's Spark jobs back-fill
+        # the other's driver-side k-means (guide §2.6 overlap independent
+        # jobs). Builds are seeded + hash-sample deterministic, so
+        # concurrency cannot change the trained artifacts.
+        from concurrent.futures import ThreadPoolExecutor
+
+        from .ann import IVFIndex
+
+        def _build(rel: DataFrame):
+            # sqeuclidean over unit vectors == cosine ranking (see
+            # _knn_cos), which unlocks the BLAS batch scorer at search time
+            return IVFIndex.build(
+                _unit_norm(rel.select("vec_id", "embedding"), "embedding"),
+                n_centroids=n_centroids,
+                metric="sqeuclidean",
+            )
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            ffut = None if fwd_index is not None else pool.submit(_build, tgt_c)
+            bfut = None if bwd_index is not None else pool.submit(_build, src_c)
+            fwd_index = fwd_index if ffut is None else ffut.result()
+            bwd_index = bwd_index if bfut is None else bfut.result()
 
     # forward: every source's k nearest targets (candidates AND the x-side
     # penalty come from this ONE k-NN job)

@@ -66,6 +66,7 @@ def _knn_spark(
     filter_name: str | None = None,
     quant: str | None = None,
     round_digits: int = 3,
+    physical: str = "window",
 ) -> DataFrame:
     emb = _tbl(spark, sf_dir, "embeddings")
     if quant == "sq8":
@@ -73,7 +74,18 @@ def _knn_spark(
     q, c = TK.split_queries(emb)
     if filter_name is not None:
         c = FL.with_rating_bucket(c).filter(FL.named_filter_predicate(filter_name))
-    out = TK.knn_window(q, c, k=K, metric=metric)
+    # physical='scalable' swaps the declarative window form for the Arrow
+    # broadcast-query scan (same knn contract). Used by the sq8 tier, where
+    # equivalence is PROVABLE, not merely contractual: quantized elements
+    # are ints in [-127, 127], every squared-diff sum is an exact integer
+    # <= dim * 254^2 << 2^53, and numpy's ||q||^2 - 2qc + ||c||^2
+    # decomposition is exact integer arithmetic in float64 — so both forms
+    # produce bit-identical dist doubles, same (dist, id) tie-break
+    # (asserted cross-form in test_topk.py; the DuckDB oracle hash pins it
+    # too). Float metrics keep the window form: the decomposition is not
+    # bit-stable there.
+    fn = TK.knn_scalable if physical == "scalable" else TK.knn_window
+    out = fn(q, c, k=K, metric=metric)
     return out.select(
         "query_id",
         "neighbor_id",
@@ -5550,7 +5562,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_decode_jpeg": _multimodal_decode_jpeg_spark,
     "multimodal_decode_jpeg_prog": _multimodal_decode_jpeg_prog_spark,
     "multimodal_decode_jpeg_lossless": _multimodal_decode_jpeg_lossless_spark,
-    "knn_sq8": lambda s, d: _knn_spark(s, d, "sqeuclidean", quant="sq8"),
+    "knn_sq8": lambda s, d: _knn_spark(s, d, "sqeuclidean", quant="sq8", physical="scalable"),
     "recall_sq8_vs_fp": _recall_sq8_spark,
     "knn_fp16": _knn_fp16_spark,
     "knn_pq_adc": _knn_pq_adc_spark,
@@ -5586,7 +5598,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "latency_percentiles": _latency_percentiles_spark,
     "knn_filtered_mid": lambda s, d: _knn_spark(s, d, "sqeuclidean", filter_name="mid_rated"),
     "knn_filtered_low": lambda s, d: _knn_spark(s, d, "sqeuclidean", filter_name="low_rated"),
-    "knn_sq8_filtered_high": lambda s, d: _knn_spark(s, d, "sqeuclidean", filter_name="high_rated", quant="sq8"),
+    "knn_sq8_filtered_high": lambda s, d: _knn_spark(s, d, "sqeuclidean", filter_name="high_rated", quant="sq8", physical="scalable"),
     "pareto_frontier_suppliers": _pareto_spark,
     "quality_brackets": _bracket_spark,
     "tpch_q1": _tpch_q1_spark,

@@ -68,6 +68,50 @@ def test_scalable_matches_window(spark):
     assert a == b
 
 
+def test_scalable_bitwise_equals_window_on_sq8(spark):
+    """On int8-quantized vectors the two physical forms agree BIT-FOR-BIT on
+    distances (not just on ids/ranks): every squared-diff sum is an exact
+    integer <= dim * 254^2 << 2^53, so the HOF fold and numpy's
+    ||q||^2 - 2qc + ||c||^2 decomposition both compute it exactly in
+    float64. This is the equivalence the registry's knn_sq8 /
+    knn_sq8_filtered_high rely on to run the scalable form against the
+    window-form oracle SQL."""
+    from filtered_ads_vector_search_spark.functions import vector as V
+
+    emb = _emb(spark).withColumn(
+        "embedding", V.sq8_quantize(F.col("embedding"), -3.0, 3.0)
+    )
+    q, c = TK.split_queries(emb)
+    a = sorted(
+        (r.query_id, r.neighbor_id, r["rank"], r.dist)
+        for r in TK.knn_window(q, c, k=K).collect()
+    )
+    b = sorted(
+        (r.query_id, r.neighbor_id, r["rank"], r.dist)
+        for r in TK.knn_scalable(q, c, k=K).collect()
+    )
+    assert a == b  # exact equality including the float dist values
+
+
+def test_cosine_window_prenorm_bitwise_stable(spark):
+    """knn_window's cosine path hoists the norm folds below the join
+    (vec_cosine_distance_prenorm); the distances must equal the inline
+    three-fold form bit-for-bit."""
+    from filtered_ads_vector_search_spark.functions import vector as V
+
+    q, c = TK.split_queries(_emb(spark))
+    got = sorted(
+        (r.query_id, r.neighbor_id, r.dist)
+        for r in TK.knn_window(q, c, k=K, metric="cosine").collect()
+    )
+    d = V.vec_cosine_distance(F.col("q_vec"), F.col("embedding"))
+    want = sorted(
+        (r.query_id, r.neighbor_id, r.dist)
+        for r in TK.knn_window(q, c, k=K, distance=(d, True)).collect()
+    )
+    assert got == want
+
+
 def test_partition_count_invariance(spark):
     """Result is identical under any repartitioning — the Spark analog of the
     reference's batch-size invariance (tests.py:7-62, std<1e-6)."""
