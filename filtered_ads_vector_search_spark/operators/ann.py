@@ -932,6 +932,7 @@ class IVFIndex:
         id_col: str = "vec_id",
         vec_col: str = "embedding",
         materialize: bool = True,
+        train_matrix: np.ndarray | None = None,
     ) -> "IVFIndex":
         """Offline index-build job (the analog of cagra.build / HNSW add;
         build wall-time is the reference's build_time_seconds metric).
@@ -940,6 +941,13 @@ class IVFIndex:
         practice — FAISS trains on ~max(10k, 256*k) points): at 100 TB the
         KMeans iterations run over `train_sample_rows` rows, while the full
         corpus is only touched once, by the final assignment scan.
+
+        ``train_matrix``: the already-collected training sample, for
+        composing builders (IVFPQ) that draw the SAME deterministic
+        hash-ordered sample for their own training stages — passing it
+        skips this build's sample-collect scan (one corpus sampling pass
+        instead of two, identical artifact: the draw is the same raw-vector
+        hash key and cap either way).
         """
         t0 = time.time()
         # Hash-ordered bounded sample (same discipline as pq.pq_train):
@@ -947,19 +955,12 @@ class IVFIndex:
         # and k-means++ seeding consumes rows by position — so without a
         # deterministic order the trained index would vary with input
         # partitioning, breaking the engine's partition-invariance principle.
-        from .pq import _matrix_from_arrow, _sample_hash
-        from .sampling import bounded_hash_take
+        if train_matrix is not None:
+            X = train_matrix
+        else:
+            from .pq import _train_sample_raw
 
-        train = bounded_hash_take(
-            corpus.select(F.col(vec_col).alias("_v")).withColumn(
-                "_h", _sample_hash(F.col("_v"))
-            ),
-            "_h",
-            ["_h", F.col("_v")],
-            train_sample_rows,
-            as_arrow=True,
-        )
-        X = _matrix_from_arrow(train, "_v")
+            X = _train_sample_raw(corpus, vec_col, train_sample_rows)
         if len(X) == 0:
             raise ValueError("cannot build an IVF index over an empty corpus")
         # a high-selectivity filter can leave fewer rows than centroids
@@ -994,7 +995,7 @@ class IVFIndex:
                 .persist()
             )
             assigned.count()
-        return IVFIndex(
+        idx = IVFIndex(
             centroids=centroids,
             assigned=assigned,
             metric=metric,
@@ -1003,6 +1004,11 @@ class IVFIndex:
             id_col=id_col,
             vec_col=vec_col,
         )
+        # driver-side centroid matrix for composing builders (IVFPQ residual
+        # training) — saves them a centroids.collect() round trip; the
+        # DataFrame float roundtrip is exact, so using either is identical
+        idx._centers_np = centers
+        return idx
 
     @staticmethod
     def build_fixed(

@@ -340,23 +340,24 @@ class IVFPQIndex:
         # either way (the hash-gated sample and the encode read the same
         # deterministic assignment).
         t0 = time.time()
+        # ONE sampling scan for the whole composed build (round 11): the
+        # coarse k-means and the residual codebook training draw the SAME
+        # deterministic raw-vector-hash sample, so collect it once and pass
+        # it to both (was: IVFIndex.build and _train_sample_residual each
+        # ran their own identical bounded_hash_take scan). Artifacts are
+        # bit-identical — same membership, same order, same arithmetic
+        # (see the cost history in _train_sample_raw/_train_sample_residual:
+        # 181 s -> 44.6 s -> one-scan form).
+        from .pq import _residuals_for_sample, _train_sample_raw, opq_fit, pq_fit
+
+        X_raw = _train_sample_raw(corpus, vec_col, 100_000)
         ivf = IVFIndex.build(
             corpus, n_centroids=n_centroids, seed=seed, id_col=id_col,
-            vec_col=vec_col, materialize=False,
+            vec_col=vec_col, materialize=False, train_matrix=X_raw,
         )
         rotation: np.ndarray | None = None
         if residual:
-            # residual sample via _train_sample_residual over the RAW
-            # corpus: vectors hash-sampled in one scan with no HOF work and
-            # no assignment kernel in the scan path; assignment AND
-            # residual subtraction happen on the driver over the bounded
-            # sample (see the function's cost history: 181 s -> 44.6 s ->
-            # this form, which keeps the coarse relation fully lazy)
-            from .pq import _train_sample_residual, opq_fit, pq_fit
-
-            X = _train_sample_residual(
-                corpus, ivf.centroids, vec_col, sample_n=100_000
-            )
+            X = _residuals_for_sample(X_raw, ivf._centers_np)
             if opq:
                 rotation, books = opq_fit(
                     X, m=m, n_codes=n_codes, seed=seed, opq_iters=opq_iters

@@ -147,6 +147,35 @@ def _train_sample(corpus: DataFrame, vec_col: str, sample_n: int) -> np.ndarray:
     return _matrix_from_arrow(tbl, "v")
 
 
+def _train_sample_raw(
+    corpus: DataFrame, vec_col: str, sample_n: int
+) -> np.ndarray:
+    """Bounded deterministic RAW-vector training sample as an (n, dim)
+    float64 matrix — the shared hash-ordered draw (raw-vector md5 key)
+    every trained tier samples with. Collected ONCE per composed build:
+    IVFIndex.build (coarse k-means) and the residual codebook training
+    draw the same membership, so composing builders collect here and pass
+    the matrix down instead of running two identical sampling scans."""
+    from .sampling import bounded_hash_take
+
+    src = corpus.select(
+        F.col(vec_col).alias("v"),
+        _sample_hash(F.col(vec_col)).alias("h"),
+    )
+    tbl = bounded_hash_take(src, "h", ["h", F.col("v")], sample_n, as_arrow=True)
+    return _matrix_from_arrow(tbl, "v")
+
+
+def _residuals_for_sample(X: np.ndarray, centers: np.ndarray) -> np.ndarray:
+    """Assign the sample to its nearest centroid and subtract, driver-side
+    — the same `cn - 2 X.C` f64 expansion as _with_partition_id's kernel."""
+    if len(X) == 0:
+        return X
+    cn = (centers * centers).sum(axis=1)
+    pid = np.argmin(cn[None, :] - 2.0 * (X @ centers.T), axis=1)
+    return X - centers[pid]
+
+
 def _train_sample_residual(
     corpus: DataFrame,
     centroids: DataFrame,
@@ -171,21 +200,10 @@ def _train_sample_residual(
     f64 expansion as _with_partition_id's kernel (one ~1 s DGEMM), and the
     coarse relation never needs materializing for training. Sample
     MEMBERSHIP is unchanged (same raw-vector hash key)."""
-    from .sampling import bounded_hash_take
-
     rows = centroids.orderBy("centroid_id").collect()
     centers = np.asarray([r["centroid"] for r in rows], dtype=np.float64)
-    src = corpus.select(
-        F.col(vec_col).alias("v"),
-        _sample_hash(F.col(vec_col)).alias("h"),
-    )
-    tbl = bounded_hash_take(src, "h", ["h", F.col("v")], sample_n, as_arrow=True)
-    X = _matrix_from_arrow(tbl, "v")
-    if len(X) == 0:
-        return X
-    cn = (centers * centers).sum(axis=1)
-    pid = np.argmin(cn[None, :] - 2.0 * (X @ centers.T), axis=1)
-    return X - centers[pid]
+    X = _train_sample_raw(corpus, vec_col, sample_n)
+    return _residuals_for_sample(X, centers)
 
 
 def pq_train(
