@@ -491,9 +491,19 @@ def embedding_dup_pairs_lsh(
         .distinct()
     )
 
-    a = tagged.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"))
-    b = tagged.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"))
-    d = V.vec_cosine_distance(F.col("v_a"), F.col("v_b"))
+    # norms hoisted below the verify joins (one fold per pair, not three —
+    # see vec_cosine_distance_prenorm); bit-identical distances
+    a = tagged.select(
+        F.col("id").alias("id_a"), F.col("v").alias("v_a"),
+        V.vec_norm(F.col("v")).alias("_na"),
+    )
+    b = tagged.select(
+        F.col("id").alias("id_b"), F.col("v").alias("v_b"),
+        V.vec_norm(F.col("v")).alias("_nb"),
+    )
+    d = V.vec_cosine_distance_prenorm(
+        F.col("v_a"), F.col("v_b"), F.col("_na"), F.col("_nb")
+    )
     out = (
         cand.join(a, "id_a")
         .join(b, "id_b")
@@ -1627,13 +1637,23 @@ def semdedup_pairs(
             embeddings, n_clusters, id_col, vec_col, max_cluster_rows
         )
     )
+    # norms hoisted below the self-join (vec_cosine_distance_prenorm): one
+    # interpreted fold per PAIR instead of three — the norm is per-row and
+    # each row enters |cluster| pairs. Bit-identical distances.
     a = assigned.select(
-        "cluster_id", F.col("id").alias("id_a"), F.col("v").alias("v_a")
+        "cluster_id", F.col("id").alias("id_a"), F.col("v").alias("v_a"),
+        V.vec_norm(F.col("v")).alias("_na"),
     )
     b = assigned.select(
-        "cluster_id", F.col("id").alias("id_b"), F.col("v").alias("v_b")
+        "cluster_id", F.col("id").alias("id_b"), F.col("v").alias("v_b"),
+        V.vec_norm(F.col("v")).alias("_nb"),
     )
-    d = F.round(V.vec_cosine_distance(F.col("v_a"), F.col("v_b")), 4)
+    d = F.round(
+        V.vec_cosine_distance_prenorm(
+            F.col("v_a"), F.col("v_b"), F.col("_na"), F.col("_nb")
+        ),
+        4,
+    )
     return (
         a.join(b, "cluster_id")
         .filter(F.col("id_a") < F.col("id_b"))
