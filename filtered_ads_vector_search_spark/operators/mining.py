@@ -185,10 +185,26 @@ def mine_bitext(
             bwd_index = bwd_index if bfut is None else bfut.result()
 
     # forward: every source's k nearest targets (candidates AND the x-side
-    # penalty come from this ONE k-NN job)
-    fwd = _knn_cos(s, tgt_c, k, kernel, nprobe, n_centroids, fwd_index)
-    # backward: every target's k nearest sources — the y-side penalty only
-    bwd = _knn_cos(t, src_c, k, kernel, nprobe, n_centroids, bwd_index)
+    # penalty come from this ONE k-NN job);
+    # backward: every target's k nearest sources — the y-side penalty only.
+    # On the ivf kernel each direction's CONSTRUCTION is eager driver work
+    # (bounded query collect + probe ranking inside the Arrow scorer), so
+    # the two independent directions overlap on a 2-thread pool — same
+    # §2.6 rationale as the builds; pure construction, no result state.
+    if kernel == "ivf":
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            ffut = pool.submit(
+                _knn_cos, s, tgt_c, k, kernel, nprobe, n_centroids, fwd_index
+            )
+            bfut = pool.submit(
+                _knn_cos, t, src_c, k, kernel, nprobe, n_centroids, bwd_index
+            )
+            fwd, bwd = ffut.result(), bfut.result()
+    else:
+        fwd = _knn_cos(s, tgt_c, k, kernel, nprobe, n_centroids, fwd_index)
+        bwd = _knn_cos(t, src_c, k, kernel, nprobe, n_centroids, bwd_index)
 
     # order-fixed penalty fold (the bm25_search discipline): per id, sort
     # the k neighbor cosines by neighbor_id and sum ascending — the same

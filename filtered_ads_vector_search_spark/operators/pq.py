@@ -370,6 +370,21 @@ def opq_fit(
             cb[nonempty] = sums[nonempty] / counts[nonempty, None]
         return cb
 
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _fit_and_decode(j: int, Y: np.ndarray, steps: int) -> None:
+        # per-subspace Lloyd fit + encode/decode — rng-free and independent
+        # across j, so the alternation's inner loops run on driver threads
+        # exactly like pq_fit's fits (BIT-IDENTICAL to the sequential loop:
+        # each subspace touches only its own CB[j]/Yhat slice). The init
+        # draws above stay sequential (one shared rng stream).
+        S = np.ascontiguousarray(Y[:, j * sd : (j + 1) * sd])
+        CB[j] = _lloyd(S, CB[j], steps)
+        G = S @ CB[j].T
+        G *= -2.0
+        G += (CB[j] * CB[j]).sum(axis=1)[None, :]
+        Yhat[:, j * sd : (j + 1) * sd] = CB[j][np.argmin(G, axis=1)]
+
     for it in range(max(1, opq_iters)):
         Y = X @ R
         if CB is None:
@@ -382,26 +397,24 @@ def opq_fit(
             steps = iters
         else:
             steps = 2
-        for j in range(m):
-            S = np.ascontiguousarray(Y[:, j * sd : (j + 1) * sd])
-            CB[j] = _lloyd(S, CB[j], steps)
-        # encode+decode Y against the fresh codebooks (argmin of
-        # ||c||^2 - 2 y.c per subspace — row-constant term dropped)
+        # fit + encode/decode against the fresh codebooks (argmin of
+        # ||c||^2 - 2 y.c per subspace — row-constant term dropped),
+        # threaded across the m independent subspaces
         Yhat = np.empty_like(Y)
-        for j in range(m):
-            S = Y[:, j * sd : (j + 1) * sd]
-            G = S @ CB[j].T
-            G *= -2.0
-            G += (CB[j] * CB[j]).sum(axis=1)[None, :]
-            Yhat[:, j * sd : (j + 1) * sd] = CB[j][np.argmin(G, axis=1)]
+        with ThreadPoolExecutor(max_workers=m) as ex:
+            list(ex.map(lambda j: _fit_and_decode(j, Y, steps), range(m)))
         # orthogonal Procrustes update
         U, _, Vt = np.linalg.svd(X.T @ Yhat)
         R = U @ Vt
     # final codebook refit under the FINAL rotation (see docstring)
     Y = X @ R
-    for j in range(m):
+
+    def _refit(j: int) -> None:
         S = np.ascontiguousarray(Y[:, j * sd : (j + 1) * sd])
         CB[j] = _lloyd(S, CB[j], 2)
+
+    with ThreadPoolExecutor(max_workers=m) as ex:
+        list(ex.map(_refit, range(m)))
     books = [[[float(x) for x in row] for row in cb] for cb in CB]
     return R, books
 
