@@ -208,14 +208,18 @@ def minhash_pairs(
     ).filter(F.size("shingles") > 0)
     # Separate projection: `shingles` is referenced twice below (output +
     # signature input), which keeps CollapseProject from re-inlining the
-    # shingle construction into both uses. The cache matters because the
-    # plan references this relation three times (bands + both verify sides);
-    # at scale this is the persisted signature table of the dedup pipeline.
+    # shingle construction into both uses. Materialization matters because
+    # the plan references this relation three times (bands + both verify
+    # sides); at scale this is the persisted signature table of the dedup
+    # pipeline. localCheckpoint(eager) rather than cache(): the operator
+    # returns lazily so it could never unpersist, and a CacheManager entry
+    # would serve stale data to any later canonicalized-matching subplan in
+    # the same session.
     sh = shingled.select(
         "doc_id",
         "shingles",
         minhash_signature_from_shingles(F.col("shingles")).alias("sig"),
-    ).cache()
+    ).localCheckpoint(eager=True)
 
     bands = sh.select(
         "doc_id",
@@ -377,12 +381,13 @@ def simhash_pairs_banded(
     so candidates come from h+1 equi-joins on (band_id, band_bits), never a
     crossJoin, and the hamming verify keeps exactly simhash_pairs' result."""
     n_bands = max_hamming + 1
-    # cached: the plan references the signature relation on both join sides
-    # (same precedent as minhash_pairs; at scale this is the persisted
-    # signature table)
+    # materialized once: the plan references the signature relation on both
+    # join sides (same precedent as minhash_pairs; at scale this is the
+    # persisted signature table). localCheckpoint(eager), not cache() — the
+    # operator returns lazily and could never unpersist (see minhash_pairs).
     s = documents.select(
         F.col("doc_id"), simhash_col(F.col(text_col)).alias("sig")
-    ).cache()
+    ).localCheckpoint(eager=True)
     bands = s.select(
         "doc_id",
         "sig",
@@ -462,12 +467,15 @@ def embedding_dup_pairs_lsh(
 
     dim = len(embeddings.select(vec_col).first()[0])
     planes = _hyperplanes(dim, n_bits, n_tables, seed)
+    # materialized once (feeds the key fan-out and both verify sides);
+    # localCheckpoint(eager), not persist() — the operator returns lazily
+    # and could never unpersist (see minhash_pairs).
     tagged = _tag_buckets(
         embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")),
         "v",
         planes,
         "b",
-    ).persist()
+    ).localCheckpoint(eager=True)
 
     # ONE self-join on the composite (table, bucket) key: each side explodes
     # its per-table keys in the same scan (narrow fan-out), so candidate

@@ -208,6 +208,13 @@ def graph_search(
         # is frontier-sized: broadcast it against the streaming corpus so
         # the corpus never shuffles; queries are the tiny side of the final
         # join.
+        # INVARIANT (load-bearing for beam_cut): scoring must stay a pure
+        # deterministic expression so that a candidate reached from several
+        # frontier members scores BIT-IDENTICALLY — beam_cut's
+        # topk_agg(dedup=True) relies on array_distinct collapsing those
+        # duplicate (dist, node_id) rows. Moving this to a batch kernel with
+        # non-bit-stable arithmetic would silently let duplicates survive
+        # into the beam.
         return (
             F.broadcast(cand).join(nodes, "node_id")
             .join(F.broadcast(q), "query_id")

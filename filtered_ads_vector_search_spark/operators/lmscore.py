@@ -85,18 +85,22 @@ def ngram_lm_perplexity(
     lowered = documents.select(
         "doc_id", F.lower(F.col(text_col)).alias("lt")
     )
+    # the unigram relation is materialized ONCE (eager localCheckpoint):
+    # vocab size V is then a scalar aggregate over the checkpointed rows,
+    # broadcast back as a one-row relation. This keeps the one-corpus-pass
+    # property (a separate aggregate branch re-ran the whole tokenize+
+    # groupBy subplan — exchange reuse does not fire) WITHOUT the empty-
+    # partitionBy() global window it replaces, which funneled the entire
+    # unigram vocabulary through a single task — a straggler seam at
+    # web-scale vocabularies (guide §2.5/§5). Same integer V either way.
     uni = (
         lowered.select(F.explode(T.tokens(F.col("lt"))).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c1"))
+        .localCheckpoint(eager=True)
     )
-    # vocab size rides the uni relation as a GLOBAL window instead of a
-    # separate one-row aggregate branch (which re-ran the whole
-    # tokenize+groupBy subplan — one corpus pass saved; the window is a
-    # single-partition pass over the vocab-sized relation). Same integer.
-    uni = uni.select(
-        "w", "c1", F.count(F.lit(1)).over(Window.partitionBy()).alias("v")
-    )
+    vocab = uni.agg(F.count(F.lit(1)).alias("v"))
+    uni = uni.crossJoin(F.broadcast(vocab))
     big = (
         lowered.select(F.explode(_bigrams(F.col("lt"))).alias("bg"))
         .groupBy("bg")

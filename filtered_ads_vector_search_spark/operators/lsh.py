@@ -99,6 +99,69 @@ def _buckets_sql(dots_sql: str, n_bits: int, n_tables: int) -> str:
     )
 
 
+def _query_buckets_fold(Q: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """(n_queries, n_tables) int64 bucket keys computed driver-side with the
+    SAME element-ascending dot fold as `_all_dots_sql` (acc starts at 0.0,
+    adds v_i * plane_i in ascending element order, one scalar chain per
+    (query, plane)) — the signs, and therefore the buckets, are bit-identical
+    to the expression path's. The elementwise numpy loop vectorizes over
+    (queries x planes) but each scalar accumulator sees the identical IEEE
+    operation sequence."""
+    n_tables, n_bits, dim = planes.shape
+    P = planes.reshape(n_tables * n_bits, dim)
+    acc = np.zeros((Q.shape[0], n_tables * n_bits), dtype=np.float64)
+    for i in range(dim):  # ascending-element left fold
+        acc += Q[:, i, None] * P[None, :, i]
+    bits = acc > 0.0
+    weights = 1 << np.arange(n_bits, dtype=np.int64)
+    return (bits.reshape(len(Q), n_tables, n_bits) * weights[None, None, :]).sum(
+        axis=2
+    )
+
+
+def _norm_fold(M: np.ndarray) -> np.ndarray:
+    """Per-row sqrt(sum x_i^2) with the element-ascending left fold —
+    bit-identical to `vec_norm` (same accumulation order, and IEEE sqrt is
+    correctly rounded in both numpy and the JVM)."""
+    acc = np.zeros(M.shape[0], dtype=np.float64)
+    for el in range(M.shape[1]):  # ascending-element left fold
+        acc += M[:, el] * M[:, el]
+    return np.sqrt(acc)
+
+
+def _dots_tiled(Qc: np.ndarray, VT: np.ndarray) -> np.ndarray:
+    """(q_chunk x n) inner products as the element-ascending left fold, over
+    corpus-column tiles (the `_sqeuclidean_bucket_scorer` tiling: each
+    (q_chunk x tile) temporary stays cache-resident; tiling partitions
+    columns, never the fold order, so each scalar accumulates ascending from
+    0.0 — bit-identical to `vec_inner_product`)."""
+    d, n = VT.shape
+    sc = np.empty((Qc.shape[0], n), dtype=np.float64)
+    for t0 in range(0, n, 4096):
+        t1 = min(t0 + 4096, n)
+        blk = np.zeros((Qc.shape[0], t1 - t0), dtype=np.float64)
+        for el in range(d):  # ascending-element left fold
+            blk += Qc[:, el, None] * VT[el, t0:t1][None, :]
+        sc[:, t0:t1] = blk
+    return sc
+
+
+def _sqdiff_tiled(Qc: np.ndarray, VT: np.ndarray) -> np.ndarray:
+    """(q_chunk x n) squared-euclidean distances, element-ascending left fold
+    over column tiles — bit-identical to `vec_sqeuclidean` (the same recipe
+    as ann._sqeuclidean_bucket_scorer)."""
+    d, n = VT.shape
+    sc = np.empty((Qc.shape[0], n), dtype=np.float64)
+    for t0 in range(0, n, 4096):
+        t1 = min(t0 + 4096, n)
+        blk = np.zeros((Qc.shape[0], t1 - t0), dtype=np.float64)
+        for el in range(d):  # ascending-element left fold
+            diff = Qc[:, el, None] - VT[el, t0:t1][None, :]
+            blk += diff * diff
+        sc[:, t0:t1] = blk
+    return sc
+
+
 def _tag_buckets(
     df: DataFrame, vec_col: str, planes: np.ndarray, prefix: str
 ) -> DataFrame:
@@ -271,6 +334,7 @@ class LSHIndex:
         k: int = 10,
         predicate: Column | None = None,
         multiprobe: int = 0,
+        kernel: str = "arrow",
     ) -> DataFrame:
         """Filtered approximate top-k. Candidates = union over tables of
         bucket-equal rows, deduplicated, exact-reranked. Predicate applies
@@ -280,12 +344,29 @@ class LSHIndex:
         of the query's bucket in the first m bit positions (the standard
         multi-probe LSH trick): recall of many tables at the candidate cost
         of few. Probe keys explode on the (tiny, broadcast) query side only.
+
+        ``kernel="arrow"`` (default) scores candidates inside a
+        ``mapInArrow`` numpy kernel: the corpus streams once (no n_tables
+        row fan-out), each (table, bucket) group is scored as a matrix with
+        the element-ascending left folds — BIT-IDENTICAL doubles to the
+        expression forms (`test_lsh_arrow_bitwise_equals_expr`), same
+        (dist, neighbor_id) tie-break, and only per-group top-k partials
+        reach the shuffle instead of every candidate pair (guide §4.2 /
+        §2.3). ``kernel="expr"`` keeps the interpreted expression path (the
+        declarative twin the DuckDB oracle mirrors); metrics without an
+        Arrow fold (hamming) always take it.
         """
+        if kernel not in ("arrow", "expr"):
+            raise ValueError(f"kernel must be 'arrow' or 'expr'; got {kernel!r}")
         corpus = self.tagged
         if predicate is not None:
             corpus = corpus.filter(predicate)
         T, B = self.n_tables, self.n_bits
         m = min(multiprobe, B)
+        if kernel == "arrow" and self.metric in (
+            "cosine", "sqeuclidean", "inner_product"
+        ):
+            return self._search_arrow(corpus, queries, k, m)
         dim = self.planes.shape[2]
 
         # ONE equi-join on the composite (table, bucket) key instead of one
@@ -371,6 +452,168 @@ class LSHIndex:
             .select("query_id", "neighbor_id", d.alias("dist"))
         )
         return topk_agg(pairs, k, asc=asc, dedup=True)
+
+    def _search_arrow(
+        self, corpus: DataFrame, queries: DataFrame, k: int, m: int
+    ) -> DataFrame:
+        """Arrow-batched LSH search (guide §4.2: distribution/shuffles in
+        Spark, batch math in numpy inside the boundary).
+
+        Query side: bounded collect, buckets (+ the first-``m`` multiprobe
+        bit flips) computed driver-side with the same element-ascending dot
+        fold as the tagging expression (`_query_buckets_fold` — bit-identical
+        signs), broadcast as (qids, Q, query norms, per-table bucket->query
+        maps). Corpus side: ONE pass, no explode — the kernel groups each
+        Arrow batch by every table's stored bucket column, scores each
+        probed (table, bucket) group as a (queries x rows) matrix with the
+        element-ascending folds (bit-identical doubles to the expression
+        path; fold order is batch-shape-invariant, so a pair matched by two
+        tables scores identically and `topk_agg(dedup=True)`'s
+        array_distinct collapses it, exactly as on the expression path), and
+        emits the exact per-group top-k SET under the (dist, neighbor_id)
+        tie-break (`_topk_set_mask` over id-ascending columns) — a pair in
+        the global top-k beats < k pairs globally, hence < k within any of
+        its groups, so per-group partials lose nothing. Zero-norm rows
+        (cosine): the expression path's nullif yields a NULL dist; the
+        kernel emits every such candidate pair with a NULL dist (never
+        top-k-cut, so the global merge sees the identical relation
+        regardless of how nulls order)."""
+        from .topk import (
+            MAX_BROADCAST_QUERIES,
+            _arrow_vectors,
+            _topk_set_mask,
+        )
+
+        spark = corpus.sparkSession
+        T = self.n_tables
+        metric = self.metric
+        q_rows = (
+            queries.select("query_id", "q_vec")
+            .limit(MAX_BROADCAST_QUERIES + 1)
+            .collect()
+        )
+        if len(q_rows) > MAX_BROADCAST_QUERIES:
+            raise ValueError(
+                f"LSHIndex.search collects the query matrix; got "
+                f"> {MAX_BROADCAST_QUERIES} queries — shard the batch upstream"
+            )
+        if not q_rows:
+            return spark.createDataFrame(
+                [], "query_id bigint, neighbor_id bigint, rank int, dist double"
+            )
+        qids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
+        Q = np.array([list(r["q_vec"]) for r in q_rows], dtype=np.float64)
+        qb = _query_buckets_fold(Q, self.planes)
+        maps: list[dict[int, np.ndarray]] = []
+        for t in range(T):
+            mp: dict[int, list[int]] = {}
+            for qi in range(len(qids)):
+                b = int(qb[qi, t])
+                mp.setdefault(b, []).append(qi)
+                for j in range(m):  # multiprobe: hamming-1 flips, first m bits
+                    mp.setdefault(b ^ (1 << j), []).append(qi)
+            maps.append({b: np.array(v, dtype=np.int64) for b, v in mp.items()})
+        qn = _norm_fold(Q) if metric == "cosine" else None
+        bc = spark.sparkContext.broadcast((qids, Q, qn, maps))
+        vec_col = self.vec_col
+        pruned = corpus.select(
+            F.col(self.id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("_v"),
+            *[F.col(f"bucket_{t}").alias(f"_b{t}") for t in range(T)],
+        )
+
+        def score(batches):
+            import pyarrow as pa
+
+            qids_, Q_, qn_, maps_ = bc.value
+            n_tables = len(maps_)
+            for batch in batches:
+                if batch.num_rows == 0:
+                    continue
+                nids = (
+                    batch.column(batch.schema.get_field_index("neighbor_id"))
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                )
+                mat = _arrow_vectors(batch, "_v")
+                cn = _norm_fold(mat) if metric == "cosine" else None
+                for t in range(n_tables):
+                    mp = maps_[t]
+                    pids = (
+                        batch.column(batch.schema.get_field_index(f"_b{t}"))
+                        .to_numpy(zero_copy_only=False)
+                        .astype(np.int64)
+                    )
+                    g_order = np.argsort(pids, kind="stable")
+                    g_pids = pids[g_order]
+                    bounds = np.flatnonzero(
+                        np.r_[True, g_pids[1:] != g_pids[:-1], True]
+                    )
+                    for s0, s1 in zip(bounds[:-1], bounds[1:]):
+                        qsel = mp.get(int(g_pids[s0]))
+                        if qsel is None or len(qsel) == 0:
+                            continue
+                        sel = g_order[s0:s1]
+                        ids = nids[sel]
+                        order = np.argsort(ids)  # ascending id => exact tie-break
+                        ids = ids[order]
+                        VT = np.ascontiguousarray(mat[sel][order].T)
+                        cnb = cn[sel][order] if cn is not None else None
+                        n = len(ids)
+                        kk = min(k, n)
+                        out_q: list[np.ndarray] = []
+                        out_n: list[np.ndarray] = []
+                        out_d: list[np.ndarray] = []
+                        out_z: list[np.ndarray] = []
+                        for c0 in range(0, len(qsel), 256):  # bound (q x n)
+                            c1 = min(c0 + 256, len(qsel))
+                            qs = qsel[c0:c1]
+                            Qc = Q_[qs]
+                            if metric == "cosine":
+                                dots = _dots_tiled(Qc, VT)
+                                denom = qn_[qs][:, None] * cnb[None, :]
+                                zero = denom == 0.0
+                                with np.errstate(
+                                    divide="ignore", invalid="ignore"
+                                ):
+                                    sc = 1.0 - dots / denom
+                                dsel = np.where(zero, np.inf, sc)
+                                mask = _topk_set_mask(dsel, kk) | zero
+                            elif metric == "sqeuclidean":
+                                sc = _sqdiff_tiled(Qc, VT)
+                                zero = None
+                                mask = _topk_set_mask(sc, kk)
+                            else:  # inner_product: larger = better
+                                sc = _dots_tiled(Qc, VT)
+                                zero = None
+                                mask = _topk_set_mask(-sc, kk)
+                            rows_i, cols = np.nonzero(mask)
+                            out_q.append(qids_[qs[rows_i]])
+                            out_n.append(ids[cols])
+                            out_d.append(sc[rows_i, cols])
+                            out_z.append(
+                                zero[rows_i, cols]
+                                if zero is not None
+                                else np.zeros(len(rows_i), dtype=bool)
+                            )
+                        zmask = np.concatenate(out_z)
+                        yield pa.RecordBatch.from_arrays(
+                            [
+                                pa.array(np.concatenate(out_q), type=pa.int64()),
+                                pa.array(np.concatenate(out_n), type=pa.int64()),
+                                pa.array(
+                                    np.concatenate(out_d),
+                                    type=pa.float64(),
+                                    mask=zmask if zmask.any() else None,
+                                ),
+                            ],
+                            names=["query_id", "neighbor_id", "dist"],
+                        )
+
+        pairs = pruned.mapInArrow(
+            score, "query_id long, neighbor_id long, dist double"
+        )
+        return topk_agg(pairs, k, asc=(metric != "inner_product"), dedup=True)
 
     def unpersist(self) -> None:
         self.tagged.unpersist()

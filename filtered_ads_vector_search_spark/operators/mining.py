@@ -154,8 +154,12 @@ def mine_bitext(
         raise ValueError("k must be >= 1")
     s = src.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
     t = tgt.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
-    src_c = src.select(F.col(id_col), F.col(vec_col))
-    tgt_c = tgt.select(F.col(id_col), F.col(vec_col))
+    # canonical corpus-side names up front: every downstream kernel
+    # (knn_window/knn_scalable defaults, the ivf _build, _knn_cos's index
+    # build) assumes (vec_id, embedding) — aliasing here makes non-default
+    # id_col/vec_col work on all paths instead of only the query side
+    src_c = src.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
+    tgt_c = tgt.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
 
     if kernel == "ivf" and (fwd_index is None or bwd_index is None):
         # The two direction indexes are INDEPENDENT builds (fwd over tgt,
@@ -209,27 +213,39 @@ def mine_bitext(
     # order-fixed penalty fold (the bm25_search discipline): per id, sort
     # the k neighbor cosines by neighbor_id and sum ascending — the same
     # doubles in the same order as the DuckDB twin, so the margin argmax
-    # is bit-stable across engines (a bare avg() folds in partition order)
-    def _pen(knn: DataFrame, alias: str) -> DataFrame:
-        return knn.groupBy("query_id").agg(
-            (
-                F.expr(
-                    "aggregate(array_sort(collect_list("
-                    "named_struct('i', neighbor_id, 'c', cos))), "
-                    "0.0D, (acc, x) -> acc + x.c)"
-                )
-                / F.count("*")
-            ).alias(alias)
-        )
+    # is bit-stable across engines (a bare avg() folds in partition order).
+    # Computed as a WINDOW over each k-NN relation, not a separate groupBy
+    # + join (guide §2.4): both k-NN merges already partition by query_id,
+    # so the penalty window adds NO exchange — and the fwd relation is
+    # referenced ONCE instead of twice (the groupBy branch re-executed the
+    # whole search subplan; exchange reuse does not fire across the
+    # differently-shaped consumers). Same array, same sort, same fold,
+    # same division — bit-identical penalties.
+    wq = Window.partitionBy("query_id")
 
-    pen_src = _pen(fwd, "avgk_src")
-    pen_tgt = _pen(bwd, "avgk_tgt")
+    def _pen_col() -> Column:
+        arr = F.array_sort(
+            F.collect_list(
+                F.struct(F.col("neighbor_id").alias("i"), F.col("cos").alias("c"))
+            ).over(wq)
+        )
+        return F.aggregate(
+            arr, F.lit(0.0), lambda acc, x: acc + x["c"]
+        ) / F.count(F.lit(1)).over(wq)
+
+    fwd_p = fwd.withColumn("avgk_src", _pen_col())
+    # bwd reduces to one penalty row per target: rank==1 exists for every
+    # query with >= 1 neighbor — exactly the ids the groupBy form produced
+    pen_tgt = (
+        bwd.withColumn("avgk_tgt", _pen_col())
+        .filter(F.col("rank") == 1)
+        .select(F.col("query_id").alias("tgt_id"), "avgk_tgt")
+    )
 
     cand = (
-        fwd.withColumnRenamed("query_id", "src_id")
+        fwd_p.withColumnRenamed("query_id", "src_id")
         .withColumnRenamed("neighbor_id", "tgt_id")
-        .join(pen_src.withColumnRenamed("query_id", "src_id"), "src_id")
-        .join(pen_tgt.withColumnRenamed("query_id", "tgt_id"), "tgt_id")
+        .join(pen_tgt, "tgt_id")
         .withColumn(
             "margin",
             F.col("cos") / (F.col("avgk_src") / 2.0 + F.col("avgk_tgt") / 2.0),

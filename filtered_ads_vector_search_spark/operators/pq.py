@@ -36,6 +36,8 @@ Codebooks come in two flavors:
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
@@ -280,7 +282,7 @@ def pq_fit(
 
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=m) as ex:
+    with ThreadPoolExecutor(max_workers=min(m, os.cpu_count() or 1)) as ex:
         fitted = list(ex.map(lambda t: _fit(*t), inits))
     return [[[float(x) for x in row] for row in cb] for cb in fitted]
 
@@ -401,7 +403,7 @@ def opq_fit(
         # ||c||^2 - 2 y.c per subspace — row-constant term dropped),
         # threaded across the m independent subspaces
         Yhat = np.empty_like(Y)
-        with ThreadPoolExecutor(max_workers=m) as ex:
+        with ThreadPoolExecutor(max_workers=min(m, os.cpu_count() or 1)) as ex:
             list(ex.map(lambda j: _fit_and_decode(j, Y, steps), range(m)))
         # orthogonal Procrustes update
         U, _, Vt = np.linalg.svd(X.T @ Yhat)
@@ -413,7 +415,7 @@ def opq_fit(
         S = np.ascontiguousarray(Y[:, j * sd : (j + 1) * sd])
         CB[j] = _lloyd(S, CB[j], 2)
 
-    with ThreadPoolExecutor(max_workers=m) as ex:
+    with ThreadPoolExecutor(max_workers=min(m, os.cpu_count() or 1)) as ex:
         list(ex.map(_refit, range(m)))
     books = [[[float(x) for x in row] for row in cb] for cb in CB]
     return R, books

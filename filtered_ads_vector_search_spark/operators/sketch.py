@@ -96,11 +96,16 @@ def cms_heavy_hitters(
         )
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("true_count"))
-        # persisted: the vocab-sized relation feeds BOTH the sketch build
-        # and the probe side — without it each branch re-tokenizes the
+        # materialized once: the vocab-sized relation feeds BOTH the sketch
+        # build and the probe side — without it each branch re-tokenizes the
         # corpus (exchange reuse does not fire across the two differently-
         # shaped consumers). Bounded by vocabulary size at any corpus scale.
-        .persist()
+        # localCheckpoint(eager) rather than persist(): the operator returns
+        # lazily so it could never unpersist, and a CacheManager entry leaks
+        # into every later query in the session (a canonicalized-matching
+        # subplan — e.g. a repeated run of this operator — would silently
+        # read the stale cache instead of recomputing).
+        .localCheckpoint(eager=True)
     )
     # The audit form computes the vocab-sized true counts anyway, and the
     # sketch cell counts are sums of per-term counts — so build the sketch

@@ -95,6 +95,27 @@ def test_lsh_multiprobe_monotone(spark):
     idx.unpersist()
 
 
+def test_lsh_arrow_bitwise_equals_expr(spark):
+    """The Arrow scoring kernel is a PHYSICAL swap: identical rows —
+    including exact dist doubles — to the interpreted expression path, for
+    every supported metric and under multiprobe (the kernel replicates the
+    element-ascending folds, the (dist, neighbor_id) tie-break, and the
+    bucket-sign arithmetic driver-side)."""
+    q, c = _setup(spark)
+    idx = LSHIndex.build(c, n_bits=4, n_tables=8, metric="cosine", seed=42)
+    for mp in (0, 2):
+        a = sorted(map(tuple, idx.search(q, k=10, multiprobe=mp, kernel="arrow").collect()))
+        e = sorted(map(tuple, idx.search(q, k=10, multiprobe=mp, kernel="expr").collect()))
+        assert a == e, f"multiprobe={mp}: arrow != expr"
+    idx.unpersist()
+    for metric in ("sqeuclidean", "inner_product"):
+        m = LSHIndex.build(c, n_bits=4, n_tables=2, metric=metric, seed=7)
+        a = sorted(map(tuple, m.search(q, k=5, kernel="arrow").collect()))
+        e = sorted(map(tuple, m.search(q, k=5, kernel="expr").collect()))
+        assert a == e, f"{metric}: arrow != expr"
+        m.unpersist()
+
+
 def test_lsh_write_partitioned_layout(spark, tmp_path):
     import os
 
