@@ -203,7 +203,15 @@ def minhash_pairs(
     Returns (doc_a, doc_b, jaccard) with verified jaccard >= threshold; at a
     shingle level this matches ngram_jaccard_pairs whenever LSH recall
     captures the pair (probabilistic containment, tested as a property)."""
-    shingled = documents.select(
+    from ..datasets import fan_out_small_scan
+
+    # fan the per-row shingle+signature compute out of a single-split scan
+    # (guide §2.5; no-op on multi-split corpora). Partition-safe: every
+    # downstream value is a per-row expression, an exact-integer aggregate,
+    # or an exact int/int ratio — nothing folds doubles across rows.
+    shingled = fan_out_small_scan(
+        documents.select(F.col("doc_id"), F.col(text_col))
+    ).select(
         F.col("doc_id"), word_shingles(F.col(text_col), n).alias("shingles")
     ).filter(F.size("shingles") > 0)
     # Separate projection: `shingles` is referenced twice below (output +
@@ -385,7 +393,11 @@ def simhash_pairs_banded(
     # join sides (same precedent as minhash_pairs; at scale this is the
     # persisted signature table). localCheckpoint(eager), not cache() — the
     # operator returns lazily and could never unpersist (see minhash_pairs).
-    s = documents.select(
+    from ..datasets import fan_out_small_scan
+
+    s = fan_out_small_scan(
+        documents.select(F.col("doc_id"), F.col(text_col))
+    ).select(
         F.col("doc_id"), simhash_col(F.col(text_col)).alias("sig")
     ).localCheckpoint(eager=True)
     bands = s.select(
@@ -470,8 +482,12 @@ def embedding_dup_pairs_lsh(
     # materialized once (feeds the key fan-out and both verify sides);
     # localCheckpoint(eager), not persist() — the operator returns lazily
     # and could never unpersist (see minhash_pairs).
+    from ..datasets import fan_out_small_scan
+
     tagged = _tag_buckets(
-        embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")),
+        fan_out_small_scan(
+            embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        ),
         "v",
         planes,
         "b",
@@ -954,9 +970,13 @@ def contamination_flags_bloom(
     broadcast variable consumed by a pandas_udf bit test (or a literal
     BINARY column), not an array-of-literals expression — the expression
     tree itself would be 16M nodes."""
+    from ..datasets import fan_out_small_scan
+
     # (doc_id, shh) exactly like the exact form: word_shingles is
-    # array_distinct per document, so no corpus-wide distinct is needed
-    d = docs.select(
+    # array_distinct per document, so no corpus-wide distinct is needed.
+    # fan_out: the shingle+md5 compute over the TRAINING side is the
+    # operator's heavy scan (guide §2.5); values are per-row exact.
+    d = fan_out_small_scan(docs.select("doc_id", text_col)).select(
         "doc_id", F.explode(word_shingles(F.col(text_col), n)).alias("sh")
     ).select("doc_id", str_hash_col(F.col("sh")).alias("shh"))
     # The eval shingle set is read three times (the sizing count, the

@@ -90,10 +90,11 @@ def cms_heavy_hitters(
     the vocab-sized aggregate and exists for the comparison, not the scale
     path (estimate-only callers join candidates against the broadcast
     sketch)."""
+    from ..datasets import fan_out_small_scan
+
     truth = (
-        documents.select(
-            F.explode(T.tokens(F.lower(F.col(text_col)))).alias("term")
-        )
+        fan_out_small_scan(documents.select(text_col))
+        .select(F.explode(T.tokens(F.lower(F.col(text_col)))).alias("term"))
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("true_count"))
         # materialized once: the vocab-sized relation feeds BOTH the sketch

@@ -90,10 +90,16 @@ def bm25_search(
     # and its join exchange disappear; dl rides the doc_terms groupBy key,
     # functionally dependent on doc_id). Values are bit-identical: exact
     # integer counts either way.
+    from ..datasets import fan_out_small_scan
+
     toks = F.filter(
         tokens(F.lower(F.col(text_col))), lambda t: t != ""
     )
-    base = docs.select(
+    # fan the tokenize scan out of a single split (guide §2.5; no-op on a
+    # multi-split corpus). Partition-safe: tf/df/dl/totals are exact
+    # integers and the per-(query, doc) score is the order-fixed
+    # term-ascending fold — nothing depends on partial-merge order.
+    base = fan_out_small_scan(docs.select(id_col, text_col)).select(
         F.col(id_col).alias("doc_id"), toks.alias("_toks")
     ).filter(F.size("_toks") > 0)
     dt = (
