@@ -107,6 +107,7 @@ def _probe_lists_job(
         metric="sqeuclidean",
         id_col="centroid_id",
         vec_col="centroid",
+        fan_out=False,
     ).select("query_id", "neighbor_id").collect()
     pairs = sorted(
         (qpos[int(r["query_id"])], int(r["neighbor_id"])) for r in rows
@@ -975,7 +976,13 @@ class IVFIndex:
         # (rating buckets, categories) must survive into the index artifact
         # so filtered search predicates bind against it — same contract as
         # build_fixed
-        assigned = _with_partition_id(corpus, centers, vec_col)
+        # fan_out: the Arrow assignment kernel runs on the scan's tasks, so
+        # a single-split corpus serializes the whole assignment DGEMM on one
+        # core (guide §2.5; no-op on multi-split corpora). Per-row argmin —
+        # partition-invariant.
+        from ..datasets import fan_out_small_scan
+
+        assigned = _with_partition_id(fan_out_small_scan(corpus), centers, vec_col)
         if materialize:
             # materialize: the index artifact. materialize=False leaves the
             # assignment lazy so a composing consumer (IVFPQ) can fuse it
@@ -1051,7 +1058,11 @@ class IVFIndex:
             "centroid_id int, centroid array<float>",
         )
         n = len(centers)
-        assigned = _with_partition_id_exact(corpus, centers, vec_col)
+        # fan_out: same single-split mitigation as build() — the exact
+        # assignment kernel is per-row, partition-invariant
+        from ..datasets import fan_out_small_scan
+
+        assigned = _with_partition_id_exact(fan_out_small_scan(corpus), centers, vec_col)
         if materialize:
             # bucket co-location — see build() for the rationale
             assigned = (
@@ -1299,6 +1310,7 @@ class IVFIndex:
             metric="sqeuclidean" if self.metric != "inner_product" else "inner_product",
             id_col="centroid_id",
             vec_col="centroid",
+            fan_out=False,
         ).select("query_id", F.col("neighbor_id").alias("partition_id"))
 
         # 2. candidates via equi-join on the bucket key. The probe list is
@@ -1419,6 +1431,7 @@ class IVFIndex:
             metric="sqeuclidean" if self.metric != "inner_product" else "inner_product",
             id_col="centroid_id",
             vec_col="centroid",
+            fan_out=False,
         ).select("query_id", F.col("neighbor_id").alias("partition_id"))
         cand = (
             F.broadcast(probes).join(corpus, "partition_id")

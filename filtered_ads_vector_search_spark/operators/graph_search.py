@@ -105,6 +105,7 @@ def ivf_entries(
         metric="sqeuclidean",
         id_col="centroid_id",
         vec_col="centroid",
+        fan_out=False,
     ).select("query_id", F.col("neighbor_id").alias("partition_id"))
     wm = Window.partitionBy("partition_id").orderBy(
         F.md5(F.col("node_id").cast("string")).asc(),
@@ -188,7 +189,16 @@ def graph_search(
                 F.col("src_id").alias("_dst"),
             )
         )
-    nodes = corpus.select(F.col(id_col).alias("node_id"), F.col(vec_col))
+    from ..datasets import fan_out_small_scan
+
+    # the per-hop scoring join STREAMS this relation (broadcast cand), so a
+    # single-split corpus scan serializes every hop's distance folds on one
+    # task (guide §2.5) — fan it out once; no-op on multi-split corpora.
+    # Partition-safe: scoring is the pure per-row expression documented on
+    # score_all, and beam_cut's aggregation is set-semantic.
+    nodes = fan_out_small_scan(
+        corpus.select(F.col(id_col).alias("node_id"), F.col(vec_col))
+    )
     passing = (
         corpus.filter(predicate).select(F.col(id_col).alias("node_id"))
         if predicate is not None

@@ -665,6 +665,7 @@ class IVFPQIndex:
             metric="sqeuclidean",
             id_col="centroid_id",
             vec_col="centroid",
+            fan_out=False,
         ).select("query_id", F.col("neighbor_id").alias("partition_id"))
 
         # Codebooks ride as a broadcast 1-row relation, NOT an inline literal:
